@@ -1,0 +1,396 @@
+"""Cache-layer tests, carrying over the reference's test strategy
+(SURVEY.md §5 / FIXTURES.md):
+
+* differential oracle against offset-deterministic content
+  (VirtualFileInputStream.java:43-50 → ``byte_at(pos) = pos % 256``);
+* tier-provenance assertions via Statistics deltas
+  (TestCachingFileSystemBase.java:222-316);
+* eviction watermark math (TestSidecarCachingOutputStream.java:171-250);
+* persistence round-trip (TestCachingFileSystemBase.java:410-498).
+"""
+
+import os
+import random
+
+import pytest
+
+from sidecar_spark.cache import CacheManager, CachingInputStream, PageStore, WriteCache
+from sidecar_spark.config import (
+    DataCacheMode,
+    SidecarConfig,
+    SidecarDataCacheType,
+    WriteCacheMode,
+)
+from sidecar_spark.stats import Statistics
+from sidecar_spark.util.scan_detector import ScanDetector
+
+PAGE = 4096
+KiB = 1024
+MiB = 1024 * 1024
+
+
+def virtual_read(offset: int, length: int) -> bytes:
+    """Offset-derived content oracle (VirtualFileInputStream.java:43-50)."""
+    return bytes((offset + i) % 256 for i in range(length))
+
+
+def make_stream(cache_dir, length=1 * MiB, stats=None, **kw):
+    conf = SidecarConfig.create(
+        cache_dir=cache_dir, data_page_size=PAGE, io_buffer_size=4 * PAGE,
+        data_cache_type="file", **{k: v for k, v in kw.items() if k.startswith("data_")})
+    stats = stats or Statistics()
+    store = PageStore(conf, stats)
+    stream = CachingInputStream(
+        path="/virtual/file", mtime=42, length=length, page_store=store,
+        remote_read=virtual_read, stats=stats,
+        io_buffer_size=conf.io_buffer_size,
+        scan_detector=kw.get("scan_detector"),
+    )
+    return stream, store, stats
+
+
+class TestCachingInputStream:
+    def test_sequential_reads_match_oracle(self, cache_dir):
+        stream, _, _ = make_stream(cache_dir, length=100_000)
+        pos = 0
+        while pos < 100_000:
+            data = stream.read(8 * KiB)
+            assert data == virtual_read(pos, len(data))
+            pos += len(data)
+        assert stream.tell() == 100_000
+        assert stream.read(10) == b""
+
+    def test_random_reads_match_oracle(self, cache_dir):
+        # Zipf-ish random access differential test
+        # (TestSidecarCachingInputStreamBase.java:361-423)
+        length = 300_000
+        stream, _, _ = make_stream(cache_dir, length=length)
+        rng = random.Random(42)
+        for _ in range(500):
+            off = rng.randrange(length)
+            n = rng.randrange(1, 3 * PAGE)
+            data = stream.read_at(off, n)
+            expect = virtual_read(off, min(n, length - off))
+            assert data == expect
+
+    def test_second_read_served_from_cache(self, cache_dir):
+        stats = Statistics()
+        stream, store, _ = make_stream(cache_dir, length=64 * KiB, stats=stats)
+        stream.read_at(0, 64 * KiB)
+        assert stats.get("total_read_requests_from_remote") == 1
+        before = stats.get("total_bytes_read_data_cache")
+        # new stream (cold prefetch buffer) over the same store
+        stream2 = CachingInputStream(
+            path="/virtual/file", mtime=42, length=64 * KiB, page_store=store,
+            remote_read=virtual_read, stats=stats, io_buffer_size=4 * PAGE)
+        data = stream2.read_at(0, 64 * KiB)
+        assert data == virtual_read(0, 64 * KiB)
+        assert stats.get("total_read_requests_from_remote") == 1  # no new remote IO
+        assert stats.get("total_bytes_read_data_cache") - before == 64 * KiB
+
+    def test_prefetch_buffer_hit(self, cache_dir):
+        stats = Statistics()
+        stream, _, _ = make_stream(cache_dir, length=64 * KiB, stats=stats)
+        stream.read_at(0, PAGE)  # fills 4-page prefetch window
+        stream.read_at(PAGE, PAGE)  # inside the window
+        assert stats.get("total_read_requests_from_prefetch") == 1
+        assert stats.get("total_read_requests_from_remote") == 1
+
+    def test_mtime_invalidates_pages(self, cache_dir):
+        stats = Statistics()
+        conf = SidecarConfig.create(cache_dir=cache_dir, data_page_size=PAGE,
+                                    data_cache_type="file")
+        store = PageStore(conf, stats)
+        s1 = CachingInputStream("/f", 1, 8 * KiB, store, virtual_read, stats=stats)
+        s1.read_at(0, 8 * KiB)
+        # same path, new mtime → different keys → remote again
+        s2 = CachingInputStream("/f", 2, 8 * KiB, store, virtual_read, stats=stats)
+        s2.read_at(0, 8 * KiB)
+        assert stats.get("total_read_requests_from_remote") == 2
+
+    def test_write_cache_tier_preferred(self, cache_dir):
+        stats = Statistics()
+        conf = SidecarConfig.create(cache_dir=cache_dir, data_page_size=PAGE,
+                                    data_cache_type="disabled")
+        store = PageStore(conf, stats)
+
+        def wc_read(off, ln):
+            return virtual_read(off, ln)
+
+        def remote_read(off, ln):  # must never be called
+            raise AssertionError("remote read should not happen")
+
+        s = CachingInputStream("/f", 1, 32 * KiB, store, remote_read,
+                               write_cache_read=wc_read, stats=stats,
+                               cache_on_read=False)
+        assert s.read_at(0, 32 * KiB) == virtual_read(0, 32 * KiB)
+        assert stats.get("total_read_requests_from_write_cache") == 1
+
+    def test_scan_detector_stops_admission(self, cache_dir):
+        stats = Statistics()
+        det = ScanDetector(threshold=4, page_size=PAGE)
+        conf = SidecarConfig.create(cache_dir=cache_dir, data_page_size=PAGE,
+                                    data_cache_type="file")
+        store = PageStore(conf, stats)
+        s = CachingInputStream("/f", 1, 1 * MiB, store, virtual_read,
+                               stats=stats, io_buffer_size=PAGE,
+                               scan_detector=det)
+        for i in range(16):  # pure sequential scan, 1 page per request
+            s.read_at(i * PAGE, PAGE)
+        assert stats.get("total_scans_detected") == 1
+        # admission stopped at the threshold: far fewer than 16 pages cached
+        assert store.page_count() < 8
+
+    def test_read_fully_raises_on_eof(self, cache_dir):
+        stream, _, _ = make_stream(cache_dir, length=100)
+        with pytest.raises(EOFError):
+            stream.read_fully(90, 50)
+
+
+class TestPageStore:
+    def _store(self, cache_dir, ctype, capacity=0):
+        conf = SidecarConfig.create(cache_dir=cache_dir, data_page_size=PAGE,
+                                    data_cache_type=ctype, data_cache_size=capacity)
+        return PageStore(conf)
+
+    @pytest.mark.parametrize("ctype", ["memory", "file", "hybrid"])
+    def test_put_get_delete(self, cache_dir, ctype):
+        st = self._store(cache_dir, ctype)
+        k = st.key("/f", 1, 0)
+        assert st.get(k) is None
+        st.put(k, b"x" * PAGE)
+        assert st.exists(k)
+        assert st.get(k) == b"x" * PAGE
+        assert st.get_range(k, 10, 5) == b"xxxxx"
+        assert st.delete(k)
+        assert not st.exists(k)
+
+    def test_file_store_survives_restart(self, cache_dir):
+        st = self._store(cache_dir, "file")
+        k = st.key("/f", 1, 0)
+        st.put(k, b"y" * PAGE)
+        # new store over the same dir rebuilds the index from disk
+        st2 = self._store(cache_dir, "file")
+        assert st2.get(k) == b"y" * PAGE
+
+    def test_capacity_eviction_lru(self, cache_dir):
+        st = self._store(cache_dir, "memory", capacity=10 * PAGE)
+        keys = [st.key("/f", 1, i * PAGE) for i in range(12)]
+        for k in keys:
+            st.put(k, b"z" * PAGE)
+        assert st.size_bytes() <= 10 * PAGE
+        assert not st.exists(keys[0])  # oldest evicted
+        assert st.exists(keys[-1])
+
+    def test_delete_file_pages(self, cache_dir):
+        st = self._store(cache_dir, "file")
+        for i in range(4):
+            st.put(st.key("/f", 7, i * PAGE), bytes([i]) * PAGE)
+        assert st.delete_file_pages("/f", 7, 4 * PAGE) == 4
+        assert st.page_count() == 0
+
+
+class TestWriteCache:
+    def _wc(self, cache_dir, size):
+        conf = SidecarConfig.create(cache_dir=cache_dir, write_cache_size=size)
+        return WriteCache(conf)
+
+    def test_path_mapping_bijective(self, cache_dir):
+        # remoteToCachingPath/cachingToRemotePath (:983-1014)
+        wc = self._wc(cache_dir, 0)
+        for uri in ("s3://bucket/a/b.parquet", "/local/x/y.parquet"):
+            cp = wc.caching_path(uri)
+            assert cp.startswith(wc.root)
+            back = wc.remote_path(cp)
+            if "://" in uri:
+                assert back == uri
+            else:
+                assert back == os.path.abspath(uri)
+
+    def test_moniker_protocol(self, cache_dir):
+        wc = self._wc(cache_dir, 0)
+        fh, cp = wc.open_write("/data/f1")
+        fh.write(b"abc"), fh.close()
+        assert wc.has_moniker(cp)
+        assert wc.moniker_count() == 1
+        wc.delete_moniker(cp)
+        assert wc.moniker_count() == 0
+
+    def test_eviction_watermark_math(self, cache_dir):
+        """1000 × 64 KiB files into a 20 MiB write cache ⇒ exactly 303
+        survivors and zero monikers — the reference's constant
+        (TestSidecarCachingOutputStream.java:69,222). The math: start
+        watermark 0.95·20 MiB = exactly 304 files, so eviction triggers
+        at file #305 (> 0.95) and evicts to 0.90·20 MiB = 288 files
+        (stop at not-> 0.90); the 17-file cycle's last trigger is at
+        write #985, leaving 288 + 15 = 303."""
+        wc = self._wc(cache_dir, 20 * MiB)
+        data = b"d" * (64 * KiB)
+        for i in range(1000):
+            wc.put_file(f"/data/f{i}", data, synced=True)
+            wc.check_eviction(blocking=True)
+        assert wc.moniker_count() == 0
+        assert wc.file_list.size() == 303
+        assert wc.size_bytes() == 303 * 64 * KiB
+        # survivors are the newest files (LRC evicts oldest-created)
+        assert wc.file_list.eviction_candidate().endswith("f697")
+
+    def test_unsynced_victim_guard(self, cache_dir):
+        # evictFiles refuses victims with a live moniker (:1423-1435)
+        wc = self._wc(cache_dir, 1 * MiB)
+        wc.unsynced_retry_delay = 0.01
+        big = b"b" * (512 * KiB)
+        cp0 = wc.put_file("/d/f0", big, synced=False)  # unsynced!
+        wc.put_file("/d/f1", big, synced=True)
+        wc.put_file("/d/f2", big, synced=True)
+        wc.evict_files(max_unsynced_retries=2)
+        assert os.path.exists(cp0)  # unsynced victim survived
+        assert wc.disabled  # cache disabled after retries exhausted
+
+    def test_rename_fixes_filelist(self, cache_dir):
+        wc = self._wc(cache_dir, 0)
+        wc.put_file("/d/a", b"123", synced=True)
+        assert wc.rename("/d/a", "/d/b")
+        assert wc.contains("/d/b")
+        assert not wc.contains("/d/a")
+        assert wc.read_range("/d/b", 0, 3) == b"123"
+
+
+class TestCacheManager:
+    def _conf(self, cache_dir, **kw):
+        base = dict(cache_dir=cache_dir, data_page_size=PAGE,
+                    io_buffer_size=4 * PAGE, data_cache_type="file",
+                    write_cache_size=100 * MiB, cache_persistent=False)
+        base.update(kw)
+        return SidecarConfig.create(**base)
+
+    def test_singleton_per_cache_dir(self, cache_dir):
+        conf = self._conf(cache_dir)
+        a = CacheManager.get_or_create(conf)
+        b = CacheManager.get_or_create(conf)
+        assert a is b
+        a.close(save=False)
+
+    def test_crud_lifecycle_tier_provenance(self, cache_dir, remote_dir):
+        """The §5.3 CRUD scenario: write 4 pages → read#1 from write
+        cache, read#2 from data cache; rename keeps content; delete
+        drains both caches (TestCachingFileSystemBase.java:179-334)."""
+        mgr = CacheManager(self._conf(cache_dir))
+        path = os.path.join(remote_dir, "f1")
+        payload = virtual_read(0, 4 * PAGE)
+
+        out = mgr.create(path)
+        out.write(payload)
+        out.close()
+        mgr.drain()
+        assert mgr.write_cache.moniker_count() == 0
+        assert mgr.meta.get(path) is not None
+
+        # read #1: bytes come from the write cache tier
+        s = mgr.open(path)
+        assert s.read_at(0, 4 * PAGE) == payload
+        assert mgr.stats.get("total_bytes_read_write_cache") == 4 * PAGE
+        assert mgr.stats.get("total_bytes_read_remote") == 0
+
+        # read #2 (fresh stream): all pages now in the data cache
+        s2 = mgr.open(path)
+        assert s2.read_at(0, 4 * PAGE) == payload
+        assert mgr.stats.get("total_bytes_read_data_cache") == 4 * PAGE
+
+        # rename: content follows, meta moves
+        dst = os.path.join(remote_dir, "f2")
+        assert mgr.rename(path, dst)
+        mgr.drain()
+        assert mgr.meta.get(path) is None
+        assert mgr.meta.get(dst) is not None
+        s3 = mgr.open(dst)
+        assert s3.read_at(0, PAGE) == payload[:PAGE]
+
+        # delete: meta gone, pages purged, mirror empty
+        assert mgr.delete(dst)
+        mgr.drain()
+        assert mgr.meta.get(dst) is None
+        assert not os.path.exists(dst)
+        mgr.close(save=False)
+
+    def test_persistence_round_trip(self, cache_dir, remote_dir):
+        """Shutdown → reload → meta/file-list restored, reads hit the
+        data cache 100% (TestCachingFileSystemBase.java:410-498)."""
+        conf = self._conf(cache_dir, cache_persistent=True)
+        mgr = CacheManager(conf)
+        path = os.path.join(remote_dir, "p1")
+        out = mgr.create(path)
+        out.write(virtual_read(0, 2 * PAGE))
+        out.close()
+        s = mgr.open(path)
+        s.read_at(0, 2 * PAGE)  # fill page cache
+        meta_n = mgr.meta.size()
+        mgr.close(save=True)
+
+        mgr2 = CacheManager(conf)
+        assert mgr2.meta.size() == meta_n
+        remote_before = mgr2.stats.get("total_read_requests_from_remote")
+        s2 = mgr2.open(path)
+        assert s2.read_at(0, 2 * PAGE) == virtual_read(0, 2 * PAGE)
+        assert mgr2.stats.get("total_read_requests_from_remote") == remote_before
+        mgr2.close(save=False)
+
+    def test_resolve_for_spark_mirror_hit(self, cache_dir, remote_dir):
+        mgr = CacheManager(self._conf(cache_dir))
+        src = os.path.join(remote_dir, "t.parquet")
+        with open(src, "wb") as f:
+            f.write(b"PAR1" + b"x" * 1000)
+        # cold: materializes locally (remote read)
+        paths1 = mgr.resolve_for_spark(remote_dir)
+        assert len(paths1) == 1 and paths1[0].startswith(cache_dir)
+        remote_reads = mgr.stats.get("total_read_requests_from_remote")
+        # warm: served from mirror
+        paths2 = mgr.resolve_for_spark(remote_dir)
+        assert paths2 == paths1
+        assert mgr.stats.get("total_read_requests_from_remote") == remote_reads
+        assert mgr.stats.get("total_read_requests_from_data_cache") >= 1
+        mgr.close(save=False)
+
+    def test_exclude_list_bypasses_mirror(self, cache_dir, remote_dir):
+        conf = self._conf(cache_dir, read_exclude_paths=[r".*\.csv"])
+        mgr = CacheManager(conf)
+        src = os.path.join(remote_dir, "raw.csv")
+        with open(src, "w") as f:
+            f.write("a,b\n1,2\n")
+        paths = mgr.resolve_for_spark(remote_dir)
+        assert paths == [src]  # not mirrored
+        mgr.close(save=False)
+
+    def test_concat(self, cache_dir, remote_dir):
+        mgr = CacheManager(self._conf(cache_dir))
+        parts = []
+        for i in range(3):
+            p = os.path.join(remote_dir, f"part{i}")
+            with open(p, "wb") as f:
+                f.write(bytes([i]) * 10)
+            parts.append(p)
+        target = os.path.join(remote_dir, "merged")
+        mgr.concat(target, parts)
+        mgr.drain()
+        with open(target, "rb") as f:
+            assert f.read() == b"\x00" * 10 + b"\x01" * 10 + b"\x02" * 10
+        assert all(not os.path.exists(p) for p in parts)
+        mgr.close(save=False)
+
+    def test_mutable_mtime_change_invalidates(self, cache_dir, remote_dir):
+        conf = self._conf(cache_dir, remote_files_mutable=True)
+        mgr = CacheManager(conf)
+        path = os.path.join(remote_dir, "m1")
+        with open(path, "wb") as f:
+            f.write(b"v1" * PAGE)
+        s = mgr.open(path)
+        s.read_at(0, 100)
+        # mutate the file with a different mtime
+        with open(path, "wb") as f:
+            f.write(b"v2" * PAGE)
+        os.utime(path, (1e9, 2e9))  # force distinct mtime
+        st = mgr.get_file_status(path)
+        mgr.drain()
+        s2 = mgr.open(path)
+        assert s2.read_at(0, 4) == b"v2v2"
+        mgr.close(save=False)
