@@ -1,38 +1,50 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query through the caching engine on
+sf0.001; ``queries()`` — the full operator battery (SURVEY.md §2 +
+training-data pipeline ops); ``oracle_sql()`` — DuckDB equivalents for
+the driver's hash comparison at sf0.01.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-Q1-style pricing summary on sf0.001, read
+    through the caching engine (CacheManager file mirror) so the
+    smoke check also exercises the I/O capability port."""
+    from sidecar_spark import Engine, SidecarConfig
+    from sidecar_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    conf = SidecarConfig.create(
+        cache_dir=os.path.join("/tmp", "sidecar-entry-cache"),
+        data_cache_type="file",
+        cache_persistent=False,
+    )
+    engine = Engine(spark, base_dir=sf_dir, conf=conf)
+    # route the flagship table through the cache, then run the battery's
+    # flagship aggregation over it
+    engine.table("lineitem").createOrReplaceTempView("lineitem_cached")
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    return df
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from sidecar_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sidecar_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the query battery at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports the cache-layer counters for a cold-vs-warm repeated read
+of the largest table (BASELINE.md "engine-side metrics"), without
+counting that demo toward query time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder
+        .master(f"local[{CPUS}]")
+        .appName("sidecar-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from sidecar_spark.queries import QUERIES
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    per_query = {}
+    t_all = time.time()
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        # noop sink: forces full materialization of every output column
+        # (count() alone lets Catalyst prune the projections away)
+        df.write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    # cache capability demo: cold vs warm read through the engine
+    cache_demo = {}
+    try:
+        from sidecar_spark import Engine, SidecarConfig
+
+        cache_dir = "/tmp/sidecar-bench-cache"
+        shutil.rmtree(cache_dir, ignore_errors=True)
+        conf = SidecarConfig.create(cache_dir=cache_dir, data_cache_type="file",
+                                    cache_persistent=False)
+        eng = Engine(spark, base_dir=SF_DIR, conf=conf)
+        t0 = time.time()
+        eng.table("lineitem").count()
+        cold = time.time() - t0
+        t0 = time.time()
+        eng.table("lineitem").count()
+        warm = time.time() - t0
+        s = eng.cache.stats.snapshot()
+        local_bytes = (s["total_bytes_read_data_cache"]
+                       + s["total_bytes_read_write_cache"]
+                       + s["total_bytes_read_prefetch"])
+        cache_demo = {
+            "cold_sec": round(cold, 3),
+            "warm_sec": round(warm, 3),
+            "bytes_read_remote": s["total_bytes_read_remote"],
+            "bytes_read_local": local_bytes,
+            "warm_local_ratio": round(
+                local_bytes / max(1, local_bytes + s["total_bytes_read_remote"]), 4),
+        }
+        eng.close()
+        shutil.rmtree(cache_dir, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001 — demo must not fail the bench
+        cache_demo = {"error": str(e)[:200]}
+
+    print(json.dumps({
+        "metric": "query_battery_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(per_query),
+        "cache_demo": cache_demo,
+    }))
+
+
+if __name__ == "__main__":
+    main()

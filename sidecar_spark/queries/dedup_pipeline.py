@@ -1,0 +1,156 @@
+"""Deduplication query battery over ``documents``.
+
+Every stage of every dedup operator is reproduced in the DuckDB oracle
+(shingling, 60-bit md5 hashing, minhash banding, Jaccard verify), so
+the driver checks the full pipeline, not just row counts. Shared SQL
+fragments mirror functions/dedup.py expression-for-expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sidecar_spark.functions import dedup as D
+from sidecar_spark.queries.registry import query, t
+
+# --- SQL fragments mirroring functions/dedup.py ---------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WS = f"regexp_split_to_array({_NORM}, '\\s+')"
+
+
+def _h60(x: str) -> str:
+    return f"('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+# distinct word 3-shingles (k=3; k-1=2 in the slice/stop bounds)
+_SHINGLES = f"""
+    CASE WHEN len({_WS}) < 3
+         THEN list_distinct([array_to_string({_WS}, ' ')])
+         ELSE list_distinct(list_transform(range(1, len({_WS}) - 1),
+                            i -> array_to_string({_WS}[i:i+2], ' ')))
+    END"""
+
+# universal-hash permutations over one md5 per shingle (must mirror
+# functions/dedup.py:_perm_params exactly)
+_P31 = 2_147_483_647
+
+
+def _sig16_sql() -> str:
+    from sidecar_spark.functions.dedup import _perm_params
+    parts = []
+    for i in range(16):
+        a, b = _perm_params(i)
+        parts.append(f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_P31}))")
+    return "[" + ", ".join(parts) + "]"
+
+
+_HS = f"list_transform(sh, s -> {_h60('s')} % {_P31})"
+
+_JACCARD = ("len(list_intersect(a.sh, b.sh)) * 1.0 / "
+            "len(list_distinct(list_concat(a.sh, b.sh)))")
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM}) AS content_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS keep_id
+    FROM documents
+    GROUP BY md5({_NORM})
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content-hash groupBy — one shuffle on a uniform
+    128-bit key; at 100 TB this is the cheapest and first pass."""
+    return D.exact_duplicates(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM documents
+    ), hashed AS (
+      SELECT doc_id, sh, {_HS} AS hs FROM base
+    ), sigs AS (
+      SELECT doc_id, sh, {_sig16_sql()} AS sig FROM hashed
+    ), banded AS (
+      SELECT doc_id, b AS band_idx,
+             md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_hash
+      FROM sigs CROSS JOIN generate_series(0, 3) AS g(b)
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, round({_JACCARD}, 6) AS jaccard
+    FROM cands c
+    JOIN sigs a ON a.doc_id = c.doc_a
+    JOIN sigs b ON b.doc_id = c.doc_b
+    WHERE {_JACCARD} >= 0.1
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16 hashes) + LSH(4 bands × 4 rows) near-dup pairs with
+    exact-Jaccard verification at 0.1."""
+    return D.minhash_candidate_pairs(
+        t(spark, sf_dir, "documents"),
+        num_hashes=16, bands=4, shingle_k=3, jaccard_threshold=0.1)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_transform(list_distinct(CASE WHEN trim({_NORM}) = ''
+                 THEN []::VARCHAR[] ELSE {_WS} END),
+                 tk -> {_h60('tk')}) AS hashes
+      FROM documents)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 16), b ->
+               CASE WHEN list_sum(list_transform(hashes,
+                        h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash16
+    FROM base
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash(16-bit) fingerprints — map-side only; near-dup pairing
+    on hamming distance is a follow-on equi-join by hash bands."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", D.simhash(F.col("text"), bits=16).alias("simhash16"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM documents
+    ), sized AS (
+      SELECT doc_id, len(sh) AS n_sh FROM base
+    ), exploded AS (
+      SELECT doc_id, unnest(list_transform(sh, s -> {_h60('s')})) AS sh_hash
+      FROM base
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM exploded a JOIN exploded b
+        ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sized sa ON sa.doc_id = doc_a
+    JOIN sized sb ON sb.doc_id = doc_b
+    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.12
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs via the set-similarity count-join
+    (|A∩B| from the grouped shared-shingle join; arrays never shuffle)."""
+    return D.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.12)

@@ -1,0 +1,701 @@
+"""Relational operator battery over the TPC-H-ish testdata.
+
+The reference has NO relational operators (SURVEY.md §2.7) — its
+"queries" are FS calls and the engine on top supplies the algebra. In
+this repo Spark SQL is that engine; each entry demonstrates one
+operator family end-to-end with a DuckDB oracle.
+
+Conventions for oracle hash parity:
+* every computed column is aliased identically on both sides;
+* money aggregates round to 2 decimals, averages to 6 (absorbs
+  float summation-order differences between engines);
+* temporal outputs are formatted to strings (Spark timestamps are
+  session-TZ objects, DuckDB's are naive — strings compare equal);
+* LIMIT queries carry a total tie-break order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sidecar_spark.queries.registry import query, t
+
+DATE_FMT = "yyyy-MM-dd"
+
+
+def _dt(col):
+    return F.date_format(col, DATE_FMT)
+
+
+def money(col):
+    return F.round(col, 2)
+
+
+# ---------------------------------------------------------------------------
+# scan / filter / project — predicate pushdown + column pruning path
+# ---------------------------------------------------------------------------
+
+@query(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price,
+           strftime(l_shipdate, '%Y-%m-%d') AS shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2001-01-01' AND l_quantity >= 45.0
+    """,
+)
+def scan_filter_project(spark, sf_dir):
+    """Pushdown test: the parquet scan must show PushedFilters for both
+    predicates and ReadSchema limited to 4 columns."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp"))
+                 & (F.col("l_quantity") >= 45.0))
+        .select(
+            "l_orderkey", "l_linenumber",
+            money("l_extendedprice").alias("price"),
+            _dt("l_shipdate").alias("shipdate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 analog (flagship aggregation)."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money(F.sum("l_quantity")).alias("sum_qty"),
+            money(F.sum("l_extendedprice")).alias("sum_base_price"),
+            money(F.sum(disc_price)).alias("sum_disc_price"),
+            money(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.03 AND l_discount <= 0.07
+      AND l_quantity < 24.0
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 analog: pure filter + global agg — all pushdown-able."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            money(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey)        AS n_customers,
+           count(*)                         AS n_orders,
+           round(sum(o_totalprice), 2)      AS sum_price,
+           round(avg(o_totalprice), 6)      AS avg_price,
+           round(min(o_totalprice), 2)      AS min_price,
+           round(max(o_totalprice), 2)      AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    """Distinct aggregation (expands to a two-phase plan in Spark)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        money(F.sum("o_totalprice")).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        money(F.min("o_totalprice")).alias("min_price"),
+        money(F.max("o_totalprice")).alias("max_price"),
+    )
+
+
+@query(
+    "having_filter",
+    oracle="""
+    SELECT l_partkey, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) >= 30
+    """,
+)
+def having_filter(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             money(F.sum("l_quantity")).alias("sum_qty"))
+        .where(F.col("n_items") >= 30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouping sets: rollup & cube
+# ---------------------------------------------------------------------------
+
+@query(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        money(F.sum("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        money(F.sum("l_extendedprice")).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 analog: 3-way join + agg + top-k. The customer side is
+    a small dim → broadcast."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .alias("revenue"))
+        .select("l_orderkey", "revenue", _dt("o_orderdate").alias("orderdate"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 analog: 6-way join; all dims broadcast, fact-side join
+    keys drive the one shuffle."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1999-10-01'
+      AND o_orderdate <  TIMESTAMP '2000-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1999-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")))
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "semi_join_exists",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def semi_join_exists(spark, sf_dir):
+    """EXISTS → left-semi join."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "anti_join_not_exists",
+    oracle="""
+    SELECT n_name, count(*) AS n_customers
+    FROM customer c JOIN nation ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n_name
+    """,
+)
+def anti_join_not_exists(spark, sf_dir):
+    """NOT EXISTS → left-anti join."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "exists_agg",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49.0)
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_agg(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS-guarded priority counts)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49.0)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, rk
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rk
+      FROM part)
+    WHERE rk <= 3
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    """Top-K per group via ranking window (scale path: this shuffles on
+    p_brand only — no global sort)."""
+    p = t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", money("p_retailprice").alias("price"), "rk")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        _dt("o_orderdate").alias("orderdate"),
+        money(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    SELECT user_id, event_id,
+           round(value - lag(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id), 6) AS value_delta
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def window_lag_delta(spark, sf_dir):
+    e = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id", "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def set_union(spark, sf_dir):
+    a = (t(spark, sf_dir, "customer")
+         .where(F.col("c_mktsegment") == "BUILDING")
+         .select(F.col("c_custkey").alias("custkey")))
+    b = (t(spark, sf_dir, "orders")
+         .where(F.col("o_totalprice") > 300000)
+         .select(F.col("o_custkey").alias("custkey")))
+    return a.union(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      AND o_orderdate <  TIMESTAMP '2000-01-01'
+    """,
+)
+def set_intersect(spark, sf_dir):
+    a = (t(spark, sf_dir, "customer")
+         .where(F.col("c_acctbal") > 5000)
+         .select(F.col("c_custkey").alias("custkey")))
+    b = (t(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")))
+         .select(F.col("o_custkey").alias("custkey")))
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def set_except(spark, sf_dir):
+    a = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    b = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# pivot
+# ---------------------------------------------------------------------------
+
+@query(
+    "pivot_status",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_status(spark, sf_dir):
+    """Pivot (Spark's .pivot compiles to conditional aggregation —
+    the oracle spells out the CASE form)."""
+    li = t(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F").alias("qty_F"),
+        F.col("O").alias("qty_O"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-stream analytics (batch over the stream-shaped table)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour windowed aggregation (batch analog of the
+    streaming window operator; see sidecar_spark.streaming for the
+    readStream version)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum("value")).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("w", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events", "sum_value", "n_users",
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps)
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           round(sum(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Sessionization: 30-minute inactivity gap → session id via
+    lag + cumulative sum (single shuffle on user_id; both windows and
+    the final groupBy share the partitioning)."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    return (
+        e.withColumn("new_session",
+                     F.when(gap_us > 1800 * 1_000_000, 1).otherwise(0))
+        .withColumn("session_id",
+                    F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            money(F.sum("value")).alias("session_value"),
+        )
+    )
+
+
+@query(
+    "asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS last_orderdate
+    FROM events e
+    ASOF JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_join(spark, sf_dir):
+    """As-of join (Spark lacks a native one — composed as join +
+    max-per-key, which Catalyst executes as one shuffle + partial agg;
+    DuckDB's native ASOF JOIN is the oracle).
+
+    For each event: the most recent order of that user at-or-before
+    the event time. Only the matched *time* is emitted — tie rows on
+    the same max(o_orderdate) are therefore irrelevant."""
+    e = t(spark, sf_dir, "events")
+    o = t(spark, sf_dir, "orders")
+    joined = e.join(
+        F.broadcast(o),
+        (e.user_id == o.o_custkey) & (e.ts >= o.o_orderdate),
+        "inner",
+    )
+    return (
+        joined.groupBy("event_id", "user_id", "ts")
+        .agg(F.max("o_orderdate").alias("last_od"))
+        .select(
+            "event_id", "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+            _dt("last_od").alias("last_orderdate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort / limit (global order)
+# ---------------------------------------------------------------------------
+
+@query(
+    "global_topk",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def global_topk(spark, sf_dir):
+    """Global top-K: Spark executes orderBy+limit as TakeOrderedAndProject
+    (per-partition top-K + driver merge — no full sort, scale-safe)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", money("o_totalprice").alias("totalprice"),
+                _dt("o_orderdate").alias("orderdate"))
+    )

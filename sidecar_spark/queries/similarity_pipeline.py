@@ -1,0 +1,180 @@
+"""Similarity-search and multimodal query battery over ``embeddings``
+and ``documents``.
+
+Cosine parity: both engines compute in double precision with a
+sequential fold over the 64 elements; results are rounded to 6
+decimals before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sidecar_spark.functions import multimodal as M
+from sidecar_spark.functions import similarity as S
+from sidecar_spark.queries.registry import query, t
+
+_DIM = 64
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (f"list_sum(list_transform(range(1, {_DIM + 1}), "
+            f"i -> ({a}[i]::DOUBLE) * ({b}[i]::DOUBLE)))")
+
+
+def _sql_cos(a: str, b: str) -> str:
+    na = f"sqrt({_sql_dot(a, a)})"
+    nb = f"sqrt({_sql_dot(b, b)})"
+    return (f"CASE WHEN {na} * {nb} = 0 THEN 0.0 "
+            f"ELSE {_sql_dot(a, b)} / ({na} * {nb}) END")
+
+
+@query(
+    "ann_brute_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, v.vec_id,
+             round({_sql_cos('q.q_vec', 'v.embedding')}, 6) AS cos_sim
+      FROM embeddings v CROSS JOIN q
+      WHERE v.vec_id <> q.query_id)
+    SELECT query_id, vec_id, cos_sim, rk FROM (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM scored)
+    WHERE rk <= 10
+    """,
+)
+def ann_brute_topk(spark, sf_dir):
+    """Exact cosine top-10 for 5 query vectors — the correctness
+    baseline ANN. Scale path: broadcast queries, one corpus pass."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return S.brute_force_topk(emb, queries, k=10,
+                              query_id_col="query_id")
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH planes AS (
+      SELECT v.vec_id, v.embedding,
+             array_to_string(list_transform(range(0, 8), p ->
+               CASE WHEN list_sum(list_transform(range(1, {_DIM + 1}), i ->
+                     (v.embedding[i]::DOUBLE) *
+                     ((('0x' || substr(md5('hp' || p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 15))::BIGINT
+                       % 2001 - 1000) / 1000.0))) >= 0
+                    THEN '1' ELSE '0' END), '') AS bucket
+      FROM embeddings v),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket
+          FROM planes WHERE vec_id < 50),
+    scored AS (
+      SELECT q.query_id, v.vec_id,
+             round({_sql_cos('q.q_vec', 'v.embedding')}, 6) AS cos_sim
+      FROM planes v JOIN q ON v.bucket = q.bucket
+      WHERE v.vec_id <> q.query_id)
+    SELECT query_id, vec_id, cos_sim, rk FROM (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM scored)
+    WHERE rk <= 10
+    """,
+)
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate top-10 via 8 random-hyperplane LSH buckets — the
+    100 TB path: candidate generation is an equi-join on 8-char
+    signatures instead of a cross join."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return S.lsh_topk(emb, queries, dim=_DIM, k=10, num_planes=8,
+                      query_id_col="query_id")
+
+
+@query(
+    "emb_near_dup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_sql_cos('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_sql_cos('a.embedding', 'b.embedding')}, 6) >= 0.4
+    """,
+)
+def emb_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection (threshold 0.4 — the
+    testdata embeddings are near-orthogonal random vectors)."""
+    return S.cosine_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (binary payloads derived from documents.text so the
+# fake-decode pipeline is oracle-checkable end to end)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_image_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS checksum,
+           64 + ('0x' || substr(md5(text), 1, 2))::INT % 192 AS width,
+           64 + ('0x' || substr(md5(text), 3, 2))::INT % 192 AS height,
+           ('0x' || substr(md5(text), 5, 4))::INT / 65535.0 AS mean_luma
+    FROM documents
+    """,
+)
+def multimodal_image_features(spark, sf_dir):
+    """Image decode/feature plumbing over mapInPandas (Arrow-batched).
+    The decode itself is the documented deterministic stub; schema,
+    batching and distribution are the real thing."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return M.extract_image_features(d, binary_col="payload", fake=True)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, md5(text) AS digest,
+             1 + ('0x' || substr(md5(text), 1, 2))::INT % 8 AS n_frames
+      FROM documents)
+    SELECT doc_id, (f - 1) * 30 AS frame_idx,
+           md5(digest || ':' || (f - 1)::VARCHAR) AS frame_checksum
+    FROM base CROSS JOIN generate_series(1, 8) AS g(f)
+    WHERE f <= n_frames
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: 1 row in → n frame rows out
+    (flatMap shape through mapInPandas)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return M.sample_video_frames(d, binary_col="payload", every_n=30, fake=True)
+
+
+@query(
+    "multimodal_media_meta",
+    oracle="""
+    SELECT doc_id, 'image' AS media_type, 'png' AS format,
+           octet_length(encode(text)) AS n_bytes, md5(text) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_media_meta(spark, sf_dir):
+    """Typed media metadata attachment (pure column expressions)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    d = M.attach_media_meta(d, "payload", "image", "png")
+    return d.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.checksum").alias("checksum"),
+    )

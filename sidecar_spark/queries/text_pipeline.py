@@ -1,0 +1,217 @@
+"""Text-analysis query battery over the ``documents`` table.
+
+Each entry pairs a JVM-side column-expression pipeline (functions/text.py)
+with a textually parallel DuckDB oracle. Parity notes:
+
+* DuckDB ``regexp_split_to_array(trim(x), '\\s+')`` on '' yields ['']
+  — both sides guard the empty case explicitly;
+* DuckDB ``regexp_replace`` needs the 'g' flag to match Spark's
+  replace-all default;
+* 60-bit md5 hash: Spark ``conv(substr(md5(x),1,15),16,10)::bigint`` ==
+  DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sidecar_spark.functions import text as X
+from sidecar_spark.queries.registry import query, t
+
+# SQL fragment: whitespace words of $expr (DuckDB)
+_SQL_WORDS = (
+    "CASE WHEN trim({e}) = '' THEN []::VARCHAR[] "
+    "ELSE regexp_split_to_array(trim({e}), '\\s+') END"
+)
+_SQL_NWORDS = f"len({_SQL_WORDS})"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {_SQL_NWORDS.format(e='text')} AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           length(text) AS n_chars_actual,
+           round(CASE WHEN {_SQL_NWORDS.format(e='text')} = 0 THEN 0.0
+                 ELSE list_sum(list_transform({_SQL_WORDS.format(e='text')},
+                                              w -> length(w))) * 1.0
+                      / {_SQL_NWORDS.format(e='text')} END, 6) AS mean_word_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex — per-row map-side
+    column math, scales with the scan."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(X.mean_word_length(F.col("text")), 6).alias("mean_word_len"),
+    )
+
+
+_SQL_STOPS = "['" + "','".join(X.ALL_STOPWORDS) + "']"
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^.,;:!?''"()\\-]', '', 'g')) AS n_punct,
+             {_SQL_NWORDS.format(e='text')} AS n_tokens,
+             len(list_filter({_SQL_WORDS.format(e='lower(text)')},
+                             x -> list_contains({_SQL_STOPS}, x))) AS n_stop
+      FROM documents)
+    SELECT doc_id,
+           round(CASE WHEN n_chars = 0 THEN 0.0 ELSE n_alpha * 1.0 / n_chars END, 6) AS alpha_ratio,
+           round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop * 1.0 / n_tokens END, 6) AS stop_ratio,
+           round(0.4 * (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_alpha * 1.0 / n_chars END)
+               + 0.3 * least(n_chars / 500.0, 1.0)
+               + 0.2 * least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop * 1.0 / n_tokens END) * 5, 1.0)
+               + 0.1 * (1 - least((CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct * 1.0 / n_chars END) * 10, 1.0)),
+             6) AS quality
+    FROM base
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    return d.select(
+        "doc_id",
+        F.round(F.when(n_chars == 0, 0.0)
+                .otherwise(X.alpha_chars(F.col("text")) / n_chars), 6)
+        .alias("alpha_ratio"),
+        F.round(X.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _sql_lang_hits(lang: str) -> str:
+    stops = "['" + "','".join(X.STOPWORDS[lang]) + "']"
+    return (f"len(list_filter({_SQL_WORDS.format(e='lower(text)')}, "
+            f"x -> list_contains({stops}, x)))")
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id,
+             {_sql_lang_hits('en')} AS hits_en,
+             {_sql_lang_hits('de')} AS hits_de,
+             {_sql_lang_hits('fr')} AS hits_fr,
+             {_sql_lang_hits('es')} AS hits_es
+      FROM documents)
+    SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+           CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'unknown'
+                WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+                WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+                WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM hits
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Stopword-hit language ID (deterministic argmax with preference
+    order en > de > fr > es)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.lang_hits(F.col("text"), "en").alias("hits_en"),
+        X.lang_hits(F.col("text"), "de").alias("hits_de"),
+        X.lang_hits(F.col("text"), "fr").alias("hits_fr"),
+        X.lang_hits(F.col("text"), "es").alias("hits_es"),
+        X.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 8) AS fp_prefix
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.fingerprint(F.col("text")).alias("fp"),
+        F.substring(X.fingerprint(F.col("text")), 1, 8).alias("fp_prefix"),
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    """Semi-structured extraction: JSON props column → typed field."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.round(F.avg(k), 6).alias("avg_k"),
+        )
+    )
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           substr(p_name, 1, 12) AS name12,
+           length(p_name) AS name_len,
+           CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END AS is_brass,
+           concat(p_brand, '#', p_type) AS brand_type
+    FROM part
+    """,
+)
+def string_functions(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 12).alias("name12"),
+        F.length("p_name").alias("name_len"),
+        F.when(F.col("p_type").like("%BRASS%"), 1).otherwise(0).alias("is_brass"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY year(o_orderdate), month(o_orderdate)
+    """,
+)
+def date_functions(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("y"),
+                  F.month("o_orderdate").alias("m"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Driver-mimic: run every queries() entry against its oracle_sql()
+via DuckDB at sf0.01 (or --sf-dir) and compare row count, column
+names, and order-insensitive values — strict, like the driver's hash.
+
+Usage: python tools/check_oracle.py [--sf-dir DIR] [--only name1,name2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            # unify bytes/str and listy values for stable sorting
+            df[c] = df[c].map(
+                lambda v: v.hex() if isinstance(v, (bytes, bytearray))
+                else (tuple(v) if isinstance(v, (list, np.ndarray)) else v))
+        # DuckDB may return decimal/float32 where Spark gives float64
+        if str(df[c].dtype).startswith("float"):
+            df[c] = df[c].astype("float64")
+        if str(df[c].dtype) in ("int32", "int16", "int8", "uint32"):
+            df[c] = df[c].astype("int64")
+    if len(df):
+        df = df.sort_values(by=list(df.columns), na_position="first")
+    return df.reset_index(drop=True)
+
+
+def compare(a: pd.DataFrame, b: pd.DataFrame):
+    """Return (ok, reason)."""
+    if len(a) != len(b):
+        return False, f"row count {len(a)} vs {len(b)}"
+    if sorted(a.columns) != sorted(b.columns):
+        return False, f"columns {sorted(a.columns)} vs {sorted(b.columns)}"
+    a, b = normalize(a), normalize(b)
+    for c in a.columns:
+        av, bv = a[c].values, b[c].values
+        if str(a[c].dtype) == "float64":
+            ok = np.allclose(av, bv, rtol=0, atol=1e-9, equal_nan=True)
+        else:
+            ok = (pd.Series(av).fillna("\x00NULL") ==
+                  pd.Series(bv).fillna("\x00NULL")).all()
+        if not ok:
+            mism = None
+            for i in range(len(av)):
+                x, y = av[i], bv[i]
+                same = (x == y) or (pd.isna(x) and pd.isna(y))
+                if not same:
+                    mism = (i, x, y)
+                    break
+            return False, f"column {c} differs, first at row {mism}"
+    return True, ""
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("check-oracle")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .config("spark.ui.showConsoleProgress", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for tb in TABLES:
+        p = os.path.join(args.sf_dir, f"{tb}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {tb} AS SELECT * FROM '{p}'")
+
+    from sidecar_spark.queries import ORACLES, QUERIES
+
+    only = set(args.only.split(",")) if args.only else None
+    failures, no_oracle = [], []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in ORACLES:
+            no_oracle.append(name)
+            print(f"~     {name}: no oracle (rows-only) rows={len(sdf)} "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.sql(ORACLES[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        ok, reason = compare(sdf, odf)
+        status = "OK   " if ok else "FAIL "
+        if not ok:
+            failures.append(name)
+        print(f"{status} {name}: rows={len(sdf)} [{time.time()-t0:.1f}s] {reason}")
+    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} pass; "
+          f"{len(no_oracle)} rows-only")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
