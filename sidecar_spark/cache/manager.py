@@ -166,9 +166,12 @@ class CacheManager:
     def clear_instances(cls) -> None:
         """Test hook (clearFSCache, :1483-1485)."""
         with cls._instances_lock:
-            for inst in cls._instances.values():
-                inst.close(save=False)
+            instances = list(cls._instances.values())
             cls._instances.clear()
+        # close() re-acquires _instances_lock to deregister itself, so it
+        # must run after the lock is released
+        for inst in instances:
+            inst.close(save=False)
 
     def __init__(self, conf: SidecarConfig) -> None:
         if conf.cache_dir:

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sidecar_spark.functions.common import spread
 from sidecar_spark.functions.text import normalized_text, words
 
 
@@ -164,6 +165,7 @@ def minhash_candidate_pairs(
          Jaccard ≥ threshold (shuffles only candidate ids).
     """
     rows_per_band = num_hashes // bands
+    df = spread(df)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), shingle_k).alias("sh"),
@@ -211,6 +213,7 @@ def ngram_jaccard_pairs(
     (doc_id, hash60) pairs — and no per-pair array_intersect runs.
     At 100 TB the further step is prefix filtering; at low thresholds
     the count-join IS the standard plan."""
+    df = spread(df)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), shingle_k).alias("sh"),

@@ -18,6 +18,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sidecar_spark.functions.common import spread
 from sidecar_spark.functions.dedup import hash60
 
 
@@ -59,7 +60,7 @@ def brute_force_topk(
         F.col(query_id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("q_vec"),
     )
-    v = vectors.select(
+    v = spread(vectors).select(
         F.col(id_col).alias("vec_id"),
         as_double(F.col(vec_col)).alias("v_vec"),
     )
@@ -165,7 +166,7 @@ def cosine_near_dup_pairs(
     candidate generation for scale."""
     # norms are precomputed once per vector (not once per pair) — the
     # per-pair work is the dot product only
-    v = vectors.select(
+    v = spread(vectors).select(
         F.col(id_col).alias("vid"),
         as_double(F.col(vec_col)).alias("vec"),
     ).withColumn("nrm", norm(F.col("vec")))

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sidecar_spark.functions import dedup as D
+from sidecar_spark.functions.common import spread
 from sidecar_spark.queries.registry import query, t
 
 # --- SQL fragments mirroring functions/dedup.py ---------------------------
@@ -121,7 +122,7 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     """SimHash(16-bit) fingerprints — map-side only; near-dup pairing
     on hamming distance is a follow-on equi-join by hash bands."""
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     return d.select("doc_id", D.simhash(F.col("text"), bits=16).alias("simhash16"))
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sidecar_spark.functions import multimodal as M
+from sidecar_spark.functions.common import spread
 from sidecar_spark.functions import similarity as S
 from sidecar_spark.queries.registry import query, t
 
@@ -132,7 +133,7 @@ def multimodal_image_features(spark, sf_dir):
     """Image decode/feature plumbing over mapInPandas (Arrow-batched).
     The decode itself is the documented deterministic stub; schema,
     batching and distribution are the real thing."""
-    d = t(spark, sf_dir, "documents").select(
+    d = spread(t(spark, sf_dir, "documents")).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     return M.extract_image_features(d, binary_col="payload", fake=True)
 

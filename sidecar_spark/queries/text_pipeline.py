@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sidecar_spark.functions import text as X
+from sidecar_spark.functions.common import spread
 from sidecar_spark.queries.registry import query, t
 
 # SQL fragment: whitespace words of $expr (DuckDB)
@@ -43,7 +44,7 @@ _SQL_NWORDS = f"len({_SQL_WORDS})"
 def text_token_stats(spark, sf_dir):
     """Token counting: whitespace + BPE-ish regex — per-row map-side
     column math, scales with the scan."""
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         X.token_count(F.col("text")).alias("n_tokens"),
@@ -80,7 +81,7 @@ _SQL_STOPS = "['" + "','".join(X.ALL_STOPWORDS) + "']"
     """,
 )
 def text_quality_score(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     n_chars = F.length("text")
     return d.select(
         "doc_id",
@@ -120,7 +121,7 @@ def _sql_lang_hits(lang: str) -> str:
 def text_lang_id(spark, sf_dir):
     """Stopword-hit language ID (deterministic argmax with preference
     order en > de > fr > es)."""
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         X.lang_hits(F.col("text"), "en").alias("hits_en"),

@@ -11,6 +11,7 @@
 
 import os
 import random
+import threading
 
 import pytest
 
@@ -270,6 +271,20 @@ class TestCacheManager:
         b = CacheManager.get_or_create(conf)
         assert a is b
         a.close(save=False)
+
+    def test_clear_instances_does_not_deadlock(self, cache_dir):
+        # close() deregisters under _instances_lock; clear_instances must
+        # not hold that lock while closing
+        CacheManager.get_or_create(self._conf(cache_dir))
+        done = threading.Event()
+
+        def work():
+            CacheManager.clear_instances()
+            done.set()
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        assert done.wait(timeout=30), "clear_instances deadlocked"
 
     def test_crud_lifecycle_tier_provenance(self, cache_dir, remote_dir):
         """The §5.3 CRUD scenario: write 4 pages → read#1 from write
