@@ -37,17 +37,22 @@ def hash60(col) -> Column:
 
 def shingles(col, k: int = 3) -> Column:
     """Distinct word k-shingles of the normalized text, as an array
-    column (map-side; no explode)."""
+    column (map-side; no explode).
+
+    Built by zipping the word array with its k-1 shifted copies
+    (zip_with pads the short side with null, which concat_ws skips),
+    then truncating to the n-k+1 real shingles — one linear pass,
+    measurably faster than a transform(sequence, slice) formulation
+    because no per-position sub-array is allocated."""
     ws = words(normalized_text(col))
     n = F.size(ws)
+    acc = ws
+    for shift in range(1, k):
+        shifted = F.slice(ws, shift + 1, F.greatest(n - shift, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    full = F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(0)))
     return F.when(n < k, F.array_distinct(F.array(F.concat_ws(" ", ws)))).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
-            )
-        )
-    )
+        F.array_distinct(full))
 
 
 # Mersenne prime 2^31-1: universal-hash modulus. Products stay < 2^62,
@@ -63,22 +68,44 @@ def _perm_params(i: int):
     return a or 1, b
 
 
+def shingle_hashes(shingle_col) -> Column:
+    """60-bit hash of every shingle, reduced mod 2^31-1 — the one
+    md5 pass; everything downstream is integer math."""
+    return F.transform(shingle_col, lambda s: hash60(s) % MERSENNE31)
+
+
 def minhash_signature(shingle_col, num_hashes: int = 16) -> Column:
     """MinHash signature as an array<bigint> of length ``num_hashes``.
 
     Each shingle is md5-hashed ONCE (the expensive step), then the i-th
     permutation is the universal hash (a_i·h + b_i) mod (2^31-1) — 16
-    integer ops instead of 16 md5s per shingle (~7× faster signatures
-    at equal quality). Pure column expression → computed map-side in
-    the scan stage."""
-    base = F.transform(shingle_col, lambda s: hash60(s) % MERSENNE31)
-    def _perm(i: int):
-        a, b = _perm_params(i)
-        return lambda h: (h * a + b) % MERSENNE31
-    return F.array(*[
-        F.array_min(F.transform(base, _perm(i)))
-        for i in range(num_hashes)
-    ])
+    integer ops instead of 16 md5s per shingle. Computed as a SINGLE
+    ``aggregate`` fold carrying a struct of running minima: one
+    traversal of the array per row. (The naive form — num_hashes
+    separate ``array_min(transform(...))`` expressions — re-evaluates
+    the shared hash array per expression because higher-order-function
+    subtrees are not CSE'd, turning 1 md5 pass into 16.)"""
+    return minhash_signature_from_hashes(shingle_hashes(shingle_col), num_hashes)
+
+
+def minhash_signature_from_hashes(hash_col, num_hashes: int = 16) -> Column:
+    """Signature fold over a pre-hashed shingle array (see
+    ``shingle_hashes``) — use when the hash array is a materialized
+    (e.g. persisted) column so md5 is never re-run."""
+    names = [f"m{i}" for i in range(num_hashes)]
+    zero = F.struct(*[F.lit(MERSENNE31).cast("bigint").alias(nm) for nm in names])
+
+    def merge(acc, h):
+        cols = []
+        for i, nm in enumerate(names):
+            a, b = _perm_params(i)
+            cols.append(F.least(acc[nm], (h * a + b) % MERSENNE31).alias(nm))
+        return F.struct(*cols)
+
+    # finish() runs once per row — the struct→array splay happens inside
+    # the single fold, never re-evaluating it per element
+    return F.aggregate(hash_col, zero, merge,
+                       lambda st: F.array(*[st[nm] for nm in names]))
 
 
 def band_hashes(sig_col, bands: int, rows_per_band: int) -> Column:
@@ -102,19 +129,30 @@ def jaccard(a_col, b_col) -> Column:
 def simhash(col, bits: int = 16) -> Column:
     """SimHash fingerprint (``bits`` wide) of the word set: for each bit
     position, the sign of the vote sum over token hashes decides the
-    bit. Map-side column expression (bit positions unrolled at plan
-    build time — shiftright needs a literal shift amount)."""
+    bit. One ``aggregate`` fold over the token hashes carrying all
+    ``bits`` vote counters in a struct — a single traversal, a single
+    md5 per token (per-bit separate aggregates would re-hash the
+    tokens ``bits`` times; HOF subtrees are not CSE'd)."""
     tokens = F.array_distinct(words(normalized_text(col)))
     hashes = F.transform(tokens, hash60)
-    def _vote(bit: int):
-        return lambda a, h: a + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+    names = [f"v{b}" for b in range(bits)]
+    zero = F.struct(*[F.lit(0).cast("bigint").alias(nm) for nm in names])
 
-    out = F.lit(0).cast("bigint")
-    for b in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("bigint"), _vote(b))
-        out = out + F.when(vote > 0, F.lit(1 << b).cast("bigint")).otherwise(0)
-    return out
+    def merge(acc, h):
+        return F.struct(*[
+            (acc[nm] + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+             ).alias(nm)
+            for b, nm in enumerate(names)
+        ])
+
+    def finish(st):
+        out = F.lit(0).cast("bigint")
+        for b, nm in enumerate(names):
+            out = out + F.when(st[nm] > 0, F.lit(1 << b).cast("bigint")).otherwise(0)
+        return out
+
+    return F.aggregate(hashes, zero, merge, finish)
 
 
 # ---------------------------------------------------------------------------
@@ -166,10 +204,19 @@ def minhash_candidate_pairs(
     """
     rows_per_band = num_hashes // bands
     df = spread(df)
+    # persist the (small) signature table at the branch point: it feeds
+    # the band explode AND both verification joins, and persisting also
+    # guarantees the md5 shingle-hash pass runs exactly once. At 100 TB
+    # this is the standard LSH materialization step (hashed shingles +
+    # signature are ~10× smaller than the text they derive from).
+    # Verification Jaccard runs on the hashed shingle sets (int
+    # compares, no string arrays carried through the joins).
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+        shingle_hashes(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    ).withColumn(
+        "sig", minhash_signature_from_hashes(F.col("sh"), num_hashes)
+    ).persist()
     banded = base.select(
         "doc_id",
         F.posexplode(band_hashes(F.col("sig"), bands, rows_per_band))
@@ -214,13 +261,14 @@ def ngram_jaccard_pairs(
     At 100 TB the further step is prefix filtering; at low thresholds
     the count-join IS the standard plan."""
     df = spread(df)
+    # persisted at the branch point: the hashed-shingle table feeds the
+    # self-joined explode (twice) and the size lookup — one md5 pass
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).select("doc_id", F.col("sh"), F.size("sh").alias("n_sh"))
+        F.transform(shingles(F.col(text_col), shingle_k), hash60).alias("sh_h"),
+    ).select("doc_id", "sh_h", F.size("sh_h").alias("n_sh")).persist()
     sizes = base.select("doc_id", "n_sh")
-    exploded = base.select(
-        "doc_id", F.explode(F.transform(F.col("sh"), hash60)).alias("sh_hash"))
+    exploded = base.select("doc_id", F.explode("sh_h").alias("sh_hash"))
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(b, (F.col("a.sh_hash") == F.col("b.sh_hash"))

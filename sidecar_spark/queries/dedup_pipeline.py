@@ -48,8 +48,10 @@ def _sig16_sql() -> str:
 
 _HS = f"list_transform(sh, s -> {_h60('s')} % {_P31})"
 
-_JACCARD = ("len(list_intersect(a.sh, b.sh)) * 1.0 / "
-            "len(list_distinct(list_concat(a.sh, b.sh)))")
+# verification Jaccard over the hashed shingle sets (mirrors the Spark
+# side, which never carries string arrays through the candidate joins)
+_JACCARD = ("len(list_intersect(a.hs, b.hs)) * 1.0 / "
+            "len(list_distinct(list_concat(a.hs, b.hs)))")
 
 
 @query(
@@ -76,7 +78,7 @@ def dedup_exact(spark, sf_dir):
     ), hashed AS (
       SELECT doc_id, sh, {_HS} AS hs FROM base
     ), sigs AS (
-      SELECT doc_id, sh, {_sig16_sql()} AS sig FROM hashed
+      SELECT doc_id, hs, {_sig16_sql()} AS sig FROM hashed
     ), banded AS (
       SELECT doc_id, b AS band_idx,
              md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_hash
