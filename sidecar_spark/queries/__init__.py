@@ -9,6 +9,7 @@ after sorting columns by name.
 
 from sidecar_spark.queries.registry import QUERIES, ORACLES, query
 import sidecar_spark.queries.relational  # noqa: F401  (registers)
+import sidecar_spark.queries.tpch_extra  # noqa: F401
 import sidecar_spark.queries.text_pipeline  # noqa: F401
 import sidecar_spark.queries.dedup_pipeline  # noqa: F401
 import sidecar_spark.queries.similarity_pipeline  # noqa: F401

@@ -1,0 +1,629 @@
+"""Extended TPC-H-style battery: the join/subquery/statistical operator
+families not covered by queries/relational.py, adapted to the reduced
+testdata schema (no partsupp; lineitem lacks commit/receipt dates).
+
+The reference has no relational operators (SURVEY.md §2.7) — Spark SQL
+supplies them; these entries pin the engine's behavior against DuckDB
+oracles per the driver contract. Same parity conventions as
+relational.py (aliases on both sides, money→round 2, ratios→round 6,
+temporal outputs as strings, LIMIT carries a total tie-break order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sidecar_spark.queries.registry import query, t
+
+DATE_FMT = "yyyy-MM-dd"
+
+
+def _dt(col):
+    return F.date_format(col, DATE_FMT)
+
+
+def money(col):
+    return F.round(col, 2)
+
+
+REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# multi-nation joins (Q7 / Q8 / Q9 shapes)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 analog: bilateral trade volume. The nation dim joins are
+    broadcasts; the disjunctive nation filter prunes before the
+    fact-side shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(money(F.sum(REVENUE)).alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'PROMO')
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 analog: national market share = conditional-sum ratio.
+    Seven-table join with every dimension broadcast; one fact shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    vol = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(F.year("o_orderdate").alias("o_year"), REVENUE.alias("volume"),
+                F.col("nation"))
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(F.round(
+            F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"), 6).alias("mkt_share"))
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 6))), 2)
+               AS profit
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 analog (no partsupp table in the testdata schema, so
+    profit omits supply cost): revenue on a part-name pattern by
+    supplier nation and order year."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        # decimal summation: group sums here are in the millions, where
+        # double add-order noise exceeds the 2-decimal round — decimal
+        # addition is order-independent in both engines
+        .agg(money(F.sum(REVENUE.cast("decimal(18,6)")).cast("double")).alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# outer join + two-level aggregation (Q13)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: order-count histogram via left outer join (count of a
+    nullable column skips the no-order null rows)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# conditional-ratio aggregate (Q14)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q14_promo_effect",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14: promotion revenue share in one month."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    p = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.round(
+            100.0 * F.sum(F.when(F.col("p_type") == "PROMO", REVENUE).otherwise(0.0))
+            / F.sum(REVENUE), 6).alias("promo_revenue_pct"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar subquery over an aggregate (Q15)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with the quarter's max revenue. The
+    scalar max is a broadcast of a 1-row aggregate — no second scan of
+    lineitem (the revenue view is reused; Spark dedups the subplan)."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    s = t(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(REVENUE).alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx), revenue.total_revenue == mx.mx)
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", money(F.col("total_revenue")).alias("total_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# correlated average subquery (Q17)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN (SELECT l_partkey AS a_partkey, 0.5 * avg(l_quantity) AS qty_cut
+          FROM lineitem GROUP BY l_partkey) ON l_partkey = a_partkey
+    WHERE l_quantity < qty_cut
+    """,
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: rows below half their part's average quantity.
+    The per-part average is a broadcast aggregate of the same scan —
+    Catalyst reuses the exchange instead of re-reading the table."""
+    li = t(spark, sf_dir, "lineitem")
+    cut = (
+        li.groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg((0.5 * F.avg("l_quantity")).alias("qty_cut"))
+    )
+    return (
+        li.join(F.broadcast(cut), li.l_partkey == cut.a_partkey)
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(money(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IN over a HAVING subquery (Q18)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q18_large_volume_customer",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o_totalprice, 2) AS totalprice,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18: customers with any order above 300 total quantity.
+    The IN-subquery is a left-semi join against a pre-aggregated key
+    set (small → broadcast)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("s"))
+        .where(F.col("s") > 300).select("l_orderkey")
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(money(F.sum("l_quantity")).alias("sum_qty"))
+        .select("c_name", "c_custkey", "o_orderkey",
+                _dt("o_orderdate").alias("orderdate"),
+                money(F.col("o_totalprice")).alias("totalprice"), "sum_qty")
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# disjunctive multi-predicate join (Q19)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19: OR-of-ANDs across both join sides — the join itself
+    stays an equi-join on partkey; the disjunction is a post-join
+    filter (Catalyst also derives the brand/size prune on the part
+    side)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(money(F.sum(REVENUE)).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# global scalar average + anti join (Q22)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q22_sales_opportunity",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_cust,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders. Scalar average broadcasts as a 1-row cross join; the NOT
+    EXISTS is a left-anti join."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+    avg_bal = (c.where(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("cut")))
+    return (
+        c.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("cut"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_cust"),
+             money(F.sum("c_acctbal")).alias("total_bal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# correlated min (Q2 shape, no partsupp)
+# ---------------------------------------------------------------------------
+
+@query(
+    "min_price_part_per_brand",
+    oracle="""
+    SELECT p.p_brand, p.p_partkey, round(p.p_retailprice, 2) AS price
+    FROM part p
+    WHERE p.p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                             WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def min_price_part_per_brand(spark, sf_dir):
+    """TPC-H Q2 shape (correlated min subquery): the cheapest part(s)
+    of each brand — rewritten as a broadcast join against the per-brand
+    min, the standard decorrelation Spark also applies to the SQL
+    form."""
+    p = t(spark, sf_dir, "part")
+    mins = p.groupBy(F.col("p_brand").alias("b")).agg(
+        F.min("p_retailprice").alias("min_price"))
+    return (
+        p.join(F.broadcast(mins),
+               (p.p_brand == mins.b) & (p.p_retailprice == mins.min_price))
+        .select("p_brand", "p_partkey", money(F.col("p_retailprice")).alias("price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# explicit GROUPING SETS with grouping_id
+# ---------------------------------------------------------------------------
+
+@query(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n, round(sum(o_totalprice), 2) AS sum_price,
+           CAST(grouping(o_orderpriority) AS BIGINT) * 2
+             + CAST(grouping(o_orderstatus) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_agg(spark, sf_dir):
+    """Explicit GROUPING SETS (not expressible as rollup/cube) with
+    grouping_id disambiguation."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n, round(sum(o_totalprice), 2) AS sum_price,
+               grouping_id(o_orderpriority, o_orderstatus) AS gid
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+# ---------------------------------------------------------------------------
+# range (band) join
+# ---------------------------------------------------------------------------
+
+_BANDS = [(0.0, 50.0, "low"), (50.0, 150.0, "mid"),
+          (150.0, 300.0, "high"), (300.0, 1e9, "whale")]
+
+
+@query(
+    "range_band_join",
+    oracle="""
+    WITH bands(lo, hi, band) AS (VALUES
+        (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'),
+        (150.0, 300.0, 'high'), (300.0, 1e9, 'whale'))
+    SELECT band, event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band, event_type
+    """,
+)
+def range_band_join(spark, sf_dir):
+    """Range join: banding a measure against an interval dimension.
+    The band table is tiny → broadcast nested-loop with interval
+    predicates; at scale the alternative is a bucketized equi-join on
+    floor(value/step)."""
+    e = t(spark, sf_dir, "events")
+    bands = e.sparkSession.createDataFrame(_BANDS, "lo double, hi double, band string")
+    return (
+        e.join(F.broadcast(bands),
+               (e.value >= F.col("lo")) & (e.value < F.col("hi")))
+        .groupBy("band", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             money(F.sum("value")).alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# statistical aggregates
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6)                  AS sd_qty,
+           round(var_samp(l_extendedprice), 2)                AS var_price,
+           round(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4)  AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_agg(spark, sf_dir):
+    """Statistical aggregate family (stddev/variance/corr/covar).
+    skewness/kurtosis exist in both engines but use different bias
+    corrections (sample vs population) — excluded from the parity set."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+    )
+
+
+@query(
+    "percentile_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def percentile_agg(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`). The approx_percentile variant is the
+    100 TB path; exact is used here for oracle parity."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# skew-aware join (salting) — result identical to the plain join
+# ---------------------------------------------------------------------------
+
+_N_SALT = 8
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    """Salted join for skewed keys: the probe side gets a deterministic
+    salt (event_id % N — reproducible, unlike rand()), the build side is
+    exploded N ways, and the join key becomes (key, salt) so one hot key
+    spreads over N partitions. Result set is provably identical to the
+    plain join the oracle runs. (On 3.2+ AQE's skewJoin handles this
+    automatically; explicit salting is the portable fallback and the
+    demonstration here.)"""
+    e = t(spark, sf_dir, "events").withColumn(
+        "salt", (F.col("event_id") % _N_SALT).cast("int"))
+    c = t(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_N_SALT)])))
+    return (
+        e.join(c, (e.user_id == c.c_custkey) & (e.salt == c.salt))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             money(F.sum("value")).alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# windowed ntile / percent_rank (ranking family beyond row_number)
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_ntile_rank",
+    oracle="""
+    SELECT s_suppkey,
+           ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey)       AS quartile,
+           round(percent_rank() OVER (ORDER BY s_acctbal DESC, s_suppkey), 6)
+               AS pct_rank,
+           rank() OVER (ORDER BY s_nationkey)                        AS nation_rank,
+           dense_rank() OVER (ORDER BY s_nationkey)                  AS nation_dense
+    FROM supplier
+    """,
+)
+def window_ntile_rank(spark, sf_dir):
+    """Ranking-window family: ntile, percent_rank, rank, dense_rank.
+    (Global windows — fine on a dim table; fact-side rankings always
+    carry a PARTITION BY, as in topk_per_group.)"""
+    s = t(spark, sf_dir, "supplier")
+    w_bal = W.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    w_nat = W.orderBy("s_nationkey")
+    return s.select(
+        "s_suppkey",
+        F.ntile(4).over(w_bal).alias("quartile"),
+        F.round(F.percent_rank().over(w_bal), 6).alias("pct_rank"),
+        F.rank().over(w_nat).alias("nation_rank"),
+        F.dense_rank().over(w_nat).alias("nation_dense"),
+    )
