@@ -1,0 +1,123 @@
+"""Streaming query battery: each entry executes a Structured Streaming
+plan over the events table as a bounded backlog (availableNow trigger,
+memory sink) and returns the final result — the same incremental
+execution (state store, watermarks, append semantics) a live stream
+uses, made deterministic so DuckDB batch SQL can oracle it.
+
+Append-mode oracles encode the watermark contract explicitly: only
+windows whose end ≤ (max event time − delay) are finalized and
+emitted. That the SQL below reproduces Spark's output IS the test of
+the watermark semantics.
+"""
+
+from __future__ import annotations
+
+from sidecar_spark.queries.registry import query
+from sidecar_spark.streaming import (
+    events_stream,
+    run_to_memory_sink,
+    sessionized_stream,
+    stateful_user_stats,
+    stream_distinct_keys,
+    windowed_counts,
+)
+
+# final watermark for a 10-minute delay over the whole backlog
+_WM = "(SELECT max(ts) - INTERVAL 10 MINUTE FROM events)"
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour windows, complete output: every window of the
+    backlog (complete mode keeps all window state)."""
+    s = windowed_counts(events_stream(spark, sf_dir))
+    return run_to_memory_sink(s, "stream_tumbling_window", "complete")
+
+
+@query(
+    "stream_window_watermark",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= {_WM}
+    """,
+)
+def stream_window_watermark(spark, sf_dir):
+    """Tumbling windows in APPEND mode with a 10-minute watermark: only
+    finalized windows (window end ≤ final watermark) are emitted — the
+    oracle's HAVING clause states exactly that contract."""
+    s = windowed_counts(events_stream(spark, sf_dir))
+    return run_to_memory_sink(s, "stream_window_watermark", "append")
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup(spark, sf_dir):
+    """Streaming deduplication on (user_id, event_type) — watermarked
+    dropDuplicates; the emitted key set equals batch DISTINCT."""
+    s = stream_distinct_keys(events_stream(spark, sf_dir))
+    return run_to_memory_sink(s, "stream_dedup", "append")
+
+
+@query(
+    "stream_session_window",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    HAVING max(ts) + INTERVAL 30 MINUTE <= {_WM}
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    """Native session_window sessionization (30-minute gap) in append
+    mode: sessions whose close (last event + gap) precedes the final
+    watermark. The oracle rebuilds the same sessions with batch window
+    functions and applies the same finalization predicate."""
+    s = sessionized_stream(events_stream(spark, sf_dir))
+    return run_to_memory_sink(s, "stream_session_window", "append")
+
+
+@query(
+    "stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_user_stats(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals. Over a single-batch backlog the final emission per
+    user equals the batch aggregate — which is what the oracle checks.
+    (Multi-batch live streams emit one update per batch; the memory
+    sink would then hold the update log.)"""
+    s = stateful_user_stats(events_stream(spark, sf_dir))
+    return run_to_memory_sink(s, "stream_stateful_user_stats", "append")

@@ -1,0 +1,25 @@
+"""Structured Streaming operators.
+
+The reference has no streaming surface (SURVEY.md §2.7) — this module
+supplies the Spark-native one per the engine contract: file-source
+streams, watermarked event-time windows, streaming dedup, session
+windows, and custom stateful processing via applyInPandasWithState.
+"""
+
+from sidecar_spark.streaming.ops import (
+    events_stream,
+    run_to_memory_sink,
+    sessionized_stream,
+    stateful_user_stats,
+    stream_distinct_keys,
+    windowed_counts,
+)
+
+__all__ = [
+    "events_stream",
+    "run_to_memory_sink",
+    "sessionized_stream",
+    "stateful_user_stats",
+    "stream_distinct_keys",
+    "windowed_counts",
+]
