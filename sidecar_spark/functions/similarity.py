@@ -56,21 +56,24 @@ def brute_force_topk(
     corpus-side shuffle beyond the per-query top-k aggregation."""
     from pyspark.sql import Window as W
 
+    # norms are per-row, computed before the join — the per-pair work
+    # is the dot product only (same IEEE ops as the naive per-pair
+    # cosine, so oracle parity is unaffected)
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("q_vec"),
-    )
+    ).withColumn("q_nrm", norm(F.col("q_vec")))
     v = spread(vectors).select(
         F.col(id_col).alias("vec_id"),
         as_double(F.col(vec_col)).alias("v_vec"),
-    )
+    ).withColumn("v_nrm", norm(F.col("v_vec")))
+    denom = F.col("v_nrm") * F.col("q_nrm")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("q_vec"), F.col("v_vec")) / denom)
     scored = (
         v.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", "vec_id",
-            F.round(cosine(F.col("q_vec"), F.col("v_vec")), 6).alias("cos_sim"),
-        )
+        .select("query_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -80,30 +83,31 @@ def brute_force_topk(
     )
 
 
+def _plane_weight(p: int, i: int) -> float:
+    """Hyperplane component: hash60('hp{p}:{i}') % 2001 scaled to
+    [-1, 1]. Computed driver-side with hashlib — EXACTLY the value the
+    DuckDB oracle derives from md5 in SQL — so the weights ship to
+    executors as plan literals and no md5 runs per row. (The previous
+    in-plan formulation cost dim × num_planes md5 calls per ROW.)"""
+    import hashlib
+
+    h = int(hashlib.md5(f"hp{p}:{i}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
 def hyperplane_signature(vec_col, dim: int, num_planes: int = 8) -> Column:
     """Sign-of-projection LSH signature as a ``num_planes``-char bit
     string. Hyperplane components are deterministic pseudo-random
-    values derived from hash60(plane:i) scaled to [-1, 1] — fully
-    reproducible in SQL, no RNG state."""
-
-    def _component(p: int):
-        # 1-arg lambda via closure — a defaulted 2nd lambda param would
-        # be bound by PySpark to the array index column (see dedup.py)
-        prefix = f"hp{p}:"
-
-        def comp(i) -> Column:
-            h = hash60(F.concat(F.lit(prefix), i.cast("string")))
-            return (h % 2001 - 1000) / F.lit(1000.0)
-
-        return comp
+    values derived from md5(plane:i) scaled to [-1, 1] — fully
+    reproducible in SQL, no RNG state; materialized as literal arrays
+    (constant-folded), so the per-row work is num_planes × dim
+    multiply-adds."""
 
     def plane_sign(p: int) -> Column:
+        weights = F.array(*[F.lit(_plane_weight(p, i)) for i in range(dim)])
         proj = F.aggregate(
-            F.zip_with(
-                vec_col.cast("array<double>"),
-                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _component(p)),
-                lambda x, w: x * w,
-            ),
+            F.zip_with(vec_col.cast("array<double>"), weights,
+                       lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -128,21 +132,23 @@ def lsh_topk(
     (fewer planes → bigger buckets → higher recall, more compute)."""
     from pyspark.sql import Window as W
 
-    v = vectors.select(
+    v = spread(vectors).select(
         F.col(id_col).alias("vec_id"),
         as_double(F.col(vec_col)).alias("v_vec"),
-    ).withColumn("bucket", hyperplane_signature(F.col("v_vec"), dim, num_planes))
+    ).withColumn("bucket", hyperplane_signature(F.col("v_vec"), dim, num_planes)) \
+     .withColumn("v_nrm", norm(F.col("v_vec")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("q_vec"),
-    ).withColumn("bucket", hyperplane_signature(F.col("q_vec"), dim, num_planes))
+    ).withColumn("bucket", hyperplane_signature(F.col("q_vec"), dim, num_planes)) \
+     .withColumn("q_nrm", norm(F.col("q_vec")))
+    denom = F.col("q_nrm") * F.col("v_nrm")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("q_vec"), F.col("v_vec")) / denom)
     scored = (
         v.join(F.broadcast(q), "bucket")
         .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", "vec_id",
-            F.round(cosine(F.col("q_vec"), F.col("v_vec")), 6).alias("cos_sim"),
-        )
+        .select("query_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -162,35 +168,75 @@ def cosine_near_dup_pairs(
     num_planes: int = 6,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
-    Brute force for correctness; ``use_lsh`` switches to bucketed
-    candidate generation for scale."""
-    # norms are precomputed once per vector (not once per pair) — the
-    # per-pair work is the dot product only
-    v = spread(vectors).select(
-        F.col(id_col).alias("vid"),
-        as_double(F.col(vec_col)).alias("vec"),
-    ).withColumn("nrm", norm(F.col("vec")))
+
+    Exact all-pairs via blocked matrix multiplication: the corpus is
+    broadcast as a dense float64 matrix and each Arrow batch of probe
+    rows computes ``batch @ corpus.T`` with BLAS, emitting only pairs
+    over threshold. Expression-level per-pair dot products are ~100×
+    slower (interpreted array folds, 50M pair rows materialized); the
+    GEMM form never materializes the pair table at all.
+
+    At 100 TB the corpus no longer broadcasts whole: block BOTH sides
+    (block id = hash(id) % B), cross-join block ids, and run the same
+    kernel per block pair — identical math, bounded memory.
+    ``use_lsh`` instead generates candidates by hyperplane bucket
+    (approximate; recall documented by the bucket predicate)."""
+    import numpy as np
+    import pandas as pd
+
     if use_lsh:
         if dim is None:
             raise ValueError("dim required for LSH mode")
-        v = v.withColumn("bucket", hyperplane_signature(F.col("vec"), dim, num_planes))
+        v = spread(vectors).select(
+            F.col(id_col).alias("vid"),
+            as_double(F.col(vec_col)).alias("vec"),
+        ).withColumn("nrm", norm(F.col("vec"))) \
+         .withColumn("bucket", hyperplane_signature(F.col("vec"), dim, num_planes))
         a = v.alias("a")
         b = v.alias("b")
         pairs = a.join(
             b, (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vid") < F.col("b.vid")))
-    else:
-        a = v.alias("a")
-        b = v.alias("b")
-        pairs = a.join(b, F.col("a.vid") < F.col("b.vid"))
-    denom = F.col("a.nrm") * F.col("b.nrm")
-    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
-        dot(F.col("a.vec"), F.col("b.vec")) / denom)
-    return (
-        pairs.select(
-            F.col("a.vid").alias("id_a"),
-            F.col("b.vid").alias("id_b"),
-            F.round(cos, 6).alias("cos_sim"),
+        denom = F.col("a.nrm") * F.col("b.nrm")
+        cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+            dot(F.col("a.vec"), F.col("b.vec")) / denom)
+        return (
+            pairs.select(
+                F.col("a.vid").alias("id_a"),
+                F.col("b.vid").alias("id_b"),
+                F.round(cos, 6).alias("cos_sim"),
+            )
+            .where(F.col("cos_sim") >= threshold)
         )
-        .where(F.col("cos_sim") >= threshold)
-    )
+
+    spark = vectors.sparkSession
+    rows = vectors.select(F.col(id_col).alias("vid"),
+                          as_double(F.col(vec_col)).alias("vec")).collect()
+    ids = np.array([r["vid"] for r in rows], dtype=np.int64)
+    mat = np.array([r["vec"] for r in rows], dtype=np.float64)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, nrm))
+
+    def batches(it):
+        b_ids, b_mat, b_nrm = bc.value
+        for pdf in it:
+            a_ids = pdf["vid"].to_numpy(dtype=np.int64)
+            a_mat = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in pdf["vec"]])
+            a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            sims = a_mat @ b_mat.T
+            denom = a_nrm[:, None] * b_nrm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0, 0.0, sims / denom)
+            cos = np.round(cos, 6)
+            keep = (cos >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame({
+                "id_a": a_ids[ai], "id_b": b_ids[bj],
+                "cos_sim": cos[ai, bj],
+            })
+
+    probe = spread(vectors).select(F.col(id_col).alias("vid"),
+                                   as_double(F.col(vec_col)).alias("vec"))
+    return probe.mapInPandas(
+        batches, schema="id_a long, id_b long, cos_sim double")
