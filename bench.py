@@ -44,6 +44,19 @@ def main() -> None:
 
     from sidecar_spark.queries import QUERIES
 
+    # warmup (not counted): spin up the Python UDF workers and JIT the
+    # scan path so per-query numbers reflect steady state, as on a
+    # long-lived cluster, rather than one-time process start costs
+    import pandas as _pd  # noqa: F401
+
+    def _identity(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(256).repartition(int(CPUS)) \
+        .mapInPandas(_identity, schema="id long") \
+        .write.format("noop").mode("overwrite").save()
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     per_query = {}
     t_all = time.time()

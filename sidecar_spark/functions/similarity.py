@@ -158,6 +158,89 @@ def lsh_topk(
     )
 
 
+def _ivf_assign(df: DataFrame, cent, id_out: str, vec_out: str,
+                nprobe: int = 1) -> DataFrame:
+    """Map-side IVF list assignment: exact L2² distance to every
+    centroid, emit the ``nprobe`` nearest list ids (ties break on list
+    order, matching SQL's ORDER BY d, list_id). numpy over Arrow
+    batches — assignment never shuffles N×C rows."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            ids = pdf["vid"].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            # exact per-pair L2² (not the |x|²-2xc+|c|² expansion) so the
+            # value matches the oracle's per-element fold
+            d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+            out_ids = np.repeat(ids, nprobe)
+            out_vecs = [v for v in pdf["vec"] for _ in range(nprobe)]
+            out_lists = order.reshape(-1)
+            yield pd.DataFrame({
+                id_out: out_ids,
+                vec_out: out_vecs,
+                "list_id": out_lists.astype(np.int64),
+            })
+
+    return df.mapInPandas(
+        batches,
+        schema=f"{id_out} long, {vec_out} array<double>, list_id long")
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_lists: int = 16,
+    nprobe: int = 2,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: a coarse quantizer partitions the corpus
+    into ``n_lists`` inverted lists; queries probe the ``nprobe``
+    nearest lists and rank candidates by exact cosine.
+
+    Centroids here are the ``n_lists`` lowest-id vectors (an externally
+    supplied codebook — k-means training is upstream of the engine, as
+    in production IVF). Assignment is map-side numpy over Arrow
+    batches; the candidate join shuffles only (list_id, id, vec); the
+    exact-cosine verify is the sequential JVM fold, bit-identical to
+    the DuckDB oracle."""
+    from pyspark.sql import Window as W
+    import numpy as np
+
+    cent_rows = (vectors.select(F.col(id_col).alias("vid"),
+                                as_double(F.col(vec_col)).alias("vec"))
+                 .orderBy("vid").limit(n_lists).collect())
+    cent = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in cent_rows])
+
+    v = spread(vectors).select(F.col(id_col).alias("vid"),
+                               as_double(F.col(vec_col)).alias("vec"))
+    q = queries.select(F.col(query_id_col).alias("vid"),
+                       as_double(F.col(vec_col)).alias("vec"))
+    v_assigned = _ivf_assign(v, cent, "vec_id", "v_vec", nprobe=1) \
+        .withColumn("v_nrm", norm(F.col("v_vec")))
+    q_probes = _ivf_assign(q, cent, "query_id", "q_vec", nprobe=nprobe) \
+        .withColumn("q_nrm", norm(F.col("q_vec")))
+    denom = F.col("q_nrm") * F.col("v_nrm")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("q_vec"), F.col("v_vec")) / denom)
+    scored = (
+        v_assigned.join(F.broadcast(q_probes), "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rk")
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -93,6 +93,28 @@ def lang_hits(col, lang: str) -> Column:
     return stopword_count(col, STOPWORDS[lang])
 
 
+def lang_hits_struct(col) -> Column:
+    """All four languages' stopword hit counts in ONE fold over the
+    word array (struct of counters). Four separate ``lang_hits``
+    expressions each re-split the text — HOF subtrees are not CSE'd —
+    so the fused fold is ~4× cheaper. Pair with a Generate barrier
+    (``F.inline``) so downstream references read the struct fields
+    instead of re-running the fold."""
+    ws = words(F.lower(col))
+    langs = list(STOPWORDS)
+    arrs = {lg: F.array(*[F.lit(w) for w in STOPWORDS[lg]]) for lg in langs}
+    zero = F.struct(*[F.lit(0).alias(lg) for lg in langs])
+
+    def merge(acc, w):
+        return F.struct(*[
+            (acc[lg] + F.when(F.array_contains(arrs[lg], w), 1).otherwise(0))
+            .alias(lg)
+            for lg in langs
+        ])
+
+    return F.aggregate(ws, zero, merge)
+
+
 def lang_id(col) -> Column:
     """n-gram/stopword language-ID heuristic: argmax of per-language
     stopword hits with a fixed preference order (en > de > fr > es >

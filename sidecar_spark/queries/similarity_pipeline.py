@@ -97,6 +97,53 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 @query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, embedding AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+    ), vdist AS (
+      SELECT v.vec_id, c.list_id, v.embedding,
+             list_sum(list_transform(range(1, {_DIM + 1}),
+                 i -> (v.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)
+                      * (v.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE))) AS d
+      FROM embeddings v CROSS JOIN cent c
+    ), vassign AS (
+      SELECT vec_id, list_id, embedding FROM (
+        SELECT vec_id, list_id, embedding,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+        FROM vdist) WHERE rn = 1
+    ), qprobe AS (
+      SELECT vec_id AS query_id, list_id, embedding AS q_vec FROM (
+        SELECT vec_id, list_id, embedding,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+        FROM vdist WHERE vec_id < 20) WHERE rn <= 2
+    ), scored AS (
+      SELECT q.query_id, v.vec_id,
+             round({_sql_cos('q.q_vec', 'v.embedding')}, 6) AS cos_sim
+      FROM vassign v JOIN qprobe q ON v.list_id = q.list_id
+      WHERE v.vec_id <> q.query_id)
+    SELECT query_id, vec_id, cos_sim, rk FROM (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM scored)
+    WHERE rk <= 10
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-10: 16 inverted lists (first-16 codebook),
+    nprobe=2, exact-cosine rerank — the third ANN flavor next to brute
+    force and hyperplane LSH. Assignment is map-side (numpy over Arrow
+    batches); only (list_id, id, vec) shuffles."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return S.ivf_topk(emb, queries, n_lists=16, nprobe=2, k=10,
+                      query_id_col="query_id")
+
+
+@query(
     "emb_near_dup_pairs",
     oracle=f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

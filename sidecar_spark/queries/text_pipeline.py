@@ -120,15 +120,25 @@ def _sql_lang_hits(lang: str) -> str:
 )
 def text_lang_id(spark, sf_dir):
     """Stopword-hit language ID (deterministic argmax with preference
-    order en > de > fr > es)."""
+    order en > de > fr > es). All four hit counts come from one fold
+    over one word split; F.inline is a Generate barrier, so the
+    argmax below reads struct fields instead of re-running the fold
+    (projection collapse would otherwise inline it 9×)."""
     d = spread(t(spark, sf_dir, "documents"))
-    return d.select(
+    hits = d.select(
+        "doc_id", F.inline(F.array(X.lang_hits_struct(F.col("text")))))
+    best = F.greatest("en", "de", "fr", "es")
+    return hits.select(
         "doc_id",
-        X.lang_hits(F.col("text"), "en").alias("hits_en"),
-        X.lang_hits(F.col("text"), "de").alias("hits_de"),
-        X.lang_hits(F.col("text"), "fr").alias("hits_fr"),
-        X.lang_hits(F.col("text"), "es").alias("hits_es"),
-        X.lang_id(F.col("text")).alias("lang_pred"),
+        F.col("en").alias("hits_en"),
+        F.col("de").alias("hits_de"),
+        F.col("fr").alias("hits_fr"),
+        F.col("es").alias("hits_es"),
+        F.when(best == 0, F.lit("unknown"))
+        .when(F.col("en") == best, F.lit("en"))
+        .when(F.col("de") == best, F.lit("de"))
+        .when(F.col("fr") == best, F.lit("fr"))
+        .otherwise(F.lit("es")).alias("lang_pred"),
     )
 
 
