@@ -290,7 +290,9 @@ class CacheManager:
         if st is None:
             raise FileNotFoundError(uri)
         self.stats.add("total_files_opened")
-        cacheable = self.is_cacheable_file(path, st.length) and self.pages is not None
+        cacheable = (self.is_cacheable_file(path, st.length)
+                     and self.pages is not None
+                     and self.conf.should_cache(path, "read"))
         detector = None
         if self.conf.scan_detector_enabled and self.pages is not None:
             detector = ScanDetector(self.conf.scan_detector_threshold,
@@ -320,7 +322,8 @@ class CacheManager:
         self.stats.add("total_files_created")
         caching_fh = None
         caching_path = None
-        if self.write_cache is not None and not self.conf.write_excluded(path):
+        if self.write_cache is not None and not self.conf.write_excluded(path) \
+                and self.conf.should_cache(path, "write"):
             caching_fh, caching_path = self.write_cache.open_write(path)
         remote_fh = fs.open_write(path)
 

@@ -24,6 +24,7 @@ from urllib.parse import urlparse
 from sidecar_spark.config import SidecarConfig
 from sidecar_spark.stats import Statistics
 from sidecar_spark.util.lrc_queue import LRCQueue
+from sidecar_spark.util.size_priority_queue import SizeBasedPriorityQueue
 
 MONIKER_SUFFIX = ".toupload"
 
@@ -37,7 +38,11 @@ class WriteCache:
         self.root = os.path.join(conf.cache_dir, "write-cache")
         os.makedirs(self.root, exist_ok=True)
         self.max_size = conf.write_cache_size  # 0 = unbounded
-        self.file_list = LRCQueue()
+        # victim policy: LRC (default) or largest-first (the reference's
+        # unwired SizeBasedPriorityQueue, exposed as an option here)
+        self.file_list = (
+            SizeBasedPriorityQueue()
+            if conf.write_cache_eviction_policy == "size" else LRCQueue())
         self._size = 0
         self._size_lock = threading.Lock()
         self._evictor_running = threading.Event()

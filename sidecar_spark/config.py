@@ -79,6 +79,8 @@ _KEYMAP = {
     # engine-side additions (not in the reference)
     "cache.dir": "cache_dir",
     "data.cache.size": "data_cache_size",
+    # wires the reference's unwired SizeBasedPriorityQueue as an option
+    "write.cache.eviction.policy": "write_cache_eviction_policy",
 }
 
 _TRUE = {"true", "1", "yes", "on"}
@@ -136,7 +138,16 @@ class SidecarConfig:
     # admission / hints
     scan_detector_enabled: bool = False  # sidecar.scan.detector.enabled
     scan_detector_threshold: int = 10  # sidecar.scan.detector.threshold.pages
-    hint_detector: Optional[str] = None  # sidecar.caching.hint.detector.impl
+    # caching-hint SPI (hints/CachingHintDetector.java:22-39): the
+    # reference's impl sniffs thread stacks; our port is an explicit
+    # callback `should_cache(path, op) -> bool` with op in
+    # {"read", "write"} — either a callable or a "module:attr" /
+    # dotted import string (sidecar.caching.hint.detector.impl)
+    hint_detector: Any = None
+
+    # write-cache victim policy: "lrc" (default, LRCQueue) or "size"
+    # (SizeBasedPriorityQueue — largest file first)
+    write_cache_eviction_policy: str = "lrc"
 
     # lifecycle
     cache_persistent: bool = True  # sidecar.cache.persistent
@@ -239,6 +250,39 @@ class SidecarConfig:
 
     def read_excluded(self, path: str) -> bool:
         return self._matches("read_exclude_paths", path)
+
+    # ---- caching-hint SPI ---------------------------------------------
+
+    def resolve_hint(self):
+        """Resolve ``hint_detector`` to a callable
+        ``should_cache(path, op) -> bool`` (op ∈ {"read", "write"}), or
+        None. Accepts a callable directly or an import string
+        ("pkg.mod:attr" or dotted "pkg.mod.attr")."""
+        h = self.hint_detector
+        if h is None or callable(h):
+            return h
+        import importlib
+
+        spec = str(h)
+        if ":" in spec:
+            mod, attr = spec.split(":", 1)
+        else:
+            mod, _, attr = spec.rpartition(".")
+        fn = getattr(importlib.import_module(mod), attr)
+        if not callable(fn):
+            raise TypeError(f"hint detector {spec} is not callable")
+        return fn
+
+    def should_cache(self, path: str, op: str) -> bool:
+        """Admission hint (True = allowed to cache). Errors in user
+        hints never fail the I/O path — they just allow caching."""
+        fn = self.resolve_hint()
+        if fn is None:
+            return True
+        try:
+            return bool(fn(path, op))
+        except Exception:  # noqa: BLE001
+            return True
 
     def write_excluded(self, path: str) -> bool:
         """Excluded from write caching (SidecarCachingFileSystem.java:650-658):

@@ -248,6 +248,20 @@ class TestWriteCache:
         assert os.path.exists(cp0)  # unsynced victim survived
         assert wc.disabled  # cache disabled after retries exhausted
 
+    def test_size_based_eviction_policy(self, cache_dir):
+        """Opt-in largest-first victim policy (the reference's unwired
+        SizeBasedPriorityQueue): the big file goes first even though it
+        was created last."""
+        conf = SidecarConfig.create(cache_dir=cache_dir, write_cache_size=1 * MiB,
+                                    write_cache_eviction_policy="size")
+        wc = WriteCache(conf)
+        wc.put_file("/d/small0", b"s" * (100 * KiB), synced=True)
+        wc.put_file("/d/small1", b"s" * (100 * KiB), synced=True)
+        wc.put_file("/d/big", b"b" * (800 * KiB), synced=True)
+        wc.evict_files()
+        assert not wc.contains("/d/big")
+        assert wc.contains("/d/small0") and wc.contains("/d/small1")
+
     def test_rename_fixes_filelist(self, cache_dir):
         wc = self._wc(cache_dir, 0)
         wc.put_file("/d/a", b"123", synced=True)
@@ -285,6 +299,36 @@ class TestCacheManager:
         t = threading.Thread(target=work, daemon=True)
         t.start()
         assert done.wait(timeout=30), "clear_instances deadlocked"
+
+    def test_hint_detector_spi(self, cache_dir, remote_dir):
+        """Caching-hint SPI (CachingHintDetector port): a hint denying
+        'read' stops page admission; denying 'write' stops mirroring.
+        The I/O itself always succeeds."""
+        denied = []
+
+        def hint(path, op):
+            denied.append((path, op))
+            return op != "read"
+
+        mgr = CacheManager(self._conf(cache_dir, hint_detector=hint))
+        path = os.path.join(remote_dir, "h1")
+        with open(path, "wb") as f:
+            f.write(virtual_read(0, 2 * PAGE))
+        s = mgr.open(path)
+        assert s.read_at(0, 2 * PAGE) == virtual_read(0, 2 * PAGE)
+        assert mgr.pages.page_count() == 0  # read hint denied admission
+        assert any(op == "read" for _p, op in denied)
+
+        mgr2 = CacheManager(self._conf(
+            os.path.join(cache_dir, "w"),
+            hint_detector=lambda p, op: op != "write"))
+        out = mgr2.create(os.path.join(remote_dir, "h2"))
+        out.write(b"x" * 100)
+        out.close()
+        assert not mgr2.write_cache.contains(os.path.join(remote_dir, "h2"))
+        assert os.path.exists(os.path.join(remote_dir, "h2"))
+        mgr.close(save=False)
+        mgr2.close(save=False)
 
     def test_crud_lifecycle_tier_provenance(self, cache_dir, remote_dir):
         """The §5.3 CRUD scenario: write 4 pages → read#1 from write
