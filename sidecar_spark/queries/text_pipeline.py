@@ -81,15 +81,41 @@ _SQL_STOPS = "['" + "','".join(X.ALL_STOPWORDS) + "']"
     """,
 )
 def text_quality_score(spark, sf_dir):
+    """Quality scoring with all text passes fused: one regex pass per
+    character class, ONE word split + stopword fold, materialized
+    through a Generate barrier (F.inline) — the naive composition
+    re-split the text ~6× via projection collapse."""
     d = spread(t(spark, sf_dir, "documents"))
-    n_chars = F.length("text")
-    return d.select(
+    ws = X.words(F.lower(F.col("text")))
+    sw = F.array(*[F.lit(w) for w in X.ALL_STOPWORDS])
+    base = d.select(
         "doc_id",
-        F.round(F.when(n_chars == 0, 0.0)
-                .otherwise(X.alpha_chars(F.col("text")) / n_chars), 6)
-        .alias("alpha_ratio"),
-        F.round(X.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
-        X.quality_score(F.col("text")).alias("quality"),
+        F.inline(F.array(F.struct(
+            F.length("text").alias("n_chars"),
+            X.alpha_chars(F.col("text")).alias("n_alpha"),
+            X.punct_chars(F.col("text")).alias("n_punct"),
+            F.size(ws).alias("n_tokens"),
+            F.aggregate(
+                ws, F.lit(0),
+                lambda acc, w: acc
+                + F.when(F.array_contains(sw, w), 1).otherwise(0)).alias("n_stop"),
+        ))))
+    alpha_ratio = F.when(F.col("n_chars") == 0, 0.0) \
+        .otherwise(F.col("n_alpha") / F.col("n_chars"))
+    stop_ratio = F.when(F.col("n_tokens") == 0, 0.0) \
+        .otherwise(F.col("n_stop") / F.col("n_tokens"))
+    punct_ratio = F.when(F.col("n_chars") == 0, 0.0) \
+        .otherwise(F.col("n_punct") / F.col("n_chars"))
+    return base.select(
+        "doc_id",
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(
+            0.4 * alpha_ratio
+            + 0.3 * F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
+            + 0.2 * F.least(stop_ratio * 5, F.lit(1.0))
+            + 0.1 * (1 - F.least(punct_ratio * 10, F.lit(1.0))),
+            6).alias("quality"),
     )
 
 
