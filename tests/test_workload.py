@@ -1,0 +1,179 @@
+"""Workload-distribution and concurrency tests — the reference's §5
+techniques 2 and 5 (SURVEY.md):
+
+* Zipf(α=0.9)-distributed random page access with byte-compare against
+  the offset-deterministic oracle
+  (TestSidecarCachingInputStreamBase.java:361-423);
+* random/sequential mixed access (:425-480);
+* multi-thread concurrent random access, one stream per thread over a
+  SHARED page store (:284-313 — streams are @NotThreadSafe, caches are
+  shared);
+* writer/reader race with create/delete cycling and content
+  verification (TestCachingFileSystemMultithreadedBase.java:164-307,
+  bounded to seconds instead of 10 minutes).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import threading
+
+from sidecar_spark.cache import CacheManager, CachingInputStream, PageStore
+from sidecar_spark.config import SidecarConfig
+from sidecar_spark.stats import Statistics
+
+from tests.test_cache import MiB, PAGE, make_stream, virtual_read
+
+
+def _zipf_offsets(rng: random.Random, n_pages: int, count: int, alpha=0.9):
+    """Deterministic Zipf(α)-ish page sampler (inverse-CDF over the
+    harmonic weights — no numpy RNG state)."""
+    weights = [1.0 / (i + 1) ** alpha for i in range(n_pages)]
+    total = sum(weights)
+    cdf = []
+    acc = 0.0
+    for w in weights:
+        acc += w
+        cdf.append(acc / total)
+    out = []
+    for _ in range(count):
+        u = rng.random()
+        lo, hi = 0, n_pages - 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if cdf[mid] < u:
+                lo = mid + 1
+            else:
+                hi = mid
+        out.append(lo)
+    return out
+
+
+class TestWorkloads:
+    def test_zipf_random_access(self, cache_dir):
+        """Zipf-distributed page reads: every read byte-compares against
+        the oracle; the hot head of the distribution must be served from
+        the page cache (cache hits strictly exceed remote fills)."""
+        length = 2 * MiB
+        stream, store, stats = make_stream(cache_dir, length=length)
+        rng = random.Random(42)
+        n_pages = length // PAGE
+        for page in _zipf_offsets(rng, n_pages, 1500):
+            off = page * PAGE + rng.randrange(0, PAGE // 2)
+            ln = rng.randrange(1, PAGE)
+            assert stream.read_at(off, min(ln, length - off)) == \
+                virtual_read(off, min(ln, length - off))
+        hits = stats.get("total_read_requests_from_data_cache")
+        remote = stats.get("total_read_requests_from_remote")
+        assert hits > remote, (hits, remote)
+
+    def test_random_sequential_mix(self, cache_dir):
+        stream, _store, _stats = make_stream(cache_dir, length=1 * MiB)
+        rng = random.Random(7)
+        pos = 0
+        for i in range(400):
+            if rng.random() < 0.5:
+                pos = rng.randrange(0, 1 * MiB - PAGE)
+            ln = rng.randrange(1, 2 * PAGE)
+            ln = min(ln, 1 * MiB - pos)
+            assert stream.read_at(pos, ln) == virtual_read(pos, ln)
+            pos += ln
+            if pos >= 1 * MiB - 1:
+                pos = 0
+
+    def test_concurrent_readers_shared_store(self, cache_dir):
+        """4 threads × private streams over one shared PageStore; all
+        reads byte-exact under concurrent cache fills (the dedup-put
+        path: same content-addressed key from two threads is benign)."""
+        length = 1 * MiB
+        conf = SidecarConfig.create(
+            cache_dir=cache_dir, data_page_size=PAGE,
+            io_buffer_size=4 * PAGE, data_cache_type="file")
+        stats = Statistics()
+        store = PageStore(conf, stats)
+        errors: list = []
+
+        def reader(seed: int) -> None:
+            stream = CachingInputStream(
+                path="/virtual/file", mtime=42, length=length,
+                page_store=store, remote_read=virtual_read, stats=stats,
+                io_buffer_size=conf.io_buffer_size)
+            rng = random.Random(seed)
+            try:
+                for _ in range(300):
+                    off = rng.randrange(0, length - PAGE)
+                    ln = rng.randrange(1, PAGE)
+                    if stream.read_at(off, ln) != virtual_read(off, ln):
+                        errors.append(f"mismatch at {off}+{ln} (seed {seed})")
+                        return
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"seed {seed}: {e!r}")
+
+        threads = [threading.Thread(target=reader, args=(s,)) for s in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+
+    def test_writer_reader_race(self, cache_dir, remote_dir):
+        """Bounded §5-technique-5 race: a writer cycles create/delete
+        while readers verify full contents of whatever files exist.
+        No read may return corrupt bytes; missing files are expected."""
+        mgr = CacheManager(SidecarConfig.create(
+            cache_dir=cache_dir, data_page_size=PAGE,
+            io_buffer_size=4 * PAGE, data_cache_type="file",
+            write_cache_size=64 * MiB, cache_persistent=False))
+        n_files, file_len = 8, 64 * 1024
+        stop = threading.Event()
+        errors: list = []
+
+        def payload(i: int) -> bytes:
+            return virtual_read(i * 1000, file_len)
+
+        def writer() -> None:
+            rng = random.Random(1)
+            try:
+                for round_no in range(30):
+                    i = rng.randrange(n_files)
+                    path = os.path.join(remote_dir, f"f{i}")
+                    if os.path.exists(path):
+                        mgr.delete(path)
+                    else:
+                        out = mgr.create(path)
+                        out.write(payload(i))
+                        out.close()
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"writer: {e!r}")
+            finally:
+                stop.set()
+
+        def reader(seed: int) -> None:
+            rng = random.Random(seed)
+            while not stop.is_set():
+                i = rng.randrange(n_files)
+                path = os.path.join(remote_dir, f"f{i}")
+                try:
+                    s = mgr.open(path)
+                    data = s.read_at(0, file_len)
+                except (FileNotFoundError, OSError):
+                    continue  # deleted under us — allowed
+                except Exception as e:  # noqa: BLE001
+                    errors.append(f"reader {seed}: {e!r}")
+                    return
+                # a file observed mid-write is legitimately short; only a
+                # FULL-length read with wrong bytes indicates staleness
+                if len(data) == file_len and data != payload(i):
+                    errors.append(f"reader {seed}: corrupt read of f{i}")
+                    return
+
+        threads = [threading.Thread(target=reader, args=(s,)) for s in (2, 3)]
+        wt = threading.Thread(target=writer)
+        for t in threads + [wt]:
+            t.start()
+        for t in threads + [wt]:
+            t.join(timeout=120)
+        mgr.drain()
+        mgr.close(save=False)
+        assert not errors, errors
