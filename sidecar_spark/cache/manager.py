@@ -253,6 +253,15 @@ class CacheManager:
                             mtime=cached.mtime, is_dir=cached.is_dir)
         st = fs.stat(path)
         if st is None:
+            # local-first (ASYNC_COPY) read-your-writes: a file whose
+            # upload is still pending exists only in the write cache —
+            # serve its status from the mirror
+            if self.write_cache is not None:
+                lp = self.write_cache.local_path(path)
+                if lp is not None and os.path.exists(lp):
+                    lst = os.stat(lp)
+                    return FileStat(path=path, length=lst.st_size,
+                                    mtime=int(lst.st_mtime * 1000), is_dir=False)
             if cached is not None:
                 self.meta.delete(path)
                 self._invalidate_async(path, cached)
@@ -302,10 +311,15 @@ class CacheManager:
             self.stats.add("total_files_opened_in_write_cache")
             wc_read = lambda off, ln: self.write_cache.read_range(path, off, ln)  # noqa: E731
 
-        reader = fs.open_read(path)
+        # lazy remote stream (the reference wraps both streams in
+        # Callables, :1599-1608): with a warm cache or a pending
+        # local-first write the remote may never be opened at all
+        reader_box: list = []
 
         def remote_read(off: int, ln: int) -> bytes:
-            return reader.read_at(ln, off)
+            if not reader_box:
+                reader_box.append(fs.open_read(path))
+            return reader_box[0].read_at(ln, off)
 
         return CachingInputStream(
             path=path, mtime=st.mtime, length=st.length,
@@ -325,7 +339,11 @@ class CacheManager:
         if self.write_cache is not None and not self.conf.write_excluded(path) \
                 and self.conf.should_cache(path, "write"):
             caching_fh, caching_path = self.write_cache.open_write(path)
-        remote_fh = fs.open_write(path)
+        # ASYNC_COPY: local-first — the write lands in the cache only and
+        # a background task uploads after close (WriteCacheMode.java:20-24)
+        local_first = (self.conf.write_cache_mode == WriteCacheMode.ASYNC_COPY
+                       and caching_fh is not None)
+        remote_fh = None if local_first else fs.open_write(path)
 
         def on_close(stream: CachingOutputStream) -> None:
             self._closing_remote(fs, path, caching_path, stream)
@@ -347,7 +365,20 @@ class CacheManager:
                         caching_path: Optional[str],
                         stream: CachingOutputStream) -> None:
         def finish_remote() -> None:
-            stream.remote_fh.close()
+            if stream.remote_fh is not None:
+                stream.remote_fh.close()
+            elif caching_path is not None:
+                # ASYNC_COPY upload: copy the finished cache file to remote
+                with open(caching_path, "rb") as src:
+                    dst = fs.open_write(path)
+                    try:
+                        while True:
+                            chunk = src.read(8 * 1024 * 1024)
+                            if not chunk:
+                                break
+                            dst.write(chunk)
+                    finally:
+                        dst.close()
             st = fs.stat(path)
             if st is not None:
                 self.meta.save(path, FileMeta(st.mtime, st.length, st.is_dir))
@@ -355,16 +386,13 @@ class CacheManager:
                 self.write_cache.delete_moniker(caching_path)
                 self.write_cache.check_eviction()
 
-        if caching_path is not None and self.write_cache is not None \
-                and stream.caching_fh is None:
-            # caching stream survived to close (fh already closed by stream)
-            self.write_cache.register(caching_path, stream.bytes_written)
-        elif caching_path is not None and self.write_cache is not None:
+        if caching_path is not None and self.write_cache is not None:
             self.write_cache.register(caching_path, stream.bytes_written)
 
-        if self.conf.write_cache_mode == WriteCacheMode.ASYNC_CLOSE:
+        if self.conf.write_cache_mode in (WriteCacheMode.ASYNC_CLOSE,
+                                          WriteCacheMode.ASYNC_COPY):
             self._submit(finish_remote)
-        else:  # SYNC (and ASYNC_COPY degenerates to SYNC in-process)
+        else:  # SYNC: remote upload completes inline with the caller
             finish_remote()
 
     # ---- mutation verbs with cache coherence ----------------------------------

@@ -245,7 +245,10 @@ class CachingOutputStream:
     Caching-stream errors are reported and the caching stream dropped;
     the remote write always proceeds (error isolation per
     reportException, SidecarCachingFileSystem.java:1329-1348).
-    """
+
+    ``remote_fh`` may be None (ASYNC_COPY mode: the file is written to
+    the write cache only and uploaded by a background task after
+    close — WriteCacheMode.java:20-24)."""
 
     def __init__(self, remote_fh, caching_fh=None,
                  on_bytes: Optional[Callable[[int], None]] = None,
@@ -264,8 +267,11 @@ class CachingOutputStream:
             try:
                 self.caching_fh.write(data)
             except Exception as e:  # noqa: BLE001 — cache failure must not fail the write
+                if self.remote_fh is None:
+                    raise  # local-first mode: the cache file IS the write
                 self._drop_caching_stream(e)
-        self.remote_fh.write(data)
+        if self.remote_fh is not None:
+            self.remote_fh.write(data)
         self.bytes_written += len(data)
         if self.on_bytes:
             self.on_bytes(len(data))
@@ -276,8 +282,11 @@ class CachingOutputStream:
             try:
                 self.caching_fh.flush()
             except Exception as e:  # noqa: BLE001
+                if self.remote_fh is None:
+                    raise
                 self._drop_caching_stream(e)
-        self.remote_fh.flush()
+        if self.remote_fh is not None:
+            self.remote_fh.flush()
 
     def _drop_caching_stream(self, exc: Exception) -> None:
         try:
@@ -299,5 +308,5 @@ class CachingOutputStream:
                 self._drop_caching_stream(e)
         if self.on_close:
             self.on_close(self)  # closingRemote: may defer remote close
-        else:
+        elif self.remote_fh is not None:
             self.remote_fh.close()

@@ -19,6 +19,7 @@ import os
 from typing import Dict, List, Optional
 
 from sidecar_spark.cache.manager import CacheManager
+from sidecar_spark.cache.meta import FileMeta
 from sidecar_spark.config import SidecarConfig
 
 TPCH_TABLES = (
@@ -112,9 +113,8 @@ class Engine:
                 fs, path = self.cache._resolve(st.path)
                 data = fs.read_all(path)
                 self.cache.write_cache.put_file(path, data, synced=True)
-                self.cache.meta.save(path, __import__(
-                    "sidecar_spark.cache.meta", fromlist=["FileMeta"]
-                ).FileMeta(st.mtime, st.length, st.is_dir))
+                self.cache.meta.save(
+                    path, FileMeta(st.mtime, st.length, st.is_dir))
                 self.cache.write_cache.check_eviction()
 
     # ---- observability -------------------------------------------------------

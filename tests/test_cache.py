@@ -300,6 +300,30 @@ class TestCacheManager:
         t.start()
         assert done.wait(timeout=30), "clear_instances deadlocked"
 
+    def test_async_copy_local_first_write(self, cache_dir, remote_dir):
+        """ASYNC_COPY mode: the write lands only in the write cache; a
+        background task uploads after close. Before the upload drains,
+        the file is already readable (read-your-writes via the mirror);
+        after drain the remote copy exists, content-identical, and the
+        moniker is gone."""
+        mgr = CacheManager(self._conf(
+            cache_dir, write_cache_mode="async_copy"))
+        path = os.path.join(remote_dir, "lf1")
+        payload = virtual_read(0, 3 * PAGE)
+        out = mgr.create(path)
+        out.write(payload)
+        out.close()
+        # read-your-writes before the upload necessarily finished
+        s = mgr.open(path)
+        assert s.read_at(0, 3 * PAGE) == payload
+        mgr.drain()
+        assert os.path.exists(path)
+        with open(path, "rb") as f:
+            assert f.read() == payload
+        assert mgr.write_cache.moniker_count() == 0
+        assert mgr.meta.get(path) is not None
+        mgr.close(save=False)
+
     def test_hint_detector_spi(self, cache_dir, remote_dir):
         """Caching-hint SPI (CachingHintDetector port): a hint denying
         'read' stops page admission; denying 'write' stops mirroring.
