@@ -11,6 +11,8 @@ temporal outputs as strings, LIMIT carries a total tie-break order).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -594,6 +596,56 @@ def skew_salted_join(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_events"),
              money(F.sum("value")).alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join (no exchange on either side)
+# ---------------------------------------------------------------------------
+
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT l_orderkey, o_orderpriority,
+           count(*) AS n_items,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 6))), 2)
+               AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_orderkey, o_orderpriority
+    """,
+)
+def bucketed_colocated_join(spark, sf_dir):
+    """Bucketing demo — the third join-locality tool next to broadcast
+    and salting: both fact tables are written bucketed+sorted by the
+    join key, so the merge join AND the per-key aggregation run with
+    ZERO exchanges (at 100 TB this is the difference between reading
+    co-located buckets and reshuffling the whole fact table; the
+    one-time bucketed write is amortized over every later join).
+    The .hint("merge") pins SMJ so AQE's broadcast conversion doesn't
+    hide the bucketing (results are identical either way — the oracle
+    is the plain join)."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = f"/tmp/sidecar-bucketed/{tag}"
+    specs = [
+        (f"li_bkt_{tag}", t(spark, sf_dir, "lineitem"), "l_orderkey"),
+        (f"o_bkt_{tag}", t(spark, sf_dir, "orders"), "o_orderkey"),
+    ]
+    for name, src, key in specs:
+        if not spark.catalog.tableExists(name):
+            (src.write.bucketBy(8, key).sortBy(key)
+             .option("path", os.path.join(root, name))
+             .mode("overwrite").format("parquet").saveAsTable(name))
+    li = spark.table(specs[0][0])
+    o = spark.table(specs[1][0])
+    return (
+        li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        # decimal sum: the bucket-sorted input feeds the agg in a
+        # different order than the oracle's scan — decimal addition is
+        # order-independent
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             money(F.sum(REVENUE.cast("decimal(18,6)")).cast("double"))
+             .alias("revenue"))
     )
 
 
