@@ -92,6 +92,12 @@ def main() -> int:
         if name == "global_topk" and not topk:
             notes.append("orderBy+limit did not fold to TakeOrderedAndProject")
             hard_failures.append(name)
+        if name == "bucketed_colocated_join":
+            n_exchange = len(re.findall(r"\bExchange\b", plan))
+            if n_exchange or "SortMergeJoin" not in plan:
+                notes.append(
+                    f"bucketed join not exchange-free (exchanges={n_exchange})")
+                hard_failures.append(name)
 
         line = (f"{name}: codegen={n_codegen} bhj={n_bhj} smj={n_smj} "
                 f"shj={n_shj} pushed={'y' if pushed_any else '-'}"
