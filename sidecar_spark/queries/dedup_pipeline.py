@@ -71,6 +71,26 @@ def dedup_exact(spark, sf_dir):
 
 
 @query(
+    "dedup_exact_keep",
+    oracle=f"""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN (SELECT min(doc_id) AS keep_id
+          FROM documents GROUP BY md5({_NORM})) k
+      ON d.doc_id = k.keep_id
+    """,
+)
+def dedup_exact_keep(spark, sf_dir):
+    """The materializing form of exact dedup: keep exactly one row
+    (min doc_id) per distinct normalized content — the left-semi join
+    against the canonical-id set. This is the operator a pipeline
+    actually runs; dedup_exact is its report."""
+    d = t(spark, sf_dir, "documents")
+    kept = D.dedup_exact(d)
+    return kept.select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH base AS (

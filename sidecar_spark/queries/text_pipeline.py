@@ -169,6 +169,31 @@ def text_lang_id(spark, sf_dir):
 
 
 @query(
+    "text_vocab_topk",
+    oracle=f"""
+    SELECT w AS word, count(*) AS freq
+    FROM (SELECT unnest({_SQL_WORDS.format(e='lower(text)')}) AS w
+          FROM documents)
+    GROUP BY w
+    ORDER BY freq DESC, word
+    LIMIT 100
+    """,
+)
+def text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary building: explode → count → top-k. The
+    100 TB shape: partial aggregation absorbs the explode blowup
+    map-side; only (word, partial_count) pairs shuffle, and the top-k
+    is TakeOrdered, not a global sort."""
+    d = spread(t(spark, sf_dir, "documents"))
+    return (
+        d.select(F.explode(X.words(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(100)
+    )
+
+
+@query(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
