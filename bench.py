@@ -67,6 +67,10 @@ def main() -> None:
         # (count() alone lets Catalyst prune the projections away)
         df.write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.time() - t0, 3)
+        # drop DataFrames persisted inside operators (LSH signature
+        # tables etc.) so storage-memory pressure from one query never
+        # bleeds into the next
+        spark.catalog.clearCache()
     total = round(time.time() - t_all, 3)
 
     # cache capability demo: cold vs warm read through the engine
