@@ -249,21 +249,27 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     use_lsh: bool = False,
     num_planes: int = 6,
+    broadcast_threshold: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
 
-    Exact all-pairs via blocked matrix multiplication: the corpus is
-    broadcast as a dense float64 matrix and each Arrow batch of probe
-    rows computes ``batch @ corpus.T`` with BLAS, emitting only pairs
-    over threshold. Expression-level per-pair dot products are ~100×
-    slower (interpreted array folds, 50M pair rows materialized); the
-    GEMM form never materializes the pair table at all.
+    Exact all-pairs via matrix multiplication, two physical plans with
+    identical results:
 
-    At 100 TB the corpus no longer broadcasts whole: block BOTH sides
-    (block id = hash(id) % B), cross-join block ids, and run the same
-    kernel per block pair — identical math, bounded memory.
-    ``use_lsh`` instead generates candidates by hyperplane bucket
-    (approximate; recall documented by the bucket predicate)."""
+    * corpus ≤ ``broadcast_threshold`` rows → broadcast GEMM: the
+      corpus matrix ships once to every executor and each Arrow batch
+      of probe rows computes ``batch @ corpus.T`` with BLAS;
+    * larger → both-sides-blocked GEMM: vectors land in
+      ``hash(id) % B`` blocks, replicate ~B× to their block PAIRS, and
+      one applyInPandas group per unordered block pair runs the same
+      kernel — shuffle volume B×corpus, per-task memory two blocks.
+      This is the 100 TB path; the broadcast form is its fast case.
+
+    Expression-level per-pair dot products are ~100× slower
+    (interpreted array folds, quadratic pair rows materialized); the
+    GEMM forms never materialize the pair table at all. ``use_lsh``
+    instead generates candidates by hyperplane bucket (approximate;
+    recall documented by the bucket predicate)."""
     import numpy as np
     import pandas as pd
 
@@ -292,34 +298,113 @@ def cosine_near_dup_pairs(
             .where(F.col("cos_sim") >= threshold)
         )
 
-    spark = vectors.sparkSession
-    rows = vectors.select(F.col(id_col).alias("vid"),
-                          as_double(F.col(vec_col)).alias("vec")).collect()
-    ids = np.array([r["vid"] for r in rows], dtype=np.int64)
-    mat = np.array([r["vec"] for r in rows], dtype=np.float64)
-    nrm = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, nrm))
+    v = vectors.select(F.col(id_col).alias("vid"),
+                       as_double(F.col(vec_col)).alias("vec"))
+    n = v.count()
+    if n <= broadcast_threshold:
+        return _near_dup_broadcast_gemm(v, threshold)
+    return _near_dup_blocked_gemm(v, threshold,
+                                  n_blocks=max(2, int(n // broadcast_threshold) + 1))
+
+
+def _gemm_pairs(a_ids, a_mat, b_ids, b_mat, threshold: float,
+                overlapping_ids: bool = True):
+    """Shared kernel: above-threshold cosine pairs between two
+    id/matrix blocks, emitted as (id_a < id_b).
+
+    ``overlapping_ids=True`` (same or overlapping id sets — each
+    unordered pair appears in the matrix twice) keeps the a<b half.
+    ``False`` (disjoint blocks — each pair appears once) keeps every
+    hit and normalizes to (min, max); an a<b mask there would drop
+    pairs whose role-A id is the larger one."""
+    import numpy as np
+    import pandas as pd
+
+    a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+    b_nrm = np.sqrt((b_mat * b_mat).sum(axis=1))
+    sims = a_mat @ b_mat.T
+    denom = a_nrm[:, None] * b_nrm[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(denom == 0, 0.0, sims / denom)
+    cos = np.round(cos, 6)
+    keep = cos >= threshold
+    if overlapping_ids:
+        keep &= a_ids[:, None] < b_ids[None, :]
+    ai, bj = np.nonzero(keep)
+    left, right = a_ids[ai], b_ids[bj]
+    if not overlapping_ids:
+        left, right = np.minimum(left, right), np.maximum(left, right)
+    return pd.DataFrame({
+        "id_a": left, "id_b": right, "cos_sim": cos[ai, bj],
+    })
+
+
+def _near_dup_broadcast_gemm(v: DataFrame, threshold: float) -> DataFrame:
+    """Corpus fits in a broadcast: one matrix ships to every executor,
+    each Arrow batch of probe rows GEMMs against it."""
+    import numpy as np
+
+    spark = v.sparkSession
+    rows = v.collect()
+    b_ids = np.array([r["vid"] for r in rows], dtype=np.int64)
+    b_mat = np.array([r["vec"] for r in rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((b_ids, b_mat))
 
     def batches(it):
-        b_ids, b_mat, b_nrm = bc.value
+        ids_b, mat_b = bc.value
         for pdf in it:
             a_ids = pdf["vid"].to_numpy(dtype=np.int64)
-            a_mat = np.stack([np.asarray(v, dtype=np.float64)
-                              for v in pdf["vec"]])
-            a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
-            sims = a_mat @ b_mat.T
-            denom = a_nrm[:, None] * b_nrm[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(denom == 0, 0.0, sims / denom)
-            cos = np.round(cos, 6)
-            keep = (cos >= threshold) & (a_ids[:, None] < b_ids[None, :])
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame({
-                "id_a": a_ids[ai], "id_b": b_ids[bj],
-                "cos_sim": cos[ai, bj],
-            })
+            a_mat = np.stack([np.asarray(x, dtype=np.float64)
+                              for x in pdf["vec"]])
+            yield _gemm_pairs(a_ids, a_mat, ids_b, mat_b, threshold)
 
-    probe = spread(vectors).select(F.col(id_col).alias("vid"),
-                                   as_double(F.col(vec_col)).alias("vec"))
-    return probe.mapInPandas(
+    return spread(v).mapInPandas(
         batches, schema="id_a long, id_b long, cos_sim double")
+
+
+def _near_dup_blocked_gemm(v: DataFrame, threshold: float,
+                           n_blocks: int) -> DataFrame:
+    """Corpus too large to broadcast: both-sides-blocked exact all-pairs.
+
+    Each vector lands in block ``hash(id) % B`` and is replicated to
+    every block PAIR it participates in (≈B copies — linear, versus the
+    quadratic pair table); one ``applyInPandas`` group per unordered
+    block pair runs the same GEMM kernel. This is the standard
+    distributed exact all-pairs decomposition: shuffle volume B×corpus,
+    compute unchanged, memory per task = two blocks."""
+    B = n_blocks
+    blk = (F.abs(F.hash(F.col("vid"))) % B).alias("blk")
+    base = v.select("vid", "vec", blk)
+    # role A in pairs (blk, j) for j >= blk; role B in pairs (i, blk) i <= blk
+    a_side = base.select(
+        "vid", "vec", F.lit(0).alias("role"),
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("bj"))
+    b_side = base.select(
+        "vid", "vec", F.lit(1).alias("role"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"))
+    both = a_side.select("bi", "bj", "role", "vid", "vec").unionByName(
+        b_side.select("bi", "bj", "role", "vid", "vec"))
+
+    def block_pair(pdf):
+        import numpy as np
+
+        a = pdf[pdf["role"] == 0]
+        b = pdf[pdf["role"] == 1]
+        if not len(a) or not len(b):
+            import pandas as pd
+            return pd.DataFrame(columns=["id_a", "id_b", "cos_sim"])
+        same_block = bool(pdf["bi"].iloc[0] == pdf["bj"].iloc[0])
+        a_ids = a["vid"].to_numpy(dtype=np.int64)
+        a_mat = np.stack([np.asarray(x, dtype=np.float64) for x in a["vec"]])
+        b_ids = b["vid"].to_numpy(dtype=np.int64)
+        b_mat = np.stack([np.asarray(x, dtype=np.float64) for x in b["vec"]])
+        # same block: both roles carry the full block (pairs appear
+        # twice) → keep the a<b half; cross block: disjoint id sets
+        # (pairs appear once) → keep all, normalized
+        return _gemm_pairs(a_ids, a_mat, b_ids, b_mat, threshold,
+                           overlapping_ids=same_block)
+
+    return both.groupBy("bi", "bj").applyInPandas(
+        block_pair, schema="id_a long, id_b long, cos_sim double")

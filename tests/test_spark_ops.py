@@ -1,0 +1,94 @@
+"""Spark-session tests: engine read path end-to-end and operator
+physical-strategy equivalences at sf0.001 (kept small — the full
+battery correctness gate is tools/check_oracle.py against DuckDB).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+
+class TestEngine:
+    def test_cold_warm_tier_provenance(self, spark, sf_dir):
+        from sidecar_spark import Engine, SidecarConfig
+        from sidecar_spark.cache.manager import CacheManager
+
+        CacheManager.clear_instances()
+        tmp = tempfile.mkdtemp(prefix="sidecar-eng-")
+        eng = Engine(spark, base_dir=sf_dir, conf=SidecarConfig.create(
+            cache_dir=tmp, data_cache_type="file", cache_persistent=False))
+        c1 = eng.table("lineitem").count()
+        s1 = eng.cache.stats.snapshot()
+        c2 = eng.table("lineitem").count()
+        s2 = eng.cache.stats.snapshot()
+        assert c1 == c2 > 0
+        assert s1["total_read_requests_from_remote"] > 0
+        assert s2["total_read_requests_from_data_cache"] > 0
+        # byte-level API over the same cache
+        st = eng.cache.open(os.path.join(sf_dir, "lineitem.parquet"))
+        assert st.read_at(0, 4) == b"PAR1"
+        eng.close()
+
+    def test_write_then_read_back(self, spark, sf_dir):
+        from sidecar_spark import Engine, SidecarConfig
+        from sidecar_spark.cache.manager import CacheManager
+
+        CacheManager.clear_instances()
+        tmp = tempfile.mkdtemp(prefix="sidecar-eng-")
+        eng = Engine(spark, base_dir=sf_dir, conf=SidecarConfig.create(
+            cache_dir=tmp, data_cache_type="file", cache_persistent=False))
+        out = tempfile.mkdtemp(prefix="sidecar-out-") + "/t"
+        eng.write(eng.table("region"), out)
+        assert eng.read_parquet(out).count() == eng.table("region").count()
+        eng.close()
+
+
+class TestOperatorEquivalence:
+    def test_near_dup_blocked_equals_broadcast(self, spark, sf_dir):
+        """The 100 TB blocked-GEMM plan and the broadcast plan are the
+        same operator: identical pair sets on the same input."""
+        from sidecar_spark.functions.similarity import cosine_near_dup_pairs
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        bc = cosine_near_dup_pairs(emb, threshold=0.3)
+        blk = cosine_near_dup_pairs(emb, threshold=0.3, broadcast_threshold=10)
+        ra = sorted(map(tuple, bc.collect()))
+        rb = sorted(map(tuple, blk.collect()))
+        assert ra == rb
+
+    def test_salted_join_equals_plain(self, spark, sf_dir):
+        from sidecar_spark.queries import QUERIES
+
+        salted = QUERIES["skew_salted_join"](spark, sf_dir)
+        from pyspark.sql import functions as F
+        from sidecar_spark.queries.registry import t
+
+        e = t(spark, sf_dir, "events")
+        c = t(spark, sf_dir, "customer")
+        plain = (e.join(c, e.user_id == c.c_custkey)
+                 .groupBy("c_mktsegment")
+                 .agg(F.count(F.lit(1)).alias("n_events"),
+                      F.round(F.sum("value"), 2).alias("sum_value")))
+        assert sorted(map(tuple, salted.collect())) == \
+            sorted(map(tuple, plain.collect()))
+
+
+class TestDriverContract:
+    def test_entry_smoke(self, spark):
+        import __spark_entry__ as e
+
+        rows = e.entry(spark).collect()
+        assert len(rows) > 0
+
+    def test_contract_shape(self):
+        import __spark_entry__ as e
+
+        qs = e.queries()
+        oracles = e.oracle_sql()
+        assert len(qs) >= 60
+        assert set(oracles) <= set(qs)
+        missing = set(qs) - set(oracles)
+        assert not missing, f"rows-only entries present: {missing}"
