@@ -114,6 +114,30 @@ def extract_image_features(df: DataFrame, binary_col: str = "payload",
         batches, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def extract_audio_features(df: DataFrame, binary_col: str = "payload",
+                           id_col: str = "doc_id",
+                           fake: bool = True) -> DataFrame:
+    """Audio feature extraction over mapInPandas — same Arrow-batched
+    shape as extract_image_features with the audio stub decoder."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[binary_col]
+            decoded = [decode_audio(bytes(p), fake=fake) for p in payloads]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].values,
+                "n_bytes": payloads.map(len).astype("int64"),
+                "checksum": payloads.map(
+                    lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                "sample_rate": [d[0] for d in decoded],
+                "n_samples": [d[1] for d in decoded],
+                "rms": [d[2] for d in decoded],
+            })
+
+    return df.select(id_col, binary_col).mapInPandas(
+        batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def resize_images(df: DataFrame, binary_col: str = "payload",
                   target: int = 224, fake: bool = True) -> DataFrame:
     """Resize plumbing: output schema mirrors input with a resized

@@ -207,6 +207,51 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 @query(
+    "multimodal_audio_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS checksum,
+           CASE (('0x' || substr(md5(text), 1, 2))::INT % 4)
+                WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+           1000 + ('0x' || substr(md5(text), 3, 4))::BIGINT AS n_samples,
+           ('0x' || substr(md5(text), 7, 2))::INT / 255.0 AS rms
+    FROM documents
+    """,
+)
+def multimodal_audio_features(spark, sf_dir):
+    """Audio decode/feature plumbing over mapInPandas (deterministic
+    stub decoder; Spark-side schema/batching/distribution real)."""
+    d = spread(t(spark, sf_dir, "documents")).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return M.extract_audio_features(d, binary_col="payload", fake=True)
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           md5(text) AS resized_checksum, 224 AS target_size
+    FROM documents
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Resize plumbing (1 row in → 1 row out, payload column rewritten;
+    the fake path is a checksummed pass-through so the full pipeline is
+    oracle-checkable)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    r = M.resize_images(d, binary_col="payload", target=224, fake=True)
+    return r.select(
+        "doc_id",
+        F.octet_length("resized").cast("long").alias("n_bytes"),
+        F.md5("resized").alias("resized_checksum"),
+        F.col("target_size").cast("int").alias("target_size"),
+    )
+
+
+@query(
     "multimodal_media_meta",
     oracle="""
     SELECT doc_id, 'image' AS media_type, 'png' AS format,
