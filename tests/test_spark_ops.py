@@ -76,6 +76,33 @@ class TestOperatorEquivalence:
             sorted(map(tuple, plain.collect()))
 
 
+class TestApproximateAggregates:
+    """The sketch-based family can't hash-match a DuckDB oracle (HLL /
+    KLL internals differ per engine), so it is verified here against
+    its exact counterpart within the algorithms' error bounds — the
+    100 TB substitutes for countDistinct and exact percentile."""
+
+    def test_approx_count_distinct_within_rsd(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        row = o.agg(
+            F.countDistinct("o_custkey").alias("exact"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        ).first()
+        assert abs(row["approx"] - row["exact"]) <= max(3, 0.06 * row["exact"])
+
+    def test_approx_percentile_within_accuracy(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        row = o.agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
+            F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx"),
+        ).first()
+        assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
+
+
 class TestDriverContract:
     def test_entry_smoke(self, spark):
         import __spark_entry__ as e
