@@ -57,6 +57,14 @@ def main() -> None:
         .mapInPandas(_identity, schema="id long") \
         .write.format("noop").mode("overwrite").save()
 
+    # pull the input files through the OS page cache once — cold-disk
+    # stalls otherwise land on arbitrary queries and dominate variance
+    import glob as _glob
+    for p in _glob.glob(os.path.join(SF_DIR, "*.parquet")):
+        with open(p, "rb") as f:
+            while f.read(16 * 1024 * 1024):
+                pass
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     per_query = {}
     t_all = time.time()
