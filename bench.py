@@ -65,6 +65,29 @@ def main() -> None:
             while f.read(16 * 1024 * 1024):
                 pass
 
+    # one throwaway micro-batch initializes the streaming engine +
+    # state-store machinery (first streaming query otherwise pays ~6 s
+    # of one-time class loading/codegen)
+    try:
+        import tempfile as _tf
+
+        from pyspark.sql import functions as _F
+
+        wdir = _tf.mkdtemp(prefix="sidecar-bench-warm-")
+        spark.range(8).withColumn("g", _F.col("id") % 2) \
+            .write.mode("overwrite").parquet(os.path.join(wdir, "src"))
+        sdf = (spark.readStream
+               .schema("id long, g long")
+               .parquet(os.path.join(wdir, "src"))
+               .groupBy("g").count())
+        q = (sdf.writeStream.format("memory").queryName("bench_warmup")
+             .outputMode("complete")
+             .option("checkpointLocation", os.path.join(wdir, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    except Exception:  # noqa: BLE001 — warmup must never fail the bench
+        pass
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     per_query = {}
     t_all = time.time()

@@ -57,24 +57,37 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_memory_sink(stream_df: DataFrame, name: str,
-                       output_mode: str) -> DataFrame:
+                       output_mode: str,
+                       state_partitions: int = 8) -> DataFrame:
     """Execute a streaming plan to completion with an availableNow
     trigger into an in-memory table; return the result as a DataFrame.
 
     This is the bounded-backlog execution mode: identical incremental
     semantics to a live stream, deterministic end state. Checkpoints go
-    to a throwaway dir (the memory sink is itself ephemeral)."""
+    to a throwaway dir (the memory sink is itself ephemeral).
+
+    The stateful-shuffle width is pinned to ``state_partitions`` for
+    the duration of the run: each state-store instance pays
+    checkpoint/commit overhead per microbatch, so a bounded backlog
+    wants few, well-filled stores (a live deployment sizes this to
+    keyspace/throughput instead — it is fixed per checkpoint)."""
+    spark = stream_df.sparkSession
     ckpt = tempfile.mkdtemp(prefix=f"sidecar-stream-{name}-")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour",
