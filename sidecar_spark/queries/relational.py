@@ -60,6 +60,38 @@ def scan_filter_project(spark, sf_dir):
     )
 
 
+@query(
+    "cached_read_agg",
+    oracle="""
+    SELECT l_linestatus, count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def cached_read_agg(spark, sf_dir):
+    """The I/O capability port under the oracle gate: this scan goes
+    through Engine.table — CacheManager resolves the file list, admits
+    and materializes it into the local mirror (cold) or serves the
+    mirror path (warm) — and must be indistinguishable from a direct
+    read. Repeated driver/bench runs hit the warm path."""
+    import os as _os
+
+    from sidecar_spark import Engine, SidecarConfig
+
+    conf = SidecarConfig.create(
+        cache_dir=_os.path.join("/tmp", "sidecar-query-cache"),
+        data_cache_type="file", cache_persistent=False)
+    eng = Engine(spark, base_dir=sf_dir, conf=conf)
+    li = eng.table("lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # aggregation
 # ---------------------------------------------------------------------------
