@@ -126,6 +126,36 @@ def jaccard(a_col, b_col) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
+def shingles_seq(col, k: int = 3) -> Column:
+    """POSITIONAL word k-shingles (duplicates kept, document order
+    preserved) — winnowing needs the sequence; ``shingles`` returns the
+    distinct set for Jaccard/minhash."""
+    ws = words(normalized_text(col))
+    n = F.size(ws)
+    acc = ws
+    for shift in range(1, k):
+        shifted = F.slice(ws, shift + 1, F.greatest(n - shift, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    full = F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", ws))).otherwise(full)
+
+
+def winnowing_fingerprints(col, k: int = 3, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash
+    every k-shingle IN DOCUMENT ORDER, slide a ``window`` over the hash
+    sequence, keep each window's minimum — guaranteeing any match of
+    length ≥ k+window-1 words shares a fingerprint — then dedupe+sort
+    for a canonical set. Pure map-side column math; the rolling-window
+    min is the rolling-hash fingerprint family's robust form."""
+    hs = F.transform(shingles_seq(col, k), hash60)
+    n = F.size(hs)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(hs, j, window)),
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
 def simhash(col, bits: int = 16) -> Column:
     """SimHash fingerprint (``bits`` wide) of the word set: for each bit
     position, the sign of the vote sum over token hashes decides the

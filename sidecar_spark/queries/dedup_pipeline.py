@@ -148,6 +148,42 @@ def dedup_simhash(spark, sf_dir):
     return d.select("doc_id", D.simhash(F.col("text"), bits=16).alias("simhash16"))
 
 
+# positional shingle sequence (NO list_distinct — winnowing windows
+# run over the document-order k-gram sequence)
+_SHINGLES_SEQ = f"""
+    CASE WHEN len({_WS}) < 3
+         THEN [array_to_string({_WS}, ' ')]
+         ELSE list_transform(range(1, len({_WS}) - 1),
+                             i -> array_to_string({_WS}[i:i+2], ' '))
+    END"""
+
+
+@query(
+    "dedup_winnowing",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, list_transform({_SHINGLES_SEQ}, s -> {_h60('s')}) AS hs
+      FROM documents)
+    SELECT doc_id,
+           list_sort(list_distinct(list_transform(
+               range(1, greatest(len(hs) - 3, 1) + 1),
+               j -> list_min(hs[j:j+3])))) AS fingerprints
+    FROM hashed
+    """,
+)
+def dedup_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (k=3 shingles, window=4): the
+    rolling-window-min fingerprint set used for plagiarism/near-dup
+    detection — any shared run of ≥6 words guarantees a shared
+    fingerprint. Map-side only; pairing is a follow-on equi-join on
+    exploded fingerprints (the ngram_jaccard count-join shape)."""
+    d = spread(t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        D.winnowing_fingerprints(F.col("text"), k=3, window=4)
+        .alias("fingerprints"))
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""

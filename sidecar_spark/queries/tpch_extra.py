@@ -650,6 +650,42 @@ def bucketed_colocated_join(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# partitioned write + partition pruning
+# ---------------------------------------------------------------------------
+
+@query(
+    "partition_pruned_scan",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    GROUP BY event_type
+    """,
+)
+def partition_pruned_scan(spark, sf_dir):
+    """Hive-style partitioned layout + partition pruning: events are
+    written once partitioned by event_type; the IN-filter then prunes
+    to 2 of 5 partition directories at PLANNING time (PartitionFilters
+    in the scan — zero I/O for the other three). At 100 TB partition
+    pruning on coarse keys (date, source) is the first 10-100×."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = f"/tmp/sidecar-partitioned/{tag}/events"
+    marker = os.path.join(root, "_SUCCESS")
+    if not os.path.exists(marker):
+        (t(spark, sf_dir, "events")
+         .write.mode("overwrite").partitionBy("event_type").parquet(root))
+    e = spark.read.parquet(root)
+    return (
+        e.where(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             money(F.sum("value")).alias("sum_value"),
+             F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # windowed ntile / percent_rank (ranking family beyond row_number)
 # ---------------------------------------------------------------------------
 
