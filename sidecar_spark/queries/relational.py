@@ -671,6 +671,35 @@ def events_sessionize(spark, sf_dir):
 
 
 @query(
+    "events_rollup_hierarchy",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def events_rollup_hierarchy(spark, sf_dir):
+    """Hierarchical (hypertable-style) rollup: the daily aggregate is
+    computed FROM the hourly aggregate (counts add, sums add), not from
+    raw events — the continuous-aggregate pattern where each coarser
+    resolution reaggregates the finer one at 1/24th the input. The
+    oracle aggregates raw events directly; equality IS the
+    reaggregation-correctness check."""
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", F.col("h")).alias("d"), "event_type")
+        .agg(F.sum("n").alias("n_events"), money(F.sum("v")).alias("sum_value"))
+        .select(F.date_format("d", DATE_FMT).alias("day"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+@query(
     "asof_join",
     oracle="""
     SELECT e.event_id, e.user_id,

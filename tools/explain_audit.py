@@ -92,6 +92,11 @@ def main() -> int:
         if name == "global_topk" and not topk:
             notes.append("orderBy+limit did not fold to TakeOrderedAndProject")
             hard_failures.append(name)
+        if name == "partition_pruned_scan":
+            m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+            if not (m and m.group(1).strip()):
+                notes.append("missing PartitionFilters (no pruning)")
+                hard_failures.append(name)
         if name == "bucketed_colocated_join":
             n_exchange = len(re.findall(r"\bExchange\b", plan))
             if n_exchange or "SortMergeJoin" not in plan:
