@@ -247,15 +247,22 @@ class CacheManager:
 
     def get_file_status(self, uri: str) -> Optional[FileStat]:
         fs, path = self._resolve(uri)
+        # local-first (ASYNC_COPY) read-your-writes: while a moniker
+        # marks the upload pending, the remote copy may be absent OR
+        # half-written — the mirror is authoritative until sync
+        if self.write_cache is not None:
+            lp = self.write_cache.local_path(path)
+            if lp is not None and os.path.exists(lp) \
+                    and self.write_cache.has_moniker(lp):
+                lst = os.stat(lp)
+                return FileStat(path=path, length=lst.st_size,
+                                mtime=int(lst.st_mtime * 1000), is_dir=False)
         cached = self.meta.get(path)
         if cached is not None and not self.conf.remote_files_mutable:
             return FileStat(path=path, length=cached.length,
                             mtime=cached.mtime, is_dir=cached.is_dir)
         st = fs.stat(path)
         if st is None:
-            # local-first (ASYNC_COPY) read-your-writes: a file whose
-            # upload is still pending exists only in the write cache —
-            # serve its status from the mirror
             if self.write_cache is not None:
                 lp = self.write_cache.local_path(path)
                 if lp is not None and os.path.exists(lp):
