@@ -420,6 +420,93 @@ def q22_sales_opportunity(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# NOT IN (null-aware anti join) — Q16 shape
+# ---------------------------------------------------------------------------
+
+@query(
+    "not_in_anti_join",
+    oracle="""
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    """,
+)
+def not_in_anti_join(spark, sf_dir):
+    """TPC-H Q16 shape: NOT IN over a subquery. SQL NOT IN is
+    null-aware (one NULL in the list empties the result) — expressed
+    here via spark.sql so Catalyst plans the NullAwareAntiJoin
+    (l_suppkey/s_suppkey are non-null in this data, so it matches the
+    plain anti join the oracle computes)."""
+    t(spark, sf_dir, "part").createOrReplaceTempView("part_ni")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_ni")
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_ni")
+    return spark.sql("""
+        SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part_ni JOIN lineitem_ni ON p_partkey = l_partkey
+        WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier_ni
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type
+    """)
+
+
+# ---------------------------------------------------------------------------
+# double correlation (Q21 shape, adapted: no receipt/commit dates)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (adapted to this schema: 'returned' stands in
+    for 'late'): suppliers who were the ONLY one with a returned item
+    on a multi-supplier finished order — EXISTS + NOT EXISTS double
+    correlation on the same fact table, planned as semi + anti join."""
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_q21")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q21")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q21")
+    return spark.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier_q21
+        JOIN lineitem_q21 l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders_q21 ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem_q21 l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_q21 l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """)
+
+
+# ---------------------------------------------------------------------------
 # correlated min (Q2 shape, no partsupp)
 # ---------------------------------------------------------------------------
 
