@@ -535,6 +535,153 @@ def min_price_part_per_brand(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# EXISTS-gated priority count (Q4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 (adapted: 'has a returned item' stands in for 'late
+    lineitem' — the schema has no commit/receipt dates): priority
+    histogram of one quarter's orders gated by an EXISTS correlation,
+    planned as a left-semi join. The date filter prunes orders before
+    the semi join, so the shuffle carries one quarter, not the table."""
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# share-of-total HAVING (Q11 shape, revenue stands in for partsupp value)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q11_value_concentration",
+    oracle="""
+    WITH supp_rev AS (
+      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT l_suppkey, round(rev, 2) AS total_rev
+    FROM supp_rev
+    WHERE rev > (SELECT 1.05 * avg(rev) FROM supp_rev)
+    """,
+)
+def q11_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape (no partsupp table — supplier lineitem revenue
+    stands in for inventory value): groups whose value exceeds a
+    fraction of the whole. The scalar cutoff is a 1-row broadcast over
+    the SAME aggregate — Catalyst reuses the exchange, one lineitem
+    scan total. Scale-free threshold (vs avg) keeps the query
+    meaningful at any SF."""
+    li = t(spark, sf_dir, "lineitem")
+    supp_rev = li.groupBy("l_suppkey").agg(F.sum(REVENUE).alias("rev"))
+    cut = supp_rev.agg((1.05 * F.avg("rev")).alias("cut"))
+    return (
+        supp_rev.join(F.broadcast(cut)).where(F.col("rev") > F.col("cut"))
+        .select("l_suppkey", money(F.col("rev")).alias("total_rev"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# dual conditional counts after a fact-fact join (Q12)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q12_priority_class",
+    oracle="""
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_class(spark, sf_dir):
+    """TPC-H Q12 (adapted: linestatus stands in for shipmode): one year
+    of shipments classified by order priority with paired conditional
+    counts — the canonical pivot-in-aggregate shape. Fact-fact join
+    shuffles only the shipdate-pruned lineitem year."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# nested-IN semi-join chain (Q20 shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q20_widget_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE '%widget%')
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > (
+        SELECT 1.0 * avg(q) FROM (
+          SELECT sum(l_quantity) AS q FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE '%widget%')
+          GROUP BY l_suppkey)))
+    """,
+)
+def q20_widget_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (no partsupp — shipped quantity stands in for
+    availqty): suppliers who moved above-average volume of widget
+    parts, via the nested-IN chain part→lineitem→supplier. Quantities
+    are integral-valued doubles, so the sums (and the avg cutoff) are
+    exactly reproducible across engines. Part filter broadcasts; the
+    per-supplier aggregate is computed once and reused for its own
+    average."""
+    p = t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    li = t(spark, sf_dir, "lineitem")
+    widget_qty = (
+        li.join(F.broadcast(p.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey").agg(F.sum("l_quantity").alias("q"))
+    )
+    cut = widget_qty.agg((1.0 * F.avg("q")).alias("cut"))
+    keys = widget_qty.join(F.broadcast(cut)).where(
+        F.col("q") > F.col("cut")).select("l_suppkey")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(keys), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
 # explicit GROUPING SETS with grouping_id
 # ---------------------------------------------------------------------------
 
