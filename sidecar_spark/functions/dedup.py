@@ -140,20 +140,54 @@ def shingles_seq(col, k: int = 3) -> Column:
     return F.when(n < k, F.array(F.concat_ws(" ", ws))).otherwise(full)
 
 
-def winnowing_fingerprints(col, k: int = 3, window: int = 4) -> Column:
-    """Winnowing document fingerprints (Schleimer et al., MOSS): hash
-    every k-shingle IN DOCUMENT ORDER, slide a ``window`` over the hash
-    sequence, keep each window's minimum — guaranteeing any match of
-    length ≥ k+window-1 words shares a fingerprint — then dedupe+sort
-    for a canonical set. Pure map-side column math; the rolling-window
-    min is the rolling-hash fingerprint family's robust form."""
-    hs = F.transform(shingles_seq(col, k), hash60)
+def winnowing_fingerprints_from_hashes(hs, window: int = 4) -> Column:
+    """Rolling-window-min fingerprint set over a PRE-MATERIALIZED hash
+    sequence column. ``hs`` must be a bound attribute (not an inline
+    expression): HOF lambda bodies are outside common-subexpression
+    elimination, so an inline ``hs`` subtree would be re-evaluated —
+    md5 per shingle — once per window position, turning the linear
+    pass quadratic. See ``winnowing_table`` for the two-projection
+    composition that keeps it linear."""
     n = F.size(hs)
     mins = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1))),
         lambda j: F.array_min(F.slice(hs, j, window)),
     )
     return F.array_sort(F.array_distinct(mins))
+
+
+def winnowing_fingerprints(col, k: int = 3, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash
+    every k-shingle IN DOCUMENT ORDER, slide a ``window`` over the hash
+    sequence, keep each window's minimum — guaranteeing any match of
+    length ≥ k+window-1 words shares a fingerprint — then dedupe+sort
+    for a canonical set. Pure map-side column math.
+
+    NOTE: as a single Column the shingle-hash subtree sits inside the
+    window lambda and gets re-evaluated per window position (no CSE
+    into HOF bodies) — fine for ad-hoc use, but pipelines should use
+    ``winnowing_table``, which materializes the hash sequence in its
+    own projection first (one md5 per shingle, not per window)."""
+    hs = F.transform(shingles_seq(col, k), hash60)
+    return winnowing_fingerprints_from_hashes(hs, window)
+
+
+def winnowing_table(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3,
+                    window: int = 4) -> DataFrame:
+    """Winnowing fingerprints as a two-projection pipeline: stage 1
+    materializes the per-document shingle-hash sequence (one md5 per
+    shingle), stage 2 takes the rolling-window minima over the bound
+    ``hs`` attribute. CollapseProject leaves the split alone because
+    ``hs`` is non-cheap and referenced more than once, so the hash
+    work stays linear in document length."""
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(shingles_seq(F.col(text_col), k), hash60).alias("hs"))
+    return hashed.select(
+        F.col(id_col),
+        winnowing_fingerprints_from_hashes(F.col("hs"), window)
+        .alias("fingerprints"))
 
 
 def simhash(col, bits: int = 16) -> Column:

