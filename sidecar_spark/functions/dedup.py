@@ -352,3 +352,48 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def connected_components(edges: DataFrame, nodes: DataFrame,
+                         id_col: str = "doc_id",
+                         src_col: str = "doc_a", dst_col: str = "doc_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components by iterative min-label propagation: every
+    node starts labeled with its own id; each round every node takes
+    the minimum label among itself and its neighbors; at fixpoint the
+    label is the component's minimum id — the canonical duplicate-
+    cluster id.
+
+    This is the transitive-closure step exact/LSH dedup needs (A~B and
+    B~C must land A,B,C in ONE cluster even when A~C was never a
+    candidate pair). Rounds needed = graph diameter; near-dup graphs
+    are unions of small cliques, so 2-3 rounds in practice. Each round
+    is one shuffle join + one aggregation on (id, label) pairs only;
+    ``localCheckpoint`` cuts the lineage so plan size stays constant
+    across rounds (the standard Spark iterative-algorithm pattern —
+    same loop GraphFrames/GraphX run under the hood, minus their
+    dependency)."""
+    sym = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = nodes.select(F.col(id_col).alias("id"),
+                          F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.a == labels.id)
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select("id", F.least("label", "nmin").alias("label"),
+                    (F.col("nmin") < F.col("label")).alias("chg"))
+        ).localCheckpoint(eager=True)
+        changed = new_labels.where(F.col("chg")).count()
+        labels = new_labels.select("id", "label")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col),
+                         F.col("label").alias("cluster_id"))

@@ -210,3 +210,51 @@ def dedup_ngram_jaccard(spark, sf_dir):
     (|A∩B| from the grouped shared-shingle join; arrays never shuffle)."""
     return D.ngram_jaccard_pairs(
         t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.12)
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM documents
+    ), hashed AS (
+      SELECT doc_id, {_HS} AS hs FROM base
+    ), sigs AS (
+      SELECT doc_id, hs, {_sig16_sql()} AS sig FROM hashed
+    ), banded AS (
+      SELECT doc_id, b AS band_idx,
+             md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_hash
+      FROM sigs CROSS JOIN generate_series(0, 3) AS g(b)
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cands c
+      JOIN sigs a ON a.doc_id = c.doc_a
+      JOIN sigs b ON b.doc_id = c.doc_b
+      WHERE {_JACCARD} >= 0.1
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster assignment: transitive closure over the
+    MinHash-LSH near-dup graph (A~B, B~C ⇒ one cluster even when A~C
+    was never a candidate pair), via iterative min-label propagation —
+    the genuinely iterative operator of the dedup family. The DuckDB
+    oracle computes the same fixpoint with a recursive CTE, so even
+    the iteration is hash-checked, not rows-only."""
+    d = t(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(
+        d, num_hashes=16, bands=4, shingle_k=3, jaccard_threshold=0.1)
+    return D.connected_components(pairs, d.select("doc_id"))

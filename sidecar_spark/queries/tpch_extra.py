@@ -29,7 +29,11 @@ def money(col):
     return F.round(col, 2)
 
 
-REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def REVENUE():
+    """Extended-price revenue expression. A function, not a module
+    constant: building a Column requires an active SparkContext, and
+    the driver may import this module before creating its session."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 # ---------------------------------------------------------------------------
@@ -75,7 +79,7 @@ def q7_volume_shipping(spark, sf_dir):
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(money(F.sum(REVENUE)).alias("revenue"))
+        .agg(money(F.sum(REVENUE())).alias("revenue"))
     )
 
 
@@ -122,7 +126,7 @@ def q8_market_share(spark, sf_dir):
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
-        .select(F.year("o_orderdate").alias("o_year"), REVENUE.alias("volume"),
+        .select(F.year("o_orderdate").alias("o_year"), REVENUE().alias("volume"),
                 F.col("nation"))
     )
     return (
@@ -166,7 +170,7 @@ def q9_product_profit(spark, sf_dir):
         # decimal summation: group sums here are in the millions, where
         # double add-order noise exceeds the 2-decimal round — decimal
         # addition is order-independent in both engines
-        .agg(money(F.sum(REVENUE.cast("decimal(18,6)")).cast("double")).alias("profit"))
+        .agg(money(F.sum(REVENUE().cast("decimal(18,6)")).cast("double")).alias("profit"))
     )
 
 
@@ -223,8 +227,8 @@ def q14_promo_effect(spark, sf_dir):
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(F.round(
-            100.0 * F.sum(F.when(F.col("p_type") == "PROMO", REVENUE).otherwise(0.0))
-            / F.sum(REVENUE), 6).alias("promo_revenue_pct"))
+            100.0 * F.sum(F.when(F.col("p_type") == "PROMO", REVENUE()).otherwise(0.0))
+            / F.sum(REVENUE()), 6).alias("promo_revenue_pct"))
     )
 
 
@@ -257,7 +261,7 @@ def q15_top_supplier(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
     revenue = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(REVENUE).alias("total_revenue"))
+        .agg(F.sum(REVENUE()).alias("total_revenue"))
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
@@ -379,7 +383,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .where(cond)
-        .agg(money(F.sum(REVENUE)).alias("revenue"),
+        .agg(money(F.sum(REVENUE())).alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
 
@@ -590,7 +594,7 @@ def q11_value_concentration(spark, sf_dir):
     scan total. Scale-free threshold (vs avg) keeps the query
     meaningful at any SF."""
     li = t(spark, sf_dir, "lineitem")
-    supp_rev = li.groupBy("l_suppkey").agg(F.sum(REVENUE).alias("rev"))
+    supp_rev = li.groupBy("l_suppkey").agg(F.sum(REVENUE()).alias("rev"))
     cut = supp_rev.agg((1.05 * F.avg("rev")).alias("cut"))
     return (
         supp_rev.join(F.broadcast(cut)).where(F.col("rev") > F.col("cut"))
@@ -878,7 +882,7 @@ def bucketed_colocated_join(spark, sf_dir):
         # different order than the oracle's scan — decimal addition is
         # order-independent
         .agg(F.count(F.lit(1)).alias("n_items"),
-             money(F.sum(REVENUE.cast("decimal(18,6)")).cast("double"))
+             money(F.sum(REVENUE().cast("decimal(18,6)")).cast("double"))
              .alias("revenue"))
     )
 

@@ -119,3 +119,32 @@ class TestDriverContract:
         assert set(oracles) <= set(qs)
         missing = set(qs) - set(oracles)
         assert not missing, f"rows-only entries present: {missing}"
+
+
+class TestConnectedComponents:
+    def test_chain_transitivity(self, spark):
+        """A~B, B~C, C~D must collapse into one cluster labeled by the
+        minimum id, even though A~C, A~D, B~D are never edges — the
+        propagation needs multiple rounds on this diameter-3 chain."""
+        from sidecar_spark.functions.dedup import connected_components
+
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(1, 8)], "doc_id long")
+        edges = spark.createDataFrame(
+            [(1, 3), (3, 5), (5, 7), (2, 4)], "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in connected_components(edges, nodes).collect()}
+        assert got == {1: 1, 3: 1, 5: 1, 7: 1, 2: 2, 4: 2, 6: 6}
+
+    def test_import_without_session(self):
+        """The query battery must import with no active SparkContext —
+        the driver may call queries() before building its session."""
+        import subprocess
+        import sys
+
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import sidecar_spark.queries as q; print(len(q.QUERIES))"],
+            capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr
+        assert int(r.stdout.strip()) >= 80
