@@ -870,9 +870,21 @@ def bucketed_colocated_join(spark, sf_dir):
     ]
     for name, src, key in specs:
         if not spark.catalog.tableExists(name):
-            (src.write.bucketBy(8, key).sortBy(key)
-             .option("path", os.path.join(root, name))
-             .mode("overwrite").format("parquet").saveAsTable(name))
+            path = os.path.join(root, name)
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                # files survive from an earlier session whose in-memory
+                # catalog died with it — re-register the external
+                # bucketed table instead of rewriting the data
+                cols = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                                 for f in src.schema.fields)
+                spark.sql(f"""
+                    CREATE TABLE {name} ({cols}) USING parquet
+                    CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS
+                    LOCATION '{path}'""")
+            else:
+                (src.write.bucketBy(8, key).sortBy(key)
+                 .option("path", path)
+                 .mode("overwrite").format("parquet").saveAsTable(name))
     li = spark.table(specs[0][0])
     o = spark.table(specs[1][0])
     return (
