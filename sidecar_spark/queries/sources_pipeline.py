@@ -115,3 +115,40 @@ def orc_roundtrip_agg(spark, sf_dir):
              F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
              F.round(F.avg("p_size"), 6).alias("avg_size"))
     )
+
+
+@query(
+    "compact_small_files",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+           min(event_id) AS min_id, max(event_id) AS max_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def compact_small_files(spark, sf_dir):
+    """Small-files compaction — the Spark analog of the reference's
+    ``concat`` verb (SidecarCachingFileSystem.java:1560-1586: merge
+    many part files into one object). A 64-way fragmented copy of
+    events is compacted to 4 files with a round-robin repartition
+    (coalesce would merely glue input splits; repartition rebalances
+    output sizes evenly — what a 100 TB compaction job wants), then
+    the compacted copy is aggregated. Hash-parity with the original
+    table proves the compaction was lossless."""
+    tag = _tag(sf_dir)
+    frag = os.path.join(_ROOT, tag, "events_fragmented")
+    compact = os.path.join(_ROOT, tag, "events_compacted")
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        t(spark, sf_dir, "events").repartition(64) \
+            .write.mode("overwrite").parquet(frag)
+    if not os.path.exists(os.path.join(compact, "_SUCCESS")):
+        spark.read.parquet(frag).repartition(4) \
+            .write.mode("overwrite").parquet(compact)
+    e = spark.read.parquet(compact)
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"),
+             F.min("event_id").alias("min_id"),
+             F.max("event_id").alias("max_id"))
+    )

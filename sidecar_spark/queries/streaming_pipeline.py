@@ -121,3 +121,26 @@ def stream_stateful_user_stats(spark, sf_dir):
     sink would then hold the update log.)"""
     s = stateful_user_stats(events_stream(spark, sf_dir))
     return run_to_memory_sink(s, "stream_stateful_user_stats", "append")
+
+
+@query(
+    "stream_static_join",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY date_trunc('hour', ts), c_mktsegment
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= {_WM}
+    """,
+)
+def stream_static_join(spark, sf_dir):
+    """Stream-static enrichment: streaming events broadcast-joined to
+    the static customer dimension, then watermarked tumbling windows
+    per market segment in append mode — the oracle is the equivalent
+    batch join+window with the same finalization predicate."""
+    from sidecar_spark.queries.registry import t as _t
+    from sidecar_spark.streaming import enriched_windowed_value
+
+    dim = _t(spark, sf_dir, "customer")
+    s = enriched_windowed_value(events_stream(spark, sf_dir), dim)
+    return run_to_memory_sink(s, "stream_static_join", "append")

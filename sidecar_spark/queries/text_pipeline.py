@@ -277,3 +277,57 @@ def date_functions(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_orders"),
              F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
     )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_WORDS.format(e='lower(text)')}) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+    ), dfq AS (
+      SELECT word, count(*) AS df FROM tf GROUP BY word
+    ), n AS (SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT doc_id, word, tf,
+             round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+      FROM tf JOIN dfq USING (word) CROSS JOIN n)
+    SELECT doc_id, word, tf, tfidf, rk FROM (
+      SELECT doc_id, word, tf, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, word) AS rk
+      FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def text_tfidf_topterms(spark, sf_dir):
+    """TF-IDF keyword extraction: top-3 terms per document. The
+    100 TB plan: explode absorbs into map-side partial counts; the
+    document-frequency table is (word, df) — tiny relative to the
+    corpus — joined back on word (AQE picks broadcast when it fits);
+    the corpus size N is a 1-row broadcast; ranking partitions by
+    doc_id (never global). Ranking on the ROUNDED score keeps the
+    window order identical across engines (ties then break on the
+    word itself)."""
+    d = spread(t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(X.words(F.lower(F.col("text")))).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfq, "word").join(F.broadcast(n))
+        .select("doc_id", "word", "tf",
+                F.round(F.col("tf") * F.log((F.col("n_docs") + 1.0)
+                                            / (F.col("df") + 1.0)), 6)
+                .alias("tfidf"))
+    )
+    from pyspark.sql import Window as W
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "word", "tf", "tfidf", "rk")
+    )

@@ -7,6 +7,7 @@ windows, and custom stateful processing via applyInPandasWithState.
 """
 
 from sidecar_spark.streaming.ops import (
+    enriched_windowed_value,
     events_stream,
     run_to_memory_sink,
     sessionized_stream,
@@ -16,6 +17,7 @@ from sidecar_spark.streaming.ops import (
 )
 
 __all__ = [
+    "enriched_windowed_value",
     "events_stream",
     "run_to_memory_sink",
     "sessionized_stream",

@@ -179,3 +179,30 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def enriched_windowed_value(events: DataFrame, dim: DataFrame,
+                            window: str = "1 hour",
+                            watermark: str = "10 minutes") -> DataFrame:
+    """Stream-static join + windowed aggregation: each event is
+    enriched with its user's market segment from a STATIC dimension
+    (broadcast — no state, re-snapshotted per micro-batch in a live
+    deployment), then aggregated in watermarked tumbling windows per
+    segment. The canonical streaming-enrichment shape: joins against
+    slowly-changing dims stay stateless; only the window agg keeps
+    state."""
+    enriched = events.join(
+        F.broadcast(dim.select(F.col("c_custkey").alias("user_id"),
+                               "c_mktsegment")),
+        "user_id")
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "c_mktsegment", "n_events", "sum_value",
+        )
+    )
