@@ -17,6 +17,7 @@ Conventions for oracle hash parity:
 from __future__ import annotations
 
 from pyspark.sql import Window as W
+import pandas as pd
 from pyspark.sql import functions as F
 
 from sidecar_spark.queries.registry import query, t
@@ -759,4 +760,107 @@ def global_topk(spark, sf_dir):
         .limit(25)
         .select("o_orderkey", money("o_totalprice").alias("totalprice"),
                 _dt("o_orderdate").alias("orderdate"))
+    )
+
+
+@query(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(embedding[1]::DOUBLE, 6) AS first_elem,
+           round(embedding[len(embedding)]::DOUBLE, 6) AS last_elem,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           round(list_sum(list_transform(embedding[1:8],
+                                         x -> x::DOUBLE)), 6) AS head_sum,
+           round(list_max(list_transform(embedding,
+                                         x -> abs(x::DOUBLE))), 6) AS max_abs
+    FROM embeddings
+    """,
+)
+def array_functions(spark, sf_dir):
+    """Array-function family over the embedding column: size,
+    element_at (head/tail), filter-count, slice+fold, transform+max —
+    all JVM-side column math (the array never leaves Tungsten rows,
+    no explode)."""
+    e = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.round(F.element_at(v, 1), 6).alias("first_elem"),
+        F.round(F.element_at(v, -1), 6).alias("last_elem"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.round(F.aggregate(F.slice(v, 1, 8), F.lit(0.0),
+                            lambda acc, x: acc + x), 6).alias("head_sum"),
+        F.round(F.array_max(F.transform(v, F.abs)), 6).alias("max_abs"),
+    )
+
+
+@query(
+    "window_range_interval",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           count(*) OVER w AS n_last_hour,
+           round(sum(value) OVER w, 2) AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_interval(spark, sf_dir):
+    """RANGE-frame window over event time: per-user trailing-hour
+    rolling count/sum — the time-based frame (ROWS frames count rows;
+    RANGE frames measure the ORDER BY value). Spark expresses interval
+    frames as rangeBetween over epoch seconds; partitioning by user
+    keeps the sort local to each key (no global sort)."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy(F.col("ts").cast("long"))
+         .rangeBetween(-3600, 0))
+    return e.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("value_last_hour"),
+    )
+
+
+@query(
+    "pandas_udf_zscore",
+    oracle="""
+    SELECT o_orderkey,
+           round((o_totalprice - avg(o_totalprice) OVER p)
+                 / stddev_samp(o_totalprice) OVER p, 6) AS price_z
+    FROM orders
+    WINDOW p AS (PARTITION BY o_orderpriority)
+    """,
+)
+def pandas_udf_zscore(spark, sf_dir):
+    """Vectorized Pandas UDF (Arrow-batched) as a first-class surface:
+    z-score of each order's price within its priority class. The
+    moments come from a JVM-side aggregate (broadcast back on the
+    5-row priority dim); only the final arithmetic runs in the UDF —
+    the pattern for custom math Spark lacks, at ~100× row-at-a-time
+    Python UDF throughput. (Here the arithmetic IS expressible as a
+    column op; the entry pins the UDF machinery itself — Arrow batch
+    transfer, null passthrough, double precision — against the
+    oracle.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def zscore(x: pd.Series, mu: pd.Series, sd: pd.Series) -> pd.Series:
+        return ((x - mu) / sd).round(6)
+
+    o = t(spark, sf_dir, "orders")
+    moments = o.groupBy("o_orderpriority").agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_samp("o_totalprice").alias("sd"))
+    return (
+        o.join(F.broadcast(moments), "o_orderpriority")
+        .select("o_orderkey",
+                zscore(F.col("o_totalprice"), F.col("mu"), F.col("sd"))
+                .alias("price_z"))
     )
