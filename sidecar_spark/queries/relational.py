@@ -864,3 +864,101 @@ def pandas_udf_zscore(spark, sf_dir):
                 zscore(F.col("o_totalprice"), F.col("mu"), F.col("sd"))
                 .alias("price_z"))
     )
+
+
+@query(
+    "engine_write_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def engine_write_roundtrip(spark, sf_dir):
+    """The write half of the I/O capability port under the oracle
+    gate: Engine.write runs the dual-destination write (Spark commits
+    the parquet 'remote', then the produced files are mirrored into
+    the write cache and registered in the meta cache — SURVEY.md §3.2
+    at file granularity), and the read back through Engine.read_parquet
+    resolves against that same cache. Hash-parity with a direct query
+    proves the mirrored write is lossless."""
+    import os as _os
+
+    from sidecar_spark import Engine, SidecarConfig
+
+    conf = SidecarConfig.create(
+        cache_dir=_os.path.join("/tmp", "sidecar-query-cache"),
+        data_cache_type="file", cache_persistent=False)
+    eng = Engine(spark, base_dir=sf_dir, conf=conf)
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    dest = f"/tmp/sidecar-engine-write/{tag}/open_orders"
+    if not _os.path.exists(_os.path.join(dest, "_SUCCESS")):
+        open_orders = eng.table("orders").where(F.col("o_orderstatus") == "O")
+        eng.write(open_orders, dest)
+    return (
+        eng.read_parquet(dest)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'P' AS o_orderstatus,
+             o_totalprice + 100.0 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, 'N' AS o_orderstatus,
+             o_totalprice AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 0
+    ), merged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM updates
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def merge_upsert(spark, sf_dir):
+    """MERGE INTO / upsert without a table format: new snapshot =
+    base ANTI JOIN updates ∪ updates — matched keys replaced, new
+    keys inserted, one shuffle each side on the merge key. This is
+    the incremental-maintenance primitive (CDC apply, late-correction
+    backfill) a pipeline without Delta/Iceberg runs as a partition
+    overwrite; the updates here are derived deterministically from the
+    base so the oracle can rebuild the identical snapshot."""
+    o = t(spark, sf_dir, "orders")
+    upd = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_custkey",
+                F.lit("P").alias("o_orderstatus"),
+                (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+                "o_orderdate", "o_orderpriority")
+        .unionByName(
+            o.where(F.col("o_orderkey") % 97 == 0)
+            .select((F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                    "o_custkey", F.lit("N").alias("o_orderstatus"),
+                    "o_totalprice",
+                    "o_orderdate", "o_orderpriority"))
+    )
+    keys = upd.select("o_orderkey")
+    merged = (
+        o.join(keys, "o_orderkey", "left_anti")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .unionByName(upd.select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"))
