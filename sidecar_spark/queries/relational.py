@@ -962,3 +962,99 @@ def merge_upsert(spark, sf_dir):
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"))
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM (
+      SELECT event_type, value,
+             to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                          - g.k * 1800) AS ws
+      FROM events CROSS JOIN (VALUES (0), (1)) AS g(k))
+    GROUP BY ws, event_type
+    """,
+)
+def events_sliding_window(spark, sf_dir):
+    """Sliding (hopping) windows: 1-hour window every 30 minutes, so
+    each event lands in exactly 2 overlapping windows. Spark's window()
+    generates the assignment JVM-side; the oracle reconstructs the same
+    epoch-aligned window starts arithmetically. The third window
+    flavor next to tumbling and session."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+@query(
+    "skew_key_profile",
+    oracle="""
+    WITH freq AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ), tot AS (SELECT sum(n) AS total, count(*) AS n_keys FROM freq)
+    SELECT user_id, n,
+           round(n * 1.0 / total, 6) AS share,
+           round(n * n_keys * 1.0 / total, 6) AS skew_factor
+    FROM freq CROSS JOIN tot
+    ORDER BY n DESC, user_id
+    LIMIT 20
+    """,
+)
+def skew_key_profile(spark, sf_dir):
+    """Hot-key diagnosis — the profiling query run before choosing a
+    join strategy at scale: per-key frequency, share of total, and
+    skew factor (ratio to the uniform expectation). Keys with
+    skew_factor ≫ 1 are the ones that need salting or AQE skew-join
+    (see skew_salted_join for the remediation)."""
+    e = t(spark, sf_dir, "events")
+    freq = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"),
+                   F.count(F.lit(1)).alias("n_keys"))
+    return (
+        freq.join(F.broadcast(tot))
+        .select("user_id", "n",
+                F.round(F.col("n") / F.col("total"), 6).alias("share"),
+                F.round(F.col("n") * F.col("n_keys") / F.col("total"), 6)
+                .alias("skew_factor"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "engine_sql_agg",
+    oracle="""
+    SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def engine_sql_agg(spark, sf_dir):
+    """The Engine.sql facade under the oracle gate: tables registered
+    as temp views THROUGH the cache (register_all → Engine.table →
+    CacheManager resolution), then plain SQL over them — proving the
+    cached views are first-class Catalyst sources."""
+    import os as _os
+
+    from sidecar_spark import Engine, SidecarConfig
+
+    conf = SidecarConfig.create(
+        cache_dir=_os.path.join("/tmp", "sidecar-query-cache"),
+        data_cache_type="file", cache_persistent=False)
+    eng = Engine(spark, base_dir=sf_dir, conf=conf)
+    eng.register("supplier")
+    eng.register("nation")
+    return eng.sql("""
+        SELECT n_name, count(*) AS n_suppliers,
+               round(sum(s_acctbal), 2) AS total_bal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """)
