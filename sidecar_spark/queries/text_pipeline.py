@@ -331,3 +331,43 @@ def text_tfidf_topterms(spark, sf_dir):
         .where(F.col("rk") <= 3)
         .select("doc_id", "word", "tf", "tfidf", "rk")
     )
+
+
+@query(
+    "text_stopword_removal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_WORDS.format(e='lower(text)')} AS ws
+      FROM documents
+    ), cleaned AS (
+      SELECT doc_id, ws,
+             list_filter(ws, w -> NOT list_contains({_SQL_STOPS}, w)) AS kept
+      FROM toks)
+    SELECT doc_id,
+           md5(array_to_string(kept, ' ')) AS clean_fp,
+           len(ws) AS n_tokens_before,
+           len(kept) AS n_tokens_after
+    FROM cleaned
+    """,
+)
+def text_stopword_removal(spark, sf_dir):
+    """Stopword removal — the token-filtering cleanup pass a training
+    pipeline runs before counting/shingling. One split, one filter,
+    one re-join per row, all JVM-side; the cleaned text is checked by
+    fingerprint so the oracle verifies the exact output string, not
+    just the counts."""
+    d = spread(t(spark, sf_dir, "documents"))
+    sw = F.array(*[F.lit(w) for w in X.ALL_STOPWORDS])
+    ws = X.words(F.lower(F.col("text")))
+    base = d.select(
+        "doc_id",
+        F.inline(F.array(F.struct(
+            F.size(ws).alias("n_before"),
+            F.filter(ws, lambda w: ~F.array_contains(sw, w)).alias("kept"),
+        ))))
+    return base.select(
+        "doc_id",
+        F.md5(F.array_join("kept", " ")).alias("clean_fp"),
+        F.col("n_before").alias("n_tokens_before"),
+        F.size("kept").alias("n_tokens_after"),
+    )

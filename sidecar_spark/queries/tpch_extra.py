@@ -965,3 +965,28 @@ def window_ntile_rank(spark, sf_dir):
         F.rank().over(w_nat).alias("nation_rank"),
         F.dense_rank().over(w_nat).alias("nation_dense"),
     )
+
+
+@query(
+    "boolean_agg_functions",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_qty_positive,
+           bool_or(l_discount > 0.08) AS any_deep_discount,
+           count(*) FILTER (WHERE l_tax > 0.04) AS n_high_tax,
+           count(*) FILTER (WHERE l_discount = 0) AS n_no_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def boolean_agg_functions(spark, sf_dir):
+    """Boolean/conditional aggregate family: bool_and / bool_or /
+    count_if — the data-quality assertion shape (\"every row satisfies
+    X, any row violates Y\") that runs as cheap partial aggregates."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_qty_positive"),
+        F.bool_or(F.col("l_discount") > 0.08).alias("any_deep_discount"),
+        F.count_if(F.col("l_tax") > 0.04).alias("n_high_tax"),
+        F.count_if(F.col("l_discount") == 0).alias("n_no_discount"),
+    )
