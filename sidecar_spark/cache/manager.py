@@ -114,14 +114,6 @@ class FileMirror:
             return True
         return False
 
-    def invalidate_all_versions(self, path: str) -> int:
-        """Best-effort: drop every cached version of a path (suffix match
-        on the original basename is not unique, so scan the queue)."""
-        n = 0
-        # we cannot recompute old mtimes; rely on key self-invalidation +
-        # capacity eviction. Current version only:
-        return n
-
     def size_bytes(self) -> int:
         return self._size
 
@@ -212,12 +204,6 @@ class CacheManager:
             fs, _ = RemoteFS.from_uri(uri)
             self._fs_cache[scheme] = fs
         return fs
-
-    @staticmethod
-    def _fs_path(uri: str) -> str:
-        if "://" in uri:
-            return uri.split("://", 1)[1].split("/", 1)[-1] if False else uri
-        return os.path.abspath(uri)
 
     def _resolve(self, uri: str):
         """(RemoteFS, in-fs path) for a uri or local path."""
