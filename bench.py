@@ -89,9 +89,12 @@ def main() -> None:
         pass
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # local-iteration filter (driver never sets this): run a subset
+    only = {s for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if s}
+    items = [(n, f) for n, f in QUERIES.items() if not only or n in only]
     per_query = {}
     t_all = time.time()
-    for name, fn in QUERIES.items():
+    for name, fn in items:
         t0 = time.time()
         df = fn(spark, SF_DIR)
         # noop sink: forces full materialization of every output column

@@ -119,6 +119,72 @@ def band_hashes(sig_col, bands: int, rows_per_band: int) -> Column:
     ])
 
 
+# --- SQL-text builders (hot path) -------------------------------------
+#
+# Same formulas as the Column builders above, emitted as Spark-SQL text
+# and parsed JVM-side in ONE F.expr call. The Column API builds these
+# trees through thousands of py4j round-trips (~1.5 s of driver time
+# for the 16-hash fold); at 100 TB the driver builds the same plan for
+# thousands of tasks, so plan-construction latency is pure overhead.
+# Parity with the Column builders is pinned by tests.
+
+
+def normalized_text_sql(c: str) -> str:
+    return f"trim(regexp_replace(lower({c}), '\\\\s+', ' '))"
+
+
+def words_sql(c: str) -> str:
+    n = normalized_text_sql(c)
+    return (f"CASE WHEN {n} = '' THEN array() "
+            f"ELSE split({n}, '\\\\s+') END")
+
+
+def shingles_sql(c: str, k: int = 3) -> str:
+    """Distinct word k-shingles (SQL text twin of ``shingles``)."""
+    ws = words_sql(c)
+    n = f"size({ws})"
+    acc = ws
+    for shift in range(1, k):
+        shifted = f"slice({ws}, {shift + 1}, greatest({n} - {shift}, 0))"
+        acc = f"zip_with({acc}, {shifted}, (a, b) -> concat_ws(' ', a, b))"
+    full = f"slice({acc}, 1, greatest({n} - {k - 1}, 0))"
+    return (f"CASE WHEN {n} < {k} "
+            f"THEN array_distinct(array(concat_ws(' ', {ws}))) "
+            f"ELSE array_distinct({full}) END")
+
+
+def hash60_sql(c: str) -> str:
+    return f"cast(conv(substring(md5({c}), 1, 15), 16, 10) as bigint)"
+
+
+def shingle_hashes_sql(shingle_expr: str) -> str:
+    return f"transform({shingle_expr}, s -> {hash60_sql('s')} % {MERSENNE31})"
+
+
+def minhash_signature_sql(hash_attr: str, num_hashes: int = 16) -> str:
+    """Signature fold over a bound hash-array attribute (SQL twin of
+    ``minhash_signature_from_hashes``)."""
+    names = [f"m{i}" for i in range(num_hashes)]
+    zero = ", ".join(f"'{nm}', cast({MERSENNE31} as bigint)" for nm in names)
+    merged = ", ".join(
+        f"'{nm}', least(acc.{nm}, (h * {a} + {b}) % {MERSENNE31})"
+        for nm, (a, b) in ((nm, _perm_params(i)) for i, nm in enumerate(names)))
+    finish = ", ".join(f"st.{nm}" for nm in names)
+    return (f"aggregate({hash_attr}, named_struct({zero}), "
+            f"(acc, h) -> named_struct({merged}), "
+            f"st -> array({finish}))")
+
+
+def band_hashes_sql(sig_attr: str, bands: int, rows_per_band: int) -> str:
+    parts = []
+    for b in range(bands):
+        cols = ", ".join(
+            f"cast(element_at({sig_attr}, {b * rows_per_band + r + 1}) as string)"
+            for r in range(rows_per_band))
+        parts.append(f"md5(concat_ws(',', {cols}))")
+    return f"array({', '.join(parts)})"
+
+
 def jaccard(a_col, b_col) -> Column:
     """Exact Jaccard over two (distinct-element) array columns."""
     inter = F.size(F.array_intersect(a_col, b_col))
@@ -275,16 +341,22 @@ def minhash_candidate_pairs(
     # signature are ~10× smaller than the text they derive from).
     # Verification Jaccard runs on the hashed shingle sets (int
     # compares, no string arrays carried through the joins).
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        shingle_hashes(shingles(F.col(text_col), shingle_k)).alias("sh"),
-    ).withColumn(
-        "sig", minhash_signature_from_hashes(F.col("sh"), num_hashes)
+    # Expressions are emitted as SQL text (one JVM-side parse) — the
+    # Column-API twins cost ~1.5 s of py4j chatter per plan build.
+    # `sh` stays a bound attribute between the two projections, so the
+    # md5 pass is planned once (CollapseProject keeps non-cheap
+    # expressions single-use).
+    base = df.selectExpr(
+        f"{id_col} AS doc_id",
+        f"{shingle_hashes_sql(shingles_sql(text_col, shingle_k))} AS sh",
+    ).selectExpr(
+        "doc_id", "sh",
+        f"{minhash_signature_sql('sh', num_hashes)} AS sig",
     ).persist()
-    banded = base.select(
+    banded = base.selectExpr(
         "doc_id",
-        F.posexplode(band_hashes(F.col("sig"), bands, rows_per_band))
-        .alias("band_idx", "band_hash"),
+        f"posexplode({band_hashes_sql('sig', bands, rows_per_band)}) "
+        "AS (band_idx, band_hash)",
     )
     left = banded.alias("a")
     right = banded.alias("b")

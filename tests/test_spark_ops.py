@@ -76,6 +76,36 @@ class TestOperatorEquivalence:
             sorted(map(tuple, plain.collect()))
 
 
+    def test_sql_text_builders_equal_column_builders(self, spark, sf_dir):
+        """The SQL-text twins (one JVM-side parse, used on the hot
+        path) must produce bit-identical shingle hashes, signatures,
+        and band hashes to the Column-API builders."""
+        from pyspark.sql import functions as F
+
+        import sidecar_spark.functions.dedup as D
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        col_side = docs.select(
+            "doc_id",
+            D.shingle_hashes(D.shingles(F.col("text"), 3)).alias("sh"),
+        ).withColumn(
+            "sig", D.minhash_signature_from_hashes(F.col("sh"), 16)
+        ).withColumn("bands", D.band_hashes(F.col("sig"), 4, 4))
+        sql_side = docs.selectExpr(
+            "doc_id",
+            f"{D.shingle_hashes_sql(D.shingles_sql('text', 3))} AS sh",
+        ).selectExpr(
+            "doc_id", "sh", f"{D.minhash_signature_sql('sh', 16)} AS sig",
+        ).selectExpr(
+            "doc_id", "sh", "sig", f"{D.band_hashes_sql('sig', 4, 4)} AS bands",
+        )
+        a = {r["doc_id"]: (list(r["sh"]), list(r["sig"]), list(r["bands"]))
+             for r in col_side.collect()}
+        b = {r["doc_id"]: (list(r["sh"]), list(r["sig"]), list(r["bands"]))
+             for r in sql_side.collect()}
+        assert a == b
+
+
 class TestApproximateAggregates:
     """The sketch-based family can't hash-match a DuckDB oracle (HLL /
     KLL internals differ per engine), so it is verified here against
