@@ -144,3 +144,24 @@ def stream_static_join(spark, sf_dir):
     dim = _t(spark, sf_dir, "customer")
     s = enriched_windowed_value(events_stream(spark, sf_dir), dim)
     return run_to_memory_sink(s, "stream_static_join", "append")
+
+
+@query(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+    """,
+)
+def stream_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (purchases × preceding clicks per
+    user, both sides watermarked, event-time-bounded state). The inner
+    join emits exactly the batch interval-join result — the oracle is
+    that batch join."""
+    from sidecar_spark.streaming import interval_joined_streams
+
+    s = interval_joined_streams(events_stream(spark, sf_dir))
+    return run_to_memory_sink(s, "stream_stream_interval_join", "append")

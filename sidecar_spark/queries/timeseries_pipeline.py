@@ -1,0 +1,242 @@
+"""Time-series / product-analytics battery over the events table:
+EWMA smoothing, ordered funnel, cohort retention, column profiling,
+and histogram binning.
+
+Scale notes: every query here is a scan + window-or-groupBy plan —
+one shuffle on an explicit key (user_id / cohort / bin), no
+collect-side logic, no UDFs. Window functions partition by user_id
+(the natural key at 100 TB: millions of users × bounded events each);
+profiling and histograms are single-pass aggregations with map-side
+partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sidecar_spark.queries.registry import query, t
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (finite-memory K-lag form)
+# ---------------------------------------------------------------------------
+
+_EWMA_K = 8
+_EWMA_ALPHA = 0.5
+# weight for lag j: alpha^j (exact binary decimals — identical literals
+# land in both engines' SQL)
+_EWMA_W = [(_EWMA_ALPHA ** j) for j in range(_EWMA_K)]
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"coalesce(lag(value, {j}) OVER w, 0) * {w!r}"
+        for j, w in enumerate(_EWMA_W))
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {j}) OVER w IS NULL THEN 0 ELSE {w!r} END)"
+        for j, w in enumerate(_EWMA_W))
+    return f"""
+    SELECT user_id, event_id,
+           round(({num}) / ({den}), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@query("events_ewma", oracle=_ewma_oracle())
+def events_ewma(spark, sf_dir):
+    """Per-user EWMA of `value` (alpha=0.5) in the finite-memory K-lag
+    form: ewma_t = Σ_j α^j·x_{t-j} / Σ_j α^j over the last K=8 events.
+    The K explicit lags make the weights row-independent, so the whole
+    thing is one window pass (the recursive form needs per-row
+    exponent rescaling that overflows doubles on long histories).
+    One shuffle on user_id; state per row is K lags — constant."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for j, wt in enumerate(_EWMA_W):
+        lag = F.lag("value", j).over(w)
+        term = F.coalesce(lag, F.lit(0)) * F.lit(wt)
+        dterm = F.when(lag.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return e.select("user_id", "event_id",
+                    F.round(num / den, 6).alias("ewma"))
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel: signup → click → purchase
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id)
+    SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+    UNION ALL SELECT '2_click', count(*) FROM s2
+    UNION ALL SELECT '3_purchase', count(*) FROM s3
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel: users who signed up, then clicked
+    AFTER the signup, then purchased AFTER that click. Each stage is a
+    groupBy(user_id).min(ts) joined to the next event class with a
+    strictly-later predicate — per-stage state is one timestamp per
+    user, and every join key is user_id (co-partitioned chain: AQE
+    reuses the hash partitioning across the three stages)."""
+    e = t(spark, sf_dir, "events")
+    s1 = (e.where(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    s2 = (e.where(F.col("event_type") == "click")
+          .join(s1, "user_id").where(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    s3 = (e.where(F.col("event_type") == "purchase")
+          .join(s2, "user_id").where(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit("1_signup").alias("stage"), "n_users")
+        .unionAll(s2.agg(F.count(F.lit(1)).alias("n_users"))
+                  .select(F.lit("2_click").alias("stage"), "n_users"))
+        .unionAll(s3.agg(F.count(F.lit(1)).alias("n_users"))
+                  .select(F.lit("3_purchase").alias("stage"), "n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention (weekly)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_wk
+      FROM events)
+    SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+           CAST(floor(datediff('day', cohort_wk, act_wk) / 7) AS BIGINT)
+             AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY cohort_wk, week_offset
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Weekly cohort retention: cohort = ISO week of a user's first
+    event; one row per (cohort, week offset) with distinct active
+    users. Both inputs shuffle once on user_id (the join key), then
+    once on the small (cohort, offset) key — the standard two-shuffle
+    retention shape at any scale."""
+    e = t(spark, sf_dir, "events")
+    firsts = (e.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_wk")))
+    activity = e.select("user_id", F.date_trunc("week", "ts").alias("act_wk")) \
+        .distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff("act_wk", "cohort_wk") / 7).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# column profiling (data-quality pass)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    ("o_orderkey", "CAST(min({c}) AS VARCHAR)", "CAST(max({c}) AS VARCHAR)"),
+    ("o_custkey", "CAST(min({c}) AS VARCHAR)", "CAST(max({c}) AS VARCHAR)"),
+    ("o_totalprice",
+     "CAST(CAST(round(min({c}), 2) AS DECIMAL(18,2)) AS VARCHAR)",
+     "CAST(CAST(round(max({c}), 2) AS DECIMAL(18,2)) AS VARCHAR)"),
+    ("o_orderdate", "CAST(min({c}) AS VARCHAR)", "CAST(max({c}) AS VARCHAR)"),
+    ("o_orderpriority", "min({c})", "max({c})"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, mn, mx in _PROFILE_COLS:
+        parts.append(
+            f"SELECT '{c}' AS column_name, "
+            f"count(*) - count({c}) AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            f"{mn.format(c=c)} AS min_value, "
+            f"{mx.format(c=c)} AS max_value FROM orders")
+    return " UNION ALL ".join(parts)
+
+
+@query("orders_profile", oracle=_profile_oracle())
+def orders_profile(spark, sf_dir):
+    """Column-profile pass over orders (nulls / distincts / min / max
+    per column, uniform string output) — the data-quality audit every
+    ingest pipeline runs. All five columns profile in ONE aggregation
+    job; min/max/null counts are map-side partials; the distinct
+    counts are exact (Spark expands multi-distinct into one shuffle
+    per distinct key, same as the 100 TB plan would)."""
+    o = t(spark, sf_dir, "orders")
+    aggs = []
+    for c, mn, mx in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            # same cast chain; Spark spells DuckDB's VARCHAR as STRING
+            F.expr(mn.format(c=c).replace("VARCHAR", "STRING")).alias(f"mn_{c}"),
+            F.expr(mx.format(c=c).replace("VARCHAR", "STRING")).alias(f"mx_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c, _, _ in _PROFILE_COLS)
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)")
+
+
+# ---------------------------------------------------------------------------
+# histogram binning
+# ---------------------------------------------------------------------------
+
+_BIN = 25000
+
+
+@query(
+    "orders_histogram",
+    oracle=f"""
+    SELECT CAST(floor(o_totalprice / {_BIN}) AS BIGINT) * {_BIN} AS bin_lo,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY bin_lo
+    """,
+)
+def orders_histogram(spark, sf_dir):
+    """Fixed-width histogram of order totals (bin = {_BIN}): floor-div
+    bucketing entirely map-side, then one tiny-key aggregation — the
+    degenerate-cardinality groupBy that partial aggregation collapses
+    before the shuffle at any scale."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy((F.floor(F.col("o_totalprice") / _BIN) * _BIN)
+                  .alias("bin_lo"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )

@@ -8,6 +8,7 @@ windows, and custom stateful processing via applyInPandasWithState.
 
 from sidecar_spark.streaming.ops import (
     enriched_windowed_value,
+    interval_joined_streams,
     events_stream,
     run_to_memory_sink,
     sessionized_stream,
@@ -18,6 +19,7 @@ from sidecar_spark.streaming.ops import (
 
 __all__ = [
     "enriched_windowed_value",
+    "interval_joined_streams",
     "events_stream",
     "run_to_memory_sink",
     "sessionized_stream",

@@ -181,6 +181,38 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_joined_streams(events: DataFrame,
+                            watermark: str = "30 minutes",
+                            lookback: str = "10 minutes") -> DataFrame:
+    """Stream-stream interval join: purchases matched to the same
+    user's clicks in the preceding ``lookback`` window.
+
+    Both sides carry a watermark and the join predicate bounds event
+    time on BOTH sides, so Spark can size and evict the join state
+    (unbounded stream-stream joins are rejected in append mode). The
+    state kept per side is watermark+lookback of events — the knob
+    that keeps a 100 TB/day stream joinable."""
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .select("user_id", "purchase_id", "click_id")
+    )
+
+
 def enriched_windowed_value(events: DataFrame, dim: DataFrame,
                             window: str = "1 hour",
                             watermark: str = "10 minutes") -> DataFrame:
