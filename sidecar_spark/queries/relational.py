@@ -1058,3 +1058,70 @@ def engine_sql_agg(spark, sf_dir):
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
     """)
+
+
+@query(
+    "window_analytic_family",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           round(first_value(o_totalprice) OVER w, 2) AS cheapest,
+           round(last_value(o_totalprice) OVER w, 2) AS priciest,
+           round(nth_value(o_totalprice, 3) OVER w, 2) AS third,
+           round(cume_dist() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey), 6)
+             AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_analytic_family(spark, sf_dir):
+    """first/last/nth_value + cume_dist with an explicit full-partition
+    frame (the default frame truncates last_value at the current row —
+    the classic trap; both engines agree once the frame is spelled
+    out). Deterministic tiebreak on o_orderkey."""
+    o = t(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_orderpriority")
+         .orderBy("o_totalprice", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    wc = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        money(F.first("o_totalprice").over(w)).alias("cheapest"),
+        money(F.last("o_totalprice").over(w)).alias("priciest"),
+        money(F.nth_value("o_totalprice", 3).over(w)).alias("third"),
+        F.round(F.cume_dist().over(wc), 6).alias("cdist"),
+    )
+
+
+@query(
+    "conditional_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           coalesce(nullif(l_returnflag, 'N'), '?') AS rf,
+           round(greatest(l_quantity, l_discount * 100), 2) AS g,
+           round(least(l_tax, l_discount), 2) AS l,
+           CASE WHEN l_quantity > 25 THEN 'big'
+                WHEN l_quantity > 10 THEN 'mid'
+                ELSE 'small' END AS size_class
+    FROM lineitem
+    """,
+)
+def conditional_functions(spark, sf_dir):
+    """Conditional/null-handling scalar family: coalesce, nullif,
+    greatest/least, searched CASE — all map-side, codegen'd, no
+    shuffle (scan → project only)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("?"))
+        .alias("rf"),
+        F.round(F.greatest(F.col("l_quantity"), F.col("l_discount") * 100), 2)
+        .alias("g"),
+        F.round(F.least(F.col("l_tax"), F.col("l_discount")), 2).alias("l"),
+        F.when(F.col("l_quantity") > 25, "big")
+        .when(F.col("l_quantity") > 10, "mid")
+        .otherwise("small").alias("size_class"),
+    )

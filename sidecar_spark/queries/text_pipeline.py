@@ -371,3 +371,37 @@ def text_stopword_removal(spark, sf_dir):
         F.col("n_before").alias("n_tokens_before"),
         F.size("kept").alias("n_tokens_after"),
     )
+
+
+@query(
+    "text_bigrams",
+    oracle=f"""
+    WITH ws AS (SELECT {_SQL_WORDS.format(e='lower(text)')} AS w
+                FROM documents)
+    SELECT bg AS bigram, count(*) AS freq
+    FROM (SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+                                       i -> w[i] || ' ' || w[i + 1])) AS bg
+          FROM ws)
+    GROUP BY bg
+    ORDER BY freq DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_bigrams(spark, sf_dir):
+    """Corpus bigram counts (language-model n-gram statistics): words
+    zipped with their own tail, exploded, counted, top-20. Same 100 TB
+    shape as the vocabulary build — map-side partial aggregation
+    absorbs the explode blowup, TakeOrdered replaces a global sort."""
+    d = spread(t(spark, sf_dir, "documents"))
+    ws = X.words(F.lower(F.col("text")))
+    n = F.size(ws)
+    bigrams = F.zip_with(
+        ws, F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b))
+    bigrams = F.slice(bigrams, 1, F.greatest(n - 1, F.lit(0)))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram").agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -240,3 +240,117 @@ def orders_histogram(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
     )
+
+
+# ---------------------------------------------------------------------------
+# gap-filled resampling
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_gapfill",
+    oracle="""
+    WITH RECURSIVE hours(hr) AS (
+      SELECT (SELECT date_trunc('hour', min(ts)) FROM events)
+      UNION ALL
+      SELECT hr + INTERVAL 1 HOUR FROM hours
+      WHERE hr < (SELECT date_trunc('hour', max(ts)) FROM events)
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS hr, event_type,
+             count(*) AS n, round(sum(value), 2) AS sv
+      FROM events GROUP BY hr, event_type)
+    SELECT strftime(h.hr, '%Y-%m-%d %H:%M:%S') AS window_start,
+           ty.event_type,
+           coalesce(a.n, 0) AS n_events,
+           coalesce(a.sv, 0.0) AS sum_value
+    FROM hours h CROSS JOIN types ty
+    LEFT JOIN agg a ON a.hr = h.hr AND a.event_type = ty.event_type
+    """,
+)
+def events_gapfill(spark, sf_dir):
+    """Gap-filled hourly resampling: the dense (hour × event_type) axis
+    is generated with `sequence` from the scalar min/max bounds (no
+    collect — the bounds row stays a DataFrame) and left-joined to the
+    hourly aggregate, zero-filling empty buckets. The axis side is
+    tiny at any scale (time × type cardinality), so the join
+    broadcasts; the heavy side collapses in the aggregation first —
+    the canonical time-series densification shape."""
+    e = t(spark, sf_dir, "events")
+    bounds = e.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
+                   F.date_trunc("hour", F.max("ts")).alias("hi"))
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR")))
+        .alias("hr"))
+    types = e.select("event_type").distinct()
+    agg = (e.groupBy(F.date_trunc("hour", "ts").alias("hr"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("sv")))
+    axis = hours.crossJoin(types)
+    return (
+        axis.join(agg, ["hr", "event_type"], "left")
+        .select(
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 interval build (change-data capture shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_scd2",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+                  THEN 0 ELSE 1 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked)
+    SELECT user_id, event_type,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(lead(min(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY min(ts)),
+                             '%Y-%m-%d %H:%M:%S'), 'open') AS valid_to
+    FROM runs
+    GROUP BY user_id, event_type, run_id
+    """,
+)
+def events_scd2(spark, sf_dir):
+    """SCD-type-2 interval build from an event log: collapse each
+    user's consecutive same-type runs into (valid_from, valid_to]
+    intervals, the last one open. Two window passes + one groupBy, all
+    partitioned by user_id — one shuffle total (Spark reuses the
+    user_id hash partitioning across the windows and the aggregation)."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id", "event_type", "ts",
+        F.when(F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+               0).otherwise(1).alias("chg"),
+        F.col("event_id"),
+    )
+    runs = marked.withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    grouped = (runs.groupBy("user_id", "event_type", "run_id")
+               .agg(F.min("ts").alias("vf")))
+    nxt = W.partitionBy("user_id").orderBy("vf")
+    return grouped.select(
+        "user_id", "event_type",
+        F.date_format("vf", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("vf").over(nxt), "yyyy-MM-dd HH:mm:ss"),
+            F.lit("open")).alias("valid_to"),
+    )
