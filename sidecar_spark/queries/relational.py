@@ -1125,3 +1125,35 @@ def conditional_functions(spark, sf_dir):
         .when(F.col("l_quantity") > 10, "mid")
         .otherwise("small").alias("size_class"),
     )
+
+
+def _morton_sql(a: str, b: str, bits: int = 16) -> str:
+    """Bit-interleaved (Morton / Z-order) key of two integer columns —
+    identical operator syntax in Spark SQL and DuckDB, so ONE string
+    serves both engines."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((CAST({a} AS BIGINT) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((CAST({b} AS BIGINT) >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_layout_key",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           {_morton_sql('l_partkey', 'l_suppkey')} AS z_key
+    FROM lineitem
+    """,
+)
+def zorder_layout_key(spark, sf_dir):
+    """Z-order (Morton) layout key over (l_partkey, l_suppkey): the
+    data-layout primitive behind multi-dimensional clustering — sort
+    or range-partition by z_key before writing and scans filtered on
+    EITHER key prune most files. Pure bit math, map-side, codegen'd;
+    at 100 TB this feeds `repartitionByRange(z_key).sortWithinPartitions`
+    on the write path."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        f"{_morton_sql('l_partkey', 'l_suppkey')} AS z_key")

@@ -271,3 +271,55 @@ def multimodal_media_meta(spark, sf_dir):
         F.col("media_meta.n_bytes").alias("n_bytes"),
         F.col("media_meta.checksum").alias("checksum"),
     )
+
+
+@query(
+    "emb_label_centroids",
+    oracle="""
+    SELECT label, dim_idx, round(avg(component), 6) AS mean_val
+    FROM (SELECT label,
+                 unnest(embedding) AS component,
+                 generate_subscripts(embedding, 1) - 1 AS dim_idx
+          FROM embeddings)
+    GROUP BY label, dim_idx
+    """,
+)
+def emb_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids in long form: posexplode the
+    vector, aggregate per (label, dimension). The explode's dim-fold
+    blowup collapses map-side (partial avg per label×dim before the
+    shuffle); the output is label-cardinality × dims — tiny at any
+    scale. The k-means-update / class-prototype building block."""
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding")
+                 .alias("dim_idx", "component"))
+        .groupBy("label", "dim_idx")
+        .agg(F.round(F.avg("component"), 6).alias("mean_val"))
+    )
+
+
+@query(
+    "emb_norm_stats",
+    oracle="""
+    SELECT label, count(*) AS n,
+           round(avg(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * x)))), 6) AS avg_l2
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def emb_norm_stats(spark, sf_dir):
+    """Per-label L2-norm statistics: one `aggregate` fold per row (no
+    explode), then a tiny-key groupBy — the vector-quality audit pass
+    (detects unnormalized / degenerate embeddings) at corpus scale."""
+    e = t(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x))
+    return (
+        e.select("label", l2.alias("l2"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("l2"), 6).alias("avg_l2"))
+    )

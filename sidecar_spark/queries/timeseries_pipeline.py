@@ -354,3 +354,39 @@ def events_scd2(spark, sf_dir):
             F.date_format(F.lead("vf").over(nxt), "yyyy-MM-dd HH:mm:ss"),
             F.lit("open")).alias("valid_to"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event-transition matrix (Markov counts)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type, next_type, count(*) AS n
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def events_transitions(spark, sf_dir):
+    """First-order Markov transition counts over each user's event
+    sequence (lead + groupBy): one shuffle on user_id for the window,
+    one on the 25-cell transition key — the path-analysis /
+    next-action-model building block."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("event_type",
+                   F.lead("event_type").over(w).alias("next_type"))
+    return (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
