@@ -144,23 +144,34 @@ def main() -> None:
         conf = SidecarConfig.create(cache_dir=cache_dir, data_cache_type="file",
                                     cache_persistent=False)
         eng = Engine(spark, base_dir=SF_DIR, conf=conf)
+
+        def _local_remote(s0, s1):
+            local = sum(s1[k] - s0[k] for k in (
+                "total_bytes_read_data_cache", "total_bytes_read_write_cache",
+                "total_bytes_read_prefetch"))
+            return local, s1["total_bytes_read_remote"] - s0["total_bytes_read_remote"]
+
+        s0 = eng.cache.stats.snapshot()
         t0 = time.time()
         eng.table("lineitem").count()
         cold = time.time() - t0
+        s1 = eng.cache.stats.snapshot()
         t0 = time.time()
         eng.table("lineitem").count()
         warm = time.time() - t0
-        s = eng.cache.stats.snapshot()
-        local_bytes = (s["total_bytes_read_data_cache"]
-                       + s["total_bytes_read_write_cache"]
-                       + s["total_bytes_read_prefetch"])
+        s2 = eng.cache.stats.snapshot()
+        cold_local, cold_remote = _local_remote(s0, s1)
+        warm_local, warm_remote = _local_remote(s1, s2)
         cache_demo = {
             "cold_sec": round(cold, 3),
             "warm_sec": round(warm, 3),
-            "bytes_read_remote": s["total_bytes_read_remote"],
-            "bytes_read_local": local_bytes,
+            "cold_bytes_remote": cold_remote,
+            "cold_bytes_local": cold_local,
+            "warm_bytes_remote": warm_remote,
+            "warm_bytes_local": warm_local,
+            # BASELINE.md target: warm run serves >=95% bytes locally
             "warm_local_ratio": round(
-                local_bytes / max(1, local_bytes + s["total_bytes_read_remote"]), 4),
+                warm_local / max(1, warm_local + warm_remote), 4),
         }
         eng.close()
         shutil.rmtree(cache_dir, ignore_errors=True)
