@@ -58,7 +58,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_memory_sink(stream_df: DataFrame, name: str,
                        output_mode: str,
-                       state_partitions: int = 8) -> DataFrame:
+                       state_partitions: int = 4) -> DataFrame:
     """Execute a streaming plan to completion with an availableNow
     trigger into an in-memory table; return the result as a DataFrame.
 
