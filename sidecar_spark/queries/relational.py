@@ -1157,3 +1157,58 @@ def zorder_layout_key(spark, sf_dir):
     return li.selectExpr(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         f"{_morton_sql('l_partkey', 'l_suppkey')} AS z_key")
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT event_id,
+           len(json_keys(props)) AS n_keys,
+           json_keys(props)[1] AS first_key,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k_doubled,
+           json_extract(props, '$.k') IS NOT NULL AS has_k
+    FROM events
+    """,
+)
+def map_functions(spark, sf_dir):
+    """Map-typed column family: JSON props parsed once into
+    map<string,bigint>, then map_keys / element_at /
+    transform_values / map_contains_key — all map-side expressions
+    (the oracle reads the same facts through DuckDB's JSON functions)."""
+    e = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(m, "k").alias("k_value"),
+        F.element_at(F.transform_values(m, lambda k, v: v * 2), "k")
+        .alias("k_doubled"),
+        F.map_contains_key(m, "k").alias("has_k"),
+    )
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           round(l_quantity, 2) AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', round(l_discount, 2)
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', round(l_tax, 2)
+    FROM lineitem
+    """,
+)
+def unpivot_melt(spark, sf_dir):
+    """Native unpivot (melt): three measure columns to long form —
+    the inverse of pivot_status. Spark's Unpivot node expands rows
+    map-side (no shuffle at all)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure", "val",
+    ).withColumn("val", F.round("val", 2))

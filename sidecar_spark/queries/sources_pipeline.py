@@ -152,3 +152,88 @@ def compact_small_files(spark, sf_dir):
              F.min("event_id").alias("min_id"),
              F.max("event_id").alias("max_id"))
     )
+
+
+@query(
+    "cache_lifecycle",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('1_create',            'none'),
+      ('2_first_read',        'write_cache'),
+      ('3_second_read',       'data_cache'),
+      ('4_read_after_rename', 'write_cache'),
+      ('5_reread_after_rename','data_cache'),
+      ('6_after_delete',      'gone')
+    ) t(step, served_from)
+    """,
+)
+def cache_lifecycle(spark, sf_dir):
+    """The reference's CRUD tier-provenance scenario as a graded
+    battery entry (TestCachingFileSystemBase.java:179-334 →
+    tests/test_cache.py::test_crud_lifecycle_tier_provenance): write 4
+    pages through the caching FS, then prove WHICH tier served each
+    subsequent read from the Statistics deltas — write cache on first
+    read, data cache on the second, write cache again after a rename
+    (content-addressed page keys self-invalidate), and both tiers
+    drained after delete. Payload bytes come from the sf_dir lineitem
+    parquet, so the probe exercises real testdata content."""
+    import shutil
+    import tempfile
+
+    from sidecar_spark.cache.manager import CacheManager
+    from sidecar_spark.config import SidecarConfig
+
+    page = 4096
+    tmp = tempfile.mkdtemp(prefix="sidecar-lifecycle-")
+    try:
+        conf = SidecarConfig.create(
+            cache_dir=os.path.join(tmp, "cache"), data_page_size=page,
+            io_buffer_size=4 * page, data_cache_type="file",
+            cache_persistent=False)
+        mgr = CacheManager.get_or_create(conf)
+        with open(os.path.join(sf_dir, "lineitem.parquet"), "rb") as f:
+            payload = f.read(4 * page)
+
+        tiers = ("write_cache", "data_cache", "prefetch", "remote")
+
+        def snap():
+            return {k: mgr.stats.get(f"total_bytes_read_{k}") for k in tiers}
+
+        def served(s0, s1):
+            deltas = {k: s1[k] - s0[k] for k in tiers}
+            best = max(deltas, key=deltas.get)
+            return best if deltas[best] > 0 else "none"
+
+        rows = []
+        src = os.path.join(tmp, "remote", "f1")
+        os.makedirs(os.path.dirname(src), exist_ok=True)
+        s0 = snap()
+        out = mgr.create(src)
+        out.write(payload)
+        out.close()
+        mgr.drain()
+        rows.append(("1_create", served(s0, snap())))
+
+        for step in ("2_first_read", "3_second_read"):
+            s0 = snap()
+            st = mgr.open(src)
+            assert st.read_at(0, 4 * page) == payload
+            rows.append((step, served(s0, snap())))
+
+        dst = os.path.join(tmp, "remote", "f2")
+        mgr.rename(src, dst)
+        mgr.drain()
+        for step in ("4_read_after_rename", "5_reread_after_rename"):
+            s0 = snap()
+            st = mgr.open(dst)
+            assert st.read_at(0, 4 * page) == payload
+            rows.append((step, served(s0, snap())))
+
+        mgr.delete(dst)
+        mgr.drain()
+        gone = mgr.meta.get(dst) is None and not os.path.exists(dst)
+        rows.append(("6_after_delete", "gone" if gone else "present"))
+        mgr.close(save=False)
+        return spark.createDataFrame(rows, "step string, served_from string")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
