@@ -13,6 +13,7 @@ with a textually parallel DuckDB oracle. Parity notes:
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sidecar_spark.functions import text as X
@@ -404,4 +405,164 @@ def text_bigrams(spark, sf_dir):
         .groupBy("bigram").agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("bigram"))
         .limit(20)
+    )
+
+
+# BM25 retrieval constants (Robertson et al. defaults)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("spark", "join", "window")
+
+
+def _term_eq(term):
+    """One-arg HOF predicate for F.filter. (A two-parameter lambda —
+    e.g. capturing the term via a default arg — flips PySpark into
+    (element, index) mode and binds the term to the index column.)"""
+    return lambda w: w == F.lit(term)
+
+
+@query(
+    "bm25_doc_search",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_WORDS.format(e='lower(text)')} AS ws
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, ws, len(ws) AS dl,
+             {', '.join(f"len(list_filter(ws, w -> w = '{q}')) AS tf_{q}"
+                        for q in _BM25_TERMS)}
+      FROM base
+    ), corpus AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+             {', '.join(f'count(*) FILTER (WHERE tf_{q} > 0) AS df_{q}'
+                        for q in _BM25_TERMS)}
+      FROM dl
+    ), scored AS (
+      SELECT doc_id, dl,
+             round({' + '.join(
+                 f"ln(1 + (n_docs - df_{q} + 0.5) / (df_{q} + 0.5))"
+                 f" * tf_{q} * ({_BM25_K1} + 1)"
+                 f" / (tf_{q} + {_BM25_K1} * (1 - {_BM25_B}"
+                 f" + {_BM25_B} * dl / avgdl))"
+                 for q in _BM25_TERMS)}, 6) AS bm25
+      FROM dl CROSS JOIN corpus)
+    SELECT doc_id, dl AS doc_len, bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_doc_search(spark, sf_dir):
+    """BM25 full-text ranking for a fixed term set — the retrieval /
+    quality-filter scorer of a training-data pipeline. 100 TB plan:
+    one tokenize pass per doc computes (dl, tf per term) map-side;
+    corpus stats (N, avgdl, per-term df) collapse to a ONE-ROW
+    aggregate broadcast back over the scan; top-k is TakeOrdered, not
+    a global sort. Ranking on the ROUNDED score keeps the LIMIT
+    frontier identical across engines (ties break on doc_id)."""
+    d = spread(t(spark, sf_dir, "documents"))
+    ws = X.words(F.lower(F.col("text")))
+    base = d.select(
+        "doc_id",
+        F.inline(F.array(F.struct(
+            F.size(ws).alias("dl"),
+            *[F.size(F.filter(ws, _term_eq(q))).alias(f"tf_{q}")
+              for q in _BM25_TERMS]))))
+    corpus = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.count_if(F.col(f"tf_{q}") > 0).alias(f"df_{q}")
+          for q in _BM25_TERMS])
+    score = None
+    for q in _BM25_TERMS:
+        tf, df = F.col(f"tf_{q}"), F.col(f"df_{q}")
+        idf = F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        part = (idf * tf * (_BM25_K1 + 1)
+                / (tf + _BM25_K1 * (1 - _BM25_B
+                                    + _BM25_B * F.col("dl") / F.col("avgdl"))))
+        score = part if score is None else score + part
+    return (
+        base.join(F.broadcast(corpus))
+        .select("doc_id", F.col("dl").alias("doc_len"),
+                F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_SQL_NWORDS.format(e='text')} AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+                                             ORDER BY doc_id) - n_tokens)
+                        / 256.0) AS BIGINT) AS seq_id
+      FROM toks)
+    SELECT source, seq_id,
+           count(*) AS n_docs,
+           sum(n_tokens) AS seq_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM packed
+    GROUP BY source, seq_id
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Sequence packing: concatenate documents in order into
+    fixed-budget (256-token) training sequences — the standard LLM
+    pretraining packing step. A doc belongs to the sequence its
+    running-sum START offset falls in (greedy fill, overflow allowed
+    at boundaries). The running sum partitions by source shard so no
+    single global window serializes the corpus — exactly how packing
+    parallelizes at 100 TB (pack within shards, never across)."""
+    d = spread(t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", "source", X.token_count(F.col("text")).alias("n_tokens"))
+    w = W.partitionBy("source").orderBy("doc_id")
+    packed = toks.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 256.0))
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_REDACT_RE = r"\b(spark|vector)\b"
+
+
+@query(
+    "text_redact_terms",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{_REDACT_RE}')) AS n_redacted,
+           md5(regexp_replace(lower(text), '{_REDACT_RE}', '<ENT>', 'g'))
+               AS redacted_fp,
+           length(regexp_replace(lower(text), '{_REDACT_RE}', '<ENT>', 'g'))
+               AS redacted_len
+    FROM documents
+    """,
+)
+def text_redact_terms(spark, sf_dir):
+    """Term redaction / entity masking — the scrubbing pass a
+    training pipeline runs to mask sensitive or held-out terms before
+    release. Pure per-row regex column math (one extract + one
+    replace), verified exactly via fingerprint of the redacted text.
+    Spark regexp_replace replaces all matches by default; DuckDB
+    needs the explicit 'g' flag."""
+    d = spread(t(spark, sf_dir, "documents"))
+    low = F.lower(F.col("text"))
+    red = F.regexp_replace(low, _REDACT_RE, "<ENT>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit(_REDACT_RE), 0))
+        .alias("n_redacted"),
+        F.md5(red).alias("redacted_fp"),
+        F.length(red).alias("redacted_len"),
     )

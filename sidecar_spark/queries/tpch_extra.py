@@ -990,3 +990,79 @@ def boolean_agg_functions(spark, sf_dir):
         F.count_if(F.col("l_tax") > 0.04).alias("n_high_tax"),
         F.count_if(F.col("l_discount") == 0).alias("n_no_discount"),
     )
+
+
+@query(
+    "q16_supplier_part_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#11'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_count(spark, sf_dir):
+    """TPC-H Q16 adapted to the reduced schema (no partsupp — the
+    part↔supplier relation comes from lineitem; the comment-based
+    supplier blacklist becomes a negative-balance one). Plan shape:
+    the part filter prunes before the fact join (broadcast — part is
+    dim-sized), the blacklist is a broadcast LEFT ANTI join (NOT IN
+    is safe to rewrite: s_suppkey is non-null), and count(DISTINCT)
+    runs as a two-phase partial-distinct aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#11")
+        & ~F.col("p_type").startswith("PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    bad = t(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad),
+                li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "approx_distinct_audit",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_orders_ok,
+           TRUE AS approx_parts_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def approx_distinct_audit(spark, sf_dir):
+    """HyperLogLog++ cardinality vs exact: the 100 TB path for
+    distinct counts is the sketch (fixed-size partial state, no
+    distinct-expand shuffle); this audit runs both and asserts the
+    sketch lands within its 5% error budget, so the oracle pins the
+    exact value AND the sketch's fitness. (DuckDB's approx_count_
+    distinct uses a different HLL — comparing raw sketch outputs
+    across engines would be meaningless; the within-tolerance boolean
+    is the portable contract.)"""
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("ao"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
+    )
+    return g.select(
+        "l_returnflag", "exact_orders", "exact_parts",
+        (F.abs(F.col("ao") - F.col("exact_orders"))
+         <= 0.05 * F.col("exact_orders")).alias("approx_orders_ok"),
+        (F.abs(F.col("ap") - F.col("exact_parts"))
+         <= 0.05 * F.col("exact_parts")).alias("approx_parts_ok"),
+    )
