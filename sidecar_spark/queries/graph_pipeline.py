@@ -1,0 +1,203 @@
+"""Graph / iterative-algorithm battery over the TPC-H-ish tables.
+
+The reference has no relational (let alone graph) operators
+(SURVEY.md §2.7); these entries add the iterative-algorithm class a
+training-data platform needs (link analysis for source weighting,
+co-occurrence graphs for curriculum building). Parity conventions as
+elsewhere: identical aliases both sides, ratios→round 6, LIMIT always
+carries a total tie-break order.
+
+Determinism note for iterative double math: edge weights are kept
+INTEGRAL (lineitem counts, not revenue) so per-edge terms are
+bit-identical across engines; per-node sums of ~25 such terms leave
+only last-bit noise, far below the round-6 contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sidecar_spark.queries.registry import query, t
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 3
+
+
+def _trade_edges(spark, sf_dir):
+    """Nation-level trade graph: supplier nation → customer nation,
+    weighted by lineitem count. The heavy, 100 TB-scaling half: fact
+    joins reduce to a 25×25 aggregate (dims broadcast); the PageRank
+    iteration then runs on that tiny aggregate."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(s.s_nationkey.alias("src"), c.c_nationkey.alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+_SQL_EDGES = """
+    edges AS (
+      SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY src, dst
+    ), outw AS (
+      SELECT src, sum(w) AS total_w FROM edges GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION SELECT dst AS node FROM edges)
+    ), n AS (SELECT count(*) AS n_nodes FROM nodes)
+"""
+
+
+def _sql_pr_step(prev: str, rank: str) -> str:
+    return f"""
+    {rank} AS (
+      SELECT nodes.node,
+             (1 - {_PR_DAMPING}) / n_nodes + {_PR_DAMPING} * coalesce((
+               SELECT sum(p.pr * e.w / ow.total_w)
+               FROM edges e
+               JOIN {prev} p ON p.node = e.src
+               JOIN outw ow ON ow.src = e.src
+               WHERE e.dst = nodes.node), 0) AS pr
+      FROM nodes CROSS JOIN n)
+    """
+
+
+@query(
+    "nation_pagerank",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    pr0 AS (SELECT node, 1.0 / n_nodes AS pr FROM nodes CROSS JOIN n),
+    {','.join(_sql_pr_step(f'pr{i}', f'pr{i + 1}')
+              for i in range(_PR_ITERS))}
+    SELECT n_name AS nation, round(pr, 6) AS pagerank
+    FROM pr{_PR_ITERS} JOIN nation ON node = n_nationkey
+    """,
+)
+def nation_pagerank(spark, sf_dir):
+    """PageRank (3 unrolled iterations, d=0.85) over the
+    nation trade graph — the iterative-algorithm shape (source
+    authority scoring for corpus weighting). The DataFrame loop
+    re-joins rank against the aggregated edge list; at 100 TB the
+    edge aggregation is the only fact-scale stage, and each iteration
+    is a broadcast join on the (tiny) node set, so iterations add no
+    fact-table rescans."""
+    edges = _trade_edges(spark, sf_dir).cache()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("total_w"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    n_nodes = nodes.count()
+    rank = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
+    contrib_base = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("total_w")).alias("share"))
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            contrib_base
+            .join(F.broadcast(rank), F.col("src") == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("share")).alias("mass"))
+        )
+        rank = (
+            nodes.join(F.broadcast(contrib),
+                       F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                ((1 - _PR_DAMPING) / n_nodes
+                 + _PR_DAMPING * F.coalesce(F.col("mass"), F.lit(0.0)))
+                .alias("pr"))
+        )
+    nation = t(spark, sf_dir, "nation")
+    return (
+        rank.join(F.broadcast(nation), rank.node == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"),
+                F.round("pr", 6).alias("pagerank"))
+    )
+
+
+@query(
+    "copurchase_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_orders
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b)
+    SELECT part_a, part_b, n_orders
+    FROM pairs
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def copurchase_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, top-20. The self-join co-partitions on l_orderkey (one
+    shuffle feeds both sides) and the a<b predicate halves the pair
+    space; top-k is TakeOrdered. At 100 TB the guard against
+    quadratic baskets is the same per-key bound AQE skew-split
+    handles — basket sizes here are order line counts (≤ single
+    digits), so the blowup is bounded by design."""
+    li = (t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("part_a"),
+                 F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+@query(
+    "fuzzy_name_match",
+    oracle="""
+    SELECT a.p_brand AS brand,
+           count(*) AS n_pairs,
+           min(levenshtein(a.p_name, b.p_name)) AS min_dist,
+           round(avg(levenshtein(a.p_name, b.p_name)), 6) AS avg_dist
+    FROM part a
+    JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    GROUP BY brand
+    """,
+)
+def fuzzy_name_match(spark, sf_dir):
+    """Fuzzy duplicate detection by edit distance, blocked on brand —
+    the record-linkage shape (blocking key keeps the candidate space
+    linear-ish; Levenshtein only runs within blocks). Both engines
+    compute classic unit-cost edit distance, so the predicate is
+    portable. At 100 TB the blocking key is the partitioner: the
+    self-join shuffles once on p_brand and never goes quadratic
+    globally."""
+    p = t(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
+               & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .where(dist <= 2)
+        .groupBy(F.col("a.p_brand").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.min(dist).alias("min_dist"),
+             F.round(F.avg(dist), 6).alias("avg_dist"))
+    )

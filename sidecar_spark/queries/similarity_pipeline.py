@@ -323,3 +323,51 @@ def emb_norm_stats(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.avg("l2"), 6).alias("avg_l2"))
     )
+
+
+@query(
+    "emb_quantize",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id, label,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+      FROM embeddings
+    ), q AS (
+      SELECT e.vec_id, e.label, s.max_abs,
+             list_transform(e.embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 127.0
+                                 / s.max_abs) AS BIGINT)) AS qv
+      FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id)
+    SELECT vec_id, label,
+           round(max_abs / 127.0, 6) AS scale,
+           list_sum(qv) AS q_sum,
+           list_max(qv) AS q_max,
+           list_min(qv) AS q_min
+    FROM q
+    """,
+)
+def emb_quantize(spark, sf_dir):
+    """Int8 scalar quantization of embeddings (per-vector max-abs
+    scale) — the compression step before shipping vectors to an ANN
+    index; 4× smaller payloads change the shuffle volume of every
+    downstream similarity job. Pure per-row array math (two folds, no
+    explode). floor() instead of round() keeps the integer grid
+    bit-portable across engines (round-half behaviors differ; floor
+    on identical doubles cannot)."""
+    e = t(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")
+    max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
+    base = e.select(
+        "vec_id", "label", "embedding", max_abs.alias("max_abs"))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(xd(x) * 127.0 / F.col("max_abs")).cast("long"))
+    return base.select(
+        "vec_id", "label",
+        F.round(F.col("max_abs") / 127.0, 6).alias("scale"),
+        F.aggregate(qv, F.lit(0).cast("long"),
+                    lambda acc, v: acc + v).alias("q_sum"),
+        F.array_max(qv).alias("q_max"),
+        F.array_min(qv).alias("q_min"),
+    )
