@@ -92,7 +92,11 @@ def nation_pagerank(spark, sf_dir):
     edge aggregation is the only fact-scale stage, and each iteration
     is a broadcast join on the (tiny) node set, so iterations add no
     fact-table rescans."""
-    edges = _trade_edges(spark, sf_dir).cache()
+    # localCheckpoint truncates the fact-join lineage: without it the
+    # unrolled iterations re-embed the 4-table join subtree ~14× and
+    # the plan balloons to 110 broadcast joins (10 s of pure planning
+    # at sf0.01). The checkpointed edge list is nation×nation-sized.
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
     outw = edges.groupBy("src").agg(F.sum("w").alias("total_w"))
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
