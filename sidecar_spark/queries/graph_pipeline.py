@@ -192,13 +192,22 @@ def fuzzy_name_match(spark, sf_dir):
     compute classic unit-cost edit distance, so the predicate is
     portable. At 100 TB the blocking key is the partitioner: the
     self-join shuffles once on p_brand and never goes quadratic
-    globally."""
+    globally. The probe side is explicitly repartitioned: part scans
+    as ONE file → one partition, and a broadcast self-join inherits
+    the probe's partitioning — without the spread, every Levenshtein
+    evaluation serializes onto a single core (12.7 s → ~1 s at
+    sf0.1). A length-band pre-filter (|len(a)-len(b)| ≤ 2 is necessary
+    for dist ≤ 2) skips the O(n·m) DP for most candidates."""
     p = t(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_name")
-    a, b = p.alias("a"), p.alias("b")
+    a = p.repartition(spark.sparkContext.defaultParallelism).alias("a")
+    b = p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    len_band = (F.abs(F.length(F.col("a.p_name"))
+                      - F.length(F.col("b.p_name"))) <= 2)
     return (
         a.join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
-               & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+               & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+               & len_band)
         .where(dist <= 2)
         .groupBy(F.col("a.p_brand").alias("brand"))
         .agg(F.count(F.lit(1)).alias("n_pairs"),

@@ -566,3 +566,42 @@ def text_redact_terms(spark, sf_dir):
         F.md5(red).alias("redacted_fp"),
         F.length(red).alias("redacted_len"),
     )
+
+
+@query(
+    "inverted_index_build",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({_SQL_WORDS.format(e='lower(text)')}) AS term
+      FROM documents
+    ), postings AS (
+      SELECT term, count(*) AS df,
+             md5(array_to_string(list_sort(list(doc_id)), ' ')) AS posting_fp
+      FROM toks GROUP BY term)
+    SELECT term, df, posting_fp
+    FROM postings
+    ORDER BY df DESC, term
+    LIMIT 50
+    """,
+)
+def inverted_index_build(spark, sf_dir):
+    """Inverted-index construction: term → (document frequency,
+    fingerprint of the sorted doc_id posting list) for the 50 most
+    frequent terms. The retrieval-side dual of BM25: explode to
+    (doc_id, term), distinct, then a posting-list aggregate. At
+    100 TB posting lists are the classic skew hazard — stopword terms
+    own millions of doc_ids — so production splits postings into
+    fixed-size blocks per term; here df is bounded by the corpus and
+    the fingerprint keeps the driver-returned payload tiny either
+    way. Sorting INSIDE the aggregate (sort_array(collect_set))
+    makes the fingerprint order-insensitive to shuffle arrival."""
+    d = spread(t(spark, sf_dir, "documents"))
+    toks = (d.select("doc_id",
+                     F.explode(X.words(F.lower(F.col("text")))).alias("term"))
+            .distinct())
+    postings = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.md5(F.array_join(
+            F.transform(F.sort_array(F.collect_set("doc_id")),
+                        lambda x: x.cast("string")), " ")).alias("posting_fp"))
+    return postings.orderBy(F.desc("df"), F.asc("term")).limit(50)

@@ -1053,16 +1053,79 @@ def approx_distinct_audit(spark, sf_dir):
     across engines would be meaningless; the within-tolerance boolean
     is the portable contract.)"""
     li = t(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    # two exact-distinct columns in ONE aggregate would plan as an
+    # Expand (row-tripling) shuffle; instead each exact count runs as
+    # its own two-phase distinct (map-side dedup before the shuffle)
+    # and the sketches share a third, Expand-free pass — three narrow
+    # 2-column scans beat one 3× Expand at any scale
+    def exact(col, alias):
+        return (li.select("l_returnflag", col).distinct()
+                .groupBy("l_returnflag")
+                .agg(F.count(F.lit(1)).alias(alias)))
+
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("ao"),
         F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
     )
+    g = (exact("l_orderkey", "exact_orders")
+         .join(exact("l_partkey", "exact_parts"), "l_returnflag")
+         .join(sketches, "l_returnflag"))
     return g.select(
         "l_returnflag", "exact_orders", "exact_parts",
         (F.abs(F.col("ao") - F.col("exact_orders"))
          <= 0.05 * F.col("exact_orders")).alias("approx_orders_ok"),
         (F.abs(F.col("ap") - F.col("exact_parts"))
          <= 0.05 * F.col("exact_parts")).alias("approx_parts_ok"),
+    )
+
+
+@query(
+    "dpp_join_pruning",
+    oracle="""
+    WITH type_dim AS (
+      SELECT * FROM (VALUES ('purchase', 'conversion'),
+                            ('signup',   'conversion'),
+                            ('click',    'traffic'),
+                            ('view',     'traffic'),
+                            ('login',    'traffic'))
+             AS v(event_type, category))
+    SELECT category, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events JOIN type_dim USING (event_type)
+    WHERE category = 'conversion'
+    GROUP BY category
+    """,
+)
+def dpp_join_pruning(spark, sf_dir):
+    """Dynamic partition pruning: the fact side is the Hive-
+    partitioned events layout (shared with partition_pruned_scan) and
+    the pruning predicate arrives only through a dimension join —
+    category='conversion' on a type dim — so Catalyst injects a
+    runtime subquery (dynamicpruningexpression on the scan's
+    PartitionFilters) that reads the dim first and skips the 3
+    non-qualifying partition directories. This is the star-join
+    analog of static pruning: at 100 TB, date-dim → fact-partition
+    DPP is the difference between scanning a week and scanning years.
+    The dim is registered as a (tiny) parquet table, not a literal
+    IN-list, so the filter is genuinely non-foldable at plan time."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = f"/tmp/sidecar-partitioned/{tag}/events"
+    marker = os.path.join(root, "_SUCCESS")
+    if not os.path.exists(marker):
+        (t(spark, sf_dir, "events")
+         .write.mode("overwrite").partitionBy("event_type").parquet(root))
+    dim_root = "/tmp/sidecar-partitioned/type_dim"
+    if not os.path.exists(os.path.join(dim_root, "_SUCCESS")):
+        spark.createDataFrame(
+            [("purchase", "conversion"), ("signup", "conversion"),
+             ("click", "traffic"), ("view", "traffic"),
+             ("login", "traffic")],
+            "event_type string, category string",
+        ).coalesce(1).write.mode("overwrite").parquet(dim_root)
+    e = spark.read.parquet(root)
+    dim = spark.read.parquet(dim_root).where(F.col("category") == "conversion")
+    return (
+        e.join(dim, "event_type")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"),
+             money(F.sum("value")).alias("sum_value"))
     )
