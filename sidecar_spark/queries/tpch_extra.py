@@ -1129,3 +1129,148 @@ def dpp_join_pruning(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"),
              money(F.sum("value")).alias("sum_value"))
     )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'orders->customer' AS relation,
+           (SELECT count(*) FROM orders) AS n_child_rows,
+           (SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+               AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+    """,
+)
+def referential_integrity_audit(spark, sf_dir):
+    """Foreign-key orphan audit across the star schema — the
+    data-quality gate a pipeline runs before publishing a snapshot.
+    Each relation is one broadcast LEFT OUTER pass over the child:
+    total = count(*), orphans = count of unmatched parent keys (keys
+    are non-null, so NOT IN ≡ no-match); at 100 TB each check is one
+    fact scan with a broadcast dim, all four fused into one lazy
+    union plan."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+
+    def audit(child, fk, parent, pk, label):
+        j = child.select(F.col(fk)).join(
+            F.broadcast(parent.select(pk)),
+            F.col(fk) == F.col(pk), "left")
+        return (j.agg(F.count(F.lit(1)).alias("n_child_rows"),
+                      F.count_if(F.isnull(pk)).alias("n_orphans"))
+                .select(F.lit(label).alias("relation"),
+                        "n_child_rows", "n_orphans"))
+
+    pieces = [
+        audit(o, "o_custkey", t(spark, sf_dir, "customer"),
+              "c_custkey", "orders->customer"),
+        audit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
+        audit(li, "l_partkey", t(spark, sf_dir, "part"),
+              "p_partkey", "lineitem->part"),
+        audit(li, "l_suppkey", t(spark, sf_dir, "supplier"),
+              "s_suppkey", "lineitem->supplier"),
+    ]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@query(
+    "approx_quantile_audit",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+           round(quantile_cont(o_totalprice, 0.95), 2) AS exact_p95,
+           TRUE AS approx_p50_ok,
+           TRUE AS approx_p95_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def approx_quantile_audit(spark, sf_dir):
+    """Approximate-quantile (Greenwald-Khanna) vs exact percentile:
+    at 100 TB the sketch is the only viable path (bounded state,
+    mergeable partials, no full sort) — this audit pins the exact
+    interpolated quantile AND asserts the sketch lands inside the
+    ±1%-rank value band, the sketch's actual guarantee. The band
+    endpoints are themselves exact quantiles, so the boolean is
+    engine-portable (sketch internals are not)."""
+    o = t(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("e50"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("e95"),
+        F.expr("percentile(o_totalprice, 0.49)").alias("lo50"),
+        F.expr("percentile(o_totalprice, 0.51)").alias("hi50"),
+        F.expr("percentile(o_totalprice, 0.94)").alias("lo95"),
+        F.expr("percentile(o_totalprice, 0.96)").alias("hi95"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(o_totalprice, 0.95, 10000)").alias("a95"),
+    )
+    return g.select(
+        "o_orderpriority",
+        F.round("e50", 2).alias("exact_p50"),
+        F.round("e95", 2).alias("exact_p95"),
+        ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50")))
+        .alias("approx_p50_ok"),
+        ((F.col("a95") >= F.col("lo95")) & (F.col("a95") <= F.col("hi95")))
+        .alias("approx_p95_ok"),
+    )
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT p_partkey,
+           round(sqrt(p_retailprice), 6) AS f_sqrt,
+           round(ln(p_retailprice), 6) AS f_ln,
+           round(log10(p_retailprice), 6) AS f_log10,
+           round(exp(p_retailprice / 1000.0), 6) AS f_exp,
+           round(pow(p_retailprice, 1.5), 4) AS f_pow,
+           round(sin(p_retailprice), 6) AS f_sin,
+           round(atan2(p_retailprice, CAST(p_size AS DOUBLE)), 6) AS f_atan2,
+           round(radians(p_size), 6) AS f_radians,
+           sign(p_retailprice - 1000) AS f_sign,
+           round(mod(p_retailprice, 7.0), 6) AS f_mod,
+           ceil(p_retailprice) AS f_ceil,
+           floor(p_retailprice) AS f_floor
+    FROM part
+    """,
+)
+def math_functions(spark, sf_dir):
+    """Scalar math-function family (sqrt/ln/log10/exp/pow/trig/
+    sign/mod/ceil/floor) — whole-stage-codegen column math, zero
+    shuffles. Both engines evaluate IEEE-double libm; round-6 (pow:
+    round-4, magnitudes ~1e4) absorbs last-ulp library differences."""
+    p = t(spark, sf_dir, "part")
+    price, size = F.col("p_retailprice"), F.col("p_size")
+    return p.select(
+        "p_partkey",
+        F.round(F.sqrt(price), 6).alias("f_sqrt"),
+        F.round(F.log(price), 6).alias("f_ln"),
+        F.round(F.log10(price), 6).alias("f_log10"),
+        F.round(F.exp(price / 1000.0), 6).alias("f_exp"),
+        F.round(F.pow(price, 1.5), 4).alias("f_pow"),
+        F.round(F.sin(price), 6).alias("f_sin"),
+        F.round(F.atan2(price, size.cast("double")), 6).alias("f_atan2"),
+        F.round(F.radians(size), 6).alias("f_radians"),
+        F.signum(price - 1000).alias("f_sign"),
+        F.round(price % 7.0, 6).alias("f_mod"),
+        F.ceil(price).alias("f_ceil"),
+        F.floor(price).alias("f_floor"),
+    )
