@@ -1212,3 +1212,57 @@ def unpivot_melt(spark, sf_dir):
         ["l_quantity", "l_discount", "l_tax"],
         "measure", "val",
     ).withColumn("val", F.round("val", 2))
+
+
+@query(
+    "pandas_udaf_gini",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag,
+             l_extendedprice AS x,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS i,
+             count(*) OVER (PARTITION BY l_returnflag) AS n,
+             sum(l_extendedprice) OVER (PARTITION BY l_returnflag) AS tot
+      FROM lineitem)
+    SELECT l_returnflag,
+           max(n) AS n_rows,
+           round(2.0 * sum(i * x) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked
+    GROUP BY l_returnflag
+    """,
+)
+def pandas_udaf_gini(spark, sf_dir):
+    """Grouped-aggregate Pandas UDF (Arrow-batched UDAF): Gini
+    concentration of line revenue per return flag — the custom-
+    statistic shape Spark has no builtin for. The whole group streams
+    into one Arrow batch per key (fine for bounded groups; a 100 TB
+    rollout pre-aggregates or samples within partitions first — this
+    entry pins the API surface and its exact math). Tie order is
+    irrelevant to sum(i*x) over equal x, so the sorted-rank formula
+    is engine-portable."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def gini(x: pd.Series) -> float:
+        xs = np.sort(x.to_numpy(dtype="float64"))
+        n = xs.size
+        i = np.arange(1, n + 1, dtype="float64")
+        return float(2.0 * (i * xs).sum() / (n * xs.sum()) - (n + 1.0) / n)
+
+    @pandas_udf("long")
+    def n_rows(x: pd.Series) -> int:
+        # grouped-agg pandas UDFs cannot mix with JVM aggregates in
+        # one Aggregate (INVALID_PANDAS_UDF_PLACEMENT) — the count
+        # rides the same Arrow batch instead
+        return len(x)
+
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(n_rows("l_extendedprice").alias("n_rows"),
+             F.round(gini("l_extendedprice"), 6).alias("gini"))
+    )
