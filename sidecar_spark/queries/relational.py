@@ -1266,3 +1266,73 @@ def pandas_udaf_gini(spark, sf_dir):
         .agg(n_rows("l_extendedprice").alias("n_rows"),
              F.round(gini("l_extendedprice"), 6).alias("gini"))
     )
+
+
+@query(
+    "cogrouped_asof_enrich",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) - (SELECT max(epoch_us(c.ts)) FROM events c
+                             WHERE c.event_type = 'click'
+                               AND c.user_id = p.user_id
+                               AND c.ts <= p.ts
+                               AND c.ts >= p.ts - INTERVAL 1 HOUR)
+               AS micros_since_click
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def cogrouped_asof_enrich(spark, sf_dir):
+    """Cogrouped applyInPandas (the fourth Arrow surface, after
+    scalar pandas UDF / grouped-agg UDAF / mapInPandas): per-user
+    as-of enrichment — each purchase annotated with the microseconds
+    since that user's latest click within the preceding hour, via
+    pandas merge_asof on the cogrouped pair. Both sides shuffle once
+    on user_id and stream through Arrow batch-by-batch; the 100 TB
+    shape is the standard feature-join of a training pipeline
+    (events × behavior history, co-partitioned by entity)."""
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events")
+    # cogroup on a HASH BUCKET of the entity, not the entity itself:
+    # applyInPandas pays per-group Arrow/Python overhead (~5 ms/group —
+    # 1500 per-user groups cost ~9 s at sf0.1), so groups are bucketed
+    # 64-ways and merge_asof(by="user_id") does the per-user as-of
+    # inside each batch. Identical semantics, tunable batch size —
+    # exactly how a 100 TB rollout sizes Arrow batches.
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        (F.col("user_id") % 64).alias("bucket"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        (F.col("user_id") % 64).alias("c_bucket"))
+
+    def enrich(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["user_id", "purchase_id", "micros_since_click"])
+        left = left.sort_values("p_ts", kind="mergesort")
+        if right.empty:
+            out = left[["user_id", "purchase_id"]].copy()
+            out["micros_since_click"] = pd.array(
+                [None] * len(out), dtype="Int64")
+            return out
+        right = (right.sort_values("c_ts", kind="mergesort")
+                 .rename(columns={"c_user": "user_id"}))
+        m = pd.merge_asof(left, right, left_on="p_ts", right_on="c_ts",
+                          by="user_id",
+                          tolerance=pd.Timedelta(hours=1),
+                          direction="backward")
+        delta = (m["p_ts"] - m["c_ts"]) // pd.Timedelta(microseconds=1)
+        out = m[["user_id", "purchase_id"]].copy()
+        out["micros_since_click"] = delta.astype("Int64")
+        return out
+
+    return (
+        purchases.groupBy("bucket")
+        .cogroup(clicks.groupBy("c_bucket"))
+        .applyInPandas(
+            enrich,
+            "user_id long, purchase_id long, micros_since_click long")
+    )

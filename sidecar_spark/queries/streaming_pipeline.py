@@ -165,3 +165,51 @@ def stream_stream_interval_join(spark, sf_dir):
 
     s = interval_joined_streams(events_stream(spark, sf_dir))
     return run_to_memory_sink(s, "stream_stream_interval_join", "append")
+
+
+@query(
+    "stream_stream_left_join",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ), wm AS (
+      -- Spark's global watermark under the default 'min' multiple-
+      -- watermark policy: min over BOTH stream sides' max event time
+      -- (each tracked in ms precision), minus the 30-minute delay
+      SELECT make_timestamp((epoch_ms(least(
+               (SELECT max(p_ts) FROM purchases),
+               (SELECT max(c_ts) FROM clicks))) - 30 * 60 * 1000) * 1000)
+             AS w)
+    SELECT p.user_id, p.purchase_id, c.click_id
+    FROM purchases p
+    JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE AND c.c_ts <= p.p_ts
+    UNION ALL
+    SELECT p.user_id, p.purchase_id, NULL AS click_id
+    FROM purchases p CROSS JOIN wm
+    WHERE p.p_ts < wm.w
+      AND NOT EXISTS (SELECT 1 FROM clicks c
+                      WHERE c.user_id = p.user_id
+                        AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE
+                        AND c.c_ts <= p.p_ts)
+    """,
+)
+def stream_stream_left_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join — the append-mode
+    null-emission contract: matches emit immediately; null-padded
+    purchases emit only once the global watermark passes their
+    timestamp, so unmatched purchases in the final watermark window
+    are withheld. Under the default 'min' multiple-watermark policy
+    the global watermark is min(max p_ts, max c_ts) − delay, with max
+    event time tracked in MILLISECOND precision — the oracle's wm CTE
+    reproduces that exactly (verified against the query's per-batch
+    progress: final wm = ms_floor(max purchase ts) − 30 min)."""
+    from sidecar_spark.streaming import left_joined_streams
+
+    s = left_joined_streams(events_stream(spark, sf_dir))
+    return run_to_memory_sink(s, "stream_stream_left_join", "append")

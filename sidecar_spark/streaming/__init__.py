@@ -9,6 +9,7 @@ windows, and custom stateful processing via applyInPandasWithState.
 from sidecar_spark.streaming.ops import (
     enriched_windowed_value,
     interval_joined_streams,
+    left_joined_streams,
     events_stream,
     run_to_memory_sink,
     sessionized_stream,
@@ -20,6 +21,7 @@ from sidecar_spark.streaming.ops import (
 __all__ = [
     "enriched_windowed_value",
     "interval_joined_streams",
+    "left_joined_streams",
     "events_stream",
     "run_to_memory_sink",
     "sessionized_stream",

@@ -238,3 +238,38 @@ def enriched_windowed_value(events: DataFrame, dim: DataFrame,
             "c_mktsegment", "n_events", "sum_value",
         )
     )
+
+
+def left_joined_streams(events: DataFrame,
+                        watermark: str = "30 minutes",
+                        lookback: str = "10 minutes") -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase, with
+    its same-user clicks in the preceding ``lookback`` window, or a
+    null click if none arrive.
+
+    The outer semantics are the streaming-specific part: a null-padded
+    purchase can only emit once the CLICK-side watermark guarantees no
+    matching click can still arrive (click ts must be ≤ purchase ts,
+    so eviction triggers when the click watermark passes the purchase
+    ts). Unmatched purchases younger than the final watermark stay in
+    state and never emit — the append-mode oracle encodes exactly that
+    cutoff."""
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "left_outer")
+        .select("user_id", "purchase_id", "click_id")
+    )
