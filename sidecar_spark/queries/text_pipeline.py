@@ -605,3 +605,104 @@ def inverted_index_build(spark, sf_dir):
             F.transform(F.sort_array(F.collect_set("doc_id")),
                         lambda x: x.cast("string")), " ")).alias("posting_fp"))
     return postings.orderBy(F.desc("df"), F.asc("term")).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (lateral table function) + VARIANT semi-structured type
+# ---------------------------------------------------------------------------
+
+@query(
+    "udtf_token_explode",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS tl
+      FROM documents),
+    exploded AS (
+      SELECT lang,
+             unnest(tl) AS tok,
+             unnest(range(1, len(tl) + 1)) AS pos
+      FROM toks)
+    SELECT lang,
+           count(*) AS n_tokens,
+           count(DISTINCT tok) AS n_distinct,
+           round(avg(length(tok)), 6) AS avg_tok_len,
+           sum(pos * length(tok)) AS pos_checksum
+    FROM exploded
+    GROUP BY lang
+    """,
+)
+def udtf_token_explode(spark, sf_dir):
+    """Python UDTF (user-defined TABLE function, Spark 3.5+/4.x API)
+    exercised through a LATERAL join: `tokenize(text)` yields one
+    (pos, tok) row per token, then per-language stats aggregate the
+    exploded table. The positional checksum pins row-multiplicity AND
+    ordinal correctness, not just token counts; the oracle replicates
+    the explosion with DuckDB's zipped unnest/generate_subscripts.
+
+    The UDTF runs Arrow-batched (spark.sql.execution.pythonUDTF.arrow
+    .enabled) and is partition-parallel — each task streams its
+    document batch through Python once, so at 100 TB this is the same
+    shape as any scan->explode->partial-agg pipeline; the only
+    shuffle is the final tiny per-language aggregate."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(
+                    re.findall(r"[a-z0-9]+", (text or "").lower()), 1):
+                yield i, tok
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    spark.udtf.register("sidecar_tokenize", Tokenize)
+    # The sf0.1 corpus is a single parquet file -> one scan partition,
+    # which would serialize the Python stage; spread the CPU-dense
+    # tokenization across workers (at real scale the scan has many
+    # splits and this repartition is unnecessary).
+    docs = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    docs.createOrReplaceTempView("docs_for_udtf")
+    exploded = spark.sql(
+        "SELECT d.lang, tk.pos, tk.tok "
+        "FROM docs_for_udtf d, LATERAL sidecar_tokenize(d.text) tk")
+    return (
+        exploded.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.countDistinct("tok").alias("n_distinct"),
+             F.round(F.avg(F.length("tok")), 6).alias("avg_tok_len"),
+             F.sum(F.col("pos") * F.length("tok")).alias("pos_checksum"))
+    )
+
+
+@query(
+    "variant_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events
+    GROUP BY k_bucket
+    """,
+)
+def variant_extract(spark, sf_dir):
+    """Semi-structured VARIANT type (Spark 4.x): parse the JSON props
+    column into a VARIANT with `parse_json`, extract a typed field
+    with `variant_get`, and aggregate on it — the open-schema
+    ingestion path (vs events_json_extract's per-field string
+    extraction). VARIANT keeps a parsed binary form, so repeated
+    field accesses don't re-parse the JSON text; at 100 TB the
+    parse cost is paid once per row in the scan projection and the
+    aggregation is an ordinary tiny-key shuffle."""
+    e = t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        e.groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"),
+             F.round(F.min("value"), 2).alias("min_value"),
+             F.round(F.max("value"), 2).alias("max_value"))
+    )

@@ -16,9 +16,13 @@ import os
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sidecar_spark.functions.dedup import hash60
 from sidecar_spark.queries.registry import query, t
 
 DATE_FMT = "yyyy-MM-dd"
+
+# DuckDB twin of functions/dedup.py::hash60 over a SQL expression
+_H60 = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
 
 
 def _dt(col):
@@ -1273,4 +1277,218 @@ def math_functions(spark, sf_dir):
         F.round(price % 7.0, 6).alias("f_mod"),
         F.ceil(price).alias("f_ceil"),
         F.floor(price).alias("f_floor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# full-outer reconciliation, bloom-style join pre-filter, count-min sketch
+# ---------------------------------------------------------------------------
+
+@query(
+    "full_outer_reconcile",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS k, count(*) AS n_cust,
+             round(sum(c_acctbal), 2) AS cust_bal
+      FROM customer WHERE c_acctbal > 9900 GROUP BY 1),
+    s AS (
+      SELECT s_nationkey AS k, count(*) AS n_supp,
+             round(sum(s_acctbal), 2) AS supp_bal
+      FROM supplier WHERE s_acctbal > 8000 GROUP BY 1)
+    SELECT coalesce(c.k, s.k) AS nationkey,
+           n_name,
+           CASE WHEN c.k IS NOT NULL AND s.k IS NOT NULL THEN 'both'
+                WHEN c.k IS NOT NULL THEN 'customer_only'
+                ELSE 'supplier_only' END AS presence,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp,
+           coalesce(cust_bal, 0.0) AS cust_bal,
+           coalesce(supp_bal, 0.0) AS supp_bal
+    FROM c FULL OUTER JOIN s ON c.k = s.k
+    JOIN nation ON coalesce(c.k, s.k) = n_nationkey
+    """,
+)
+def full_outer_reconcile(spark, sf_dir):
+    """FULL OUTER reconciliation of two independently derived per-nation
+    aggregates (high-balance customers vs high-balance suppliers),
+    classifying every nation as both / customer_only / supplier_only —
+    the missing outer-join shape in the battery (q13 is LEFT OUTER).
+
+    Scale shape: both inputs are pre-aggregated to ≤|nation| rows BEFORE
+    the full-outer join, so the join itself is trivially broadcastable;
+    the heavy work is two map-side-combined aggregations with the
+    balance filters pushed into the scans."""
+    cust = (
+        t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n_cust"),
+             money(F.sum("c_acctbal")).alias("cust_bal"))
+    )
+    supp = (
+        t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 8000)
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"),
+             money(F.sum("s_acctbal")).alias("supp_bal"))
+    )
+    nation = t(spark, sf_dir, "nation")
+    f = cust.join(supp, cust.ck == supp.sk, "full_outer")
+    k = F.coalesce("ck", "sk")
+    presence = (
+        F.when(F.col("ck").isNotNull() & F.col("sk").isNotNull(), "both")
+        .when(F.col("ck").isNotNull(), "customer_only")
+        .otherwise("supplier_only")
+    )
+    return (
+        f.select(
+            k.alias("nationkey"), presence.alias("presence"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+            F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+            F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"))
+        .join(F.broadcast(nation),
+              F.col("nationkey") == F.col("n_nationkey"))
+        .select("nationkey", "n_name", "presence",
+                "n_cust", "n_supp", "cust_bal", "supp_bal")
+    )
+
+
+_BF_M = 65536          # bloom bucket space (1-hash bloom == bucket set)
+_BF_CUTOFF = 480000.0  # build-side selectivity: ~4% of orders
+
+
+@query(
+    "bloom_prefilter_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 480000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def bloom_prefilter_join(spark, sf_dir):
+    """Bloom-style runtime pre-filter for a selective fact join, made
+    explicit: the build side (top-price orders, ~4%) is compressed to
+    its DISTINCT 16-bit hash buckets — a 1-hash bloom filter whose
+    "bitmap" is a broadcastable bucket set — and the probe side
+    (lineitem) is semi-joined against it BEFORE the exact join, so
+    ~96% of probe rows are dropped map-side without shuffling the fact
+    table. False positives (bucket collisions) are removed by the
+    exact broadcast join that follows; the result is exactly the plain
+    join, which is what the oracle checks.
+
+    This is Spark's own InjectRuntimeFilter / bloom pattern (the SQL
+    `bloom_filter_agg` runtime-filter rewrite, not registered for
+    direct SQL use in 4.1) expressed with public operators. At 100 TB
+    the bucket set stays ≤ {m} rows regardless of build cardinality,
+    the semi-join and the exact join are both broadcasts, and lineitem
+    is never shuffled."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    build = orders.where(F.col("o_totalprice") > _BF_CUTOFF).select(
+        "o_orderkey", "o_orderpriority")
+    bucket_of = lambda c: hash60(c.cast("string")) % F.lit(_BF_M)  # noqa: E731
+    buckets = build.select(
+        bucket_of(F.col("o_orderkey")).alias("bf_bucket")).distinct()
+    prefiltered = li.join(
+        F.broadcast(buckets),
+        bucket_of(F.col("l_orderkey")) == F.col("bf_bucket"), "left_semi")
+    return (
+        prefiltered.join(F.broadcast(build),
+                         F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             money(F.sum(REVENUE())).alias("revenue"))
+    )
+
+
+_CMS_W = 8192  # sketch width (buckets per row)
+_CMS_D = 4     # sketch depth (independent hash rows)
+_CMS_TOPK = 20
+
+
+def _cms_bucket(key_col, depth: int):
+    """Depth-d counter bucket: independent hash streams from one md5
+    family via a ':cms<d>' salt (same trick as the sampling salts)."""
+    return hash60(F.concat(key_col, F.lit(f":cms{depth}"))) % F.lit(_CMS_W)
+
+
+_CMS_BUCKET_SQL = (
+    "('0x' || substr(md5(key || ':cms' || d), 1, 15))::BIGINT % 8192")
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS key, l_partkey,
+             count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    depths AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d),
+    counters AS (
+      SELECT d, {_CMS_BUCKET_SQL} AS bucket, sum(cnt) AS w
+      FROM keyed CROSS JOIN depths GROUP BY 1, 2),
+    cand AS (
+      SELECT key, l_partkey, cnt,
+             row_number() OVER (ORDER BY cnt DESC, l_partkey) AS rn
+      FROM keyed QUALIFY rn <= {_CMS_TOPK})
+    SELECT c.l_partkey, c.cnt AS exact_cnt, min(ct.w) AS cms_est,
+           min(ct.w) - c.cnt AS overcount
+    FROM cand c CROSS JOIN depths
+    JOIN counters ct ON ct.d = depths.d AND ct.bucket =
+      ('0x' || substr(md5(c.key || ':cms' || depths.d), 1, 15))::BIGINT % 8192
+    GROUP BY c.l_partkey, c.cnt
+    """,
+)
+def cms_heavy_hitters(spark, sf_dir):
+    """Distributed count-min sketch (w=8192, d=4) over lineitem part
+    keys, audited against exact counts for the top-20 heavy hitters —
+    completing the sketch family (HLL distinct, GK quantiles, CMS
+    frequencies). No driver-side sketch object: the counter matrix IS
+    a DataFrame (depth, bucket, weight), built by aggregating per key
+    first (map-side combine over the fact table) and only then
+    exploding the 4 depth rows per DISTINCT key — the explode factor
+    applies to key cardinality, not raw rows, so at 100 TB the sketch
+    build costs one fact-table aggregation plus a 4x|keys| shuffle
+    into 4x8192 cells. Estimates (min over depths) are deterministic
+    given the md5 hash family, so the oracle replicates the whole
+    sketch in SQL and checks values exactly; overcount >= 0 by
+    construction is the CMS guarantee made visible."""
+    li = t(spark, sf_dir, "lineitem")
+    keyed = (
+        li.groupBy(F.col("l_partkey").cast("string").alias("key"),
+                   "l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # reuse across counters + cand
+    )
+    depth_structs = F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 _cms_bucket(F.col("key"), d).alias("bucket"))
+        for d in range(_CMS_D)])
+    counters = (
+        keyed.select("cnt", F.explode(depth_structs).alias("db"))
+        .groupBy(F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+        .agg(F.sum("cnt").alias("w"))
+    )
+    cand = (
+        keyed.withColumn(
+            "rn", F.row_number().over(
+                W.orderBy(F.desc("cnt"), F.asc("l_partkey"))))
+        .where(F.col("rn") <= _CMS_TOPK)
+        .select("key", "l_partkey", "cnt")
+    )
+    probes = (
+        cand.select("l_partkey", "cnt", F.explode(depth_structs).alias("db"))
+        .select("l_partkey", "cnt", F.col("db.d").alias("pd"),
+                F.col("db.bucket").alias("pb"))
+    )
+    return (
+        probes.join(counters,
+                    (probes.pd == counters.d) & (probes.pb == counters.bucket))
+        .groupBy("l_partkey", "cnt")
+        .agg(F.min("w").alias("cms_est"),
+             (F.min("w") - F.col("cnt")).alias("overcount"))
+        .select(F.col("l_partkey"), F.col("cnt").alias("exact_cnt"),
+                "cms_est", "overcount")
     )
