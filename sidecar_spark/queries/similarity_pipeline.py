@@ -371,3 +371,61 @@ def emb_quantize(spark, sf_dir):
         F.array_max(qv).alias("q_max"),
         F.array_min(qv).alias("q_min"),
     )
+
+
+@query(
+    "arrow_map_batches",
+    oracle="""
+    WITH per_vec AS (
+      SELECT label,
+             list_sum(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS l1,
+             len(list_filter(embedding, x -> x > 0)) AS n_pos
+      FROM embeddings)
+    SELECT label, count(*) AS n,
+           round(avg(l1), 6) AS avg_l1,
+           sum(n_pos) AS total_pos
+    FROM per_vec GROUP BY label
+    """,
+)
+def arrow_map_batches(spark, sf_dir):
+    """`mapInArrow` — the last member of the Arrow UDF family (scalar
+    pandas UDF / grouped-agg UDAF / mapInPandas / cogrouped / UDTF are
+    already in the battery): the vector stage receives raw
+    pyarrow.RecordBatch objects, flattens the list<float> column once
+    via its offsets (no per-row Python), and emits per-vector L1 norm
+    + positive-component count with vectorized numpy. Zero
+    serialization beyond Arrow itself — the fastest Python escape
+    hatch when even pandas conversion overhead matters; at 100 TB
+    this runs batch-at-a-time per task exactly like the JVM stages
+    around it, and the only shuffle is the final per-label agg."""
+    import numpy as np
+    import pyarrow as pa
+
+    def per_batch(batches):
+        for b in batches:
+            col = b.column(b.schema.get_field_index("embedding"))
+            if isinstance(col, pa.ChunkedArray):  # defensive; RecordBatch cols are flat
+                col = col.combine_chunks()
+            offs = col.offsets.to_numpy()
+            vals = np.abs(col.values.to_numpy(zero_copy_only=False)
+                          .astype("float64"))
+            l1 = np.add.reduceat(vals, offs[:-1])
+            n_pos = np.add.reduceat(
+                (col.values.to_numpy(zero_copy_only=False) > 0.0)
+                .astype("int64"), offs[:-1])
+            label = b.column(b.schema.get_field_index("label"))
+            yield pa.RecordBatch.from_arrays(
+                [label.cast(pa.int32()),
+                 pa.array(l1, type=pa.float64()),
+                 pa.array(n_pos, type=pa.int64())],
+                names=["label", "l1", "n_pos"])
+
+    e = t(spark, sf_dir, "embeddings").select("label", "embedding")
+    per_vec = e.mapInArrow(per_batch, "label int, l1 double, n_pos long")
+    return (
+        per_vec.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("l1"), 6).alias("avg_l1"),
+             F.sum("n_pos").alias("total_pos"))
+    )

@@ -237,3 +237,42 @@ def cache_lifecycle(spark, sf_dir):
         return spark.createDataFrame(rows, "step string, served_from string")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "python_datasource_scan",
+    oracle="""
+    SELECT 'h' || CAST(i % 50 AS VARCHAR) AS host,
+           count(*) AS n,
+           sum((i * 2654435761) % 1000) AS sum_metric,
+           min((i * 2654435761) % 1000) AS min_metric,
+           max((i * 2654435761) % 1000) AS max_metric
+    FROM (SELECT unnest(generate_series(0, 79999)) AS i)
+    GROUP BY host
+    """,
+)
+def python_datasource_scan(spark, sf_dir):
+    """Custom connector via the Python DataSource API (Spark 4.x) —
+    the engine's answer to the reference's per-vendor FileSystem
+    wrappers (SURVEY.md §2.6) for systems of record that are NOT a
+    filesystem. sources/pyds.py::TelemetrySource plans 8 independent
+    InputPartitions; each task streams its span as Arrow batches, so
+    the scan parallelizes like any file source (no driver fan-in).
+    Rows are a deterministic Knuth-hash sequence, which is how a
+    procedural source stays oracle-checkable: DuckDB regenerates the
+    identical feed from generate_series and must agree exactly."""
+    from sidecar_spark.sources.pyds import TelemetrySource
+
+    try:
+        spark.dataSource.register(TelemetrySource)
+    except Exception:
+        pass  # already registered in this session
+    feed = (spark.read.format("sidecar_telemetry")
+            .option("rows", 80_000).option("partitions", 8).load())
+    return (
+        feed.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("metric").alias("sum_metric"),
+             F.min("metric").alias("min_metric"),
+             F.max("metric").alias("max_metric"))
+    )

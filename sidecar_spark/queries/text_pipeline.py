@@ -706,3 +706,58 @@ def variant_extract(spark, sf_dir):
              F.round(F.min("value"), 2).alias("min_value"),
              F.round(F.max("value"), 2).alias("max_value"))
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    total AS (SELECT sum(cnt) AS n FROM freq),
+    doc_lp AS (
+      SELECT t.doc_id, t.lang,
+             sum(ln(f.cnt / (SELECT n FROM total))) AS logprob,
+             count(*) AS n_tok
+      FROM toks t JOIN freq f ON t.tok = f.tok
+      GROUP BY t.doc_id, t.lang)
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(logprob / n_tok), 6) AS avg_per_tok_lp,
+           round(min(logprob / n_tok), 6) AS min_per_tok_lp,
+           round(max(logprob / n_tok), 6) AS max_per_tok_lp
+    FROM doc_lp GROUP BY lang
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Unigram language-model scoring — the classic corpus-level
+    quality/perplexity signal for training-data filtering: pass 1
+    builds the corpus unigram distribution, pass 2 scores every
+    document by mean per-token log-probability. The frequency table
+    is vocabulary-sized, so it broadcasts; the scoring join is
+    therefore map-side over the exploded corpus and the per-document
+    sum is a partial aggregate — two scans, one tiny shuffle, no
+    driver state. Per-token normalization makes scores comparable
+    across document lengths (low = surprising/garbled text)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n"))
+    doc_lp = (
+        toks.join(F.broadcast(freq), "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.log(F.col("cnt") / F.col("n"))).alias("logprob"),
+             F.count(F.lit(1)).alias("n_tok"))
+    )
+    per_tok = F.col("logprob") / F.col("n_tok")
+    return (
+        doc_lp.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg(per_tok), 6).alias("avg_per_tok_lp"),
+             F.round(F.min(per_tok), 6).alias("min_per_tok_lp"),
+             F.round(F.max(per_tok), 6).alias("max_per_tok_lp"))
+    )

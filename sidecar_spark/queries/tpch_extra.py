@@ -1492,3 +1492,38 @@ def cms_heavy_hitters(spark, sf_dir):
         .select(F.col("l_partkey"), F.col("cnt").alias("exact_cnt"),
                 "cms_est", "overcount")
     )
+
+
+@query(
+    "ordered_agg_family",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n,
+           round(median(c_acctbal), 6) AS median_bal,
+           string_agg(c_name, ',' ORDER BY c_name) AS names_csv,
+           min(c_name) AS first_name,
+           max(c_name) AS last_name
+    FROM customer
+    WHERE c_acctbal > 9900
+    GROUP BY c_mktsegment
+    """,
+)
+def ordered_agg_family(spark, sf_dir):
+    """Order-sensitive aggregates (Spark 4.x surface): exact
+    interpolated `median` and `listagg ... WITHIN GROUP (ORDER BY)`
+    (ANSI string_agg), which is how collect-and-concatenate becomes
+    deterministic — an unordered collect_list is not oracle-checkable,
+    the WITHIN GROUP contract is. The high-balance filter keeps the
+    concatenation bounded; at scale listagg over unbounded groups is
+    the anti-pattern (a per-group reduce of strings), so the filter
+    IS the scale story: reduce first, stringify last."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9900)
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.median("c_acctbal"), 6).alias("median_bal"),
+             F.expr("listagg(c_name, ',') within group (order by c_name)")
+             .alias("names_csv"),
+             F.min("c_name").alias("first_name"),
+             F.max("c_name").alias("last_name"))
+    )
