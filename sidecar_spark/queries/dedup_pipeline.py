@@ -258,3 +258,71 @@ def dedup_clusters(spark, sf_dir):
     pairs = D.minhash_candidate_pairs(
         d, num_hashes=16, bands=4, shingle_k=3, jaccard_threshold=0.1)
     return D.connected_components(pairs, d.select("doc_id"))
+
+
+@query(
+    "dedup_contamination_check",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, lang, {_HS.replace('sh', _SHINGLES)} AS hs,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS bucket
+      FROM documents),
+    train_set AS (
+      SELECT DISTINCT unnest(hs) AS h FROM hashed WHERE bucket < 80),
+    test_docs AS (
+      SELECT doc_id, lang, len(hs) AS n_sh, hs FROM hashed
+      WHERE bucket >= 90),
+    hits AS (
+      SELECT t.doc_id, count(*) AS n_hit
+      FROM (SELECT doc_id, unnest(hs) AS h FROM test_docs) t
+      JOIN train_set s ON t.h = s.h
+      GROUP BY t.doc_id),
+    rated AS (
+      SELECT d.lang, coalesce(n_hit, 0) * 1.0 / d.n_sh AS ratio
+      FROM test_docs d LEFT JOIN hits USING (doc_id))
+    SELECT lang,
+           count(*) AS n_test,
+           sum(CASE WHEN ratio >= 0.5 THEN 1 ELSE 0 END) AS n_contaminated,
+           round(avg(ratio), 6) AS avg_overlap
+    FROM rated GROUP BY lang
+    """,
+)
+def dedup_contamination_check(spark, sf_dir):
+    """Train/test contamination audit — the decontamination pass every
+    training pipeline needs before an eval split ships: for each TEST
+    document (hash bucket >= 90, the same deterministic split as
+    train_val_split), measure what fraction of its word 3-shingles
+    already occur anywhere in the TRAIN corpus (bucket < 80); flag
+    docs above 50% overlap. Per-language rates summarize the leak.
+
+    Scale shape: the train shingle set is hashes-only and DISTINCT
+    (vocabulary-sized, not corpus-sized), so it broadcasts; the test
+    side explodes only the 10% split. No shuffle touches full text —
+    the same hashes-not-strings discipline as the MinHash pipeline."""
+    d = spread(t(spark, sf_dir, "documents"))
+    hs = F.transform(D.shingles(F.col("text"), k=3),
+                     lambda s: D.hash60(s) % F.lit(D.MERSENNE31))
+    bucket = D.hash60(F.col("doc_id").cast("string")) % 100
+    hashed = d.select("doc_id", "lang", hs.alias("hs"),
+                      bucket.alias("bucket"))
+    train_set = (hashed.where(F.col("bucket") < 80)
+                 .select(F.explode("hs").alias("h")).distinct())
+    test_docs = (hashed.where(F.col("bucket") >= 90)
+                 .select("doc_id", "lang", F.size("hs").alias("n_sh"), "hs"))
+    hits = (
+        test_docs.select("doc_id", F.explode("hs").alias("h"))
+        .join(F.broadcast(train_set), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    ratio = F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_sh")
+    return (
+        test_docs.join(hits, "doc_id", "left_outer")
+        .select("lang", ratio.alias("ratio"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_test"),
+             F.sum(F.when(F.col("ratio") >= 0.5, 1).otherwise(0))
+             .alias("n_contaminated"),
+             F.round(F.avg("ratio"), 6).alias("avg_overlap"))
+    )

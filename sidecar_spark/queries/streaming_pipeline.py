@@ -213,3 +213,40 @@ def stream_stream_left_join(spark, sf_dir):
 
     s = left_joined_streams(events_stream(spark, sf_dir))
     return run_to_memory_sink(s, "stream_stream_left_join", "append")
+
+
+@query(
+    "stream_foreach_batch_sink",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= {_WM}
+    """,
+)
+def stream_foreach_batch_sink(spark, sf_dir):
+    """foreachBatch parquet sink with idempotent per-batchId overwrite —
+    the exactly-once custom-sink pattern (streaming/ops.py::
+    run_foreach_batch_parquet). Same watermarked append-mode windows
+    as stream_window_watermark, but delivered through the production
+    sink path: checkpointed batch ids + idempotent writes means a
+    replayed micro-batch overwrites itself instead of duplicating.
+    The oracle is identical to the memory-sink variant — THAT is the
+    point: sink choice must not change the emitted result set."""
+    import shutil
+    import tempfile as _tf
+
+    from sidecar_spark.streaming import (events_stream,
+                                         run_foreach_batch_parquet,
+                                         windowed_counts)
+
+    out = _tf.mkdtemp(prefix="sidecar-fbsink-")
+    try:
+        s = windowed_counts(events_stream(spark, sf_dir))
+        result = run_foreach_batch_parquet(s, "stream_foreach_batch_sink", out)
+        return result.select(
+            "window_start", "event_type", "n_events", "sum_value"
+        ).localCheckpoint(eager=True)  # detach from the tmp dir before cleanup
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -400,3 +400,67 @@ def events_transitions(spark, sf_dir):
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "snapshot_state_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT user_id, event_type AS state FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '2024-01-10 00:00:00')
+      WHERE rn = 1),
+    v2 AS (
+      SELECT user_id, event_type AS state FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00')
+      WHERE rn = 1)
+    SELECT CASE WHEN v1.user_id IS NULL THEN 'added'
+                WHEN v1.state <> v2.state THEN 'changed'
+                ELSE 'unchanged' END AS change_class,
+           v2.state AS v2_state,
+           count(*) AS n_users
+    FROM v2 LEFT JOIN v1 USING (user_id)
+    GROUP BY change_class, v2_state
+    """,
+)
+def snapshot_state_diff(spark, sf_dir):
+    """CDC-style snapshot diff: each user's "state" is their latest
+    event type as of a cutoff; diff two snapshot dates and classify
+    every user as added / changed / unchanged — the change-data audit
+    between two ingestion snapshots (the read-side complement of
+    merge_upsert, and the batch analog of a CDC feed).
+
+    Scale shape: both snapshots come from ONE pass shape (filter +
+    per-user latest via window); the diff is a join on user_id — at
+    100 TB this co-partitions if both snapshots share the same
+    key layout, and AQE handles the residual skew. The deterministic
+    (ts, event_id) tie-break makes "latest" reproducible."""
+    e = t(spark, sf_dir, "events")
+
+    def snapshot(cutoff: str):
+        w = (W.partitionBy("user_id")
+             .orderBy(F.desc("ts"), F.desc("event_id")))
+        return (
+            e.where(F.col("ts") <= F.lit(cutoff).cast("timestamp"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias("state"))
+        )
+    v1 = snapshot("2024-01-10 00:00:00").withColumnRenamed("state", "s1")
+    v2 = snapshot("2024-01-20 00:00:00").withColumnRenamed("state", "s2")
+    change = (
+        F.when(F.col("s1").isNull(), "added")
+        .when(F.col("s1") != F.col("s2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        v2.join(v1, "user_id", "left_outer")
+        .select(change.alias("change_class"), F.col("s2").alias("v2_state"))
+        .groupBy("change_class", "v2_state")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

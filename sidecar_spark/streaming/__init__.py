@@ -11,6 +11,7 @@ from sidecar_spark.streaming.ops import (
     interval_joined_streams,
     left_joined_streams,
     events_stream,
+    run_foreach_batch_parquet,
     run_to_memory_sink,
     sessionized_stream,
     stateful_user_stats,
@@ -23,6 +24,7 @@ __all__ = [
     "interval_joined_streams",
     "left_joined_streams",
     "events_stream",
+    "run_foreach_batch_parquet",
     "run_to_memory_sink",
     "sessionized_stream",
     "stateful_user_stats",

@@ -273,3 +273,39 @@ def left_joined_streams(events: DataFrame,
             "left_outer")
         .select("user_id", "purchase_id", "click_id")
     )
+
+
+def run_foreach_batch_parquet(stream_df: DataFrame, name: str,
+                              out_dir: str,
+                              state_partitions: int = 4) -> DataFrame:
+    """Execute a streaming plan with a ``foreachBatch`` parquet sink and
+    return the sink contents.
+
+    foreachBatch is the production sink escape hatch (JDBC upserts,
+    MERGE targets, multi-sink fan-out); exactly-once comes from
+    IDEMPOTENT writes keyed by batchId — each micro-batch overwrites
+    its own ``batch=<id>`` partition directory, so a replayed batch
+    (failure between write and checkpoint commit) lands in the same
+    place instead of duplicating. The checkpoint + deterministic
+    batch replay + idempotent write is the documented Spark recipe."""
+    spark = stream_df.sparkSession
+    ckpt = tempfile.mkdtemp(prefix=f"sidecar-stream-{name}-ckpt-")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+         .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.option("basePath", out_dir).parquet(out_dir)
