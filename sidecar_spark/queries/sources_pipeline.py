@@ -276,3 +276,52 @@ def python_datasource_scan(spark, sf_dir):
              F.min("metric").alias("min_metric"),
              F.max("metric").alias("max_metric"))
     )
+
+
+@query(
+    "stream_python_source",
+    oracle="""
+    SELECT 'h' || CAST(i % 50 AS VARCHAR) AS host,
+           count(*) AS n,
+           sum((i * 2654435761) % 1000) AS sum_metric
+    FROM (SELECT unnest(generate_series(0, 39999)) AS i)
+    GROUP BY host
+    """,
+)
+def stream_python_source(spark, sf_dir):
+    """Streaming Python DataSource (SimpleDataSourceStreamReader) +
+    checkpoint resume + exactly-once sink, in one probe: the telemetry
+    feed is consumed in TWO separate availableNow runs sharing one
+    checkpoint — run 1 takes the first 20k-row micro-batch, run 2
+    resumes from the COMMITTED offset and takes the rest — through the
+    idempotent per-batchId foreachBatch parquet sink. The oracle is
+    the full 40k-row feed: only if offsets persist across restarts
+    (no replay, no gap) does the union of both runs match it."""
+    import shutil
+    import tempfile as _tf
+
+    from sidecar_spark.sources.pyds import TelemetrySource
+    from sidecar_spark.streaming import run_foreach_batch_parquet
+
+    try:
+        spark.dataSource.register(TelemetrySource)
+    except Exception:
+        pass  # already registered in this session
+    work = _tf.mkdtemp(prefix="sidecar-pystream-")
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+    try:
+        for _ in range(2):  # two runs, one checkpoint: offset resume
+            feed = (spark.readStream.format("sidecar_telemetry")
+                    .option("rows", 40_000).option("batch", 20_000).load())
+            run_foreach_batch_parquet(
+                feed, "stream_python_source", out,
+                state_partitions=2, checkpoint=ckpt)
+        result = (
+            spark.read.option("basePath", out).parquet(out)
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("metric").alias("sum_metric"))
+        )
+        return result.localCheckpoint(eager=True)  # detach from tmp dir
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

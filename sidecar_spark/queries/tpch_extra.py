@@ -1527,3 +1527,74 @@ def ordered_agg_family(spark, sf_dir):
              F.min("c_name").alias("first_name"),
              F.max("c_name").alias("last_name"))
     )
+
+
+@query(
+    "try_functions",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_brand AS INTEGER) AS brand_as_int,
+           TRY_CAST(regexp_extract(p_brand, '[0-9]+', 0) AS INTEGER) AS brand_num,
+           CASE WHEN p_size - 5 = 0 THEN NULL
+                ELSE round(p_retailprice / (p_size - 5), 6) END AS price_per,
+           TRY_CAST(substr(p_type, 1, 3) AS DOUBLE) AS type_as_num,
+           [p_size, p_size * 2][5] AS oob_element
+    FROM part
+    """,
+)
+def try_functions(spark, sf_dir):
+    """ANSI-safety function family: `try_cast` / `try_divide` /
+    `try_element_at` return NULL instead of raising — the contract
+    that lets a 100 TB pipeline run under ANSI mode (Spark 4 default)
+    without a single malformed row killing the job. Each expression
+    here would throw under plain ANSI semantics (non-numeric cast,
+    divide-by-zero, out-of-bounds index); the oracle mirrors the
+    null-on-failure results with DuckDB's TRY_CAST / guarded CASE /
+    out-of-range list index."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_brand").try_cast("int").alias("brand_as_int"),
+        F.regexp_extract("p_brand", "[0-9]+", 0)
+        .try_cast("int").alias("brand_num"),
+        F.round(F.try_divide("p_retailprice", F.col("p_size") - 5), 6)
+        .alias("price_per"),
+        F.substring("p_type", 1, 3).try_cast("double")
+        .alias("type_as_num"),
+        F.try_element_at(F.array("p_size", F.col("p_size") * 2), F.lit(5))
+        .alias("oob_element"),
+    )
+
+
+@query(
+    "lateral_topn_join",
+    oracle="""
+    SELECT n_name, c_name, round(c_acctbal, 2) AS bal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name
+      LIMIT 2) top2
+    """,
+)
+def lateral_topn_join(spark, sf_dir):
+    """Correlated LATERAL join (DataFrame.lateralJoin, Spark 4.0 API):
+    per-nation top-2 customers by balance, written as "for each outer
+    row, run this parameterized subquery" instead of a window rank.
+    Catalyst decorrelates the lateral subquery into the same
+    shuffle+rank shape as the window formulation — the point of the
+    entry: the imperative-looking API stays declarative, nothing
+    executes per-row. (DuckDB runs the identical LATERAL SQL.)"""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat_v")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat_v")
+    return spark.sql("""
+        SELECT n_name, c_name, round(c_acctbal, 2) AS bal
+        FROM nation_lat_v n, LATERAL (
+          SELECT c_name, c_acctbal
+          FROM customer_lat_v
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name
+          LIMIT 2) top2
+    """)

@@ -17,7 +17,12 @@ partitions stream Arrow batches concurrently, no driver fan-in.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 KNUTH = 2654435761
 HOSTS = 50
@@ -45,8 +50,43 @@ class TelemetryReader(DataSourceReader):
             yield i, f"h{i % HOSTS}", (i * KNUTH) % METRIC_MOD
 
 
+def _feed_rows(start: int, end: int):
+    # a list iterator, not a generator: the stream-reader prefetch
+    # cache copy.copy()s the iterator it is handed
+    return iter([(i, f"h{i % HOSTS}", (i * KNUTH) % METRIC_MOD)
+                 for i in range(start, end)])
+
+
+class TelemetryStreamReader(SimpleDataSourceStreamReader):
+    """Resumable micro-batch reader over the same feed: offsets are
+    plain row positions, `read(start)` advances one `batch`-sized span,
+    and `readBetweenOffsets` replays any committed span — which is all
+    Structured Streaming needs for checkpointed, exactly-once resume.
+    Offset JSON lives in the checkpoint, so a restarted query continues
+    where the last run's commit left off (proved by the
+    stream_python_source query, which drives two availableNow runs
+    over one checkpoint)."""
+
+    def __init__(self, options):
+        self.total = int(options.get("rows", 80_000))
+        self.batch = int(options.get("batch", self.total))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        s = start["i"]
+        e = min(s + self.batch, self.total)
+        return _feed_rows(s, e), {"i": e}
+
+    def readBetweenOffsets(self, start, end):
+        return _feed_rows(start["i"], end["i"])
+
+
 class TelemetrySource(DataSource):
-    """`spark.read.format("sidecar_telemetry").option("rows", N)`."""
+    """`spark.read.format("sidecar_telemetry").option("rows", N)` —
+    and `spark.readStream.format("sidecar_telemetry")` for the
+    micro-batch variant of the same feed."""
 
     @classmethod
     def name(cls) -> str:
@@ -57,3 +97,6 @@ class TelemetrySource(DataSource):
 
     def reader(self, schema) -> TelemetryReader:
         return TelemetryReader(self.options)
+
+    def simpleStreamReader(self, schema) -> TelemetryStreamReader:
+        return TelemetryStreamReader(self.options)

