@@ -1598,3 +1598,121 @@ def lateral_topn_join(spark, sf_dir):
           ORDER BY c_acctbal DESC, c_name
           LIMIT 2) top2
     """)
+
+
+@query(
+    "bitmap_distinct_audit",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_cust
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def bitmap_distinct_audit(spark, sf_dir):
+    """EXACT distinct counting via bitmap aggregation (Spark 3.5+
+    bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg):
+    keys fold into fixed 4 KB bitmap segments per (group, bucket), and
+    the distinct count is the sum of segment popcounts. Unlike
+    count(DISTINCT), the shuffle carries one bitmap per 32k-key
+    bucket instead of every distinct key — the dense-int-key analog
+    of the HLL sketch but with zero error, which is why the oracle is
+    plain count(DISTINCT): the bitmap path must match it exactly."""
+    o = t(spark, sf_dir, "orders")
+    seg = (
+        o.groupBy("o_orderpriority",
+                  F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"))
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
+             .alias("bm"))
+    )
+    return (
+        seg.groupBy("o_orderpriority")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_cust"))
+    )
+
+
+@query(
+    "hll_sketch_rollup_audit",
+    oracle="""
+    SELECT n_regionkey,
+           count(DISTINCT c_custkey) AS exact_cust,
+           TRUE AS est_within_5pct
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_regionkey
+    """,
+)
+def hll_sketch_rollup_audit(spark, sf_dir):
+    """Mergeable-sketch rollup (Spark 3.5+ Apache DataSketches HLL):
+    per-NATION customer sketches are built once, then hll_union_agg
+    combines them to REGION level without touching raw keys again —
+    the property that makes sketches the 100 TB cube primitive
+    (aggregate once at the finest grain, roll up by merging
+    fixed-size state). The audit pins the merged estimate within 5%
+    of exact; the boolean is the portable contract (raw sketch bytes
+    are engine-specific, as in approx_distinct_audit)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    nation_sketch = (
+        c.join(F.broadcast(n),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(F.expr("hll_sketch_agg(c_custkey)").alias("sk"),
+             F.count(F.lit(1)).alias("_n"))
+    )
+    merged = (
+        nation_sketch.groupBy("n_regionkey")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+    )
+    exact = (
+        c.join(F.broadcast(n),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_regionkey", "c_custkey").distinct()
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("exact_cust"))
+    )
+    return (
+        exact.join(merged, "n_regionkey")
+        .select("n_regionkey", "exact_cust",
+                (F.abs(F.col("est") - F.col("exact_cust"))
+                 / F.col("exact_cust") < 0.05).alias("est_within_5pct"))
+    )
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def incremental_agg_maintenance(spark, sf_dir):
+    """Incremental view maintenance: a pre-aggregated BASE snapshot
+    (orders before 1999) is refreshed by merging a DELTA partial
+    aggregate (orders since 1999) — count and sum are commutative
+    monoids, so base ⊕ delta must equal the full recompute, which is
+    exactly what the oracle checks. This is the pattern that replaces
+    100 TB full recomputes with delta-sized work: keep partial
+    aggregates, merge on arrival; the merge is a |groups|-sized full
+    outer join, trivially broadcastable."""
+    o = t(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01 00:00:00").cast("timestamp")
+
+    def partial(df, n_col, t_col):
+        return (df.groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias(n_col),
+                     F.sum("o_totalprice").alias(t_col)))
+
+    base = partial(o.where(F.col("o_orderdate") < cutoff), "n_b", "t_b")
+    delta = partial(o.where(F.col("o_orderdate") >= cutoff), "n_d", "t_d")
+    return (
+        base.join(delta, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0)))
+            .alias("n_orders"),
+            F.round(F.coalesce("t_b", F.lit(0.0))
+                    + F.coalesce("t_d", F.lit(0.0)), 2).alias("total"))
+    )
