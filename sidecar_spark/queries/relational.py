@@ -1336,3 +1336,51 @@ def cogrouped_asof_enrich(spark, sf_dir):
             enrich,
             "user_id long, purchase_id long, micros_since_click long")
     )
+
+
+@query(
+    "session_window_batch",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window_batch(spark, sf_dir):
+    """Native `session_window` in a BATCH aggregation — same operator
+    the streaming sessionizer uses, no window-function pass at all:
+    Catalyst's session aggregation merges overlapping [ts, ts+gap)
+    spans per key in one shuffle. The oracle is the manual
+    lag/cumsum formulation with the native boundary rule (a gap of
+    EXACTLY the 30-min threshold starts a new session, since windows
+    are half-open [start, end)) and end = last event + gap — pinning
+    that native and hand-rolled sessionization agree row-for-row."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             money(F.sum("value")).alias("session_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"),
+                          "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("session_window.end"),
+                          "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events", "session_value")
+    )

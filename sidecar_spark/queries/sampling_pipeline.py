@@ -108,3 +108,41 @@ def sample_rate_check(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_total"),
              F.sum(F.when(keep, 1).otherwise(0)).alias("n_sampled"))
     )
+
+
+@query(
+    "weighted_sample_topk",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             round(pow(({_H60.format(e="CAST(doc_id AS VARCHAR) || ':wsamp'")}
+                        % 1000000) / 1000000.0,
+                       1.0 / n_chars), 6) AS skey
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, lang, n_chars, skey FROM (
+      SELECT doc_id, lang, n_chars, skey,
+             row_number() OVER (ORDER BY skey DESC, doc_id) AS rn
+      FROM keyed)
+    WHERE rn <= 100
+    """,
+)
+def weighted_sample_topk(spark, sf_dir):
+    """Weighted sampling without replacement at cluster scale — the
+    Efraimidis–Spirakis A-ES scheme: each row draws u ~ U(0,1) from
+    the portable hash (deterministic, engine-independent) and ranks
+    by u^(1/weight); the global top-k IS a weighted sample. Longer
+    documents are proportionally more likely to be drawn — the
+    standard corpus-curation sampler when you want char-budget-
+    proportional representation.
+
+    Scale shape: the sort key is map-side column math; top-100 is
+    TakeOrdered (per-partition heaps + driver merge), never a global
+    sort. Rounding the key to 6 dp before ranking (with doc_id
+    tie-break) makes the order libm-difference-proof across
+    engines."""
+    d = t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":wsamp")))
+         % 1000000) / F.lit(1000000.0)
+    skey = F.round(F.pow(u, 1.0 / F.col("n_chars")), 6)
+    keyed = d.select("doc_id", "lang", "n_chars", skey.alias("skey"))
+    return (keyed.orderBy(F.desc("skey"), F.asc("doc_id")).limit(100))

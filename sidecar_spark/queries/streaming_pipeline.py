@@ -250,3 +250,50 @@ def stream_foreach_batch_sink(spark, sf_dir):
         ).localCheckpoint(eager=True)  # detach from the tmp dir before cleanup
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "stream_update_mode",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_update_mode(spark, sf_dir):
+    """UPDATE output mode — the third output contract next to
+    complete and append: each micro-batch emits only the groups it
+    touched. Over the single-batch availableNow backlog every group
+    is touched exactly once, so the emitted set equals the full
+    aggregate with NO watermark cutoff (unlike append, which
+    withholds unfinalized windows) — precisely the distinction the
+    oracle pair (this vs stream_window_watermark) pins down."""
+    from sidecar_spark.streaming import events_stream, run_to_memory_sink, windowed_counts
+
+    s = windowed_counts(events_stream(spark, sf_dir))
+    return run_to_memory_sink(s, "stream_update_mode", "update")
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_within_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark (Spark 3.5+): dedup state is
+    evicted once a key's FIRST-SEEN time falls behind the watermark —
+    bounded state for at-least-once upstreams that may redeliver
+    within a delay budget, vs plain dropDuplicates whose exact-forever
+    guarantee needs unbounded state (or drops late keys entirely
+    when watermarked). Over the bounded backlog both emit the same
+    key SET (the oracle), but only the WithinWatermark variant is
+    deployable against 100 TB/day redelivery streams."""
+    from sidecar_spark.streaming import events_stream, run_to_memory_sink
+
+    e = events_stream(spark, sf_dir)
+    s = (e.withWatermark("ts", "10 minutes")
+         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+         .select("user_id", "event_type"))
+    return run_to_memory_sink(s, "stream_dedup_within_watermark", "append")

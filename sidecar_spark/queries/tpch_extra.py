@@ -1716,3 +1716,41 @@ def incremental_agg_maintenance(spark, sf_dir):
             F.round(F.coalesce("t_b", F.lit(0.0))
                     + F.coalesce("t_d", F.lit(0.0)), 2).alias("total"))
     )
+
+
+@query(
+    "table_fingerprint",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           bit_xor({_H60.format(
+               e="CAST(o_orderkey AS VARCHAR) || '|' || "
+                 "CAST(o_custkey AS VARCHAR) || '|' || "
+                 "o_orderpriority || '|' || "
+                 "strftime(o_orderdate, '%Y-%m-%d')")}) AS xor_fp
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def table_fingerprint(spark, sf_dir):
+    """Cross-engine table fingerprinting for replica reconciliation:
+    XOR-fold a portable per-row hash (keys + status columns + date,
+    '|'-joined) per partition group. XOR is commutative, associative,
+    and overflow-free, so the fold is order-independent and computes
+    map-side in fixed state — two replicas (or two engines, as the
+    oracle proves) can compare 100 TB tables by exchanging a few
+    bytes per group. Any flipped row, dropped row, or duplicate
+    changes the fingerprint; the grouped form localizes WHICH
+    group diverged (the anti-entropy / Merkle-leaf primitive)."""
+    o = t(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderpriority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.bit_xor(hash60(row_str)).alias("xor_fp"))
+    )
