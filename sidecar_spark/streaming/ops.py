@@ -26,15 +26,16 @@ from typing import Iterable, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events table.
 
-    The parquet stores TIMESTAMP(NANOS), which the vectorized reader
-    only surfaces as long nanos (``legacy.parquet.nanosAsLong``) — the
-    stream schema therefore reads nanos and floors to microseconds,
+    The parquet has shipped as TIMESTAMP(NANOS) (long nanos via
+    ``legacy.parquet.nanosAsLong``) or plain timestamp[us]
+    (TIMESTAMP_NTZ) — normalize either to session-zone TIMESTAMP,
     matching the batch loader (queries/registry.py:t)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
@@ -48,12 +49,18 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(path, link)
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .format("parquet")
         .load(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def run_to_memory_sink(stream_df: DataFrame, name: str,
