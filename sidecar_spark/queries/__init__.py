@@ -18,5 +18,6 @@ import sidecar_spark.queries.sampling_pipeline  # noqa: F401
 import sidecar_spark.queries.sources_pipeline  # noqa: F401
 import sidecar_spark.queries.timeseries_pipeline  # noqa: F401
 import sidecar_spark.queries.graph_pipeline  # noqa: F401
+import sidecar_spark.queries.modern_sql  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,416 @@
+"""Modern Spark 4 SQL-surface battery.
+
+The reference exposes no SQL (SURVEY.md §2.7 — its "queries" are FS
+verbs; the engine on top supplies the algebra).  This module exercises
+the Spark-4-era SQL surface a user of that stacked engine gets for
+free, each with a DuckDB oracle:
+
+* recursive CTEs (``WITH RECURSIVE`` — gap-free month spine),
+* SQL pipe syntax (``|>`` operator chains),
+* ``GROUP BY ALL`` / ``ORDER BY ALL``,
+* string collations (``UTF8_LCASE`` case-insensitive distinct),
+* ``approx_top_k`` sketch (run in its exact regime and audited
+  against exact counts),
+* ``Observation`` metrics (free-rider aggregates collected during a
+  real action — the DataFrame analog of the reference's per-read
+  Statistics counters, ``util/Statistics.java:27-63``),
+* the state-store reader (``spark.read.format("statestore")`` over a
+  streaming checkpoint — observability into stateful streams, the
+  streaming analog of the reference's cache-snapshot introspection,
+  ``SidecarCachingFileSystem.java:931-968``),
+* ``parse_url`` / ``url_encode`` web-crawl plumbing (training-data
+  pipelines key on host/path/query splits),
+* scalar and aggregate bitwise families.
+
+Scale notes: every query here is either a single map-side pass plus
+one shuffle-free or single-shuffle aggregate, or (spine) a
+driver-tiny recursion joined against a pre-aggregated fact — all
+hold at 1000 executors unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from sidecar_spark.queries.registry import query, t
+
+
+# ---------------------------------------------------------------------------
+# WITH RECURSIVE — gap-free month spine (Spark 4 recursive CTE)
+# ---------------------------------------------------------------------------
+
+_SPINE_SQL = """
+    WITH RECURSIVE spine(m) AS (
+        SELECT date_trunc('month', (SELECT min(o_orderdate) FROM {orders}))
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM spine
+        WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM {orders}))
+    ),
+    monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM {orders}
+        GROUP BY 1
+    )
+    SELECT {fmt} AS mon,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(revenue, 0.0) AS revenue
+    FROM spine LEFT JOIN monthly USING (m)
+    ORDER BY mon
+"""
+
+
+@query(
+    "recursive_cte_month_spine",
+    oracle=_SPINE_SQL.format(
+        orders="orders", fmt="strftime(m, '%Y-%m')"),
+)
+def recursive_cte_month_spine(spark, sf_dir):
+    """Gap-free monthly order counts via a recursive CTE date spine.
+
+    The recursion is driver-tiny (one row per month, ~80 rows for the
+    TPC-H date range) regardless of fact size; the fact side is
+    pre-aggregated once (single shuffle) before the spine LEFT JOIN,
+    which Spark broadcasts.  The reference has no recursion anywhere
+    (SURVEY §2.7)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_rec_v")
+    return spark.sql(_SPINE_SQL.format(
+        orders="orders_rec_v", fmt="date_format(m, 'yyyy-MM')"))
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax — |> operator chains (Spark 4.0+)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipe_syntax_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(avg(l_quantity), 6) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-30'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pipe_syntax_pricing(spark, sf_dir):
+    """The Q1 shape written in Spark 4 SQL pipe syntax.  The pipe form
+    parses to the identical logical plan as the GROUP BY form — same
+    partial-agg + single shuffle — so it is pure surface syntax with
+    no plan cost."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pipe_v")
+    return spark.sql("""
+        FROM lineitem_pipe_v
+        |> WHERE l_shipdate <= TIMESTAMP '2001-06-30'
+        |> AGGREGATE count(*) AS n_items,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                         AS revenue,
+                     round(avg(l_quantity), 6) AS avg_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+    """)
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL
+# ---------------------------------------------------------------------------
+
+@query(
+    "group_order_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority, n_orders, total
+    """,
+)
+def group_order_by_all(spark, sf_dir):
+    """``GROUP BY ALL`` infers the grouping set from the non-aggregate
+    select items; ``ORDER BY ALL`` orders by every output column.
+    Resolves at analysis time to the explicit form — identical plan."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba_v")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders_gba_v
+        GROUP BY ALL
+        ORDER BY ALL
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Collations — case-insensitive semantics without lower() rewrites
+# ---------------------------------------------------------------------------
+
+@query(
+    "collated_distinct_audit",
+    oracle="""
+    SELECT source,
+           count(DISTINCT CASE WHEN doc_id % 2 = 0 THEN upper(lang)
+                               ELSE lang END) AS n_binary,
+           count(DISTINCT lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang)
+                                     ELSE lang END)) AS n_ci
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def collated_distinct_audit(spark, sf_dir):
+    """Spark 4 collation support: COUNT(DISTINCT) under ``UTF8_LCASE``
+    equals the lower()-rewrite count, while binary collation sees the
+    synthesized case variants as distinct.  Collation-aware grouping
+    happens inside the hash agg — no extra projection, and the
+    comparison stays whole-stage-codegen."""
+    docs = t(spark, sf_dir, "documents")
+    mixed = docs.withColumn(
+        "lang_mixed",
+        F.when(F.col("doc_id") % 2 == 0, F.upper("lang"))
+        .otherwise(F.col("lang")))
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.countDistinct("lang_mixed").alias("n_binary"),
+            F.countDistinct(
+                F.expr("collate(lang_mixed, 'UTF8_LCASE')")).alias("n_ci"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# approx_top_k — heavy-hitter sketch, audited in its exact regime
+# ---------------------------------------------------------------------------
+
+@query(
+    "approx_topk_events",
+    oracle="""
+    SELECT event_type AS item, count(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY cnt DESC, item
+    """,
+)
+def approx_topk_events(spark, sf_dir):
+    """``approx_top_k`` heavy hitters over the event stream.  With
+    maxItemsTracked (100k) far above the real cardinality (5) the
+    sketch is exact, so the exact GROUP BY is a true oracle — same
+    audit pattern as the HLL/CMS entries.  At scale the sketch is the
+    point: fixed-size state, map-side combine, one row out per
+    partition instead of a full shuffle of the keyspace."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.agg(F.expr("approx_top_k(event_type, 20, 100000)").alias("tk"))
+        .select(F.explode("tk").alias("r"))
+        .select(F.col("r.item").alias("item"), F.col("r.count").alias("cnt"))
+        .orderBy(F.desc("cnt"), "item")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Observation — metrics piggybacked on a real action
+# ---------------------------------------------------------------------------
+
+@query(
+    "observe_metrics_audit",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+    """,
+)
+def observe_metrics_audit(spark, sf_dir):
+    """``df.observe``: named aggregates computed as a free rider on an
+    action's existing pass over the data — zero extra scans, exactly
+    the reference's Statistics-counters idea (per-operation counters
+    accumulated on the hot path, ``util/Statistics.java:27-63``)
+    lifted to DataFrame level.  The observed metrics are returned as a
+    one-row DataFrame and audited against a recomputing oracle."""
+    from pyspark.sql import Observation
+
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+    obs = Observation("audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], float(m["sum_price"]), m["n_discounted"])],
+        "n_rows bigint, sum_price double, n_discounted bigint")
+
+
+# ---------------------------------------------------------------------------
+# State-store reader — querying a streaming checkpoint as a table
+# ---------------------------------------------------------------------------
+
+@query(
+    "statestore_reader",
+    oracle="""
+    SELECT event_type, count(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def statestore_reader(spark, sf_dir):
+    """Run a stateful streaming aggregation over the bounded events
+    backlog, then read the checkpoint's state store back as a
+    DataFrame (``spark.read.format("statestore")``).  The state rows
+    ARE the aggregation state, so the batch GROUP BY is an exact
+    oracle.  This is streaming-state observability — the reference's
+    save/load cache-snapshot introspection
+    (``SidecarCachingFileSystem.java:931-968``) re-expressed for
+    Spark's state store; at scale it reads state files directly,
+    partition-parallel, without touching the running query."""
+    from sidecar_spark.streaming.ops import events_stream
+
+    ckpt = tempfile.mkdtemp(prefix="sidecar-ssr-ckpt-")
+    try:
+        counts = (
+            events_stream(spark, sf_dir)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                counts.writeStream.format("noop")
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        state = spark.read.format("statestore").load(ckpt)
+        # key struct carries the grouping column; value struct carries the
+        # aggregation buffer (internal field names) — bind positionally.
+        out = state.select(F.col("key.*"), F.col("value.*"))
+        key_col, val_col = out.columns[0], out.columns[1]
+        rows = (
+            out.select(F.col(key_col).alias("event_type"),
+                       F.col(val_col).cast("long").alias("cnt"))
+            .orderBy("event_type")
+            .collect()
+        )
+        # materialize before the checkpoint dir is removed
+        return spark.createDataFrame(rows, "event_type string, cnt bigint")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# parse_url family — web-crawl / training-data URL plumbing
+# ---------------------------------------------------------------------------
+
+@query(
+    "url_parse_functions",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' || doc_id
+                   || '?lang=' || lang || '&rank=' || (doc_id % 7) AS url
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, 'lang=([^&]+)', 1) AS lang_param,
+           CAST(regexp_extract(url, 'rank=([0-9]+)', 1) AS BIGINT) AS rank
+    FROM u
+    ORDER BY doc_id
+    """,
+)
+def url_parse_functions(spark, sf_dir):
+    """``parse_url`` host/path/query splits plus typed query-param
+    extraction — the URL normalization step of a web-crawl ingest.
+    All JVM-side built-ins inside one codegen stage, no UDFs; at crawl
+    scale this runs as a pure map with full predicate pushdown on the
+    source filter."""
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+            F.lit("&rank="), (F.col("doc_id") % 7).cast("string"),
+        ).alias("url"))
+    return (
+        u.select(
+            "doc_id",
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY")).alias("query"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("lang"))
+            .alias("lang_param"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("rank"))
+            .cast("long").alias("rank"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise families — scalar operators and bit-aggregates
+# ---------------------------------------------------------------------------
+
+@query(
+    "bitwise_functions",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(o_orderkey & 255) AS sum_and,
+           sum(o_orderkey | 16) AS sum_or,
+           sum(xor(o_orderkey, 85)) AS sum_xor,
+           sum(bit_count(o_orderkey)) AS sum_popcnt,
+           sum((o_orderkey % 16) << 2) AS sum_shl,
+           sum(o_orderkey >> 3) AS sum_shr,
+           bit_and(o_orderkey) AS agg_and,
+           bit_or(o_orderkey % 64) AS agg_or,
+           bit_xor(o_orderkey) AS agg_xor
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def bitwise_functions(spark, sf_dir):
+    """Scalar bitwise operators (&, |, ^, shifts, popcount) and the
+    bit_and/bit_or/bit_xor aggregates.  All evaluate inside
+    whole-stage codegen with map-side partial aggregation — the
+    backbone of bitmap/bit-packing tricks (the exact-bitmap distinct
+    entry builds on these)."""
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.sum(k.bitwiseAND(F.lit(255))).alias("sum_and"),
+            F.sum(k.bitwiseOR(F.lit(16))).alias("sum_or"),
+            F.sum(k.bitwiseXOR(F.lit(85))).alias("sum_xor"),
+            F.sum(F.bit_count(k)).alias("sum_popcnt"),
+            F.sum(F.shiftleft(k % 16, 2)).alias("sum_shl"),
+            F.sum(F.shiftright(k, 3)).alias("sum_shr"),
+            F.bit_and(k).alias("agg_and"),
+            F.bit_or(k % 64).alias("agg_or"),
+            F.bit_xor(k).alias("agg_xor"),
+        )
+        .orderBy("o_orderpriority")
+    )
