@@ -30,7 +30,6 @@ hold at 1000 executors unchanged.
 
 from __future__ import annotations
 
-import os
 import shutil
 import tempfile
 
@@ -414,3 +413,324 @@ def bitwise_functions(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL UDFs — CREATE FUNCTION with SQL bodies (scalar + table)
+# ---------------------------------------------------------------------------
+
+@query(
+    "sql_udf_pricing",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_big,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sql_udf_pricing(spark, sf_dir):
+    """Spark 4 SQL UDFs: ``CREATE TEMPORARY FUNCTION ... RETURN <expr>``.
+    The body is inlined into the plan at analysis time — unlike Python
+    UDFs there is NO serialization boundary; the expression compiles
+    into whole-stage codegen exactly as if written inline, so this is
+    the zero-cost way to share business logic across queries."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_udf_v")
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1 - d)
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION big_items()
+        RETURNS TABLE(l_returnflag STRING, l_extendedprice DOUBLE,
+                      l_discount DOUBLE)
+        RETURN SELECT l_returnflag, l_extendedprice, l_discount
+               FROM lineitem_udf_v WHERE l_quantity >= 30
+    """)
+    return spark.sql("""
+        SELECT l_returnflag,
+               count(*) AS n_big,
+               round(sum(disc_price(l_extendedprice, l_discount)), 2)
+                   AS revenue
+        FROM big_items()
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """)
+
+
+# ---------------------------------------------------------------------------
+# XML — from_xml parsing + xpath extraction (roundtrip audit)
+# ---------------------------------------------------------------------------
+
+@query(
+    "xml_extract_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           sum(o_custkey) AS sum_cust,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey < 2000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def xml_extract_roundtrip(spark, sf_dir):
+    """Serialize order rows to XML strings, parse them back with
+    ``from_xml`` (schema'd struct) and ``xpath_*`` (point extraction),
+    and aggregate the RECOVERED values — the oracle recomputes from
+    the base columns, so any parse corruption breaks the hash.
+    from_xml is a JVM-side expression (no UDF); at ingest scale this
+    is the XML-feed variant of the events_json_extract path."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    xml = o.select(
+        F.concat(
+            F.lit("<order><cust>"), F.col("o_custkey").cast("string"),
+            F.lit("</cust><prio>"), F.col("o_orderpriority"),
+            F.lit("</prio><total>"), F.col("o_totalprice").cast("string"),
+            F.lit("</total></order>"),
+        ).alias("x"))
+    parsed = xml.select(
+        F.from_xml("x", "cust BIGINT, prio STRING, total DOUBLE")
+        .alias("r"),
+        F.expr("xpath_long(x, '/order/cust/text()')").alias("cust_xp"))
+    return (
+        parsed
+        # xpath and from_xml must agree — fold the cross-check into the
+        # aggregate so a disagreement changes sum_cust
+        .select(F.col("r.prio").alias("o_orderpriority"),
+                F.when(F.col("r.cust") == F.col("cust_xp"), F.col("r.cust"))
+                .alias("cust"),
+                F.col("r.total").alias("total"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum("cust").alias("sum_cust"),
+             F.round(F.sum("total"), 2).alias("sum_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear-regression aggregate family (regr_*)
+# ---------------------------------------------------------------------------
+
+@query(
+    "regression_functions",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4)
+               AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           regr_count(l_extendedprice, l_quantity) AS n,
+           round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+           round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y,
+           mode(l_linestatus) AS mode_status
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def regression_functions(spark, sf_dir):
+    """ANSI linear-regression aggregates (slope/intercept/R²/avgs) plus
+    ``mode()`` — closed-form OLS as a single-pass distributive
+    aggregate: each partition keeps 6 running sums, merge is
+    associative, so the fit costs exactly one map-side-combined
+    shuffle at any scale (no iterative solver needed for 1-D).
+
+    Note: price~quantity in TPC-H-ish data is strongly linear, so the
+    fit is numerically stable under 4-decimal rounding."""
+    li = t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.regr_count(y, x).alias("n"),
+            F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+            F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
+            F.mode("l_linestatus").alias("mode_status"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cryptographic digest family (md5 / sha2) — content addressing
+# ---------------------------------------------------------------------------
+
+@query(
+    "digest_functions",
+    oracle="""
+    SELECT lang,
+           count(DISTINCT md5(text)) AS n_md5,
+           count(DISTINCT sha256(text)) AS n_sha,
+           min(md5(text)) AS min_md5,
+           max(sha256(text)) AS max_sha
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def digest_functions(spark, sf_dir):
+    """md5 / sha2-256 content digests — the content-addressing
+    primitive behind the reference's page keys
+    (``util/Utils.java:100-123``: MD5(path+mtime) addressing) and this
+    repo's exact-dedup path, here surfaced as SQL expressions.
+    Distinct-digest counts per language double as a dedup audit.
+    (sha1/crc32/xxhash64 exist Spark-side but have no DuckDB twin, so
+    the oracle pins the md5/sha256 pair.)"""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.countDistinct(F.md5("text")).alias("n_md5"),
+            F.countDistinct(F.sha2("text", 256)).alias("n_sha"),
+            F.min(F.md5("text")).alias("min_md5"),
+            F.max(F.sha2("text", 256)).alias("max_sha"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# to_char / to_number — locale-style numeric formatting roundtrip
+# ---------------------------------------------------------------------------
+
+@query(
+    "to_number_roundtrip",
+    oracle="""
+    SELECT count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey < 5000
+    """,
+)
+def to_number_roundtrip(spark, sf_dir):
+    """``to_char`` renders totals with grouped thousands;
+    ``to_number`` parses them back.  The aggregate sums the RECOVERED
+    decimals, so a formatting/parsing mismatch on any row breaks the
+    oracle hash — a roundtrip audit in the style of the CSV/JSON
+    round-trips.  Both are codegen expressions (no UDF)."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
+    fmt = o.select(
+        F.to_char(F.col("o_totalprice").cast("decimal(18,2)"),
+                  F.lit("999,999,999.99")).alias("s"))
+    back = fmt.select(
+        F.to_number("s", F.lit("999,999,999.99")).alias("v"))
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("decimal(18,2)").cast("double").alias("total"))
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL — named-parameter queries
+# ---------------------------------------------------------------------------
+
+@query(
+    "parameterized_sql_filter",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(avg(o_totalprice), 4)
+               AS avg_price
+    FROM orders
+    WHERE o_totalprice BETWEEN 1000.0 AND 150000.0
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def parameterized_sql_filter(spark, sf_dir):
+    """``spark.sql(query, args=...)`` named parameters: literals are
+    bound at parse time (NOT string interpolation — injection-safe and
+    plan-cache friendly).  The bound literals reach the parquet scan
+    as pushed filters exactly like inline constants."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_param_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n, round(avg(o_totalprice), 4)
+                   AS avg_price
+        FROM orders_param_v
+        WHERE o_totalprice BETWEEN :lo AND :hi
+          AND o_orderdate >= :cutoff
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+        args={"lo": 1000.0, "hi": 150000.0,
+              "cutoff": "1995-01-01 00:00:00"})
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition overwrite — INSERT OVERWRITE of matched partitions only
+# ---------------------------------------------------------------------------
+
+@query(
+    "dynamic_partition_overwrite",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS price
+        FROM orders
+    ),
+    final AS (
+        SELECT o_orderpriority,
+               -- duckdb CAST(decimal) is half-to-even; round() is
+               -- half-away-from-zero, matching Spark's decimal cast
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN CAST(round(price * CAST(1.1 AS DECIMAL(2,1)), 2)
+                              AS DECIMAL(18,2))
+                    ELSE price END AS price
+        FROM base
+    )
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(price) AS DOUBLE) AS total
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def dynamic_partition_overwrite(spark, sf_dir):
+    """``partitionOverwriteMode=dynamic``: rewriting two partitions of
+    a partitioned table replaces ONLY those partitions — the others'
+    files are untouched (no full-table rewrite).  This is the
+    idempotent daily-reload primitive at warehouse scale; the final
+    table state is oracle-checked.  Mirrors the reference's
+    mirror-consistency rename/delete sweeps
+    (``TestSidecarCachingOutputStream.java:252-341``) at partition
+    granularity."""
+    out = tempfile.mkdtemp(prefix="sidecar-dpo-")
+    try:
+        o = t(spark, sf_dir, "orders").select(
+            "o_orderpriority",
+            F.round("o_totalprice", 2).cast("decimal(18,2)").alias("price"))
+        (o.write.mode("overwrite").partitionBy("o_orderpriority")
+         .parquet(out))
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            hot = (o.where(F.col("o_orderpriority")
+                           .isin("1-URGENT", "2-HIGH"))
+                   .withColumn(
+                       "price",
+                       F.expr("CAST(price * CAST(1.1 AS DECIMAL(2,1)) "
+                              "AS DECIMAL(18,2))")))
+            (hot.write.mode("overwrite").partitionBy("o_orderpriority")
+             .parquet(out))
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev)
+        rows = (
+            spark.read.parquet(out)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("price").cast("double").alias("total"))
+            .orderBy("o_orderpriority")
+            .collect())
+        return spark.createDataFrame(
+            rows, "o_orderpriority string, n bigint, total double")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
