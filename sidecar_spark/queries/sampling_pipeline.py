@@ -146,3 +146,58 @@ def weighted_sample_topk(spark, sf_dir):
     skey = F.round(F.pow(u, 1.0 / F.col("n_chars")), 6)
     keyed = d.select("doc_id", "lang", "n_chars", skey.alias("skey"))
     return (keyed.orderBy(F.desc("skey"), F.asc("doc_id")).limit(100))
+
+
+@query(
+    "training_shard_export",
+    oracle=f"""
+    WITH sharded AS (
+      SELECT doc_id, n_chars,
+             {_H60.format(e="CAST(doc_id AS VARCHAR) || ':shard'")} % 8
+                 AS shard
+      FROM documents
+    )
+    SELECT shard, count(*) AS n_docs, sum(n_chars) AS total_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM sharded GROUP BY shard ORDER BY shard
+    """,
+)
+def training_shard_export(spark, sf_dir):
+    """Deterministic training-shard export: every document lands in a
+    stable shard (salted 60-bit md5 % 8), the dataset is written
+    partitioned by shard with bounded file sizes
+    (``maxRecordsPerFile``), and the audit re-reads the EXPORTED files
+    — so the oracle checks the full write→read round trip, not just
+    the assignment. At 100 TB: ``repartition(shard)`` gives one
+    shuffle with uniform md5 fan-out (no skew), writers stream each
+    shard without buffering, and maxRecordsPerFile bounds memory and
+    downstream task granularity; the same job shape exports any
+    shard count by changing two literals."""
+    import shutil
+    import tempfile
+
+    d = t(spark, sf_dir, "documents")
+    shard = (hash60(F.concat(F.col("doc_id").cast("string"),
+                             F.lit(":shard"))) % 8).alias("shard")
+    out = tempfile.mkdtemp(prefix="sidecar-shards-")
+    try:
+        (d.select("doc_id", "n_chars", shard)
+         .repartition("shard")
+         .write.mode("overwrite")
+         .option("maxRecordsPerFile", 50000)
+         .partitionBy("shard")
+         .parquet(out))
+        rows = (
+            spark.read.parquet(out)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc"))
+            .orderBy("shard")
+            .collect())
+        return spark.createDataFrame(
+            rows, "shard bigint, n_docs bigint, total_chars bigint, "
+                  "min_doc bigint, max_doc bigint")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

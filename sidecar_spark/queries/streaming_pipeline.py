@@ -297,3 +297,55 @@ def stream_dedup_within_watermark(spark, sf_dir):
          .dropDuplicatesWithinWatermark(["user_id", "event_type"])
          .select("user_id", "event_type"))
     return run_to_memory_sink(s, "stream_dedup_within_watermark", "append")
+
+
+@query(
+    "stream_chained_join_window",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id AS c_user, ts AS c_ts FROM events
+      WHERE event_type = 'click'
+    ), wm AS (
+      -- global watermark: ms-floored min of both sides' max event
+      -- time, minus the 30-minute delay (same contract as
+      -- stream_stream_left_join)
+      SELECT make_timestamp((epoch_ms(least(
+               (SELECT max(ts) FROM purchases),
+               (SELECT max(c_ts) FROM clicks))) - 30 * 60 * 1000) * 1000)
+             AS w
+    ), j AS (
+      SELECT p.ts, p.value
+      FROM purchases p JOIN clicks c
+        ON p.user_id = c.c_user
+       AND c.c_ts >= p.ts - INTERVAL 10 MINUTE AND c.c_ts <= p.ts
+    )
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           count(*) AS n_pairs, round(sum(value), 2) AS sum_value
+    FROM j
+    GROUP BY date_trunc('hour', ts)
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    """,
+)
+def stream_chained_join_window(spark, sf_dir):
+    """TWO chained stateful operators in one streaming query (Spark
+    3.4+): stream-stream interval join feeding a tumbling-window
+    aggregation — one checkpoint, no intermediate sink (pre-3.4 this
+    took two queries and a storage hop). Executed as two availableNow
+    passes over one checkpoint (streaming/ops.py::
+    run_append_two_pass): the second pass's no-data micro-batch
+    flushes windows finalized by the first pass's watermark — which a
+    live stream's continuous micro-batches do implicitly. The emission
+    cutoff is the global watermark itself (verified empirically:
+    windows ending ≤ wm emit; no additional join-delay subtraction),
+    which the oracle's HAVING encodes."""
+    from sidecar_spark.streaming import (chained_join_windowed,
+                                         events_stream,
+                                         run_append_two_pass)
+
+    return run_append_two_pass(
+        spark,
+        lambda: chained_join_windowed(events_stream(spark, sf_dir)),
+        "stream_chained_join_window")

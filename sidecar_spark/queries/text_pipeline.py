@@ -761,3 +761,108 @@ def text_unigram_logprob(spark, sf_dir):
              F.round(F.min(per_tok), 6).alias("min_per_tok_lp"),
              F.round(F.max(per_tok), 6).alias("max_per_tok_lp"))
     )
+
+
+@query(
+    "quality_filter_funnel",
+    oracle="""
+    WITH flags AS (
+      SELECT
+        n_chars >= 100 AS ok_len,
+        length(regexp_replace(text, '[^0-9]', '', 'g'))
+            <= 0.2 * length(text) AS ok_digits,
+        length(regexp_replace(text, '[^A-Z]', '', 'g'))
+            <= 0.3 * length(text) AS ok_caps,
+        right(trim(text), 1) IN ('.', '!', '?') AS ok_terminal
+      FROM documents
+    )
+    SELECT count(*) AS n_total,
+           count(CASE WHEN ok_len THEN 1 END) AS n_after_len,
+           count(CASE WHEN ok_len AND ok_digits THEN 1 END)
+               AS n_after_digits,
+           count(CASE WHEN ok_len AND ok_digits AND ok_caps THEN 1 END)
+               AS n_after_caps,
+           count(CASE WHEN ok_len AND ok_digits AND ok_caps
+                       AND ok_terminal THEN 1 END) AS n_after_terminal
+    FROM flags
+    """,
+)
+def quality_filter_funnel(spark, sf_dir):
+    """C4/RefinedWeb-style staged quality funnel: length floor →
+    digit-ratio cap → uppercase-ratio cap → terminal-punctuation
+    check, with the survivor count after EVERY stage reported from
+    ONE pass (conjunctive counts, no re-scans). This is the
+    filter-design loop of a corpus pipeline: at 100 TB you cannot
+    afford one scan per candidate rule, so all rules evaluate as
+    boolean columns in a single projection and every cumulative
+    count is a conditional aggregate of the same pass."""
+    d = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    flags = d.select(
+        (F.col("n_chars") >= 100).alias("ok_len"),
+        (F.length(F.regexp_replace(txt, "[^0-9]", ""))
+         <= 0.2 * F.length(txt)).alias("ok_digits"),
+        (F.length(F.regexp_replace(txt, "[^A-Z]", ""))
+         <= 0.3 * F.length(txt)).alias("ok_caps"),
+        F.substring(F.trim(txt), -1, 1).isin(".", "!", "?")
+        .alias("ok_terminal"),
+    )
+    c = F.count
+    return flags.agg(
+        c(F.lit(1)).alias("n_total"),
+        c(F.when(F.col("ok_len"), 1)).alias("n_after_len"),
+        c(F.when(F.col("ok_len") & F.col("ok_digits"), 1))
+        .alias("n_after_digits"),
+        c(F.when(F.col("ok_len") & F.col("ok_digits") & F.col("ok_caps"),
+                 1)).alias("n_after_caps"),
+        c(F.when(F.col("ok_len") & F.col("ok_digits") & F.col("ok_caps")
+                 & F.col("ok_terminal"), 1)).alias("n_after_terminal"),
+    )
+
+
+@query(
+    "datetime_functions_extended",
+    oracle="""
+    SELECT quarter(o_orderdate) AS q,
+           count(*) AS n,
+           count(CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 END)
+               AS n_weekend,
+           count(CASE WHEN o_orderdate = last_day(o_orderdate)
+                      THEN 1 END) AS n_month_end,
+           sum(CAST(weekofyear(o_orderdate) AS BIGINT)) AS sum_iso_week,
+           sum(date_diff('day', o_orderdate,
+                         o_orderdate + INTERVAL 3 MONTH)) AS sum_q_span,
+           count(DISTINCT strftime(o_orderdate + INTERVAL 45 DAY,
+                                   '%Y-%m')) AS n_shifted_months
+    FROM orders
+    GROUP BY quarter(o_orderdate)
+    ORDER BY q
+    """,
+)
+def datetime_functions_extended(spark, sf_dir):
+    """Extended temporal family beyond date_functions: quarter,
+    day-of-week (normalized to DuckDB's 0=Sunday), last_day
+    month-end detection, ISO week numbers, interval arithmetic
+    (add_months honors end-of-month clamping in both engines), and
+    day-difference spans. All codegen expressions evaluated in the
+    scan projection — at 100 TB these fold into the same pass as the
+    grouping, no extra stage."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.groupBy(F.quarter(d).alias("q"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # Spark dayofweek: 1=Sunday..7 ; DuckDB dayofweek: 0=Sunday..6
+            F.count(F.when((F.dayofweek(d) - 1).isin(0, 6), 1))
+            .alias("n_weekend"),
+            F.count(F.when(d.cast("date") == F.last_day(d), 1))
+            .alias("n_month_end"),
+            F.sum(F.weekofyear(d).cast("long")).alias("sum_iso_week"),
+            F.sum(F.datediff(F.add_months(d, 3), d)).alias("sum_q_span"),
+            F.countDistinct(
+                F.date_format(F.date_add(d.cast("date"), 45), "yyyy-MM"))
+            .alias("n_shifted_months"),
+        )
+        .orderBy("q")
+    )

@@ -7,10 +7,12 @@ windows, and custom stateful processing via applyInPandasWithState.
 """
 
 from sidecar_spark.streaming.ops import (
+    chained_join_windowed,
     enriched_windowed_value,
     interval_joined_streams,
     left_joined_streams,
     events_stream,
+    run_append_two_pass,
     run_foreach_batch_parquet,
     run_to_memory_sink,
     sessionized_stream,
@@ -20,10 +22,12 @@ from sidecar_spark.streaming.ops import (
 )
 
 __all__ = [
+    "chained_join_windowed",
     "enriched_windowed_value",
     "interval_joined_streams",
     "left_joined_streams",
     "events_stream",
+    "run_append_two_pass",
     "run_foreach_batch_parquet",
     "run_to_memory_sink",
     "sessionized_stream",

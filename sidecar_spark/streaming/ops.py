@@ -20,6 +20,7 @@ Design notes for scale:
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from typing import Iterable, Tuple
 
@@ -318,3 +319,74 @@ def run_foreach_batch_parquet(stream_df: DataFrame, name: str,
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.option("basePath", out_dir).parquet(out_dir)
+
+
+def chained_join_windowed(events: DataFrame) -> DataFrame:
+    """Two chained stateful operators in ONE streaming query (Spark
+    3.4+ multi-stateful support): a stream-stream interval join
+    (purchases × preceding clicks per user, both sides watermarked
+    30 min) feeding a 1-hour tumbling-window aggregation in append
+    mode.  Pre-3.4 this required materializing the join to storage
+    and running a second query; chained, the join's matched rows flow
+    straight into windowed state with a propagated watermark —
+    one checkpoint, one state lifecycle, no intermediate sink."""
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value")
+        .withWatermark("ts", "30 minutes"))
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "30 minutes"))
+    joined = purchases.join(
+        clicks,
+        F.expr("user_id = c_user AND "
+               "c_ts >= ts - INTERVAL 10 MINUTES AND c_ts <= ts"))
+    return (
+        joined.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "n_pairs", "sum_value")
+    )
+
+
+def run_append_two_pass(spark: SparkSession, build, name: str,
+                        state_partitions: int = 4) -> DataFrame:
+    """Run an append-mode streaming plan TWICE over one checkpoint with
+    an accumulating foreachBatch parquet sink, returning everything
+    emitted across both runs.
+
+    Chained stateful operators finalize downstream state one watermark
+    propagation behind the data: the run that ingests the backlog
+    advances the watermark, and the next run's no-data micro-batch
+    (same checkpoint) flushes the now-final windows.  Live streams get
+    this for free from their continuous micro-batches; bounded
+    availableNow backlogs need the second pass.  ``build`` must
+    construct a fresh stream DataFrame per call (streaming plans are
+    single-use)."""
+    ckpt = tempfile.mkdtemp(prefix=f"sidecar-{name}-ckpt-")
+    out = tempfile.mkdtemp(prefix=f"sidecar-{name}-out-")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        for _ in range(2):
+            q = (
+                build().writeStream
+                .foreachBatch(lambda df, bid: df.write.mode("append")
+                              .parquet(out))
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        result = spark.read.parquet(out)
+        # materialize before the tmp dirs are reclaimed
+        return result.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
