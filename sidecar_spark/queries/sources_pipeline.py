@@ -325,3 +325,33 @@ def stream_python_source(spark, sf_dir):
         return result.localCheckpoint(eager=True)  # detach from tmp dir
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "xml_roundtrip_agg",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts,
+           sum(CAST(p_size AS BIGINT)) AS sum_size,
+           round(sum(p_retailprice), 2) AS sum_price
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def xml_roundtrip_agg(spark, sf_dir):
+    """XML sink+source round-trip (Spark 4 built-in xml data source,
+    rowTag records): the part table is written as XML, read back with
+    the original schema, and aggregated — hash-parity with the
+    parquet original proves the round trip is value-faithful
+    (escaping, numeric formatting, null handling). Completes the
+    format matrix: parquet / CSV / JSON / ORC / XML. XML parsing is
+    JVM-side (StaxXmlParser) and splits by rowTag, so ingest
+    parallelizes per-file like the other text formats."""
+    df = _materialize(spark, sf_dir, "part", "xml", {"rowTag": "part"})
+    return (
+        df.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             F.sum(F.col("p_size").cast("long")).alias("sum_size"),
+             F.round(F.sum("p_retailprice"), 2).alias("sum_price"))
+        .orderBy("p_brand")
+    )

@@ -1754,3 +1754,43 @@ def table_fingerprint(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_rows"),
              F.bit_xor(hash60(row_str)).alias("xor_fp"))
     )
+
+
+@query(
+    "minmax_by_agg",
+    oracle="""
+    SELECT p_brand,
+           max_by(p_name, CAST(round(p_retailprice * 100) AS BIGINT)
+                          * 10000000 + p_partkey) AS priciest_part,
+           min_by(p_name, CAST(round(p_retailprice * 100) AS BIGINT)
+                          * 10000000 + p_partkey) AS cheapest_part,
+           count_if(p_size >= 25) AS n_large,
+           round(max(p_retailprice) - min(p_retailprice), 2) AS price_span
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def minmax_by_agg(spark, sf_dir):
+    """max_by / min_by argmax aggregates + count_if: pick the row
+    attribute AT the extremum in one pass — replacing the
+    self-join-on-max anti-pattern (scan + shuffle + scan again) with
+    a single map-side-combinable aggregate. Prices tie at brand
+    extrema in this data, so the ordering key is the composite
+    (price-cents, partkey) packed into one BIGINT — the standard
+    deterministic-argmax recipe (price dominates, the unique key
+    breaks ties identically in every engine)."""
+    p = t(spark, sf_dir, "part")
+    key = (F.round(F.col("p_retailprice") * 100).cast("bigint")
+           * F.lit(10000000) + F.col("p_partkey"))
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.max_by("p_name", key).alias("priciest_part"),
+            F.min_by("p_name", key).alias("cheapest_part"),
+            F.count_if(F.col("p_size") >= 25).alias("n_large"),
+            F.round(F.max("p_retailprice") - F.min("p_retailprice"), 2)
+            .alias("price_span"),
+        )
+        .orderBy("p_brand")
+    )
