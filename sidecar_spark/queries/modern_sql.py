@@ -749,3 +749,191 @@ def dynamic_partition_overwrite(spark, sf_dir):
             rows, "o_orderpriority string, n bigint, total double")
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=>) + null-handling scalar family
+# ---------------------------------------------------------------------------
+
+@query(
+    "null_safe_join",
+    oracle="""
+    WITH c AS (
+      SELECT nullif(c_nationkey % 25, 3) AS k, c_acctbal FROM customer
+    ), s AS (
+      SELECT nullif(s_nationkey % 25, 3) AS k, s_acctbal FROM supplier
+    )
+    SELECT c.k IS NULL AS null_group,
+           count(*) AS n_pairs,
+           round(sum(coalesce(c.c_acctbal, 0)
+                     + CASE WHEN s.s_acctbal IS NOT NULL
+                            THEN s.s_acctbal ELSE -1 END), 2) AS bal_sum
+    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    GROUP BY c.k IS NULL
+    ORDER BY null_group
+    """,
+)
+def null_safe_join(spark, sf_dir):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantics MERGE
+    and dedup reconciliation need.  Plan note for scale: `<=>` is an
+    equi-join key (hash-partitionable, no nested loop), but all NULLs
+    hash to ONE partition — a null-heavy key needs the same salting
+    treatment as any skewed hot key (skew_salted_join).  coalesce /
+    nullif / nvl2 ride along as the null-scalar family."""
+    c = t(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey") % 25, F.lit(3)).alias("k"),
+        "c_acctbal")
+    s = t(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey") % 25, F.lit(3)).alias("k2"),
+        "s_acctbal")
+    return (
+        c.join(s, F.col("k").eqNullSafe(F.col("k2")))
+        .groupBy(F.isnull("k").alias("null_group"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.round(F.sum(F.coalesce(F.col("c_acctbal"), F.lit(0))
+                           + F.expr("nvl2(s_acctbal, s_acctbal, -1)")), 2)
+             .alias("bal_sum"))
+        .orderBy("null_group")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Struct (row-value) comparison semantics
+# ---------------------------------------------------------------------------
+
+@query(
+    "struct_compare_functions",
+    oracle="""
+    SELECT l_returnflag,
+           count(CASE WHEN (l_discount, l_tax) > (l_tax, l_discount)
+                      THEN 1 END) AS n_disc_gt,
+           count(CASE WHEN (l_quantity, l_extendedprice)
+                           <= (25.0, 30000.0) THEN 1 END) AS n_small,
+           count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_pairs
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def struct_compare_functions(spark, sf_dir):
+    """Row-value (struct) comparison: lexicographic tuple ordering and
+    tuple DISTINCT — the SQL row-constructor semantics
+    (`(a,b) < (c,d)`), which Spark expresses as struct() columns.
+    Tuple comparisons compile to short-circuit scalar comparisons in
+    codegen (no allocation), and tuple-DISTINCT is one hash-agg over
+    a composite key — the same plan as multi-column DISTINCT."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(
+                F.struct("l_discount", "l_tax")
+                > F.struct("l_tax", "l_discount"), 1)).alias("n_disc_gt"),
+            F.count(F.when(
+                F.struct("l_quantity", "l_extendedprice")
+                <= F.struct(F.lit(25.0), F.lit(30000.0)), 1))
+            .alias("n_small"),
+            F.countDistinct(F.struct("l_returnflag", "l_linestatus"))
+            .alias("n_flag_pairs"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON array-of-structs parsing (from_json + explode roundtrip)
+# ---------------------------------------------------------------------------
+
+@query(
+    "json_array_explode",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_elems,
+           sum(user_id) + sum(user_id + 1) AS sum_u,
+           sum(event_id) * 2 AS sum_e
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_array_explode(spark, sf_dir):
+    """Array-of-structs JSON ingestion: each event is serialized to a
+    2-element JSON array, parsed back with ``from_json`` (array<struct>
+    schema), exploded, and aggregated.  The oracle recomputes the same
+    sums from the base columns, so the parse→explode pipeline must be
+    value-faithful (the roundtrip-audit pattern).  Note the oracle's
+    n_elems is count(*) per type TIMES 2 folded as two sums — explode
+    doubles rows, visible in the counts."""
+    e = t(spark, sf_dir, "events")
+    js = F.concat(
+        F.lit('[{"u":'), F.col("user_id").cast("string"),
+        F.lit(',"e":'), F.col("event_id").cast("string"),
+        F.lit('},{"u":'), (F.col("user_id") + 1).cast("string"),
+        F.lit(',"e":'), F.col("event_id").cast("string"),
+        F.lit("}]"))
+    parsed = e.select(
+        "event_type",
+        F.explode(F.from_json(js, "array<struct<u:bigint,e:bigint>>"))
+        .alias("r"))
+    out = (
+        parsed.groupBy("event_type")
+        .agg((F.count(F.lit(1)) / 2).cast("long").alias("n_elems"),
+             F.sum("r.u").alias("sum_u"),
+             F.sum("r.e").alias("sum_e"))
+        .orderBy("event_type")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# IGNORE NULLS window fill — LOCF (last observation carried forward)
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_locf_fill",
+    oracle="""
+    WITH sparse AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    ), filled AS (
+      SELECT user_id,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS v_filled
+      FROM sparse
+    )
+    SELECT user_id, count(*) AS n_rows,
+           count(v_filled) AS n_filled,
+           round(sum(v_filled), 2) AS sum_filled
+    FROM filled
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def window_locf_fill(spark, sf_dir):
+    """LOCF gap filling: sensor-style forward fill via
+    ``last(v, ignorenulls=True)`` over an unbounded-preceding row
+    window — the standard time-series imputation primitive.  One
+    shuffle on user_id, sequential scan within partition (no
+    per-gap joins); rows before a user's first observation stay NULL
+    (count(v_filled) exposes exactly how many filled)."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    sparse = e.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value")).alias("v"))
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    filled = sparse.select(
+        "user_id", F.last("v", ignorenulls=True).over(w).alias("v_filled"))
+    return (
+        filled.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.count("v_filled").alias("n_filled"),
+             F.round(F.sum("v_filled"), 2).alias("sum_filled"))
+        .orderBy("user_id")
+    )
