@@ -429,3 +429,126 @@ def arrow_map_batches(spark, sf_dir):
              F.round(F.avg("l1"), 6).alias("avg_l1"),
              F.sum("n_pos").alias("total_pos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (3 unrolled Lloyd iterations, broadcast centroids)
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+
+# one Lloyd iteration in DuckDB SQL: assignment (argmin squared
+# distance via min_by over the k-row centroid table) then per-position
+# means re-packed into a list
+_KM_ASSIGN = """
+    {a} AS (
+      SELECT e.vec_id,
+             min_by({c}.cid, list_sum(list_transform(
+               range(1, 65),
+               i -> (e.embedding[i]::DOUBLE - {c}.c[i])
+                    * (e.embedding[i]::DOUBLE - {c}.c[i])))) AS cid
+      FROM embeddings e CROSS JOIN {c}
+      GROUP BY e.vec_id
+    )"""
+
+_KM_MEANS = """
+    {cn} AS (
+      SELECT cid, list(v ORDER BY pos) AS c FROM (
+        SELECT {a}.cid, t.pos, avg(e.embedding[t.pos]::DOUBLE) AS v
+        FROM {a} JOIN embeddings e USING (vec_id)
+             CROSS JOIN generate_series(1, 64) t(pos)
+        GROUP BY {a}.cid, t.pos)
+      GROUP BY cid
+    )"""
+
+_KM_ORACLE = f"""
+    WITH c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             embedding::DOUBLE[] AS c
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    {_KM_ASSIGN.format(a='a1', c='c0')},
+    {_KM_MEANS.format(cn='c1', a='a1')},
+    {_KM_ASSIGN.format(a='a2', c='c1')},
+    {_KM_MEANS.format(cn='c2', a='a2')},
+    {_KM_ASSIGN.format(a='a3', c='c2')},
+    {_KM_MEANS.format(cn='c3', a='a3')}
+    SELECT c3.cid,
+           (SELECT count(*) FROM a3 WHERE a3.cid = c3.cid) AS n_members,
+           round(c3.c[1], 4) AS c_first,
+           round(sqrt(list_sum(list_transform(c3.c, x -> x * x))), 4)
+               AS c_norm
+    FROM c3
+    ORDER BY cid
+"""
+
+
+@query("kmeans_iterations", oracle=_KM_ORACLE)
+def kmeans_iterations(spark, sf_dir):
+    """Distributed k-means: 3 unrolled Lloyd iterations, k=4,
+    deterministic init (the 4 lowest vec_ids).  The Spark shape per
+    iteration is THE iterative-ML template:
+
+    * assignment — embeddings ⋈ broadcast(centroids) cross join (k
+      rows, always broadcast), per-vector argmin via ``min_by`` —
+      map-side only, no shuffle of the big table;
+    * update — posexplode to (cid, pos, val), partial-agg averages
+      (one shuffle of k×64 groups), re-pack with
+      sort_array(collect_list(struct)) — the centroid table stays k
+      rows, so every iteration's join side is broadcastable no matter
+      how many vectors.
+
+    At 100 TB the only per-iteration cost that grows with data is the
+    map-side assignment pass; all shuffled state is O(k·dim).  The
+    plan is truncated per iteration with localCheckpoint (as
+    nation_pagerank does) to stop lineage growth.  The oracle replays
+    the identical 3 iterations in chained CTEs; matching cluster
+    SIZES and centroid stats to 4 decimals proves every assignment
+    decision matched."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    first4 = e.orderBy("vec_id").limit(_KM_K)
+    cents = first4.select(
+        (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cid"),
+        F.col("v").alias("c"))
+
+    def assign(centroids):
+        d2 = F.aggregate(
+            F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return (
+            e.crossJoin(F.broadcast(centroids))
+            .groupBy("vec_id")
+            .agg(F.min_by("cid", d2).alias("cid"))
+        )
+
+    def means(assigned):
+        joined = assigned.join(e, "vec_id")
+        per_pos = (
+            joined.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m")))
+        return (
+            per_pos.groupBy("cid")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("c"))
+            .localCheckpoint(eager=True))
+
+    a = None
+    for _ in range(3):
+        a = assign(cents).localCheckpoint(eager=True)
+        cents = means(a)
+    counts = a.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    norm = F.sqrt(F.aggregate(
+        F.transform("c", lambda x: x * x), F.lit(0.0),
+        lambda acc, x: acc + x))
+    return (
+        cents.join(counts, "cid")
+        .select("cid", "n_members",
+                F.round(F.element_at("c", 1), 4).alias("c_first"),
+                F.round(norm, 4).alias("c_norm"))
+        .orderBy("cid")
+    )
