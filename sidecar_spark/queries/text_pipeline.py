@@ -866,3 +866,92 @@ def datetime_functions_extended(spark, sf_dir):
         )
         .orderBy("q")
     )
+
+
+@query(
+    "repetition_ratio_audit",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id,
+             len({_SQL_WORDS.format(e='text')}) AS n_tokens,
+             len(list_distinct({_SQL_WORDS.format(e='text')}))
+                 AS n_distinct
+      FROM documents
+    )
+    SELECT CAST(floor(10 * (1 - n_distinct * 1.0 / n_tokens)) AS BIGINT)
+               AS rep_bucket,
+           count(*) AS n_docs,
+           round(avg(1 - n_distinct * 1.0 / n_tokens), 6) AS avg_rep
+    FROM per_doc
+    WHERE n_tokens > 0
+    GROUP BY rep_bucket
+    ORDER BY rep_bucket
+    """,
+)
+def repetition_ratio_audit(spark, sf_dir):
+    """Repetition filtering (the C4/Gopher 'duplicate fraction' rule):
+    per-document duplicate-token fraction 1 − distinct/total,
+    histogrammed in 10% buckets — the signal that catches boilerplate
+    and degenerate generations before training.  Token and distinct
+    counts come from ONE array expression per row (no explode, no
+    shuffle until the final tiny histogram) — at corpus scale this is
+    a pure map over the text column."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    per = d.select(
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct"))
+    rep = 1 - F.col("n_distinct") / F.col("n_tokens")
+    return (
+        per.where(F.col("n_tokens") > 0)
+        .groupBy(F.floor(10 * rep).cast("long").alias("rep_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg(rep), 6).alias("avg_rep"))
+        .orderBy("rep_bucket")
+    )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest({_SQL_WORDS.format(e='text')}) AS w FROM documents
+    ), pairs AS (
+      SELECT substring(w, i, 2) AS pair
+      FROM words CROSS JOIN generate_series(1, 20) t(i)
+      WHERE i <= length(w) - 1
+    ), counted AS (
+      SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair
+    )
+    SELECT pair, cnt, rk FROM (
+      SELECT pair, cnt,
+             row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+      FROM counted)
+    WHERE rk <= 20
+    """,
+)
+def bpe_pair_counts(spark, sf_dir):
+    """The BPE-training inner loop: count adjacent symbol pairs across
+    the corpus (here the character-level first merge scan) and rank
+    the top candidates.  Spark shape: tokenize → per-word pair
+    expansion via transform(sequence(...)) — an array expression, NOT
+    a per-character explode of the corpus — then explode only the
+    short pair arrays into a map-side-combined count.  Each merge
+    iteration of a full BPE trainer is exactly this job with a
+    symbol-remap broadcast joined in; count-then-rank is one shuffle
+    plus a driver-size top-k."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+    pairs = words.where(F.length("w") >= 2).select(
+        F.explode(F.expr(
+            "transform(sequence(1, char_length(w) - 1), "
+            "i -> substring(w, i, 2))")).alias("pair"))
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.orderBy(F.desc("cnt"), "pair"))
+    return (
+        counted.select("pair", "cnt", rk.alias("rk"))
+        .where(F.col("rk") <= 20)
+    )

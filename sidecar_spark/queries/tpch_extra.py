@@ -1794,3 +1794,44 @@ def minmax_by_agg(spark, sf_dir):
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "window_nth_cume",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           nth_value(p_name, 3) OVER w AS third_cheapest,
+           round(cume_dist() OVER w, 6) AS price_cume
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand
+                 ORDER BY p_retailprice, p_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    QUALIFY p_partkey % 50 = 0
+    ORDER BY p_partkey
+    """,
+)
+def window_nth_cume(spark, sf_dir):
+    """nth_value (full-frame) + cume_dist, completing the analytic
+    window family (rank/dense_rank/ntile/percent_rank/lag/lead are
+    covered elsewhere).  The (price, partkey) composite order makes
+    peers — and therefore cume_dist — engine-independent.  The
+    output filter applies AFTER the window (DuckDB spells it
+    QUALIFY; Spark filters the windowed projection) so the window
+    still sees every row of the partition."""
+    from pyspark.sql import Window as W
+
+    p = t(spark, sf_dir, "part")
+    w = (W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return (
+        p.select(
+            "p_partkey", "p_brand",
+            F.nth_value("p_name", 3).over(w).alias("third_cheapest"),
+            F.round(F.cume_dist().over(
+                W.partitionBy("p_brand")
+                .orderBy("p_retailprice", "p_partkey")), 6)
+            .alias("price_cume"))
+        .where(F.col("p_partkey") % 50 == 0)
+        .orderBy("p_partkey")
+    )
