@@ -337,10 +337,13 @@ def stream_chained_join_window(spark, sf_dir):
     passes over one checkpoint (streaming/ops.py::
     run_append_two_pass): the second pass's no-data micro-batch
     flushes windows finalized by the first pass's watermark — which a
-    live stream's continuous micro-batches do implicitly. The emission
-    cutoff is the global watermark itself (verified empirically:
-    windows ending ≤ wm emit; no additional join-delay subtraction),
-    which the oracle's HAVING encodes."""
+    live stream's continuous micro-batches do implicitly. Emission
+    cutoff = global watermark minus the join's event-time slack on
+    the aggregated column (watermark propagation); THIS join
+    constrains purchase ts ≥ click ts, so the slack is zero and the
+    cutoff is the global watermark itself — the oracle's HAVING
+    encodes that, and tests/test_spark_ops.py pins the nonzero-slack
+    case with a synthetic stream."""
     from sidecar_spark.streaming import (chained_join_windowed,
                                          events_stream,
                                          run_append_two_pass)

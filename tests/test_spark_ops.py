@@ -215,3 +215,56 @@ class TestObservability:
         got = batch.agg({"metric": "sum"}).collect()[0][0]
         expected = sum((i * 2654435761) % 1000 for i in range(5000))
         assert got == expected
+
+
+class TestChainedStatefulStreaming:
+    def test_two_pass_flush_obeys_watermark_cutoff(self, spark, tmp_path):
+        """Chained stateful ops (stream-stream join → windowed agg,
+        append mode): the first availableNow pass ingests the backlog
+        and advances the watermark; the second pass's no-data batch
+        flushes finalized windows. Emission cutoff is the global
+        watermark MINUS the join's event-time slack on the aggregated
+        column (watermark propagation): here ts may trail ts2 by up
+        to 12 s, so windows finalize at wm − 12 s — pinned with a
+        synthetic stream whose last windows straddle that cutoff.
+        (When the join condition makes the aggregated timestamp ≥ the
+        other side's, the slack is zero and the cutoff is the global
+        watermark itself — the battery query's contract.)"""
+        import pyspark.sql.functions as F
+
+        from sidecar_spark.streaming import run_append_two_pass
+
+        src = str(tmp_path / "src")
+        (spark.range(200)
+         .select(F.col("id"),
+                 F.timestamp_micros(
+                     (F.lit(1700000000_000000)
+                      + F.col("id") * 1_000_000).cast("long")).alias("ts"),
+                 (F.col("id") % 5).alias("k"))
+         .write.mode("overwrite").parquet(src))
+
+        def build():
+            s1 = (spark.readStream.schema("id long, ts timestamp, k long")
+                  .parquet(src).withWatermark("ts", "10 seconds"))
+            s2 = (spark.readStream.schema("id long, ts timestamp, k long")
+                  .parquet(src)
+                  .select(F.col("k").alias("k2"), F.col("ts").alias("ts2"),
+                          F.col("id").alias("id2"))
+                  .withWatermark("ts2", "10 seconds"))
+            joined = s1.join(s2, F.expr(
+                "k = k2 AND ts2 BETWEEN ts AND ts + INTERVAL 12 SECONDS "
+                "AND id2 > id"))
+            return (joined.groupBy(F.window("ts", "30 seconds"), "k")
+                    .agg(F.count(F.lit(1)).alias("cnt")))
+
+        res = run_append_two_pass(spark, build, "test-chain")
+        # data spans [t0, t0+199 s]; global wm = t0+189; ts may trail
+        # ts2 by 12 s → agg cutoff = t0+177. Epoch-aligned 30 s
+        # windows end at t0+10, +40, …; ends ≤ 177 → 6 windows × 5
+        # keys = 30 rows, last emitted end t0+160 (+190 is withheld
+        # even though it is ≤ the global wm+1 — the propagation
+        # subtraction is observable).
+        assert res.count() == 30
+        max_end = res.agg(
+            F.max(F.col("window.end").cast("long"))).collect()[0][0]
+        assert max_end == 1700000000 + 160
