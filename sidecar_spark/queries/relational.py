@@ -1428,3 +1428,50 @@ def pandas_udf_iterator_scale(spark, sf_dir):
              F.round(F.sum("s"), 4).alias("sum_sig"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "array_set_operations",
+    oracle="""
+    WITH combos AS (
+      SELECT DISTINCT o_custkey % 5 AS i, o_custkey % 3 AS j FROM orders
+    ), arrs AS (
+      SELECT i, j, generate_series(i, i + 3) AS a,
+             generate_series(j, j + 4) AS b
+      FROM combos
+    )
+    SELECT i, j,
+           list_sort(list_distinct(a || b)) AS u,
+           list_sort(list_distinct(
+             list_filter(a, x -> list_contains(b, x)))) AS ix,
+           list_sort(list_distinct(
+             list_filter(a, x -> NOT list_contains(b, x)))) AS ex,
+           list_has_any(a, b) AS overlaps,
+           coalesce(list_position(a, j), 0) AS pos_j
+    FROM arrs
+    ORDER BY i, j
+    """,
+)
+def array_set_operations(spark, sf_dir):
+    """Array set algebra: union / intersect / except (sorted for
+    engine-independent element order), overlap test, and 1-based
+    position with Spark's 0-for-absent convention (the oracle
+    coalesces DuckDB's NULL to 0 — the one semantic difference).
+    Arrays stay inside Tungsten rows end to end; the DISTINCT combo
+    driver table keeps the output bounded at any scale."""
+    o = t(spark, sf_dir, "orders")
+    combos = o.select((F.col("o_custkey") % 5).alias("i"),
+                      (F.col("o_custkey") % 3).alias("j")).distinct()
+    a = F.sequence("i", F.col("i") + 3)
+    b = F.sequence("j", F.col("j") + 4)
+    return (
+        combos.select(
+            "i", "j",
+            F.array_sort(F.array_union(a, b)).alias("u"),
+            F.array_sort(F.array_intersect(a, b)).alias("ix"),
+            F.array_sort(F.array_except(a, b)).alias("ex"),
+            F.arrays_overlap(a, b).alias("overlaps"),
+            F.array_position(a, F.col("j")).alias("pos_j"),
+        )
+        .orderBy("i", "j")
+    )

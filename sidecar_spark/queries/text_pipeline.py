@@ -955,3 +955,47 @@ def bpe_pair_counts(spark, sf_dir):
         counted.select("pair", "cnt", rk.alias("rk"))
         .where(F.col("rk") <= 20)
     )
+
+
+@query(
+    "string_functions_extended",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_name, ' ', 1) AS first_word,
+           translate(p_brand, '#', '-') AS brand_tr,
+           lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
+           reverse(split_part(p_name, ' ', 1)) AS word_rev,
+           repeat(substring(p_type, 1, 2), 2) AS type_rep,
+           CASE WHEN p_retailprice < 900 THEN 0
+                WHEN p_retailprice >= 2000 THEN 11
+                ELSE CAST(1 + floor((p_retailprice - 900) * 10
+                                    / (2000 - 900)) AS BIGINT) END
+               AS price_bucket
+    FROM part
+    WHERE p_partkey % 97 = 0
+    ORDER BY p_partkey
+    """,
+)
+def string_functions_extended(spark, sf_dir):
+    """Second string family: split_part, translate, lpad, reverse,
+    repeat — plus width_bucket equal-width binning (the SQL-standard
+    histogram primitive; the oracle emulates it since this DuckDB
+    build lacks it, pinning Spark's edge semantics: bucket 0 below
+    the range, n+1 at/above the top). All codegen scalar expressions
+    in the scan projection."""
+    p = t(spark, sf_dir, "part").where(F.col("p_partkey") % 97 == 0)
+    first_word = F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))
+    return (
+        p.select(
+            "p_partkey",
+            first_word.alias("first_word"),
+            F.translate("p_brand", "#", "-").alias("brand_tr"),
+            F.lpad(F.col("p_size").cast("string"), 3, "0")
+            .alias("size_pad"),
+            F.reverse(first_word).alias("word_rev"),
+            F.repeat(F.substring("p_type", 1, 2), 2).alias("type_rep"),
+            F.width_bucket("p_retailprice", F.lit(900.0), F.lit(2000.0),
+                           F.lit(10)).alias("price_bucket"),
+        )
+        .orderBy("p_partkey")
+    )
