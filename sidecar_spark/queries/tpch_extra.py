@@ -1835,3 +1835,110 @@ def window_nth_cume(spark, sf_dir):
         .where(F.col("p_partkey") % 50 == 0)
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "filtered_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_all,
+           count(*) FILTER (WHERE l_quantity >= 30) AS n_big,
+           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+               AS rev_discounted,
+           round(avg(l_quantity) FILTER (WHERE l_tax = 0.0), 6)
+               AS avg_qty_taxfree,
+           count(DISTINCT l_suppkey) FILTER (WHERE l_returnflag = 'R')
+               AS n_supp_returned
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def filtered_aggregates(spark, sf_dir):
+    """ANSI ``FILTER (WHERE …)`` aggregate clause: per-aggregate
+    predicates in ONE grouped pass — the declarative form of the
+    sum(CASE…) idiom, and the plan is identical (conditional
+    accumulation inside the same partial agg, no extra scan or
+    shuffle). Mixes plain, filtered-sum/avg, and filtered-DISTINCT
+    to cover the rewrite paths."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_fa_v")
+    return spark.sql("""
+        SELECT l_returnflag,
+               count(*) AS n_all,
+               count(*) FILTER (WHERE l_quantity >= 30) AS n_big,
+               round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05),
+                     2) AS rev_discounted,
+               round(avg(l_quantity) FILTER (WHERE l_tax = 0.0), 6)
+                   AS avg_qty_taxfree,
+               count(DISTINCT l_suppkey) FILTER (WHERE l_returnflag = 'R')
+                   AS n_supp_returned
+        FROM lineitem_fa_v
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """)
+
+
+@query(
+    "set_ops_all_multiplicity",
+    oracle="""
+    WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 48),
+         b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_discount >= 0.09)
+    SELECT 'intersect_all' AS op, count(*) AS n, sum(k) AS sum_k FROM
+      (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'except_all', count(*), sum(k) FROM
+      (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'intersect_distinct', count(*), sum(k) FROM
+      (SELECT k FROM a INTERSECT SELECT k FROM b)
+    ORDER BY op
+    """,
+)
+def set_ops_all_multiplicity(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL bag semantics: multiplicities are
+    min(m,n) and m−n per value — a different operator from the
+    DISTINCT forms (Spark plans them as count-tracking aggregates +
+    generate, not a semi/anti join). The distinct variant rides along
+    so the multiplicity difference is visible in the counts."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_quantity") >= 48).select(
+        F.col("l_suppkey").alias("k"))
+    b = li.where(F.col("l_discount") >= 0.09).select(
+        F.col("l_suppkey").alias("k"))
+
+    def summarize(df, tag):
+        return df.agg(F.lit(tag).alias("op"),
+                      F.count(F.lit(1)).alias("n"),
+                      F.sum("k").alias("sum_k"))
+
+    return (
+        summarize(a.intersectAll(b), "intersect_all")
+        .unionAll(summarize(a.exceptAll(b), "except_all"))
+        .unionAll(summarize(a.intersect(b), "intersect_distinct"))
+        .orderBy("op")
+    )
+
+
+@query(
+    "limit_offset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15 OFFSET 30
+    """,
+)
+def limit_offset_pagination(spark, sf_dir):
+    """ORDER BY … LIMIT … OFFSET pagination (Spark 3.4+ OFFSET): the
+    total tie-broken order makes page 3 deterministic. Plan note:
+    Spark fetches offset+limit rows per partition then trims on the
+    driver — fine for page-sized offsets; DEEP pagination at scale
+    should keyset-paginate (WHERE key > last_seen ORDER BY key LIMIT
+    n) instead, which stays a pushed filter."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_page_v")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM orders_page_v
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 15 OFFSET 30
+    """)
