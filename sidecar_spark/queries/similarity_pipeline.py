@@ -485,26 +485,24 @@ _KM_ORACLE = f"""
 
 @query("kmeans_iterations", oracle=_KM_ORACLE)
 def kmeans_iterations(spark, sf_dir):
-    """Distributed k-means: 3 unrolled Lloyd iterations, k=4,
-    deterministic init (the 4 lowest vec_ids).  The Spark shape per
-    iteration is THE iterative-ML template:
+    """Distributed k-means: 3 Lloyd iterations, k=4, deterministic
+    init (the 4 lowest vec_ids).  The Spark shape per iteration is
+    the MLlib template:
 
-    * assignment — embeddings ⋈ broadcast(centroids) cross join (k
-      rows, always broadcast), per-vector argmin via ``min_by`` —
-      map-side only, no shuffle of the big table;
-    * update — posexplode to (cid, pos, val), partial-agg averages
-      (one shuffle of k×64 groups), re-pack with
-      sort_array(collect_list(struct)) — the centroid table stays k
-      rows, so every iteration's join side is broadcastable no matter
-      how many vectors.
+    * assignment — the k x dim centroid matrix (a few KB, ALWAYS
+      driver-size) is collected and inlined as literals, i.e.
+      broadcast; each vector's argmin is then a PURE MAP expression
+      (array of k squared distances -> array_position of the min) —
+      zero shuffle, zero join of the big table;
+    * update — posexplode to (cid, pos, val) with map-side partial
+      aggregation: the shuffle carries only partitions x k x dim
+      partial sums; re-pack with sort_array(collect_list(struct)).
 
-    At 100 TB the only per-iteration cost that grows with data is the
-    map-side assignment pass; all shuffled state is O(k·dim).  The
-    plan is truncated per iteration with localCheckpoint (as
-    nation_pagerank does) to stop lineage growth.  The oracle replays
-    the identical 3 iterations in chained CTEs; matching cluster
-    SIZES and centroid stats to 4 decimals proves every assignment
-    decision matched."""
+    Per iteration the only data-sized cost is one map pass + one
+    combine-collapsed shuffle; all driver state is O(k*dim).  The
+    oracle replays the identical 3 iterations in chained CTEs;
+    matching cluster SIZES and centroid stats to 4 decimals proves
+    every assignment decision matched."""
     from pyspark.sql import Window as W
 
     e = t(spark, sf_dir, "embeddings").select(
@@ -514,20 +512,22 @@ def kmeans_iterations(spark, sf_dir):
         (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cid"),
         F.col("v").alias("c"))
 
-    def assign(centroids):
-        d2 = F.aggregate(
-            F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+    def sqdist(c_vals):
+        lit_c = F.array(*[F.lit(float(x)) for x in c_vals])
+        return F.aggregate(
+            F.zip_with("v", lit_c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0), lambda acc, x: acc + x)
-        return (
-            e.crossJoin(F.broadcast(centroids))
-            .groupBy("vec_id")
-            .agg(F.min_by("cid", d2).alias("cid"))
-        )
+
+    def assign(centroid_rows):
+        # centroid_rows: list of (cid, vector), cid-ordered
+        dists = F.array(*[sqdist(c) for _, c in centroid_rows])
+        cid = (F.array_position(dists, F.array_min(dists)) - 1
+               ).cast("int")
+        return e.select("vec_id", cid.alias("cid"), "v")
 
     def means(assigned):
-        joined = assigned.join(e, "vec_id")
         per_pos = (
-            joined.select("cid", F.posexplode("v").alias("pos", "val"))
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
             .agg(F.avg("val").alias("m")))
         return (
@@ -535,18 +535,20 @@ def kmeans_iterations(spark, sf_dir):
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))),
                 lambda s: s["m"]).alias("c"))
-            .localCheckpoint(eager=True))
+        )
 
     a = None
     for _ in range(3):
-        a = assign(cents).localCheckpoint(eager=True)
+        rows = sorted((r["cid"], r["c"]) for r in cents.collect())
+        a = assign(rows)
         cents = means(a)
+    cents = cents.localCheckpoint(eager=True)
     counts = a.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
     norm = F.sqrt(F.aggregate(
         F.transform("c", lambda x: x * x), F.lit(0.0),
         lambda acc, x: acc + x))
     return (
-        cents.join(counts, "cid")
+        cents.join(F.broadcast(counts), "cid")
         .select("cid", "n_members",
                 F.round(F.element_at("c", 1), 4).alias("c_first"),
                 F.round(norm, 4).alias("c_norm"))
