@@ -352,3 +352,40 @@ def stream_chained_join_window(spark, sf_dir):
         spark,
         lambda: chained_join_windowed(events_stream(spark, sf_dir)),
         "stream_chained_join_window")
+
+
+@query(
+    "stream_rocksdb_state",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= {_WM}
+    """,
+)
+def stream_rocksdb_state(spark, sf_dir):
+    """The stream_window_watermark plan on the RocksDB state store
+    provider (with changelog checkpointing): state lives off-heap in
+    RocksDB instances per partition instead of the default in-memory
+    HDFS-backed map — the production choice once keyed state outgrows
+    executor heap (100 TB/day streams hold GBs–TBs of window state).
+    Identical oracle to the default-provider entry IS the test:
+    provider choice must never change emitted results, only the
+    state-capacity envelope."""
+    from sidecar_spark.streaming import (events_stream, run_to_memory_sink,
+                                         windowed_counts)
+
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    chg = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    spark.conf.set(
+        prov,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    spark.conf.set(chg, "true")
+    try:
+        s = windowed_counts(events_stream(spark, sf_dir))
+        return run_to_memory_sink(s, "stream_rocksdb_state", "append")
+    finally:
+        spark.conf.unset(prov)
+        spark.conf.unset(chg)
