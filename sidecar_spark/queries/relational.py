@@ -1475,3 +1475,44 @@ def array_set_operations(spark, sf_dir):
         )
         .orderBy("i", "j")
     )
+
+
+@query(
+    "arrow_python_udf",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           sum(CASE WHEN o_totalprice >= 100000 THEN 1 ELSE 0 END)
+               AS n_jumbo,
+           sum(length(o_orderpriority) + CAST(o_orderkey % 7 AS BIGINT))
+               AS checksum
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def arrow_python_udf(spark, sf_dir):
+    """Arrow-optimized Python UDF (``@udf(useArrow=True)``, Spark
+    3.5+): the third UDF engine next to pickled-row Python UDFs and
+    Pandas UDFs — scalar Python semantics (per-row function) with
+    Arrow batch transport, removing pickle serialization without
+    requiring vectorized pandas code.  The checksum mixes string and
+    modular arithmetic so the oracle catches any transport-layer type
+    coercion."""
+    from pyspark.sql.functions import udf
+
+    @udf("long", useArrow=True)
+    def row_checksum(prio: str, key: int) -> int:
+        return len(prio) + (key % 7)
+
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderpriority", "o_totalprice",
+                 row_checksum("o_orderpriority", "o_orderkey").alias("cs"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.when(F.col("o_totalprice") >= 100000, 1).otherwise(0))
+             .alias("n_jumbo"),
+             F.sum("cs").alias("checksum"))
+        .orderBy("o_orderpriority")
+    )

@@ -389,3 +389,57 @@ def stream_rocksdb_state(spark, sf_dir):
     finally:
         spark.conf.unset(prov)
         spark.conf.unset(chg)
+
+
+@query(
+    "stream_multi_watermark_max_policy",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ), wm AS (
+      -- 'max' multiple-watermark policy: the LATER of the two sides'
+      -- ms-floored max event times, minus the 30-minute delay
+      SELECT make_timestamp((epoch_ms(greatest(
+               (SELECT max(p_ts) FROM purchases),
+               (SELECT max(c_ts) FROM clicks))) - 30 * 60 * 1000) * 1000)
+             AS w)
+    SELECT p.user_id, p.purchase_id, c.click_id
+    FROM purchases p
+    JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE AND c.c_ts <= p.p_ts
+    UNION ALL
+    SELECT p.user_id, p.purchase_id, NULL AS click_id
+    FROM purchases p CROSS JOIN wm
+    WHERE p.p_ts < wm.w
+      AND NOT EXISTS (SELECT 1 FROM clicks c
+                      WHERE c.user_id = p.user_id
+                        AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE
+                        AND c.c_ts <= p.p_ts)
+    """,
+)
+def stream_multi_watermark_max_policy(spark, sf_dir):
+    """The stream-stream LEFT OUTER join under
+    ``multipleWatermarkPolicy=max``: with several watermarked inputs
+    the global watermark takes the FASTEST side (max) instead of the
+    default slowest (min) — trading possible late-row drops on the
+    laggard side for earlier state eviction and earlier null
+    emission.  The oracle is the min-policy oracle with
+    least→greatest swapped; the emitted-row DIFFERENCE between this
+    entry and stream_stream_left_join is exactly the policy
+    semantics, pinned by both hashes."""
+    from sidecar_spark.streaming import left_joined_streams, run_to_memory_sink
+
+    pol = "spark.sql.streaming.multipleWatermarkPolicy"
+    prev = spark.conf.get(pol, "min")
+    spark.conf.set(pol, "max")
+    try:
+        s = left_joined_streams(events_stream(spark, sf_dir))
+        return run_to_memory_sink(
+            s, "stream_multi_watermark_max_policy", "append")
+    finally:
+        spark.conf.set(pol, prev)
