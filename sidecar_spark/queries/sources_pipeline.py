@@ -355,3 +355,61 @@ def xml_roundtrip_agg(spark, sf_dir):
              F.round(F.sum("p_retailprice"), 2).alias("sum_price"))
         .orderBy("p_brand")
     )
+
+
+@query(
+    "python_datasource_write",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderkey < 20000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def python_datasource_write(spark, sf_dir):
+    """The WRITER half of the Python DataSource API
+    (sources/pyds.py::JsonlSink): executor-parallel JSON-lines tasks
+    with a two-phase commit — per-task ``.inprogress`` files renamed
+    into place by the driver commit, ``_SUCCESS`` marker last (the
+    reference's moniker protocol as a Spark commit protocol,
+    ``SidecarCachingFileSystem.java:1704-1717``).  The audit re-reads
+    the COMMITTED files and must reproduce the source aggregate —
+    a torn or duplicated task file would break the hash."""
+    import shutil
+    import tempfile
+
+    from sidecar_spark.sources.pyds import JsonlSink
+
+    try:
+        spark.dataSource.register(JsonlSink)
+    except Exception:  # noqa: BLE001  (already registered in this session)
+        pass
+    out = tempfile.mkdtemp(prefix="sidecar-pydsw-")
+    try:
+        o = (t(spark, sf_dir, "orders")
+             .where(F.col("o_orderkey") < 20000)
+             .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+        (o.write.format("sidecar_jsonl").option("path", out)
+         .mode("append").save())
+        back = spark.read.schema(
+            "o_orderkey long, o_orderstatus string, o_totalprice double"
+        ).json(_os_path_glob(out))
+        rows = (
+            back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("o_orderstatus")
+            .collect())
+        return spark.createDataFrame(
+            rows, "o_orderstatus string, n bigint, total double")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _os_path_glob(out):
+    import os as _os
+
+    return [_os.path.join(out, f) for f in sorted(_os.listdir(out))
+            if f.endswith(".jsonl")]

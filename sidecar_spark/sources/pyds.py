@@ -100,3 +100,77 @@ class TelemetrySource(DataSource):
 
     def simpleStreamReader(self, schema) -> TelemetryStreamReader:
         return TelemetryStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Writer half of the connector API (Spark 4): executor-parallel writes
+# with a commit protocol — the DataSourceWriter counterpart of the
+# reference's write-path wrappers (create/close + moniker lifecycle,
+# SidecarCachingFileSystem.java:1635-1663,1268-1326).
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+import uuid as _uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _FileDone(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class JsonlWriter(DataSourceWriter):
+    """JSON-lines sink with the two-phase commit protocol: each task
+    writes a uniquely-named ``.inprogress`` file (the moniker idea —
+    uncommitted output is marked in-band) and reports it in its commit
+    message; the driver-side ``commit`` renames all task files into
+    place and drops a ``_SUCCESS`` marker, while ``abort`` removes the
+    partials.  A failed/speculated task therefore never corrupts the
+    output directory — the same guarantee the reference's
+    write-cache moniker protocol provides for unsynced mirrors."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sidecar_jsonl requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        _os.makedirs(self.path, exist_ok=True)
+        tmp = _os.path.join(
+            self.path, f"part-{_uuid.uuid4().hex}.jsonl.inprogress")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileDone(tmp, n)
+
+    def commit(self, messages):
+        for m in messages:
+            final = m.path[: -len(".inprogress")]
+            _os.replace(m.path, final)
+        with open(_os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(str(sum(m.n_rows for m in messages)))
+
+    def abort(self, messages):
+        for m in messages:
+            try:
+                _os.remove(m.path)
+            except OSError:
+                pass
+
+
+class JsonlSink(DataSource):
+    """Writer-only Python DataSource: ``df.write.format('sidecar_jsonl')
+    .option('path', dir).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sidecar_jsonl"
+
+    def writer(self, schema, overwrite: bool) -> JsonlWriter:
+        return JsonlWriter(self.options, overwrite)
