@@ -326,3 +326,71 @@ def dedup_contamination_check(spark, sf_dir):
              .alias("n_contaminated"),
              F.round(F.avg("ratio"), 6).alias("avg_overlap"))
     )
+
+
+@query(
+    "curation_pipeline_manifest",
+    oracle="""
+    WITH deduped AS (
+      SELECT doc_id, text, n_chars FROM (
+        SELECT doc_id, text, n_chars,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1
+    ), quality AS (
+      SELECT doc_id, n_chars FROM deduped
+      WHERE n_chars >= 100
+        AND length(regexp_replace(text, '[^0-9]', '', 'g'))
+            <= 0.2 * length(text)
+    ), assigned AS (
+      SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       ::BIGINT % 100 < 90 THEN 'train' ELSE 'val' END
+                 AS split,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 15))
+                 ::BIGINT % 4 AS shard,
+             n_chars
+      FROM quality
+    )
+    SELECT split, shard, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM assigned
+    GROUP BY split, shard
+    ORDER BY split, shard
+    """,
+)
+def curation_pipeline_manifest(spark, sf_dir):
+    """The full curation funnel COMPOSED in one job — exact dedup
+    (keep lowest doc_id per content hash) → quality gate (length
+    floor + digit-ratio cap) → deterministic 90/10 split → 4-way
+    shard — emitting the training manifest (docs/chars per
+    split × shard).  Each stage is an operator proven individually
+    elsewhere in the battery; this entry proves they COMPOSE without
+    materialization barriers: Catalyst pipelines dedup's window, the
+    quality projection, and both hash assignments into one shuffle
+    (content-hash partitioning) plus the final tiny manifest
+    aggregate.  At 100 TB that composition — not any single stage —
+    is what keeps the pipeline at two passes over the corpus."""
+    from sidecar_spark.functions.dedup import hash60
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    keep = (
+        d.withColumn("rn", F.row_number().over(
+            W.partitionBy(F.md5("text")).orderBy("doc_id")))
+        .where(F.col("rn") == 1))
+    quality = keep.where(
+        (F.col("n_chars") >= 100)
+        & (F.length(F.regexp_replace("text", "[^0-9]", ""))
+           <= 0.2 * F.length("text")))
+    split = F.when(
+        hash60(F.col("doc_id").cast("string")) % 100 < 90, "train"
+    ).otherwise("val")
+    shard = hash60(F.concat(F.col("doc_id").cast("string"),
+                            F.lit(":shard"))) % 4
+    return (
+        quality.select(split.alias("split"), shard.alias("shard"),
+                       "n_chars")
+        .groupBy("split", "shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+        .orderBy("split", "shard")
+    )

@@ -464,3 +464,63 @@ def snapshot_state_diff(spark, sf_dir):
         .groupBy("change_class", "v2_state")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "session_window_dynamic_gap",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, ts, value, event_type,
+             epoch_us(ts) + CASE WHEN event_type = 'error'
+                                 THEN 5 * 60 * 1000000
+                                 ELSE 30 * 60 * 1000000 END AS end_us
+      FROM events
+    ), marks AS (
+      SELECT *, CASE WHEN max(end_us) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     >= epoch_us(ts)
+                 THEN 0 ELSE 1 END AS new_s
+      FROM ev
+    ), sess AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+           round(sum(value), 2) AS session_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def session_window_dynamic_gap(spark, sf_dir):
+    """session_window with a DYNAMIC per-event gap (a Column, not a
+    constant): error events extend their session only 5 minutes while
+    normal activity keeps the 30-minute timeout — the
+    behavior-dependent sessionization real clickstreams need.  Spark
+    merges each event's [ts, ts+gap) interval per key in one pass of
+    the native session operator; the oracle rebuilds the identical
+    merge with a running max-of-ends sweep (an event joins the
+    session while the max prior end reaches its timestamp).  Same
+    single-shuffle profile as fixed-gap sessionization."""
+    from sidecar_spark.queries.registry import t as _t
+
+    e = _t(spark, sf_dir, "events")
+    gap = (F.when(F.col("event_type") == "error", "5 minutes")
+           .otherwise("30 minutes"))
+    return (
+        e.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.count(F.when(F.col("event_type") == "error", 1))
+             .alias("n_errors"),
+             F.round(F.sum("value"), 2).alias("session_value"))
+        .select("user_id",
+                F.date_format("session_window.start",
+                              "yyyy-MM-dd HH:mm:ss")
+                .alias("session_start"),
+                "n_events", "n_errors", "session_value")
+    )

@@ -1942,3 +1942,36 @@ def limit_offset_pagination(spark, sf_dir):
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 15 OFFSET 30
     """)
+
+
+@query(
+    "percentile_disc_family",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_disc(o_totalprice, 0.25), 2) AS q1_disc,
+           round(quantile_disc(o_totalprice, 0.75), 2) AS q3_disc,
+           round(median(o_totalprice), 4) AS med
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def percentile_disc_family(spark, sf_dir):
+    """percentile_disc WITHIN GROUP (inverse-distribution: returns an
+    ACTUAL data value at or above the quantile, vs percentile_cont's
+    interpolation) plus median().  Exact percentiles sort within each
+    group — fine for bounded groups; unbounded-cardinality quantiles
+    at scale should use the approx_percentile / GK-sketch entry
+    (approx_quantile_audit) instead."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_pd_v")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               round(percentile_disc(0.25) WITHIN GROUP
+                     (ORDER BY o_totalprice), 2) AS q1_disc,
+               round(percentile_disc(0.75) WITHIN GROUP
+                     (ORDER BY o_totalprice), 2) AS q3_disc,
+               round(median(o_totalprice), 4) AS med
+        FROM orders_pd_v
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)
