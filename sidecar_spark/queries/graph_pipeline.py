@@ -214,3 +214,55 @@ def fuzzy_name_match(spark, sf_dir):
              F.min(dist).alias("min_dist"),
              F.round(F.avg(dist), 6).alias("avg_dist"))
     )
+
+
+@query(
+    "triangle_count",
+    oracle="""
+    WITH edges AS (
+      -- undirected co-supplier graph: nations are linked when they
+      -- share a part (distinct supplier-nation pairs per part, both
+      -- directions collapsed to a < b)
+      SELECT DISTINCT least(a.s_nationkey, b.s_nationkey) AS u,
+                      greatest(a.s_nationkey, b.s_nationkey) AS v
+      FROM lineitem l1
+      JOIN lineitem l2 ON l1.l_partkey = l2.l_partkey
+      JOIN supplier a ON l1.l_suppkey = a.s_suppkey
+      JOIN supplier b ON l2.l_suppkey = b.s_suppkey
+      WHERE a.s_nationkey < b.s_nationkey
+    )
+    SELECT count(*) AS n_triangles FROM (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+    """,
+)
+def triangle_count(spark, sf_dir):
+    """Distributed triangle counting on the nation co-supplier graph:
+    canonicalize edges to u<v, then the standard two-join wedge-close
+    (e1(u,v) ⋈ e2(v,w) ⋈ edge(u,w)) so each triangle counts exactly
+    once.  At real graph scale the wedge join is the cost driver —
+    production systems order vertices by degree before
+    canonicalizing so high-degree hubs close wedges instead of
+    generating them; the shape here is the same two-shuffle plan."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    su = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ln = li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey).select(
+        "l_partkey", "s_nationkey")
+    a = ln.select(F.col("l_partkey").alias("pk"),
+                  F.col("s_nationkey").alias("na"))
+    b = ln.select(F.col("l_partkey").alias("pk"),
+                  F.col("s_nationkey").alias("nb"))
+    edges = (
+        a.join(b, "pk")
+        .where(F.col("na") < F.col("nb"))
+        .select(F.col("na").alias("u"), F.col("nb").alias("v"))
+        .distinct())
+    e1 = edges
+    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = edges.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    wedges = e1.join(e2, "v")
+    tri = wedges.join(
+        e3, (wedges.u == e3.u3) & (wedges.w == e3.w3))
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -1975,3 +1975,33 @@ def percentile_disc_family(spark, sf_dir):
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """)
+
+
+@query(
+    "shuffle_hash_hint_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def shuffle_hash_hint_join(spark, sf_dir):
+    """Join-strategy hint surface: SHUFFLE_HASH forces a shuffled hash
+    join where Spark would otherwise broadcast (small dim) or
+    sort-merge (large-large).  SHJ beats SMJ when one side fits a
+    task's memory after partitioning — it skips both sorts — but
+    can't spill the build side gracefully, which is why it is opt-in.
+    The result must be strategy-invariant (same oracle as the
+    broadcast form); EXPLAIN_AUDIT shows the shj plan node."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(c.hint("SHUFFLE_HASH"),
+               o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("c_mktsegment")
+    )
