@@ -1,0 +1,128 @@
+"""Query-result cache — the reference's content-addressed page-key
+idea (``util/Utils.java:100-123``: key = MD5(path + mtime) so stale
+entries passively never match) lifted from byte pages to QUERY
+RESULTS.
+
+An entry's key is ``md5(sql_text ‖ sorted (path, mtime, length) of
+every input file the resolved plan reads)``.  Any change to the query
+or to any input file (new mtime/length) produces a different key, so
+invalidation is passive and exact — the same self-invalidation
+guarantee the page cache gives, with zero coordination.  Capacity is
+bounded by an LRC (least-recently-created) eviction loop over entry
+directories, mirroring the write-cache victim policy
+(``util/LRCQueue.java:41-106``, watermark loop
+``SidecarCachingFileSystem.java:1397-1465`` — simplified: results are
+always re-computable, so no unsynced-victim guard is needed).
+
+Scale note: entries are parquet directories written by the cluster
+(no driver materialization) — a hit replaces an arbitrary plan with
+a local parquet scan, which is exactly the Alluxio-style promise the
+file mirror makes for raw tables, applied to derived results.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from typing import List, Optional, Tuple
+
+
+class ResultCache:
+    META = "entry.json"
+
+    def __init__(self, root: str, capacity_bytes: Optional[int] = None):
+        self.root = root
+        self.capacity_bytes = capacity_bytes
+        self.hits = 0
+        self.misses = 0
+        self.evictions = 0
+        os.makedirs(root, exist_ok=True)
+
+    # ---- keys -----------------------------------------------------------
+
+    @staticmethod
+    def key_for(sql_text: str, inputs: List[Tuple[str, int, int]]) -> str:
+        """md5 over the query text and every input file's
+        (path, mtime_ns, length) — the result-granular analog of the
+        page key's md5(path + mtime)."""
+        h = hashlib.md5()
+        h.update(sql_text.encode("utf-8"))
+        for path, mtime_ns, length in sorted(inputs):
+            h.update(f"|{path}:{mtime_ns}:{length}".encode("utf-8"))
+        return h.hexdigest()
+
+    # ---- lookup / store -------------------------------------------------
+
+    def _entry_dir(self, key: str) -> str:
+        return os.path.join(self.root, key)
+
+    def lookup(self, key: str) -> Optional[str]:
+        d = self._entry_dir(key)
+        if os.path.exists(os.path.join(d, self.META)):
+            self.hits += 1
+            return os.path.join(d, "data")
+        self.misses += 1
+        return None
+
+    def store(self, key: str, write_fn, sql_text: str) -> str:
+        """Materialize a result: ``write_fn(data_dir)`` writes the
+        parquet; the meta marker lands LAST (write → marker ordering,
+        the moniker idea inverted: an entry without its marker is
+        invisible and gets garbage-collected rather than served)."""
+        d = self._entry_dir(key)
+        data = os.path.join(d, "data")
+        if os.path.exists(d):
+            shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        write_fn(data)
+        size = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(data) for f in fs)
+        with open(os.path.join(d, self.META), "w", encoding="utf-8") as fh:
+            json.dump({"sql": sql_text, "bytes": size,
+                       "created": time.time()}, fh)
+        self._check_eviction()
+        return data
+
+    # ---- maintenance ----------------------------------------------------
+
+    def _entries(self):
+        out = []
+        for key in os.listdir(self.root):
+            meta = os.path.join(self.root, key, self.META)
+            if os.path.exists(meta):
+                with open(meta, encoding="utf-8") as fh:
+                    m = json.load(fh)
+                out.append((m.get("created", 0), key, m.get("bytes", 0)))
+        return sorted(out)
+
+    def total_bytes(self) -> int:
+        return sum(b for _, _, b in self._entries())
+
+    def _check_eviction(self) -> None:
+        if self.capacity_bytes is None:
+            return
+        entries = self._entries()
+        total = sum(b for _, _, b in entries)
+        # oldest-first (LRC) until under capacity; the newest entry is
+        # never a victim — evicting what was just produced would turn
+        # an over-capacity store into a guaranteed re-miss loop
+        for _, key, b in entries[:-1]:
+            if total <= self.capacity_bytes:
+                break
+            shutil.rmtree(self._entry_dir(key), ignore_errors=True)
+            total -= b
+            self.evictions += 1
+
+    def invalidate_all(self) -> None:
+        for key in os.listdir(self.root):
+            shutil.rmtree(self._entry_dir(key), ignore_errors=True)
+
+    def snapshot(self) -> dict:
+        return {"hits": self.hits, "misses": self.misses,
+                "evictions": self.evictions,
+                "entries": len(self._entries()),
+                "bytes": self.total_bytes()}

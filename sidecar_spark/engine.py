@@ -53,6 +53,7 @@ class Engine:
             CacheManager.get_or_create(conf) if cache_enabled else None
         )
         self._registered: Dict[str, str] = {}
+        self._result_cache = None
 
     # ---- reads ---------------------------------------------------------
 
@@ -93,6 +94,45 @@ class Engine:
 
     def sql(self, query: str):
         return self.spark.sql(query)
+
+    def sql_cached(self, query: str):
+        """``sql`` with the result cache (cache/results.py): the
+        result is keyed by md5(query ‖ every resolved input file's
+        path+mtime+length) — the page-key self-invalidation idea at
+        result granularity, so a changed input or text produces a
+        miss and stale entries are never served.  A hit replaces the
+        whole plan with a local parquet scan."""
+        from sidecar_spark.cache.results import ResultCache
+
+        if self._result_cache is None:
+            self._result_cache = ResultCache(
+                os.path.join(self.conf.cache_dir, "results"),
+                capacity_bytes=self.conf.write_cache_size or None)
+        rc = self._result_cache
+        df = self.spark.sql(query)
+        inputs = []
+        for uri in df.inputFiles():
+            path = uri[len("file:"):] if uri.startswith("file:") else uri
+            try:
+                st = os.stat(path)
+                inputs.append((path, st.st_mtime_ns, st.st_size))
+            except OSError:
+                # non-local input: fold the raw uri in (no mtime —
+                # conservative, distinct per listing)
+                inputs.append((uri, 0, 0))
+        key = rc.key_for(query, inputs)
+        hit = rc.lookup(key)
+        if hit is not None:
+            return self.spark.read.parquet(hit)
+        data = rc.store(
+            key, lambda d: df.write.mode("overwrite").parquet(d), query)
+        return self.spark.read.parquet(data)
+
+    def result_cache_stats(self) -> dict:
+        return (self._result_cache.snapshot()
+                if self._result_cache is not None else
+                {"hits": 0, "misses": 0, "evictions": 0,
+                 "entries": 0, "bytes": 0})
 
     # ---- writes -----------------------------------------------------------
 

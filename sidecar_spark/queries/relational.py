@@ -1516,3 +1516,53 @@ def arrow_python_udf(spark, sf_dir):
              F.sum("cs").alias("checksum"))
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "query_result_cache",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def query_result_cache(spark, sf_dir):
+    """Engine.sql_cached — the reference's content-addressed page key
+    (``util/Utils.java:100-123``: md5(path+mtime), stale keys never
+    match) lifted to QUERY-RESULT granularity: results are keyed by
+    md5(sql ‖ every input file's path+mtime+length), so any input
+    change passively invalidates.  The probe runs the aggregate cold
+    (miss → cluster-written parquet entry) then warm, asserts the
+    provenance counters in-query (reference test style,
+    ``TestCachingFileSystemBase.java:179-334``), and returns the warm
+    result — which must hash-match the oracle, proving a cache hit is
+    indistinguishable from recomputation."""
+    import os as _os
+    import tempfile as _tf
+
+    from sidecar_spark import Engine, SidecarConfig
+    from sidecar_spark.cache.manager import CacheManager
+
+    cache_dir = _os.path.join(
+        _tf.gettempdir(), "sidecar-resultcache",
+        _os.path.basename(sf_dir.rstrip("/")).replace(".", "_"))
+    conf = SidecarConfig.create(cache_dir=cache_dir,
+                                data_cache_type="file",
+                                cache_persistent=False)
+    eng = Engine(spark, base_dir=sf_dir, conf=conf)
+    eng.register("lineitem")
+    q = ("SELECT l_returnflag, count(*) AS n, "
+         "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+    eng.sql_cached(q).collect()          # cold or warm depending on run
+    before = eng.result_cache_stats()
+    out = eng.sql_cached(q)              # must be a hit
+    rows = out.collect()
+    after = eng.result_cache_stats()
+    if after["hits"] != before["hits"] + 1:
+        raise AssertionError(
+            f"result cache did not serve the warm read: {after}")
+    return spark.createDataFrame(
+        rows, "l_returnflag string, n bigint, revenue double")
