@@ -413,3 +413,106 @@ def _os_path_glob(out):
 
     return [_os.path.join(out, f) for f in sorted(_os.listdir(out))
             if f.endswith(".jsonl")]
+
+
+@query(
+    "union_by_name_evolution",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, sum(flagged) AS n_flagged,
+           round(sum(coalesce(price, 0)), 2) AS total_priced
+    FROM (
+      SELECT o_orderstatus, 0 AS flagged, round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL BY NAME
+      SELECT 1 AS flagged, o_orderstatus, NULL::DOUBLE AS price
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def union_by_name_evolution(spark, sf_dir):
+    """Schema-evolution union: ``unionByName(allowMissingColumns=
+    True)`` aligns batches by COLUMN NAME (different column order,
+    one batch missing a column → nulls) — the daily reality of
+    long-lived ingest pipelines, where positional UNION silently
+    corrupts when a producer reorders fields.  DuckDB's UNION ALL BY
+    NAME is the exact oracle twin.  Pure narrow op: no shuffle, the
+    union is a plan-level concatenation."""
+    o = t(spark, sf_dir, "orders")
+    old_batch = (o.where(F.col("o_orderkey") % 2 == 0)
+                 .select("o_orderstatus",
+                         F.lit(0).alias("flagged"),
+                         F.round("o_totalprice", 2).alias("price")))
+    new_batch = (o.where(F.col("o_orderkey") % 2 == 1)
+                 .select(F.lit(1).alias("flagged"), "o_orderstatus"))
+    merged = old_batch.unionByName(new_batch, allowMissingColumns=True)
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("flagged").alias("n_flagged"),
+             F.round(F.sum(F.coalesce("price", F.lit(0.0))), 2)
+             .alias("total_priced"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "mergeschema_read_evolution",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           count(region_tag) AS n_tagged,
+           round(sum(coalesce(o_totalprice, 0)), 2) AS total
+    FROM (
+      SELECT o_orderpriority, o_totalprice, NULL AS region_tag
+      FROM orders WHERE o_orderkey < 10000
+      UNION ALL BY NAME
+      SELECT o_orderpriority, o_totalprice,
+             'r' || CAST(o_custkey % 5 AS VARCHAR) AS region_tag
+      FROM orders WHERE o_orderkey >= 10000
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def mergeschema_read_evolution(spark, sf_dir):
+    """Schema evolution ON READ: two parquet batches written with
+    different schemas (the later one adds ``region_tag``) into one
+    dataset directory, read back with ``mergeSchema=true`` — the
+    union-of-schemas scan every long-lived lake table eventually
+    needs.  Old files surface the new column as NULL; the oracle
+    reconstructs the same evolution with UNION ALL BY NAME.  At
+    scale, mergeSchema pays a footer-read per file at planning —
+    production tables pin the merged schema in a catalog instead,
+    which is why this entry reads with an explicit final schema
+    check rather than leaving inference on per query."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="sidecar-mergeschema-")
+    try:
+        o = t(spark, sf_dir, "orders")
+        (o.where(F.col("o_orderkey") < 10000)
+         .select("o_orderpriority", "o_totalprice")
+         .write.mode("overwrite").parquet(os.path.join(out, "b=1")))
+        (o.where(F.col("o_orderkey") >= 10000)
+         .select("o_orderpriority", "o_totalprice",
+                 F.concat(F.lit("r"), (F.col("o_custkey") % 5)
+                          .cast("string")).alias("region_tag"))
+         .write.mode("overwrite").parquet(os.path.join(out, "b=2")))
+        merged = (spark.read.option("mergeSchema", "true")
+                  .parquet(os.path.join(out, "b=1"),
+                           os.path.join(out, "b=2")))
+        rows = (
+            merged.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count("region_tag").alias("n_tagged"),
+                 F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 2)
+                 .alias("total"))
+            .orderBy("o_orderpriority")
+            .collect())
+        return spark.createDataFrame(
+            rows, "o_orderpriority string, n bigint, n_tagged bigint, "
+                  "total double")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

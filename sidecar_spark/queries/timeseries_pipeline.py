@@ -524,3 +524,83 @@ def session_window_dynamic_gap(spark, sf_dir):
                 .alias("session_start"),
                 "n_events", "n_errors", "session_value")
     )
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+                  THEN 0 ELSE 1 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    ), dim AS (
+      SELECT user_id, event_type AS state, min(ts) AS valid_from,
+             coalesce(lead(min(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY min(ts)),
+                      TIMESTAMP '9999-12-31') AS valid_to
+      FROM runs GROUP BY user_id, event_type, run_id
+    ), probes AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_id % 37 = 0
+    )
+    SELECT p.user_id, p.event_id, d.state,
+           strftime(d.valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from
+    FROM probes p JOIN dim d
+      ON p.user_id = d.user_id
+     AND p.ts >= d.valid_from AND p.ts < d.valid_to
+    ORDER BY p.user_id, p.event_id
+    """,
+)
+def scd2_point_in_time_join(spark, sf_dir):
+    """Point-in-time (AS OF) dimension lookup: probe rows join the
+    SCD2 interval table on key + [valid_from, valid_to) containment —
+    the canonical warehouse pattern for 'what was the state WHEN this
+    fact happened'.  The interval dim is built in the same job (the
+    events_scd2 operator), and the join is an equi-join on user_id
+    with a range residual: Spark hash-partitions on the key and
+    evaluates the interval predicate post-match, so no
+    nested-loop — the 100 TB shape as long as per-key version
+    chains stay bounded.  Probes at ts exactly on a boundary take the
+    NEW version ([from, to) semantics) — pinned by both engines."""
+    from pyspark.sql import Window as W
+    from sidecar_spark.queries.registry import t as _t
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+               0).otherwise(1).alias("chg"))
+    runs = marked.select(
+        "user_id", "event_type", "ts",
+        F.sum("chg").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("run_id"))
+    per_run = (
+        runs.groupBy("user_id", "event_type", "run_id")
+        .agg(F.min("ts").alias("valid_from")))
+    dim = per_run.select(
+        "user_id", F.col("event_type").alias("state"), "valid_from",
+        F.coalesce(
+            F.lead("valid_from").over(
+                W.partitionBy("user_id").orderBy("valid_from")),
+            F.lit("9999-12-31").cast("timestamp")).alias("valid_to"))
+    probes = e.where(F.col("event_id") % 37 == 0).select(
+        "user_id", "event_id", "ts")
+    return (
+        probes.alias("p")
+        .join(dim.alias("d"),
+              (F.col("p.user_id") == F.col("d.user_id"))
+              & (F.col("p.ts") >= F.col("d.valid_from"))
+              & (F.col("p.ts") < F.col("d.valid_to")))
+        .select(F.col("p.user_id").alias("user_id"), "event_id", "state",
+                F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss")
+                .alias("valid_from"))
+        .orderBy("user_id", "event_id")
+    )
