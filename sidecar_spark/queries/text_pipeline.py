@@ -999,3 +999,96 @@ def string_functions_extended(spark, sf_dir):
         )
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_WORDS.format(e='text')} AS ws FROM documents
+    ), chunks AS (
+      SELECT doc_id, CAST(s.start AS BIGINT) AS chunk_start,
+             list_slice(ws, s.start, least(s.start + 15, len(ws)))
+                 AS chunk
+      FROM toks CROSS JOIN generate_series(1, 200, 8) s(start)
+      WHERE s.start <= len(ws)
+    )
+    SELECT doc_id, chunk_start,
+           len(chunk) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM chunks
+    WHERE doc_id < 40
+    ORDER BY doc_id, chunk_start
+    """,
+)
+def doc_chunk_overlap(spark, sf_dir):
+    """Sliding-window document chunking (window 16 tokens, stride 8 —
+    50% overlap): the unit-of-embedding preparation step for
+    retrieval corpora.  Chunk starts come from a sequence() array —
+    the whole operation is array slicing inside the row (explode only
+    the per-doc start list, never the token stream), so at corpus
+    scale it is a pure map with output ≈ 2× input tokens, no shuffle.
+    Chunk content is pinned by md5 of the joined window."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    toks = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("ws"))
+    starts = F.sequence(F.lit(1), F.least(F.size("ws"), F.lit(200)),
+                        F.lit(8))
+    chunks = toks.select(
+        "doc_id", F.explode(starts).alias("chunk_start"), "ws")
+    # slice(ws, start, length): length = min(start+15, size) - start + 1
+    chunk = F.slice(
+        "ws", F.col("chunk_start"),
+        F.least(F.col("chunk_start") + 15, F.size("ws"))
+        - F.col("chunk_start") + 1)
+    return (
+        chunks.select(
+            "doc_id", F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"))
+        .orderBy("doc_id", "chunk_start")
+    )
+
+
+@query(
+    "domain_upsample_mix",
+    oracle="""
+    WITH weighted AS (
+      SELECT source, n_chars,
+             CASE WHEN source IN ('src0', 'src1') THEN 4
+                  WHEN source IN ('src2', 'src3', 'src4') THEN 2
+                  ELSE 1 END AS w
+      FROM documents
+    ), expanded AS (
+      SELECT source, n_chars, e.epoch
+      FROM weighted CROSS JOIN generate_series(1, 4) e(epoch)
+      WHERE e.epoch <= w
+    )
+    SELECT source, count(*) AS n_rows, sum(n_chars) AS total_chars,
+           max(epoch) AS max_epoch
+    FROM expanded
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def domain_upsample_mix(spark, sf_dir):
+    """Domain-mix upsampling: high-value sources repeat 4×/2×, the
+    tail 1× — the epoch-weighting step of training-data composition
+    (the 'how many epochs of each domain' knob).  Expressed as
+    explode(sequence(1, w)) — a narrow, shuffle-free row expansion
+    whose output size is exactly the mix budget; the audit counts
+    rows and chars per source so a wrong weight anywhere changes the
+    hash."""
+    d = t(spark, sf_dir, "documents")
+    w = (F.when(F.col("source").isin("src0", "src1"), 4)
+         .when(F.col("source").isin("src2", "src3", "src4"), 2)
+         .otherwise(1))
+    expanded = d.select(
+        "source", "n_chars",
+        F.explode(F.sequence(F.lit(1), w)).alias("epoch"))
+    return (
+        expanded.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("n_chars").alias("total_chars"),
+             F.max("epoch").alias("max_epoch"))
+        .orderBy("source")
+    )
