@@ -37,9 +37,15 @@ def _materialize(spark, sf_dir, table: str, fmt: str, options: dict):
     """Write ``table`` as ``fmt`` once (success-marker guarded), return
     a DataFrame reading it back with the original schema (explicit
     schema: header inference would re-guess types and is a second scan
-    at scale)."""
+    at scale).  The cache path includes the SOURCE parquet's mtime —
+    the page-key self-invalidation idea — so regenerated testdata can
+    never be served a stale format copy."""
     src = t(spark, sf_dir, table)
-    path = os.path.join(_ROOT, _tag(sf_dir), f"{table}_{fmt}")
+    try:
+        mt = os.stat(os.path.join(sf_dir, f"{table}.parquet")).st_mtime_ns
+    except OSError:
+        mt = 0
+    path = os.path.join(_ROOT, _tag(sf_dir), f"{table}_{fmt}_{mt}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         src.write.mode("overwrite").format(fmt).options(**options).save(path)
     return (spark.read.format(fmt).options(**options)

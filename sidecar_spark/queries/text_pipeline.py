@@ -1092,3 +1092,74 @@ def domain_upsample_mix(spark, sf_dir):
              F.max("epoch").alias("max_epoch"))
         .orderBy("source")
     )
+
+
+@query(
+    "binary_functions",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(substring(text, 1, 24))) AS b64,
+           substring(text, 1, 24) AS back,
+           hex(encode(substring(text, 1, 8))) AS hx,
+           octet_length(encode(text)) AS n_bytes,
+           octet_length(encode(text)) * 8 AS n_bits
+    FROM documents
+    WHERE doc_id % 101 = 0
+    ORDER BY doc_id
+    """,
+)
+def binary_functions(spark, sf_dir):
+    """Binary-column family: utf-8 encode → base64/hex render,
+    base64 → decode round trip (the ``back`` column must equal the
+    source slice — a transport-integrity audit), octet/bit lengths.
+    This is the plumbing under every blob-carrying pipeline (the
+    multimodal entries store payloads exactly this way); all JVM
+    codegen expressions."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") % 101 == 0)
+    head24 = F.substring("text", 1, 24)
+    return (
+        d.select(
+            "doc_id",
+            F.base64(F.encode(head24, "utf-8")).alias("b64"),
+            F.decode(F.unbase64(F.base64(F.encode(head24, "utf-8"))),
+                     "utf-8").alias("back"),
+            F.hex(F.encode(F.substring("text", 1, 8), "utf-8")).alias("hx"),
+            F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+            (F.octet_length(F.encode("text", "utf-8")) * 8).alias("n_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "prompt_template_render",
+    oracle="""
+    SELECT lang,
+           count(*) AS n,
+           sum(length(printf('### Instruction (%s)\n%s\n### Response\n',
+                             lang, substring(text, 1, 64)))) AS total_len,
+           min(md5(printf('### Instruction (%s)\n%s\n### Response\n',
+                          lang, substring(text, 1, 64)))) AS min_hash
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def prompt_template_render(spark, sf_dir):
+    """Prompt-template rendering at corpus scale: ``format_string``
+    stamps each document into an instruction-tuning template; the
+    audit pins total rendered length and a content hash per language.
+    Template expansion is a map-only projection — the step that turns
+    a curated corpus into trainable text — and printf-style
+    formatting matches DuckDB's printf byte for byte."""
+    d = t(spark, sf_dir, "documents")
+    rendered = F.format_string(
+        "### Instruction (%s)\n%s\n### Response\n",
+        F.col("lang"), F.substring("text", 1, 64))
+    return (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.length(rendered)).alias("total_len"),
+             F.min(F.md5(rendered)).alias("min_hash"))
+        .orderBy("lang")
+    )
