@@ -1566,3 +1566,45 @@ def query_result_cache(spark, sf_dir):
             f"result cache did not serve the warm read: {after}")
     return spark.createDataFrame(
         rows, "l_returnflag string, n bigint, revenue double")
+
+
+@query(
+    "explode_outer_semantics",
+    oracle="""
+    WITH arr AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN []::BIGINT[]
+                  WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE [o_orderkey % 5, o_orderkey % 3] END AS xs
+      FROM orders WHERE o_orderkey < 30000
+    )
+    SELECT count(*) AS n_rows_outer,
+           count(x) AS n_elems,
+           count(CASE WHEN x IS NULL THEN 1 END) AS n_preserved,
+           sum(coalesce(x, 0)) AS sum_x
+    FROM (SELECT o_orderkey,
+                 unnest(CASE WHEN xs IS NULL OR len(xs) = 0
+                             THEN [NULL]::BIGINT[] ELSE xs END) AS x
+          FROM arr)
+    """,
+)
+def explode_outer_semantics(spark, sf_dir):
+    """explode_outer vs explode: empty and NULL arrays are PRESERVED
+    as a null-element row instead of silently dropping the parent —
+    the difference between 'every document keeps a row even with no
+    chunks' and rows vanishing from a left-ish pipeline.  The oracle
+    emulates outer-explode with a [NULL] substitution; n_preserved
+    counts exactly the rows plain explode would have lost."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 30000)
+    xs = (F.when(F.col("o_orderkey") % 7 == 0,
+                 F.array().cast("array<bigint>"))
+          .when(F.col("o_orderkey") % 11 == 0,
+                F.lit(None).cast("array<bigint>"))
+          .otherwise(F.array(F.col("o_orderkey") % 5,
+                             F.col("o_orderkey") % 3)))
+    exploded = o.select("o_orderkey", F.explode_outer(xs).alias("x"))
+    return exploded.agg(
+        F.count(F.lit(1)).alias("n_rows_outer"),
+        F.count("x").alias("n_elems"),
+        F.count(F.when(F.isnull("x"), 1)).alias("n_preserved"),
+        F.sum(F.coalesce("x", F.lit(0))).alias("sum_x"))

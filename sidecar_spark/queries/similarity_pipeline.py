@@ -554,3 +554,52 @@ def kmeans_iterations(spark, sf_dir):
                 F.round(norm, 4).alias("c_norm"))
         .orderBy("cid")
     )
+
+
+@query(
+    "negative_sampling_pairs",
+    oracle="""
+    WITH anchors AS (
+      SELECT vec_id, label FROM embeddings WHERE vec_id < 50
+    ), cand AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             CAST((a.vec_id * 2654435761 + k.k * 40503) %
+                  (SELECT count(*) FROM embeddings) AS BIGINT) AS neg_id
+      FROM anchors a CROSS JOIN generate_series(1, 8) k(k)
+    )
+    SELECT c.anchor_id, c.neg_id, e.label AS neg_label
+    FROM cand c JOIN embeddings e ON c.neg_id = e.vec_id
+    WHERE e.label <> c.anchor_label AND c.neg_id <> c.anchor_id
+    ORDER BY c.anchor_id, c.neg_id
+    """,
+)
+def negative_sampling_pairs(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: each
+    anchor draws 8 pseudo-random candidates via a Knuth
+    multiplicative hash of (anchor, draw) — reproducible on any
+    engine, no rand() — then filters to true negatives (different
+    label, not self) with one broadcast-able join against the
+    id→label table.  At 100 TB the candidate generation is a narrow
+    8× row expansion and the label check is the only join; no
+    shuffle of the embedding vectors themselves."""
+    e = t(spark, sf_dir, "embeddings")
+    n = e.count()
+    anchors = e.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"))
+    cand = anchors.select(
+        "anchor_id", "anchor_label",
+        F.explode(F.sequence(F.lit(1), F.lit(8))).alias("k"))
+    cand = cand.select(
+        "anchor_id", "anchor_label",
+        ((F.col("anchor_id") * F.lit(2654435761) + F.col("k") * 40503)
+         % F.lit(n)).cast("bigint").alias("neg_id"))
+    labels = e.select(F.col("vec_id").alias("neg_id"),
+                      F.col("label").alias("neg_label"))
+    return (
+        cand.join(F.broadcast(labels), "neg_id")
+        .where((F.col("neg_label") != F.col("anchor_label"))
+               & (F.col("neg_id") != F.col("anchor_id")))
+        .select("anchor_id", "neg_id", "neg_label")
+        .orderBy("anchor_id", "neg_id")
+    )
