@@ -1608,3 +1608,44 @@ def explode_outer_semantics(spark, sf_dir):
         F.count("x").alias("n_elems"),
         F.count(F.when(F.isnull("x"), 1)).alias("n_preserved"),
         F.sum(F.coalesce("x", F.lit(0))).alias("sum_x"))
+
+
+@query(
+    "map_entries_functions",
+    oracle="""
+    SELECT event_id,
+           len(map_entries(map {'t': CAST(user_id AS BIGINT),
+                                'v': CAST(event_id % 13 AS BIGINT)}))
+               AS n_entries,
+           map_entries(map {'t': CAST(user_id AS BIGINT),
+                            'v': CAST(event_id % 13 AS BIGINT)})[1].value
+               AS t_val,
+           map_entries(map {'t': CAST(user_id AS BIGINT),
+                            'v': CAST(event_id % 13 AS BIGINT)})[2].value
+               AS v_val
+    FROM events WHERE event_id % 211 = 0
+    ORDER BY event_id
+    """,
+)
+def map_entries_functions(spark, sf_dir):
+    """map_from_entries / map_entries round trip: build a map from a
+    struct array, explode it back to entries, and read positional
+    values — completing the map family (map_functions covers
+    keys/element_at/transform_values).  DuckDB's entry struct names
+    the fields key/value like Spark, so positional access twins
+    exactly."""
+    e = t(spark, sf_dir, "events").where(F.col("event_id") % 211 == 0)
+    m = F.map_from_entries(F.array(
+        F.struct(F.lit("t").alias("key"),
+                 F.col("user_id").cast("long").alias("value")),
+        F.struct(F.lit("v").alias("key"),
+                 (F.col("event_id") % 13).cast("long").alias("value"))))
+    entries = F.map_entries(m)
+    return (
+        e.select(
+            "event_id",
+            F.size(entries).alias("n_entries"),
+            F.element_at(entries, 1)["value"].alias("t_val"),
+            F.element_at(entries, 2)["value"].alias("v_val"))
+        .orderBy("event_id")
+    )

@@ -604,3 +604,82 @@ def scd2_point_in_time_join(spark, sf_dir):
                 .alias("valid_from"))
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "equidepth_histogram",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM ranked GROUP BY bucket ORDER BY bucket
+    """,
+)
+def equidepth_histogram(spark, sf_dir):
+    """Equi-DEPTH histogram (quantile buckets via ntile, total
+    tie-broken order): every bucket holds the same row count and the
+    [lo, hi] edges ARE the empirical octiles — the complement of the
+    equi-width histogram (orders_histogram) and the shape optimizers
+    use for selectivity.  Global ntile needs a total sort; at scale
+    the same edges come from approx_percentile in one pass
+    (approx_quantile_audit) — this entry pins the exact contract."""
+    from pyspark.sql import Window as W
+    from sidecar_spark.queries.registry import t as _t
+
+    o = _t(spark, sf_dir, "orders")
+    ranked = o.select(
+        "o_totalprice",
+        F.ntile(8).over(W.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bucket"))
+    return (
+        ranked.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.min("o_totalprice"), 2).alias("lo"),
+             F.round(F.max("o_totalprice"), 2).alias("hi"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "timestamp_diff_add_functions",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(date_diff('minute', o_orderdate,
+                         o_orderdate + INTERVAL 36 HOUR)) AS sum_min_diff,
+           count(CASE WHEN o_orderdate + INTERVAL 90 MINUTE
+                           > o_orderdate + INTERVAL 1 HOUR
+                      THEN 1 END) AS n_after,
+           strftime(min(o_orderdate + INTERVAL 15 MINUTE),
+                    '%Y-%m-%d %H:%M:%S') AS first_shifted
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def timestamp_diff_add_functions(spark, sf_dir):
+    """timestampdiff / timestampadd SQL surface (unit-aware temporal
+    arithmetic): minute-granular differences and additions, matching
+    DuckDB's date_diff / INTERVAL arithmetic.  Pure codegen
+    expressions folded into the grouping pass."""
+    from sidecar_spark.queries.registry import t as _t
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_tsd_v")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               sum(timestampdiff(MINUTE, o_orderdate,
+                                 timestampadd(HOUR, 36, o_orderdate)))
+                   AS sum_min_diff,
+               count(CASE WHEN timestampadd(MINUTE, 90, o_orderdate)
+                               > timestampadd(HOUR, 1, o_orderdate)
+                          THEN 1 END) AS n_after,
+               date_format(min(timestampadd(MINUTE, 15, o_orderdate)),
+                           'yyyy-MM-dd HH:mm:ss') AS first_shifted
+        FROM orders_tsd_v
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)
