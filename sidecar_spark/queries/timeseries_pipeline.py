@@ -683,3 +683,174 @@ def timestamp_diff_add_functions(spark, sf_dir):
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """)
+
+
+@query(
+    "mad_outlier_audit",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority, median(o_totalprice) AS m
+      FROM orders GROUP BY o_orderpriority
+    ), dev AS (
+      SELECT o.o_orderpriority, o.o_totalprice, med.m,
+             abs(o.o_totalprice - med.m) AS ad
+      FROM orders o JOIN med USING (o_orderpriority)
+    ), mad AS (
+      SELECT o_orderpriority, median(ad) AS mad_v
+      FROM dev GROUP BY o_orderpriority
+    )
+    SELECT d.o_orderpriority,
+           round(any_value(d.m), 4) AS med,
+           round(any_value(mad.mad_v), 4) AS mad,
+           count(CASE WHEN d.ad > 3 * 1.4826 * mad.mad_v THEN 1 END)
+               AS n_outliers,
+           count(*) AS n
+    FROM dev d JOIN mad USING (o_orderpriority)
+    GROUP BY d.o_orderpriority
+    ORDER BY d.o_orderpriority
+    """,
+)
+def mad_outlier_audit(spark, sf_dir):
+    """Robust outlier detection via MAD (median absolute deviation):
+    flag rows beyond 3 scaled MADs from the group median — the
+    outlier rule that, unlike z-scores, is not itself corrupted by
+    the outliers.  Two exact-median passes joined back on the
+    (5-row) group key — both medians broadcast, so the fact table is
+    scanned twice and shuffled never.  any_value is safe here: m and
+    mad_v are functionally determined by the group key."""
+    from sidecar_spark.queries.registry import t as _t
+
+    o = _t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("m"))
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority", "o_totalprice", "m",
+        F.abs(F.col("o_totalprice") - F.col("m")).alias("ad"))
+    mad = dev.groupBy("o_orderpriority").agg(F.median("ad").alias("mad_v"))
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.any_value("m"), 4).alias("med"),
+             F.round(F.any_value("mad_v"), 4).alias("mad"),
+             F.count(F.when(
+                 F.col("ad") > 3 * 1.4826 * F.col("mad_v"), 1))
+             .alias("n_outliers"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "entropy_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id % 10 AS cohort, event_type, count(*) AS c
+      FROM events GROUP BY user_id % 10, event_type
+    ), tot AS (
+      SELECT cohort, sum(c) AS n FROM counts GROUP BY cohort
+    )
+    SELECT counts.cohort,
+           round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS entropy,
+           count(*) AS n_types
+    FROM counts JOIN tot USING (cohort)
+    GROUP BY counts.cohort
+    ORDER BY counts.cohort
+    """,
+)
+def entropy_profile(spark, sf_dir):
+    """Shannon entropy of the event-type distribution per user cohort
+    — the diversity metric data-quality monitors track (collapsing
+    entropy = a producer started emitting one event type).  Two tiny
+    aggregates over the same grouped counts; everything after the
+    first groupBy is broadcast-size."""
+    from sidecar_spark.queries.registry import t as _t
+
+    e = _t(spark, sf_dir, "events")
+    counts = (e.groupBy((F.col("user_id") % 10).alias("cohort"),
+                        "event_type")
+              .agg(F.count(F.lit(1)).alias("c")))
+    tot = counts.groupBy("cohort").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        counts.join(F.broadcast(tot), "cohort")
+        .groupBy("cohort")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+             F.count(F.lit(1)).alias("n_types"))
+        .orderBy("cohort")
+    )
+
+
+@query(
+    "distribution_drift_audit",
+    oracle="""
+    WITH bucketed AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                  THEN 'ref' ELSE 'cur' END AS era,
+             least(9, greatest(0,
+               CAST(floor((o_totalprice - 1000) / 20000) AS BIGINT)))
+                 AS bucket,
+             count(*) AS c
+      FROM orders
+      GROUP BY era, bucket
+    ), pivoted AS (
+      SELECT bucket,
+             sum(CASE WHEN era = 'ref' THEN c ELSE 0 END) * 1.0 /
+               (SELECT sum(c) FROM bucketed WHERE era = 'ref') AS p,
+             sum(CASE WHEN era = 'cur' THEN c ELSE 0 END) * 1.0 /
+               (SELECT sum(c) FROM bucketed WHERE era = 'cur') AS q
+      FROM bucketed GROUP BY bucket
+    ), cdf AS (
+      SELECT bucket, p, q,
+             sum(p) OVER (ORDER BY bucket) AS cp,
+             sum(q) OVER (ORDER BY bucket) AS cq
+      FROM pivoted
+    )
+    SELECT round(max(abs(cp - cq)), 6) AS ks_stat,
+           round(sum(CASE WHEN p > 0 AND q > 0
+                          THEN (p - q) * ln(p / q) ELSE 0 END), 6)
+               AS psi,
+           count(*) AS n_buckets
+    FROM cdf
+    """,
+)
+def distribution_drift_audit(spark, sf_dir):
+    """Distribution-drift monitoring between a reference era and the
+    current era of the price distribution: bucketed KS statistic
+    (max CDF gap) and PSI (population stability index) in one pass
+    over a 10-bucket profile — the standard 'did the data shift
+    under my model' gate of an ML-ops pipeline.  The fact scan
+    reduces immediately to (era × bucket) counts; every later step
+    is constant-size."""
+    from pyspark.sql import Window as W
+    from sidecar_spark.queries.registry import t as _t
+
+    o = _t(spark, sf_dir, "orders")
+    era = F.when(F.col("o_orderdate")
+                 < F.lit("1996-01-01").cast("timestamp"), "ref")\
+        .otherwise("cur")
+    bucket = F.least(
+        F.lit(9), F.greatest(
+            F.lit(0),
+            F.floor((F.col("o_totalprice") - 1000) / 20000))).cast("long")
+    counts = (o.select(era.alias("era"), bucket.alias("bucket"))
+              .groupBy("era", "bucket").agg(F.count(F.lit(1)).alias("c")))
+    tot = counts.groupBy().pivot("era", ["ref", "cur"]).sum("c")
+    ref_n = tot.collect()[0]
+    pivoted = (
+        counts.groupBy("bucket")
+        .agg((F.sum(F.when(F.col("era") == "ref", F.col("c"))
+                    .otherwise(0)) / F.lit(ref_n["ref"])).alias("p"),
+             (F.sum(F.when(F.col("era") == "cur", F.col("c"))
+                    .otherwise(0)) / F.lit(ref_n["cur"])).alias("q")))
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cdf = pivoted.select(
+        "bucket", "p", "q",
+        F.sum("p").over(w).alias("cp"), F.sum("q").over(w).alias("cq"))
+    return cdf.agg(
+        F.round(F.max(F.abs(F.col("cp") - F.col("cq"))), 6)
+        .alias("ks_stat"),
+        F.round(F.sum(F.when((F.col("p") > 0) & (F.col("q") > 0),
+                             (F.col("p") - F.col("q"))
+                             * F.log(F.col("p") / F.col("q")))
+                      .otherwise(0.0)), 6).alias("psi"),
+        F.count(F.lit(1)).alias("n_buckets"))
