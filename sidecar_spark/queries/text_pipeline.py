@@ -1163,3 +1163,41 @@ def prompt_template_render(spark, sf_dir):
              F.min(F.md5(rendered)).alias("min_hash"))
         .orderBy("lang")
     )
+
+
+@query(
+    "regexp_functions_extended",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS n_a_words,
+           regexp_extract_all(text, '[a-z]+a[a-z]*')[1] AS first_a_word,
+           len(regexp_extract_all(text, 'ba[a-z]+')) AS n_ba,
+           CASE WHEN regexp_matches(text, 'stream|spark') THEN 1 ELSE 0
+                END AS mentions_engine
+    FROM documents
+    WHERE doc_id % 151 = 0
+    ORDER BY doc_id
+    """,
+)
+def regexp_functions_extended(spark, sf_dir):
+    """Extended regexp family: regexp_extract_all (all matches as an
+    array), match counting via the extracted array, and boolean
+    rlike — beyond the split/replace/extract already exercised by
+    the tokenizer entries.  Regex evaluation stays JVM-side
+    (codegen'd java.util.regex); at corpus scale pre-compile-once
+    semantics make this the cheap path vs any Python UDF."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") % 151 == 0)
+    a_words = F.regexp_extract_all("text", F.lit("[a-z]+a[a-z]*"),
+                                   F.lit(0))
+    return (
+        d.select(
+            "doc_id",
+            F.size(a_words).alias("n_a_words"),
+            F.element_at(a_words, 1).alias("first_a_word"),
+            F.size(F.regexp_extract_all("text", F.lit("ba[a-z]+"),
+                                        F.lit(0)))
+            .alias("n_ba"),
+            F.when(F.col("text").rlike("stream|spark"), 1).otherwise(0)
+            .alias("mentions_engine"))
+        .orderBy("doc_id")
+    )

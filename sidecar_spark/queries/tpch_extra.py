@@ -2005,3 +2005,37 @@ def shuffle_hash_hint_join(spark, sf_dir):
              F.round(F.sum("o_totalprice"), 2).alias("total"))
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "sql_pivot_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END),
+                 2) AS F_total,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END),
+                 2) AS O_total,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END),
+                 2) AS P_total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_pivot_clause(spark, sf_dir):
+    """The SQL PIVOT clause (vs the DataFrame .pivot API used by
+    pivot_status): explicit IN-list values compile to the same
+    conditional-aggregate plan as the oracle's CASE form — one
+    shuffle, no second pass to discover pivot values (the implicit
+    form pays a distinct-scan first; at scale always enumerate)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_pv_v")
+    return spark.sql("""
+        SELECT * FROM (
+          SELECT o_orderpriority, o_orderstatus, o_totalprice
+          FROM orders_pv_v
+        )
+        PIVOT (round(sum(o_totalprice), 2)
+               FOR o_orderstatus IN ('F' AS F_total, 'O' AS O_total,
+                                     'P' AS P_total))
+        ORDER BY o_orderpriority
+    """)
