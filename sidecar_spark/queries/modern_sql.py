@@ -937,3 +937,42 @@ def window_locf_fill(spark, sf_dir):
              F.round(F.sum("v_filled"), 2).alias("sum_filled"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "luhn_checksum_audit",
+    oracle="""
+    WITH nums AS (
+      SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '1') AS acct
+      FROM orders WHERE o_orderkey % 97 = 0
+    ), digits AS (
+      SELECT acct, t.i,
+             CAST(substring(reverse(acct), t.i, 1) AS BIGINT) AS d
+      FROM nums CROSS JOIN generate_series(1, 10) t(i)
+    ), contrib AS (
+      SELECT acct,
+             sum(CASE WHEN i % 2 = 0
+                      THEN CASE WHEN d * 2 > 9 THEN d * 2 - 9
+                                ELSE d * 2 END
+                      ELSE d END) AS s
+      FROM digits GROUP BY acct
+    )
+    SELECT count(*) AS n_checked,
+           sum(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS n_valid
+    FROM contrib
+    """,
+)
+def luhn_checksum_audit(spark, sf_dir):
+    """``luhn_check`` (Spark 3.5+): mod-10 checksum validation of
+    account-number-shaped strings — the PII/payment-card detection
+    primitive a redaction pipeline runs before release.  The oracle
+    re-implements Luhn from first principles (reverse, double every
+    second digit, subtract 9 on overflow, sum mod 10), so the
+    built-in's semantics are pinned digit by digit."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 97 == 0)
+    checked = o.select(
+        F.expr("luhn_check(lpad(CAST(o_orderkey AS STRING), 10, '1'))")
+        .alias("ok"))
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_valid"))

@@ -12,6 +12,8 @@ the watermark semantics.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from sidecar_spark.queries.registry import query
 from sidecar_spark.streaming import (
     events_stream,
@@ -443,3 +445,36 @@ def stream_multi_watermark_max_policy(spark, sf_dir):
             s, "stream_multi_watermark_max_policy", "append")
     finally:
         spark.conf.set(pol, prev)
+
+
+@query(
+    "stream_complete_topk",
+    oracle="""
+    SELECT event_type, user_bucket, n_events FROM (
+      SELECT event_type, user_id % 20 AS user_bucket,
+             count(*) AS n_events,
+             row_number() OVER (ORDER BY count(*) DESC,
+                                event_type, user_id % 20) AS rk
+      FROM events
+      GROUP BY event_type, user_id % 20)
+    WHERE rk <= 10
+    ORDER BY n_events DESC, event_type, user_bucket
+    """,
+)
+def stream_complete_topk(spark, sf_dir):
+    """Global ORDER BY + LIMIT on a streaming aggregate — legal ONLY
+    in complete output mode (append/update cannot sort an unbounded
+    result; Spark rejects it at analysis).  Complete mode re-emits
+    the full sorted top-10 every batch, which is exactly why it only
+    scales for small aggregate states like this leaderboard — the
+    docstring contract the entry pins next to the append-mode
+    entries."""
+    from sidecar_spark.streaming import events_stream, run_to_memory_sink
+
+    e = events_stream(spark, sf_dir)
+    agg = (e.groupBy("event_type",
+                     (F.col("user_id") % 20).alias("user_bucket"))
+           .agg(F.count(F.lit(1)).alias("n_events"))
+           .orderBy(F.desc("n_events"), "event_type", "user_bucket")
+           .limit(10))
+    return run_to_memory_sink(agg, "stream_complete_topk", "complete")
