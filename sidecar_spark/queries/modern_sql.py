@@ -976,3 +976,93 @@ def luhn_checksum_audit(spark, sf_dir):
     return checked.agg(
         F.count(F.lit(1)).alias("n_checked"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_valid"))
+
+
+@query(
+    "theta_sketch_set_ops",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'click' AND value > 90
+    ), b AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND value > 90
+    )
+    SELECT (SELECT count(*) FROM a) AS n_a,
+           (SELECT count(*) FROM b) AS n_b,
+           (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+               AS n_both,
+           (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+               AS n_a_only,
+           (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+               AS n_any
+    """,
+)
+def theta_sketch_set_ops(spark, sf_dir):
+    """Theta sketches (DataSketches, Spark 4.1): SET ALGEBRA on
+    sketches — intersection, difference, and union of distinct-user
+    sets WITHOUT joining the raw data; two fixed-size sketches meet
+    on the driver instead of shuffling the keyspace.  Below the
+    nominal-entries threshold the sketch retains every hash, so the
+    estimates here are EXACT and the exact set-op counts are a true
+    oracle (the same exact-regime audit pattern as approx_top_k /
+    HLL).  At 100 TB this replaces three distinct-count jobs and an
+    intersect join with one pass per side — the sketch union/
+    intersection math (KMV lowest-k hashes) is order- and
+    partitioning-insensitive, which is what makes the result
+    deterministic."""
+    e = t(spark, sf_dir, "events")
+    a = (e.where((F.col("event_type") == "click") & (F.col("value") > 90))
+         .agg(F.theta_sketch_agg("user_id").alias("sa")))
+    b = (e.where((F.col("event_type") == "purchase")
+                 & (F.col("value") > 90))
+         .agg(F.theta_sketch_agg("user_id").alias("sb")))
+    est = F.theta_sketch_estimate
+    return (
+        a.crossJoin(b)
+        .select(
+            est("sa").cast("long").alias("n_a"),
+            est("sb").cast("long").alias("n_b"),
+            est(F.theta_intersection("sa", "sb")).cast("long")
+            .alias("n_both"),
+            est(F.theta_difference("sa", "sb")).cast("long")
+            .alias("n_a_only"),
+            est(F.theta_union("sa", "sb")).cast("long").alias("n_any"),
+        )
+    )
+
+
+@query(
+    "aes_roundtrip_audit",
+    oracle="""
+    SELECT p_brand, count(*) AS n,
+           sum(length(p_name)) AS total_len,
+           count(DISTINCT p_name) AS n_distinct
+    FROM part
+    WHERE p_partkey % 13 = 0
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def aes_roundtrip_audit(spark, sf_dir):
+    """Column-level encryption surface: aes_encrypt → aes_decrypt
+    round trip (ECB keying here ONLY because the audit needs
+    determinism; production uses the default GCM whose random IV
+    makes ciphertexts non-reproducible by design).  The aggregate
+    runs over the DECRYPTED values, so any corruption in the
+    encrypt/decrypt pair breaks the oracle hash — the
+    transport-integrity audit pattern applied to crypto."""
+    key = "0123456789abcdef"
+    p = t(spark, sf_dir, "part").where(F.col("p_partkey") % 13 == 0)
+    enc = F.expr(f"aes_encrypt(p_name, '{key}', 'ECB')")
+    dec = F.expr(
+        f"CAST(aes_decrypt(aes_encrypt(p_name, '{key}', 'ECB'), "
+        f"'{key}', 'ECB') AS STRING)")
+    return (
+        p.select("p_brand", dec.alias("name_rt"), enc.alias("ct"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.length("name_rt")).alias("total_len"),
+             F.countDistinct("name_rt").alias("n_distinct"))
+        .orderBy("p_brand")
+    )
