@@ -1066,3 +1066,51 @@ def aes_roundtrip_audit(spark, sf_dir):
              F.countDistinct("name_rt").alias("n_distinct"))
         .orderBy("p_brand")
     )
+
+
+@query(
+    "kll_quantile_sketch_audit",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id, round(avg(value), 6) AS v
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST((SELECT count(*) FROM pu) AS BIGINT) AS n_items,
+           round((SELECT quantile_disc(v, 0.25) FROM pu), 6) AS q25,
+           round((SELECT quantile_disc(v, 0.50) FROM pu), 6) AS q50,
+           round((SELECT quantile_disc(v, 0.90) FROM pu), 6) AS q90,
+           round((SELECT quantile_disc(v, 0.50) FROM pu), 6) AS q50_merged
+    """,
+)
+def kll_quantile_sketch_audit(spark, sf_dir):
+    """KLL quantile sketches (DataSketches, Spark 4.1): mergeable
+    streaming quantiles in fixed memory — the scale path for
+    percentile monitoring where exact sorts are impossible.  Run in
+    the exact regime (items ≤ k, no compaction) the sketch IS the
+    data, so DuckDB's quantile_disc is a true oracle; the merged
+    column unions two half-population sketches (kll_merge_agg) and
+    must agree with the whole-population quantile — the
+    mergeability contract that makes per-partition sketches
+    shuffle-free at 100 TB."""
+    e = t(spark, sf_dir, "events")
+    pu = (e.groupBy("user_id")
+          .agg(F.round(F.avg("value"), 6).alias("v")))
+    whole = pu.agg(F.kll_sketch_agg_double("v").alias("s"))
+    halves = (
+        pu.withColumn("h", (F.col("user_id") % 2).cast("int"))
+        .groupBy("h").agg(F.kll_sketch_agg_double("v").alias("hs"))
+        .agg(F.expr("kll_merge_agg_double(hs)").alias("ms")))
+    return (
+        whole.crossJoin(halves)
+        .select(
+            F.expr("kll_sketch_get_n_double(s)").alias("n_items"),
+            F.round(F.expr("kll_sketch_get_quantile_double(s, 0.25)"), 6)
+            .alias("q25"),
+            F.round(F.expr("kll_sketch_get_quantile_double(s, 0.50)"), 6)
+            .alias("q50"),
+            F.round(F.expr("kll_sketch_get_quantile_double(s, 0.90)"), 6)
+            .alias("q90"),
+            F.round(F.expr("kll_sketch_get_quantile_double(ms, 0.50)"), 6)
+            .alias("q50_merged"),
+        )
+    )
