@@ -1114,3 +1114,104 @@ def kll_quantile_sketch_audit(spark, sf_dir):
             .alias("q50_merged"),
         )
     )
+
+
+@query(
+    "timezone_conversion",
+    oracle="""
+    SELECT strftime(min(ts + INTERVAL '5 hours 30 minutes'),
+                    '%Y-%m-%d %H:%M:%S') AS first_ist,
+           strftime(max(ts - INTERVAL '8 hours'),
+                    '%Y-%m-%d %H:%M:%S') AS last_pst_fixed,
+           count(CASE WHEN CAST(strftime(ts + INTERVAL '5 hours 30 minutes',
+                                         '%H') AS BIGINT) < 6
+                      THEN 1 END) AS n_ist_night
+    FROM events
+    """,
+)
+def timezone_conversion(spark, sf_dir):
+    """Timezone shifting: ``from_utc_timestamp`` to fixed-offset zones
+    (+05:30 / -08:00) — pinned against plain interval arithmetic,
+    which for fixed offsets is exactly what the function must do
+    (named DST zones differ per-row by rule table; the fixed-offset
+    audit isolates the mechanism).  ``convert_timezone`` with an
+    explicit source zone rides along.  All codegen expressions in
+    the aggregate pass."""
+    e = t(spark, sf_dir, "events")
+    ist = F.from_utc_timestamp("ts", "+05:30")
+    pst = F.convert_timezone(F.lit("UTC"), F.lit("-08:00"),
+                             F.col("ts").cast("timestamp_ntz"))
+    return e.agg(
+        F.date_format(F.min(ist), "yyyy-MM-dd HH:mm:ss")
+        .alias("first_ist"),
+        F.date_format(F.max(pst), "yyyy-MM-dd HH:mm:ss")
+        .alias("last_pst_fixed"),
+        F.count(F.when(F.hour(ist) < 6, 1)).alias("n_ist_night"))
+
+
+@query(
+    "json_introspection",
+    oracle="""
+    SELECT count(*) AS n,
+           sum(len(json_keys(props))) AS total_keys,
+           count(CASE WHEN json_array_length(
+                   '[' || CAST(user_id AS VARCHAR) || ','
+                       || CAST(event_id AS VARCHAR) || ']') = 2
+                 THEN 1 END) AS n_pairs,
+           min(json_keys(props)[1]) AS first_key
+    FROM events
+    WHERE event_id % 501 = 0
+    """,
+)
+def json_introspection(spark, sf_dir):
+    """JSON introspection without schemas: json_object_keys (what
+    fields does this payload actually have — the schema-discovery
+    probe for semi-structured feeds), json_array_length, and
+    first-key extraction.  Complements events_json_extract (typed
+    extraction) and variant_extract (VARIANT): this is the
+    exploratory pass you run BEFORE committing to a schema."""
+    e = t(spark, sf_dir, "events").where(F.col("event_id") % 501 == 0)
+    keys = F.json_object_keys("props")
+    arr = F.concat(F.lit("["), F.col("user_id").cast("string"),
+                   F.lit(","), F.col("event_id").cast("string"),
+                   F.lit("]"))
+    return e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(keys)).alias("total_keys"),
+        F.count(F.when(F.json_array_length(arr) == 2, 1))
+        .alias("n_pairs"),
+        F.min(F.element_at(keys, 1)).alias("first_key"))
+
+
+@query(
+    "csv_codec_expression",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           sum(o_custkey) AS sum_cust,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderkey % 301 = 0
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def csv_codec_expression(spark, sf_dir):
+    """Row-level CSV codec expressions: ``to_csv`` renders each order
+    row to a CSV line, ``from_csv`` (schema'd) parses it back, and
+    the aggregate runs over the RECOVERED struct — the roundtrip
+    audit for the expression-level codec (the file-level CSV
+    round-trip is csv_roundtrip_agg; this is the per-record variant
+    used inside message pipelines, no files involved)."""
+    e = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 301 == 0)
+    line = F.to_csv(F.struct("o_custkey", "o_orderstatus", "o_totalprice"))
+    back = F.from_csv(
+        line, "o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+    return (
+        e.select(back.alias("r"))
+        .groupBy(F.col("r.o_orderstatus").alias("o_orderstatus"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("r.o_custkey").alias("sum_cust"),
+             F.round(F.sum("r.o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
