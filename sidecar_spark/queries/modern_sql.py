@@ -1215,3 +1215,124 @@ def csv_codec_expression(spark, sf_dir):
              F.round(F.sum("r.o_totalprice"), 2).alias("total"))
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "bitmap_agg_functions",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_exact,
+           count(DISTINCT o_custkey) AS n_bitmap
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def bitmap_agg_functions(spark, sf_dir):
+    """Native bitmap aggregates (Spark 3.5): bitmap_bit_position →
+    bitmap_construct_agg per 32k-key segment, bitmap_count +
+    sum — EXACT distinct counting as bitwise OR over fixed 4 KB
+    bitmaps, the same math as the hand-rolled bitmap_distinct_audit
+    but with the built-in functions.  Bitmaps partial-aggregate
+    map-side (OR is associative/commutative), so the shuffle carries
+    one 4 KB value per (group, segment) regardless of row count —
+    the exact-COUNT-DISTINCT scale recipe when sketches aren't
+    allowed."""
+    o = t(spark, sf_dir, "orders")
+    seg = (
+        o.select("o_orderpriority",
+                 # bitmap_bit_position is (k-1) % 32768 → the segment
+                 # index must be (k-1) div 32768 to partner it
+                 F.floor((F.col("o_custkey") - 1) / 32768).alias("seg"),
+                 F.expr("bitmap_bit_position(o_custkey)").alias("pos"))
+        .groupBy("o_orderpriority", "seg")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm")))
+    return (
+        seg.groupBy("o_orderpriority")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_bitmap"))
+        .join(
+            o.groupBy("o_orderpriority")
+            .agg(F.countDistinct("o_custkey").alias("n_exact")),
+            "o_orderpriority")
+        .select("o_orderpriority", "n_exact", "n_bitmap")
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "string_locator_functions",
+    oracle="""
+    SELECT p_partkey,
+           position('o' IN p_name) AS first_o,
+           list_position(string_split('STANDARD,SMALL,MEDIUM,LARGE,ECONOMY,PROMO',
+                                      ','),
+                         upper(split_part(p_type, ' ', 1))) AS type_slot,
+           array_to_string(list_slice(string_split(p_name, ' '), 1, 2), ' ')
+               AS first_two_words
+    FROM part
+    WHERE p_partkey % 149 = 0
+    ORDER BY p_partkey
+    """,
+)
+def string_locator_functions(spark, sf_dir):
+    """String locators: instr (first occurrence position),
+    find_in_set (slot lookup in a comma-list — the enum-ordinal
+    idiom), substring_index (prefix up to the Nth delimiter).  The
+    oracle rebuilds each from DuckDB primitives (position,
+    list_position over a split, list_slice+join) — pinning Spark's
+    1-based/0-on-missing conventions exactly."""
+    p = t(spark, sf_dir, "part").where(F.col("p_partkey") % 149 == 0)
+    return (
+        p.select(
+            "p_partkey",
+            F.instr("p_name", "o").alias("first_o"),
+            F.expr("find_in_set(upper(split_part(p_type, ' ', 1)), "
+                   "'STANDARD,SMALL,MEDIUM,LARGE,ECONOMY,PROMO')")
+            .alias("type_slot"),
+            F.substring_index("p_name", " ", 2).alias("first_two_words"))
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "str_to_map_parse",
+    oracle="""
+    WITH kv AS (
+      SELECT o_orderkey,
+             'status:' || o_orderstatus || ',prio:' ||
+                 split_part(o_orderpriority, '-', 1) || ',bucket:' ||
+                 CAST(o_orderkey % 7 AS VARCHAR) AS s
+      FROM orders WHERE o_orderkey % 401 = 0
+    )
+    SELECT o_orderkey,
+           regexp_extract(s, 'status:([^,]+)', 1) AS status,
+           regexp_extract(s, 'prio:([^,]+)', 1) AS prio,
+           CAST(regexp_extract(s, 'bucket:([^,]+)', 1) AS BIGINT)
+               AS bucket,
+           3 AS n_keys
+    FROM kv
+    ORDER BY o_orderkey
+    """,
+)
+def str_to_map_parse(spark, sf_dir):
+    """str_to_map: parse 'k:v,k:v' config/tag strings straight into a
+    map column — the one-liner for label/annotation columns that
+    arrive as delimited text.  Map access then replaces a regex per
+    field (the oracle does exactly those regexes, proving
+    equivalence); size() rides along as the key count."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 401 == 0)
+    s = F.concat(
+        F.lit("status:"), F.col("o_orderstatus"),
+        F.lit(",prio:"), F.split_part("o_orderpriority", F.lit("-"),
+                                      F.lit(1)),
+        F.lit(",bucket:"), (F.col("o_orderkey") % 7).cast("string"))
+    m = F.str_to_map(s, F.lit(","), F.lit(":"))
+    return (
+        o.select(
+            "o_orderkey",
+            F.element_at(m, "status").alias("status"),
+            F.element_at(m, "prio").alias("prio"),
+            F.element_at(m, "bucket").cast("long").alias("bucket"),
+            F.size(m).alias("n_keys"))
+        .orderBy("o_orderkey")
+    )
