@@ -1336,3 +1336,77 @@ def str_to_map_parse(spark, sf_dir):
             F.size(m).alias("n_keys"))
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "reflect_java_digest",
+    oracle="""
+    SELECT c_custkey, sha256(c_name) AS digest
+    FROM customer
+    WHERE c_custkey % 211 = 0
+    ORDER BY c_custkey
+    """,
+)
+def reflect_java_digest(spark, sf_dir):
+    """JVM interop surface: ``reflect()`` calls an arbitrary static
+    Java method from SQL — here commons-codec's
+    ``DigestUtils.sha256Hex`` (already on Spark's classpath), pinned
+    against DuckDB's native sha256.  reflect() is the escape hatch
+    for JVM-library logic without building a UDF jar; it is
+    reflection-per-row (no codegen), so reserve it for cold paths —
+    the built-in sha2() is the hot-path twin, which is exactly what
+    the matching digests prove."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") % 211 == 0)
+    return (
+        c.select(
+            "c_custkey",
+            F.expr("reflect('org.apache.commons.codec.digest.DigestUtils',"
+                   " 'sha256Hex', c_name)").alias("digest"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "per_group_reservoir_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                                             || ':rsv'), 1, 15))::BIGINT,
+                        o_orderkey) AS rk
+      FROM orders
+    )
+    SELECT o_orderpriority, count(*) AS n_sampled,
+           sum(o_orderkey) AS key_sum
+    FROM ranked WHERE rk <= 100
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def per_group_reservoir_sample(spark, sf_dir):
+    """Deterministic per-group reservoir: exactly 100 rows per group,
+    selected by ranking on a salted hash — uniform (md5 order is
+    independent of any data order) yet fully reproducible, unlike
+    rand()-based reservoirs.  One shuffle on the group key; the
+    hash ranking replaces the sequential reservoir scan with a
+    parallel top-k, which is the distributed form of reservoir
+    sampling.  The audit fixes the exact sampled set via the key
+    sum."""
+    from pyspark.sql import Window as W
+    from sidecar_spark.functions.dedup import hash60
+
+    o = t(spark, sf_dir, "orders")
+    rk = F.row_number().over(
+        W.partitionBy("o_orderpriority")
+        .orderBy(hash60(F.concat(F.col("o_orderkey").cast("string"),
+                                 F.lit(":rsv"))), "o_orderkey"))
+    return (
+        o.select("o_orderpriority", "o_orderkey", rk.alias("rk"))
+        .where(F.col("rk") <= 100)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_sampled"),
+             F.sum("o_orderkey").alias("key_sum"))
+        .orderBy("o_orderpriority")
+    )
