@@ -1410,3 +1410,66 @@ def per_group_reservoir_sample(spark, sf_dir):
              F.sum("o_orderkey").alias("key_sum"))
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "data_contract_gate",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS n_orders,
+           round(min(l_quantity), 2) AS min_qty,
+           round(max(l_discount), 2) AS max_disc
+    FROM lineitem
+    """,
+)
+def data_contract_gate(spark, sf_dir):
+    """In-plan data contracts: ``assert_true`` expressions evaluated
+    on EVERY row during the same pass as the aggregate — quantities
+    positive, discounts in [0,1], ship dates sane.  A violated
+    contract fails the JOB (loudly, with the row's message), not a
+    downstream consumer three pipelines later; a passing gate costs
+    one fused projection, no extra scan.  The returned summary is
+    ordinary — the point is that it only exists if every row passed."""
+    li = t(spark, sf_dir, "lineitem")
+    gated = li.select(
+        "l_orderkey", "l_quantity", "l_discount",
+        F.assert_true(F.col("l_quantity") > 0,
+                      F.lit("non-positive quantity")).alias("_c1"),
+        F.assert_true((F.col("l_discount") >= 0)
+                      & (F.col("l_discount") <= 1),
+                      F.lit("discount out of range")).alias("_c2"),
+    )
+    return gated.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_discount"), 2).alias("max_disc"))
+
+
+@query(
+    "input_file_lineage",
+    oracle="""
+    SELECT 'lineitem.parquet' AS file_name, count(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def input_file_lineage(spark, sf_dir):
+    """Row-level lineage columns: ``input_file_name()`` and the hidden
+    ``_metadata.file_name`` struct (Spark 3.2+ file metadata) — which
+    physical file produced each row, the first question of any
+    corrupt-output investigation.  Both columns are virtual (no
+    storage, resolved by the scan), and the entry cross-checks them
+    against each other inside the aggregate; the oracle pins the
+    basename, which is layout-stable even though full paths are
+    environment-specific."""
+    import os as _os
+
+    df = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
+    base_a = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    return (
+        df.select(base_a.alias("f1"),
+                  F.col("_metadata.file_name").alias("f2"))
+        .where(F.col("f1") == F.col("f2"))  # the cross-check
+        .groupBy(F.col("f1").alias("file_name"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
