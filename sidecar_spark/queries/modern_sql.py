@@ -1473,3 +1473,84 @@ def input_file_lineage(spark, sf_dir):
         .groupBy(F.col("f1").alias("file_name"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@query(
+    "try_parse_temporal",
+    oracle="""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN 'not-a-date'
+                  ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS s,
+             ((o_orderkey % 7) - 3) AS signed_k
+      FROM orders WHERE o_orderkey < 20000
+    )
+    SELECT count(*) AS n,
+           count(try_strptime(s, '%Y-%m-%d %H:%M:%S')) AS n_parsed,
+           count(CASE WHEN try_strptime(s, '%Y-%m-%d %H:%M:%S') IS NULL
+                      THEN 1 END) AS n_rejected,
+           strftime(min(try_strptime(s, '%Y-%m-%d %H:%M:%S')),
+                    '%Y-%m-%d') AS first_day,
+           sum(((signed_k % 5) + 5) % 5) AS pmod_sum
+    FROM raw
+    """,
+)
+def try_parse_temporal(spark, sf_dir):
+    """Error-tolerant ingest parsing: ``try_to_timestamp`` turns
+    malformed rows into NULLs instead of failing the job (the ANSI
+    try_* contract applied to temporal parsing — every fifth row here
+    is deliberately broken), with parsed/rejected counts as the
+    ingest-quality report.  ``pmod`` rides along: positive-modulus
+    semantics on signed values (pmod(-3,5)=2, vs %'s -3) — the
+    bucket-assignment edge case that silently corrupts hash
+    partitioning when % is used on signed keys."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 20000)
+    s = F.when(F.col("o_orderkey") % 5 == 0, F.lit("not-a-date")) \
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+    parsed = F.try_to_timestamp(s, F.lit("yyyy-MM-dd HH:mm:ss"))
+    signed_k = (F.col("o_orderkey") % 7) - 3
+    return (
+        o.select(parsed.alias("ts"), signed_k.alias("signed_k"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.count("ts").alias("n_parsed"),
+             F.count(F.when(F.isnull("ts"), 1)).alias("n_rejected"),
+             F.date_format(F.min("ts"), "yyyy-MM-dd").alias("first_day"),
+             F.sum(F.pmod("signed_k", F.lit(5))).alias("pmod_sum"))
+    )
+
+
+@query(
+    "window_time_accessor",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR
+                    - INTERVAL 1 MICROSECOND,
+                    '%Y-%m-%d %H:%M:%S.%f') AS event_time,
+           count(*) AS n
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    ORDER BY window_start
+    """,
+)
+def window_time_accessor(spark, sf_dir):
+    """``window_time()``: the event-time representative of a window
+    struct (window.end − 1 µs) — the column you chain into a SECOND
+    windowed aggregation (re-windowing hourly results into days)
+    without off-by-one-interval errors at window boundaries.  Pinned
+    here against explicit interval arithmetic on the batch window
+    struct."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            F.date_format(F.window_time("w"),
+                          "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("event_time"),
+            "n")
+        .orderBy("window_start")
+    )
