@@ -1649,3 +1649,92 @@ def map_entries_functions(spark, sf_dir):
             F.element_at(entries, 2)["value"].alias("v_val"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "array_edit_functions",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT o_custkey % 4 AS i FROM orders
+    ), arrs AS (
+      SELECT i, [i, i + 1, i + 2] AS a,
+             [i, NULL, i + 1, NULL, i + 2] AS a_sparse
+      FROM base
+    )
+    SELECT i,
+           list_append(a, 99) AS appended,
+           list_prepend(-1, a) AS prepended,
+           list_filter(a, x -> x <> i + 1) AS removed,
+           a[1:2] || [CAST(7 AS BIGINT)] || a[3:] AS inserted,
+           len(a_sparse) AS n_sparse,
+           len(list_filter(a_sparse, x -> x IS NOT NULL)) AS n_compacted
+    FROM arrs
+    ORDER BY i
+    """,
+)
+def array_edit_functions(spark, sf_dir):
+    """Array editing family: append / prepend / insert-at /
+    remove-value / compact (null-strip) — the mutation verbs over
+    array columns (Spark arrays are immutable; each op is a new
+    array, evaluated inside Tungsten with no explode).  The oracle
+    rebuilds insert-at from slices, pinning Spark's 1-based insert
+    position; compaction is audited via before/after lengths (the
+    driver hash cannot carry NULL array elements)."""
+    o = t(spark, sf_dir, "orders")
+    base = o.select((F.col("o_custkey") % 4).alias("i")).distinct()
+    a = F.array(F.col("i"), F.col("i") + 1, F.col("i") + 2)
+    nul = F.lit(None).cast("bigint")
+    a_sparse = F.array(F.col("i"), nul, F.col("i") + 1, nul,
+                       F.col("i") + 2)
+    return (
+        base.select(
+            "i",
+            F.array_append(a, F.lit(99)).alias("appended"),
+            F.array_prepend(a, F.lit(-1)).alias("prepended"),
+            F.array_remove(a, F.col("i") + 1).alias("removed"),
+            F.array_insert(a, 3, F.lit(7)).alias("inserted"),
+            F.size(a_sparse).alias("n_sparse"),
+            F.size(F.array_compact(a_sparse)).alias("n_compacted"),
+        )
+        .orderBy("i")
+    )
+
+
+@query(
+    "trig_functions",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(sin(o_totalprice / 100000.0)), 6) AS sum_sin,
+           round(sum(cos(o_totalprice / 100000.0)), 6) AS sum_cos,
+           round(sum(atan2(o_totalprice / 100000.0,
+                           1.0 + o_custkey % 3)), 6) AS sum_atan2,
+           round(avg(degrees(atan(o_totalprice / 100000.0))), 6)
+               AS avg_deg,
+           round(min(radians(CAST(o_custkey % 360 AS DOUBLE))), 6)
+               AS min_rad
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def trig_functions(spark, sf_dir):
+    """Trigonometric family (sin/cos/atan2/degrees/radians) — the
+    building blocks of haversine geo-distance and cyclical feature
+    encodings (hour-of-day → (sin, cos) pairs for models).  Both
+    engines delegate to libm doubles; 6-decimal rounding on the
+    aggregates absorbs the summation-order ulps."""
+    o = t(spark, sf_dir, "orders")
+    x = F.col("o_totalprice") / 100000.0
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.sin(x)), 6).alias("sum_sin"),
+            F.round(F.sum(F.cos(x)), 6).alias("sum_cos"),
+            F.round(F.sum(F.atan2(x, (F.col("o_custkey") % 3 + 1)
+                                  .cast("double"))), 6).alias("sum_atan2"),
+            F.round(F.avg(F.degrees(F.atan(x))), 6).alias("avg_deg"),
+            F.round(F.min(F.radians((F.col("o_custkey") % 360)
+                                    .cast("double"))), 6).alias("min_rad"),
+        )
+        .orderBy("o_orderpriority")
+    )
