@@ -854,3 +854,88 @@ def distribution_drift_audit(spark, sf_dir):
                              * F.log(F.col("p") / F.col("q")))
                       .otherwise(0.0)), 6).alias("psi"),
         F.count(F.lit(1)).alias("n_buckets"))
+
+
+@query(
+    "haversine_nearest",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             -60.0 + (c_custkey % 1200) * 0.1 AS lat,
+             -180.0 + ((c_custkey * 7) % 3600) * 0.1 AS lon
+      FROM customer
+    ), d AS (
+      SELECT c_custkey,
+             round(2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(lat - 40.7) / 2), 2)
+               + cos(radians(40.7)) * cos(radians(lat))
+                 * pow(sin(radians(lon - (-74.0)) / 2), 2))), 3) AS km
+      FROM pts
+    )
+    SELECT c_custkey, km, rk FROM (
+      SELECT c_custkey, km,
+             row_number() OVER (ORDER BY km, c_custkey) AS rk
+      FROM d)
+    WHERE rk <= 10
+    """,
+)
+def haversine_nearest(spark, sf_dir):
+    """Haversine great-circle distance as pure column math (the trig
+    family composed into a real operator): deterministic synthetic
+    coordinates per customer, distance to a fixed point, top-10
+    nearest.  No UDF, no geo library — at scale this is a map +
+    TakeOrderedAndProject; a geo JOIN adds a geohash-prefix equi-join
+    for candidate pruning (the LSH-bucket pattern applied to
+    space)."""
+    from pyspark.sql import Window as W
+    from sidecar_spark.queries.registry import t as _t
+
+    c = _t(spark, sf_dir, "customer")
+    lat = -60.0 + (F.col("c_custkey") % 1200) * 0.1
+    lon = -180.0 + ((F.col("c_custkey") * 7) % 3600) * 0.1
+    km = F.round(
+        2 * 6371.0 * F.asin(F.sqrt(
+            F.pow(F.sin(F.radians(lat - 40.7) / 2), 2)
+            + F.cos(F.radians(F.lit(40.7))) * F.cos(F.radians(lat))
+            * F.pow(F.sin(F.radians(lon - (-74.0)) / 2), 2))), 3)
+    d = c.select("c_custkey", km.alias("km"))
+    rk = F.row_number().over(W.orderBy("km", "c_custkey"))
+    return d.select("c_custkey", "km", rk.alias("rk")).where(
+        F.col("rk") <= 10)
+
+
+@query(
+    "cyclical_time_features",
+    oracle="""
+    SELECT event_type,
+           round(avg(sin(2 * pi() * CAST(strftime(ts, '%H') AS BIGINT)
+                         / 24.0)), 6) AS hour_sin,
+           round(avg(cos(2 * pi() * CAST(strftime(ts, '%H') AS BIGINT)
+                         / 24.0)), 6) AS hour_cos,
+           round(avg(sin(2 * pi() * dayofweek(ts) / 7.0)), 6) AS dow_sin
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def cyclical_time_features(spark, sf_dir):
+    """Cyclical feature encoding: hour-of-day and day-of-week mapped
+    onto the unit circle (sin/cos pairs) so midnight neighbors 23:00
+    instead of being 23 units away — the standard temporal feature
+    prep for models.  Spark dayofweek is 1-based (Sunday=1) vs
+    DuckDB's 0-based, so the encoding normalizes before the 2π scale;
+    pure map-side math folded into the aggregate."""
+    from sidecar_spark.queries.registry import t as _t
+    import math
+
+    e = _t(spark, sf_dir, "events")
+    two_pi = 2 * math.pi
+    hour_angle = two_pi * F.hour("ts") / 24.0
+    dow_angle = two_pi * (F.dayofweek("ts") - 1) / 7.0
+    return (
+        e.groupBy("event_type")
+        .agg(F.round(F.avg(F.sin(hour_angle)), 6).alias("hour_sin"),
+             F.round(F.avg(F.cos(hour_angle)), 6).alias("hour_cos"),
+             F.round(F.avg(F.sin(dow_angle)), 6).alias("dow_sin"))
+        .orderBy("event_type")
+    )
