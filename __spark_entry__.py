@@ -40,8 +40,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sidecar_spark.queries import QUERIES
+    from sidecar_spark.queries.driver_coverage import DRIVER_CHECKED
 
-    return dict(QUERIES)
+    # least-verified first: the driver samples a prefix of this dict,
+    # so entries it has never hash-checked lead and already-verified
+    # ones trail — rotating driver coverage across rounds
+    unchecked = {k: v for k, v in QUERIES.items()
+                 if k not in DRIVER_CHECKED}
+    checked = {k: v for k, v in QUERIES.items() if k in DRIVER_CHECKED}
+    return {**unchecked, **checked}
 
 
 def oracle_sql() -> dict[str, str]:

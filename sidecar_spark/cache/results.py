@@ -33,6 +33,10 @@ from typing import List, Optional, Tuple
 class ResultCache:
     META = "entry.json"
 
+    #: marker-less entry dirs younger than this may be mid-store by a
+    #: concurrent writer — only older orphans are swept
+    ORPHAN_AGE_S = 3600.0
+
     def __init__(self, root: str, capacity_bytes: Optional[int] = None):
         self.root = root
         self.capacity_bytes = capacity_bytes
@@ -40,6 +44,7 @@ class ResultCache:
         self.misses = 0
         self.evictions = 0
         os.makedirs(root, exist_ok=True)
+        self._sweep_orphans()
 
     # ---- keys -----------------------------------------------------------
 
@@ -67,23 +72,39 @@ class ResultCache:
         self.misses += 1
         return None
 
-    def store(self, key: str, write_fn, sql_text: str) -> str:
+    def meta(self, key: str) -> Optional[dict]:
+        """Entry metadata (or None) without touching hit/miss counters."""
+        p = os.path.join(self._entry_dir(key), self.META)
+        if not os.path.exists(p):
+            return None
+        with open(p, encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def store(self, key: str, write_fn, sql_text: str,
+              validate_fn=None, extra_meta: Optional[dict] = None) -> str:
         """Materialize a result: ``write_fn(data_dir)`` writes the
         parquet; the meta marker lands LAST (write → marker ordering,
         the moniker idea inverted: an entry without its marker is
-        invisible and gets garbage-collected rather than served)."""
+        invisible and gets swept by ``_sweep_orphans`` rather than
+        served).  ``validate_fn()`` runs AFTER the write; returning
+        False (e.g. an input file changed between keying and
+        materialization) skips the marker, so the just-written data is
+        served once to this caller but never registered under a key
+        that no longer describes it."""
         d = self._entry_dir(key)
         data = os.path.join(d, "data")
         if os.path.exists(d):
             shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
         write_fn(data)
+        if validate_fn is not None and not validate_fn():
+            return data
         size = sum(
             os.path.getsize(os.path.join(r, f))
             for r, _, fs in os.walk(data) for f in fs)
         with open(os.path.join(d, self.META), "w", encoding="utf-8") as fh:
             json.dump({"sql": sql_text, "bytes": size,
-                       "created": time.time()}, fh)
+                       "created": time.time(), **(extra_meta or {})}, fh)
         self._check_eviction()
         return data
 
@@ -102,7 +123,28 @@ class ResultCache:
     def total_bytes(self) -> int:
         return sum(b for _, _, b in self._entries())
 
+    def _sweep_orphans(self) -> None:
+        """Collect marker-less entry dirs (a crash between write_fn and
+        the META write leaves one): they are invisible to lookup but
+        occupy real disk the capacity loop cannot see.  An age guard
+        spares entries another process is storing right now."""
+        now = time.time()
+        try:
+            keys = os.listdir(self.root)
+        except OSError:
+            return
+        for key in keys:
+            d = os.path.join(self.root, key)
+            if os.path.exists(os.path.join(d, self.META)):
+                continue
+            try:
+                if now - os.path.getmtime(d) > self.ORPHAN_AGE_S:
+                    shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass
+
     def _check_eviction(self) -> None:
+        self._sweep_orphans()
         if self.capacity_bytes is None:
             return
         entries = self._entries()

@@ -95,13 +95,69 @@ class Engine:
     def sql(self, query: str):
         return self.spark.sql(query)
 
+    #: synthetic column carrying the materialized total order of an
+    #: ORDER BY result through the parquet entry (monotonically
+    #: increasing id taken AFTER the global sort: range partitions are
+    #: ordered by partition index, so the id is globally monotone)
+    _ORDER_COL = "__sc_ord__"
+
+    @staticmethod
+    def _plan_deterministic(df) -> bool:
+        """True iff every expression in the analyzed plan is
+        deterministic (rand(), uuid(), current_timestamp, ... must
+        never be frozen into a cache entry).  Walks the JVM plan;
+        falls back to a conservative text scan if the py4j surface
+        shifts."""
+        try:
+            def walk(plan) -> bool:
+                exprs = plan.expressions()
+                for i in range(exprs.length()):
+                    if not exprs.apply(i).deterministic():
+                        return False
+                ch = plan.children()
+                for i in range(ch.length()):
+                    if not walk(ch.apply(i)):
+                        return False
+                return True
+
+            return walk(df._jdf.queryExecution().analyzed())
+        except Exception:  # noqa: BLE001 — py4j surface drift
+            import re
+            text = df._jdf.queryExecution().analyzed().toString().lower()
+            return not re.search(
+                r"\b(rand|randn|uuid|shuffle|current_timestamp|"
+                r"current_date|now|monotonically_increasing_id|"
+                r"input_file_name|spark_partition_id)\b", text)
+
+    @staticmethod
+    def _plan_ordered(df) -> bool:
+        """True iff the analyzed plan's top node is a global Sort —
+        the one case where a bag-semantics parquet hit would
+        observably differ from recomputation."""
+        try:
+            plan = df._jdf.queryExecution().analyzed()
+            return (plan.getClass().getSimpleName() == "Sort"
+                    and getattr(plan, "global")())
+        except Exception:  # noqa: BLE001
+            return False
+
     def sql_cached(self, query: str):
         """``sql`` with the result cache (cache/results.py): the
         result is keyed by md5(query ‖ every resolved input file's
         path+mtime+length) — the page-key self-invalidation idea at
         result granularity, so a changed input or text produces a
         miss and stale entries are never served.  A hit replaces the
-        whole plan with a local parquet scan."""
+        whole plan with a local parquet scan.
+
+        Caching applies only where the key fully describes the
+        result: plans whose every input file is a stat-able local
+        file and whose expressions are all deterministic.  Anything
+        else (empty ``inputFiles()`` — in-memory views, JDBC;
+        un-stat-able URIs; rand()/current_timestamp/...) BYPASSES the
+        cache and runs normally.  ORDER BY results keep their exact
+        materialized order across hits via a persisted order column;
+        inputs are re-stat-ed after materialization and the entry is
+        discarded (no marker) if any changed mid-write."""
         from sidecar_spark.cache.results import ResultCache
 
         if self._result_cache is None:
@@ -110,23 +166,45 @@ class Engine:
                 capacity_bytes=self.conf.write_cache_size or None)
         rc = self._result_cache
         df = self.spark.sql(query)
-        inputs = []
-        for uri in df.inputFiles():
-            path = uri[len("file:"):] if uri.startswith("file:") else uri
-            try:
-                st = os.stat(path)
-                inputs.append((path, st.st_mtime_ns, st.st_size))
-            except OSError:
-                # non-local input: fold the raw uri in (no mtime —
-                # conservative, distinct per listing)
-                inputs.append((uri, 0, 0))
+
+        def stat_inputs():
+            out = []
+            for uri in df.inputFiles():
+                path = uri[len("file:"):] if uri.startswith("file:") else uri
+                try:
+                    st = os.stat(path)
+                except OSError:
+                    return None  # non-local / vanished input
+                out.append((path, st.st_mtime_ns, st.st_size))
+            return out
+
+        inputs = stat_inputs()
+        if not inputs or not self._plan_deterministic(df):
+            return df  # bypass: key cannot describe the result
         key = rc.key_for(query, inputs)
         hit = rc.lookup(key)
         if hit is not None:
-            return self.spark.read.parquet(hit)
+            cached = self.spark.read.parquet(hit)
+            if self._ORDER_COL in cached.columns:
+                cached = (cached.orderBy(self._ORDER_COL)
+                          .drop(self._ORDER_COL))
+            return cached
+        ordered = self._plan_ordered(df)
+        to_write = df
+        if ordered:
+            from pyspark.sql.functions import monotonically_increasing_id
+            to_write = df.withColumn(
+                self._ORDER_COL, monotonically_increasing_id())
         data = rc.store(
-            key, lambda d: df.write.mode("overwrite").parquet(d), query)
-        return self.spark.read.parquet(data)
+            key,
+            lambda d: to_write.write.mode("overwrite").parquet(d),
+            query,
+            validate_fn=lambda: stat_inputs() == inputs,
+            extra_meta={"ordered": ordered})
+        out = self.spark.read.parquet(data)
+        if self._ORDER_COL in out.columns:
+            out = out.orderBy(self._ORDER_COL).drop(self._ORDER_COL)
+        return out
 
     def result_cache_stats(self) -> dict:
         return (self._result_cache.snapshot()

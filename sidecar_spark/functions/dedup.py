@@ -445,27 +445,69 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     across rounds (the standard Spark iterative-algorithm pattern —
     same loop GraphFrames/GraphX run under the hood, minus their
     dependency)."""
-    sym = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    return connected_components_star(edges, nodes, id_col=id_col,
+                                     src_col=src_col, dst_col=dst_col,
+                                     max_iter=max_iter)
 
-    labels = nodes.select(F.col(id_col).alias("id"),
-                          F.col(id_col).alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+
+def connected_components_star(edges: DataFrame, nodes: DataFrame,
+                              id_col: str = "doc_id",
+                              src_col: str = "doc_a",
+                              dst_col: str = "doc_b",
+                              max_iter: int = 50) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the 100 TB-scale variant of min-label propagation:
+    rounds grow with log(component size), not graph diameter, so a
+    20-hop (or 20,000-hop) chain converges in a handful of rounds
+    where plain label propagation needs one round per hop.
+
+    Per round: large-star hangs every neighbor v > u off
+    min(Γ(u) ∪ {u}); small-star re-hangs the smaller neighbors.  Both
+    are one groupBy + one equi-join over (node, node) pairs — no step
+    ever materializes more than O(|E|) rows.  At fixpoint the edge set
+    is a forest of depth-1 stars whose centers are the component
+    minima; ``localCheckpoint`` cuts lineage so plan size stays
+    constant across rounds (the standard Spark iterative pattern)."""
+    e = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .select(F.greatest("u", "v").alias("u"),
+                 F.least("u", "v").alias("v"))
+         .distinct().localCheckpoint(eager=True))
+
     for _ in range(max_iter):
-        neigh = (
-            sym.join(labels, sym.a == labels.id)
-            .groupBy(F.col("b").alias("id"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neigh, "id", "left")
-            .select("id", F.least("label", "nmin").alias("label"),
-                    (F.col("nmin") < F.col("label")).alias("chg"))
-        ).localCheckpoint(eager=True)
-        changed = new_labels.where(F.col("chg")).count()
-        labels = new_labels.select("id", "label")
-        if changed == 0:
+        # large-star over the symmetric view: every strictly larger
+        # neighbor of u re-attaches to m = min(Γ(u) ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+        lmin = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("u", "mn").alias("m")))
+        large = (sym.join(lmin, "u")
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .where(F.col("u") != F.col("v")))
+        # small-star on the (hi → lo) orientation: u and all its
+        # smaller neighbors re-attach to the smallest of them
+        dir_ = (large.select(F.greatest("u", "v").alias("u"),
+                             F.least("u", "v").alias("v")).distinct())
+        smin = dir_.groupBy("u").agg(F.min("v").alias("m"))
+        small = (dir_.join(smin, "u")
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .union(smin.select("u", F.col("m").alias("v")))
+                 .where(F.col("u") != F.col("v"))
+                 .select(F.greatest("u", "v").alias("u"),
+                         F.least("u", "v").alias("v"))
+                 .distinct().localCheckpoint(eager=True))
+        if small.exceptAll(e).isEmpty() and e.exceptAll(small).isEmpty():
+            e = small
             break
-    return labels.select(F.col("id").alias(id_col),
-                         F.col("label").alias("cluster_id"))
+        e = small
+
+    # converged edge set is (member → component-min) stars; isolated
+    # nodes label themselves
+    members = (e.groupBy(F.col("u").alias("id"))
+               .agg(F.min("v").alias("label")))
+    return (nodes.select(F.col(id_col).alias("id"))
+            .join(members, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("label", "id").alias("cluster_id")))

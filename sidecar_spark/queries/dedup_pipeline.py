@@ -165,9 +165,10 @@ _SHINGLES_SEQ = f"""
       SELECT doc_id, list_transform({_SHINGLES_SEQ}, s -> {_h60('s')}) AS hs
       FROM documents)
     SELECT doc_id,
-           list_sort(list_distinct(list_transform(
+           coalesce(array_to_string(
+             list_sort(list_distinct(list_transform(
                range(1, greatest(len(hs) - 3, 1) + 1),
-               j -> list_min(hs[j:j+3])))) AS fingerprints
+               j -> list_min(hs[j:j+3])))), ','), '') AS fingerprints
     FROM hashed
     """,
 )
@@ -176,9 +177,16 @@ def dedup_winnowing(spark, sf_dir):
     rolling-window-min fingerprint set used for plagiarism/near-dup
     detection — any shared run of ≥6 words guarantees a shared
     fingerprint. Map-side only; pairing is a follow-on equi-join on
-    exploded fingerprints (the ngram_jaccard count-join shape)."""
+    exploded fingerprints (the ngram_jaccard count-join shape).
+    The set is serialized to a CSV string for the driver hash (lists
+    are unhashable there); downstream consumers use
+    ``D.winnowing_table`` directly for the typed array."""
     d = spread(t(spark, sf_dir, "documents"))
-    return D.winnowing_table(d, k=3, window=4)
+    fp = D.winnowing_table(d, k=3, window=4)
+    return fp.select(
+        "doc_id",
+        F.array_join(F.col("fingerprints").cast("array<string>"), ",")
+        .alias("fingerprints"))
 
 
 @query(
@@ -283,7 +291,7 @@ def dedup_clusters(spark, sf_dir):
       FROM test_docs d LEFT JOIN hits USING (doc_id))
     SELECT lang,
            count(*) AS n_test,
-           sum(CASE WHEN ratio >= 0.5 THEN 1 ELSE 0 END) AS n_contaminated,
+           CAST(sum(CASE WHEN ratio >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
            round(avg(ratio), 6) AS avg_overlap
     FROM rated GROUP BY lang
     """,
@@ -351,7 +359,7 @@ def dedup_contamination_check(spark, sf_dir):
              n_chars
       FROM quality
     )
-    SELECT split, shard, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT split, shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM assigned
     GROUP BY split, shard
     ORDER BY split, shard

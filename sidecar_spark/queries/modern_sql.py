@@ -391,12 +391,12 @@ def url_parse_functions(spark, sf_dir):
     "bitwise_functions",
     oracle="""
     SELECT o_orderpriority,
-           sum(o_orderkey & 255) AS sum_and,
-           sum(o_orderkey | 16) AS sum_or,
-           sum(xor(o_orderkey, 85)) AS sum_xor,
-           sum(bit_count(o_orderkey)) AS sum_popcnt,
-           sum((o_orderkey % 16) << 2) AS sum_shl,
-           sum(o_orderkey >> 3) AS sum_shr,
+           CAST(sum(o_orderkey & 255) AS BIGINT) AS sum_and,
+           CAST(sum(o_orderkey | 16) AS BIGINT) AS sum_or,
+           CAST(sum(xor(o_orderkey, 85)) AS BIGINT) AS sum_xor,
+           CAST(sum(bit_count(o_orderkey)) AS BIGINT) AS sum_popcnt,
+           CAST(sum((o_orderkey % 16) << 2) AS BIGINT) AS sum_shl,
+           CAST(sum(o_orderkey >> 3) AS BIGINT) AS sum_shr,
            bit_and(o_orderkey) AS agg_and,
            bit_or(o_orderkey % 64) AS agg_or,
            bit_xor(o_orderkey) AS agg_xor
@@ -484,7 +484,7 @@ def sql_udf_pricing(spark, sf_dir):
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           sum(o_custkey) AS sum_cust,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
            round(sum(o_totalprice), 2) AS sum_price
     FROM orders
     WHERE o_orderkey < 2000
@@ -850,8 +850,8 @@ def struct_compare_functions(spark, sf_dir):
     oracle="""
     SELECT event_type,
            count(*) AS n_elems,
-           sum(user_id) + sum(user_id + 1) AS sum_u,
-           sum(event_id) * 2 AS sum_e
+           CAST(sum(user_id) + sum(user_id + 1) AS BIGINT) AS sum_u,
+           CAST(sum(event_id) * 2 AS BIGINT) AS sum_e
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -958,7 +958,7 @@ def window_locf_fill(spark, sf_dir):
       FROM digits GROUP BY acct
     )
     SELECT count(*) AS n_checked,
-           sum(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS n_valid
+           CAST(sum(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
     FROM contrib
     """,
 )
@@ -1036,7 +1036,7 @@ def theta_sketch_set_ops(spark, sf_dir):
     "aes_roundtrip_audit",
     oracle="""
     SELECT p_brand, count(*) AS n,
-           sum(length(p_name)) AS total_len,
+           CAST(sum(length(p_name)) AS BIGINT) AS total_len,
            count(DISTINCT p_name) AS n_distinct
     FROM part
     WHERE p_partkey % 13 = 0
@@ -1153,7 +1153,7 @@ def timezone_conversion(spark, sf_dir):
     "json_introspection",
     oracle="""
     SELECT count(*) AS n,
-           sum(len(json_keys(props))) AS total_keys,
+           CAST(sum(len(json_keys(props))) AS BIGINT) AS total_keys,
            count(CASE WHEN json_array_length(
                    '[' || CAST(user_id AS VARCHAR) || ','
                        || CAST(event_id AS VARCHAR) || ']') = 2
@@ -1188,7 +1188,7 @@ def json_introspection(spark, sf_dir):
     oracle="""
     SELECT o_orderstatus,
            count(*) AS n,
-           sum(o_custkey) AS sum_cust,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
            round(sum(o_totalprice), 2) AS total
     FROM orders
     WHERE o_orderkey % 301 = 0
@@ -1379,7 +1379,7 @@ def reflect_java_digest(spark, sf_dir):
       FROM orders
     )
     SELECT o_orderpriority, count(*) AS n_sampled,
-           sum(o_orderkey) AS key_sum
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
     FROM ranked WHERE rk <= 100
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -1492,7 +1492,7 @@ def input_file_lineage(spark, sf_dir):
                       THEN 1 END) AS n_rejected,
            strftime(min(try_strptime(s, '%Y-%m-%d %H:%M:%S')),
                     '%Y-%m-%d') AS first_day,
-           sum(((signed_k % 5) + 5) % 5) AS pmod_sum
+           CAST(sum(((signed_k % 5) + 5) % 5) AS BIGINT) AS pmod_sum
     FROM raw
     """,
 )

@@ -639,8 +639,8 @@ def events_tumbling_window(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, event_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM gaps)
     SELECT user_id, session_id,
            count(*) AS n_events,
@@ -1441,11 +1441,12 @@ def pandas_udf_iterator_scale(spark, sf_dir):
       FROM combos
     )
     SELECT i, j,
-           list_sort(list_distinct(a || b)) AS u,
-           list_sort(list_distinct(
-             list_filter(a, x -> list_contains(b, x)))) AS ix,
-           list_sort(list_distinct(
-             list_filter(a, x -> NOT list_contains(b, x)))) AS ex,
+           coalesce(array_to_string(
+             list_sort(list_distinct(a || b)), ','), '') AS u,
+           coalesce(array_to_string(list_sort(list_distinct(
+             list_filter(a, x -> list_contains(b, x)))), ','), '') AS ix,
+           coalesce(array_to_string(list_sort(list_distinct(
+             list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS ex,
            list_has_any(a, b) AS overlaps,
            coalesce(list_position(a, j), 0) AS pos_j
     FROM arrs
@@ -1467,9 +1468,12 @@ def array_set_operations(spark, sf_dir):
     return (
         combos.select(
             "i", "j",
-            F.array_sort(F.array_union(a, b)).alias("u"),
-            F.array_sort(F.array_intersect(a, b)).alias("ix"),
-            F.array_sort(F.array_except(a, b)).alias("ex"),
+            F.array_join(F.array_sort(F.array_union(a, b))
+                         .cast("array<string>"), ",").alias("u"),
+            F.array_join(F.array_sort(F.array_intersect(a, b))
+                         .cast("array<string>"), ",").alias("ix"),
+            F.array_join(F.array_sort(F.array_except(a, b))
+                         .cast("array<string>"), ",").alias("ex"),
             F.arrays_overlap(a, b).alias("overlaps"),
             F.array_position(a, F.col("j")).alias("pos_j"),
         )
@@ -1482,10 +1486,10 @@ def array_set_operations(spark, sf_dir):
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n,
-           sum(CASE WHEN o_totalprice >= 100000 THEN 1 ELSE 0 END)
-               AS n_jumbo,
-           sum(length(o_orderpriority) + CAST(o_orderkey % 7 AS BIGINT))
-               AS checksum
+           CAST(sum(CASE WHEN o_totalprice >= 100000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_jumbo,
+           CAST(sum(length(o_orderpriority) + CAST(o_orderkey % 7 AS BIGINT))
+               AS BIGINT) AS checksum
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -1581,7 +1585,7 @@ def query_result_cache(spark, sf_dir):
     SELECT count(*) AS n_rows_outer,
            count(x) AS n_elems,
            count(CASE WHEN x IS NULL THEN 1 END) AS n_preserved,
-           sum(coalesce(x, 0)) AS sum_x
+           CAST(sum(coalesce(x, 0)) AS BIGINT) AS sum_x
     FROM (SELECT o_orderkey,
                  unnest(CASE WHEN xs IS NULL OR len(xs) = 0
                              THEN [NULL]::BIGINT[] ELSE xs END) AS x
@@ -1662,10 +1666,12 @@ def map_entries_functions(spark, sf_dir):
       FROM base
     )
     SELECT i,
-           list_append(a, 99) AS appended,
-           list_prepend(-1, a) AS prepended,
-           list_filter(a, x -> x <> i + 1) AS removed,
-           a[1:2] || [CAST(7 AS BIGINT)] || a[3:] AS inserted,
+           array_to_string(list_append(a, 99), ',') AS appended,
+           array_to_string(list_prepend(-1, a), ',') AS prepended,
+           array_to_string(list_filter(a, x -> x <> i + 1), ',')
+               AS removed,
+           array_to_string(a[1:2] || [CAST(7 AS BIGINT)] || a[3:], ',')
+               AS inserted,
            len(a_sparse) AS n_sparse,
            len(list_filter(a_sparse, x -> x IS NOT NULL)) AS n_compacted
     FROM arrs
@@ -1689,10 +1695,14 @@ def array_edit_functions(spark, sf_dir):
     return (
         base.select(
             "i",
-            F.array_append(a, F.lit(99)).alias("appended"),
-            F.array_prepend(a, F.lit(-1)).alias("prepended"),
-            F.array_remove(a, F.col("i") + 1).alias("removed"),
-            F.array_insert(a, 3, F.lit(7)).alias("inserted"),
+            F.array_join(F.array_append(a, F.lit(99))
+                         .cast("array<string>"), ",").alias("appended"),
+            F.array_join(F.array_prepend(a, F.lit(-1))
+                         .cast("array<string>"), ",").alias("prepended"),
+            F.array_join(F.array_remove(a, F.col("i") + 1)
+                         .cast("array<string>"), ",").alias("removed"),
+            F.array_join(F.array_insert(a, 3, F.lit(7))
+                         .cast("array<string>"), ",").alias("inserted"),
             F.size(a_sparse).alias("n_sparse"),
             F.size(F.array_compact(a_sparse)).alias("n_compacted"),
         )

@@ -43,7 +43,7 @@ def split_bucket(col, n_buckets: int = 100):
                 THEN 'train'
                 WHEN {_H60.format(e='CAST(doc_id AS VARCHAR)')} % 100 < 90
                 THEN 'val' ELSE 'test' END AS split,
-           lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+           lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY split, lang
     """,
@@ -90,8 +90,7 @@ def stratified_sample(spark, sf_dir):
     oracle=f"""
     SELECT lang,
            count(*) AS n_total,
-           sum(CASE WHEN {_H60.format(e="CAST(doc_id AS VARCHAR) || ':strat'")}
-                         % 1000 < 100 THEN 1 ELSE 0 END) AS n_sampled
+           CAST(sum(CASE WHEN {_H60.format(e="CAST(doc_id AS VARCHAR) || ':strat'")} % 1000 < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
     FROM documents
     GROUP BY lang
     """,
@@ -157,7 +156,7 @@ def weighted_sample_topk(spark, sf_dir):
                  AS shard
       FROM documents
     )
-    SELECT shard, count(*) AS n_docs, sum(n_chars) AS total_chars,
+    SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(doc_id) AS min_doc, max(doc_id) AS max_doc
     FROM sharded GROUP BY shard ORDER BY shard
     """,

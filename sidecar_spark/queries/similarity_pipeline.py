@@ -341,7 +341,7 @@ def emb_norm_stats(spark, sf_dir):
       FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id)
     SELECT vec_id, label,
            round(max_abs / 127.0, 6) AS scale,
-           list_sum(qv) AS q_sum,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
            list_max(qv) AS q_max,
            list_min(qv) AS q_min
     FROM q
@@ -384,7 +384,7 @@ def emb_quantize(spark, sf_dir):
       FROM embeddings)
     SELECT label, count(*) AS n,
            round(avg(l1), 6) AS avg_l1,
-           sum(n_pos) AS total_pos
+           CAST(sum(n_pos) AS BIGINT) AS total_pos
     FROM per_vec GROUP BY label
     """,
 )

@@ -47,6 +47,15 @@ def _materialize(spark, sf_dir, table: str, fmt: str, options: dict):
         mt = 0
     path = os.path.join(_ROOT, _tag(sf_dir), f"{table}_{fmt}_{mt}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # superseded copies from prior testdata generations are dead
+        # weight — drop siblings whose mtime suffix differs before
+        # writing the current one (bounds /tmp growth across regens)
+        import glob as _glob
+        import shutil as _shutil
+        for old in _glob.glob(os.path.join(
+                _ROOT, _tag(sf_dir), f"{table}_{fmt}_*")):
+            if old != path:
+                _shutil.rmtree(old, ignore_errors=True)
         src.write.mode("overwrite").format(fmt).options(**options).save(path)
     return (spark.read.format(fmt).options(**options)
             .schema(src.schema).load(path))
@@ -250,7 +259,7 @@ def cache_lifecycle(spark, sf_dir):
     oracle="""
     SELECT 'h' || CAST(i % 50 AS VARCHAR) AS host,
            count(*) AS n,
-           sum((i * 2654435761) % 1000) AS sum_metric,
+           CAST(sum((i * 2654435761) % 1000) AS BIGINT) AS sum_metric,
            min((i * 2654435761) % 1000) AS min_metric,
            max((i * 2654435761) % 1000) AS max_metric
     FROM (SELECT unnest(generate_series(0, 79999)) AS i)
@@ -289,7 +298,7 @@ def python_datasource_scan(spark, sf_dir):
     oracle="""
     SELECT 'h' || CAST(i % 50 AS VARCHAR) AS host,
            count(*) AS n,
-           sum((i * 2654435761) % 1000) AS sum_metric
+           CAST(sum((i * 2654435761) % 1000) AS BIGINT) AS sum_metric
     FROM (SELECT unnest(generate_series(0, 39999)) AS i)
     GROUP BY host
     """,
@@ -337,7 +346,7 @@ def stream_python_source(spark, sf_dir):
     "xml_roundtrip_agg",
     oracle="""
     SELECT p_brand, count(*) AS n_parts,
-           sum(CAST(p_size AS BIGINT)) AS sum_size,
+           CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_size,
            round(sum(p_retailprice), 2) AS sum_price
     FROM part
     GROUP BY p_brand
@@ -424,7 +433,7 @@ def _os_path_glob(out):
 @query(
     "union_by_name_evolution",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, sum(flagged) AS n_flagged,
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(flagged) AS BIGINT) AS n_flagged,
            round(sum(coalesce(price, 0)), 2) AS total_priced
     FROM (
       SELECT o_orderstatus, 0 AS flagged, round(o_totalprice, 2) AS price

@@ -217,7 +217,7 @@ def text_fingerprint(spark, sf_dir):
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
     FROM events
     GROUP BY event_type
@@ -504,7 +504,7 @@ def bm25_doc_search(spark, sf_dir):
       FROM toks)
     SELECT source, seq_id,
            count(*) AS n_docs,
-           sum(n_tokens) AS seq_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
            min(doc_id) AS first_doc,
            max(doc_id) AS last_doc
     FROM packed
@@ -626,7 +626,7 @@ def inverted_index_build(spark, sf_dir):
            count(*) AS n_tokens,
            count(DISTINCT tok) AS n_distinct,
            round(avg(length(tok)), 6) AS avg_tok_len,
-           sum(pos * length(tok)) AS pos_checksum
+           CAST(sum(pos * length(tok)) AS BIGINT) AS pos_checksum
     FROM exploded
     GROUP BY lang
     """,
@@ -829,9 +829,8 @@ def quality_filter_funnel(spark, sf_dir):
                AS n_weekend,
            count(CASE WHEN o_orderdate = last_day(o_orderdate)
                       THEN 1 END) AS n_month_end,
-           sum(CAST(weekofyear(o_orderdate) AS BIGINT)) AS sum_iso_week,
-           sum(date_diff('day', o_orderdate,
-                         o_orderdate + INTERVAL 3 MONTH)) AS sum_q_span,
+           CAST(sum(CAST(weekofyear(o_orderdate) AS BIGINT)) AS BIGINT) AS sum_iso_week,
+           CAST(sum(date_diff('day', o_orderdate, o_orderdate + INTERVAL 3 MONTH)) AS BIGINT) AS sum_q_span,
            count(DISTINCT strftime(o_orderdate + INTERVAL 45 DAY,
                                    '%Y-%m')) AS n_shifted_months
     FROM orders
@@ -1063,7 +1062,7 @@ def doc_chunk_overlap(spark, sf_dir):
       FROM weighted CROSS JOIN generate_series(1, 4) e(epoch)
       WHERE e.epoch <= w
     )
-    SELECT source, count(*) AS n_rows, sum(n_chars) AS total_chars,
+    SELECT source, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS total_chars,
            max(epoch) AS max_epoch
     FROM expanded
     GROUP BY source
@@ -1136,8 +1135,7 @@ def binary_functions(spark, sf_dir):
     oracle="""
     SELECT lang,
            count(*) AS n,
-           sum(length(printf('### Instruction (%s)\n%s\n### Response\n',
-                             lang, substring(text, 1, 64)))) AS total_len,
+           CAST(sum(length(printf('### Instruction (%s)\n%s\n### Response\n', lang, substring(text, 1, 64)))) AS BIGINT) AS total_len,
            min(md5(printf('### Instruction (%s)\n%s\n### Response\n',
                           lang, substring(text, 1, 64)))) AS min_hash
     FROM documents

@@ -649,8 +649,7 @@ def equidepth_histogram(spark, sf_dir):
     "timestamp_diff_add_functions",
     oracle="""
     SELECT o_orderpriority,
-           sum(date_diff('minute', o_orderdate,
-                         o_orderdate + INTERVAL 36 HOUR)) AS sum_min_diff,
+           CAST(sum(date_diff('minute', o_orderdate, o_orderdate + INTERVAL 36 HOUR)) AS BIGINT) AS sum_min_diff,
            count(CASE WHEN o_orderdate + INTERVAL 90 MINUTE
                            > o_orderdate + INTERVAL 1 HOUR
                       THEN 1 END) AS n_after,

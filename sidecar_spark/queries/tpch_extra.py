@@ -614,10 +614,8 @@ def q11_value_concentration(spark, sf_dir):
     "q12_priority_class",
     oracle="""
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -1249,10 +1247,10 @@ def approx_quantile_audit(spark, sf_dir):
            round(sin(p_retailprice), 6) AS f_sin,
            round(atan2(p_retailprice, CAST(p_size AS DOUBLE)), 6) AS f_atan2,
            round(radians(p_size), 6) AS f_radians,
-           sign(p_retailprice - 1000) AS f_sign,
+           CAST(sign(p_retailprice - 1000) AS DOUBLE) AS f_sign,
            round(mod(p_retailprice, 7.0), 6) AS f_mod,
-           ceil(p_retailprice) AS f_ceil,
-           floor(p_retailprice) AS f_floor
+           CAST(ceil(p_retailprice) AS BIGINT) AS f_ceil,
+           CAST(floor(p_retailprice) AS BIGINT) AS f_floor
     FROM part
     """,
 )
@@ -1433,8 +1431,8 @@ _CMS_BUCKET_SQL = (
       SELECT key, l_partkey, cnt,
              row_number() OVER (ORDER BY cnt DESC, l_partkey) AS rn
       FROM keyed QUALIFY rn <= {_CMS_TOPK})
-    SELECT c.l_partkey, c.cnt AS exact_cnt, min(ct.w) AS cms_est,
-           min(ct.w) - c.cnt AS overcount
+    SELECT c.l_partkey, c.cnt AS exact_cnt, CAST(min(ct.w) AS BIGINT) AS cms_est,
+           CAST(min(ct.w) - c.cnt AS BIGINT) AS overcount
     FROM cand c CROSS JOIN depths
     JOIN counters ct ON ct.d = depths.d AND ct.bucket =
       ('0x' || substr(md5(c.key || ':cms' || depths.d), 1, 15))::BIGINT % 8192
@@ -1764,7 +1762,7 @@ def table_fingerprint(spark, sf_dir):
                           * 10000000 + p_partkey) AS priciest_part,
            min_by(p_name, CAST(round(p_retailprice * 100) AS BIGINT)
                           * 10000000 + p_partkey) AS cheapest_part,
-           count_if(p_size >= 25) AS n_large,
+           CAST(count_if(p_size >= 25) AS BIGINT) AS n_large,
            round(max(p_retailprice) - min(p_retailprice), 2) AS price_span
     FROM part
     GROUP BY p_brand

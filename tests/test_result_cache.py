@@ -71,6 +71,66 @@ def test_input_mtime_change_invalidates(eng, spark):
     assert second == {k: round(v * 2, 2) for k, v in first.items()}
 
 
+def test_nondeterministic_query_bypasses_cache(eng):
+    """rand() must never be frozen into an entry: the call runs
+    uncached (no counters move, no entry is written)."""
+    eng.register("t1")
+    eng.sql_cached("SELECT k, rand() AS r FROM t1").collect()
+    st = eng.result_cache_stats()
+    assert st["misses"] == 0 and st["hits"] == 0 and st["entries"] == 0
+
+
+def test_inmemory_view_bypasses_cache(eng, spark):
+    """A plan with empty inputFiles() (LocalRelation view) has no
+    content identity — bypass, don't key on SQL text alone."""
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string") \
+        .createOrReplaceTempView("mem_v")
+    out = eng.sql_cached("SELECT count(*) AS n FROM mem_v").collect()
+    assert out[0]["n"] == 2
+    st = eng.result_cache_stats()
+    assert st["misses"] == 0 and st["entries"] == 0
+
+
+def test_ordered_query_hit_preserves_order(eng):
+    """A warm hit of an ORDER BY query returns the exact cold order
+    (persisted order column, not parquet read-order luck)."""
+    eng.register("t1")
+    q = "SELECT id, v FROM t1 ORDER BY v DESC, id"
+    cold = [tuple(r) for r in eng.sql_cached(q).collect()]
+    warm = [tuple(r) for r in eng.sql_cached(q).collect()]
+    st = eng.result_cache_stats()
+    assert st["hits"] == 1
+    assert warm == cold                       # exact order, not bag
+    assert cold == sorted(cold, key=lambda r: (-r[1], r[0]))
+    assert "__sc_ord__" not in eng.sql_cached(q).columns
+
+
+def test_validate_fn_skips_marker(tmp_path):
+    """An input changing between keying and materialization must not
+    register the entry: data is returned once, next lookup misses."""
+    rc = ResultCache(str(tmp_path / "rc"))
+
+    def write(d):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-0"), "wb") as fh:
+            fh.write(b"z")
+
+    data = rc.store("k1", write, "q", validate_fn=lambda: False)
+    assert os.path.exists(data)               # served to this caller
+    assert rc.lookup("k1") is None            # but never registered
+
+
+def test_orphan_sweep_collects_markerless_dirs(tmp_path):
+    root = tmp_path / "rc"
+    orphan = root / "deadbeef" / "data"
+    orphan.mkdir(parents=True)
+    (orphan / "part-0").write_bytes(b"x" * 10)
+    old = time.time() - 7200
+    os.utime(str(root / "deadbeef"), (old, old))
+    ResultCache(str(root))                    # __init__ sweeps
+    assert not (root / "deadbeef").exists()
+
+
 def test_capacity_eviction_oldest_first(tmp_path):
     rc = ResultCache(str(tmp_path / "rc"), capacity_bytes=1)
 

@@ -166,6 +166,28 @@ class TestConnectedComponents:
                for r in connected_components(edges, nodes).collect()}
         assert got == {1: 1, 3: 1, 5: 1, 7: 1, 2: 2, 4: 2, 6: 6}
 
+    def test_deep_chain_converges_in_log_rounds(self, spark):
+        """A 20-hop chain component (diameter 20) must converge well
+        inside the iteration budget: large-star/small-star halves star
+        depth per round (Kiveris et al. SoCC'14), so max_iter=8 ≪ 20
+        suffices where plain min-label propagation would need 20
+        rounds. Also pins a 200-node star and a singleton."""
+        from sidecar_spark.functions.dedup import connected_components_star
+
+        chain = [(i, i + 1) for i in range(100, 120)]       # 21 nodes
+        star = [(500, 500 + i) for i in range(1, 200)]      # 200 nodes
+        node_ids = sorted({n for e in chain + star for n in e} | {999})
+        nodes = spark.createDataFrame([(i,) for i in node_ids],
+                                      "doc_id long")
+        edges = spark.createDataFrame(chain + star,
+                                      "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in connected_components_star(
+                   edges, nodes, max_iter=8).collect()}
+        assert all(got[i] == 100 for i in range(100, 121))
+        assert all(got[500 + i] == 500 for i in range(200))
+        assert got[999] == 999
+
     def test_import_without_session(self):
         """The query battery must import with no active SparkContext —
         the driver may call queries() before building its session."""

@@ -23,18 +23,47 @@ TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
 
 
+def _list_columns(df: pd.DataFrame) -> list[str]:
+    """Columns holding list/ndarray/dict values — the driver's hasher
+    cannot hash these (CORRECTNESS_r01 `unhashable type: 'list'`), so
+    the strict checker fails them outright: stringify arrays on BOTH
+    the Spark and oracle side instead (to_json / array_to_string)."""
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object:
+            head = df[c].dropna().head(50)
+            if head.map(lambda v: isinstance(
+                    v, (list, np.ndarray, dict))).any():
+                bad.append(c)
+    return bad
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    import decimal
+
     df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
         if df[c].dtype == object:
-            # unify bytes/str and listy values for stable sorting
+            # unify bytes/str for stable sorting; decimals → float64
+            # (DuckDB DECIMAL vs Spark double — same value class).
+            # Only decimal-bearing columns get numeric coercion: a
+            # string-vs-int drift must stay visible to the checker.
+            has_dec = df[c].dropna().head(50).map(
+                lambda v: isinstance(v, decimal.Decimal)).any()
             df[c] = df[c].map(
                 lambda v: v.hex() if isinstance(v, (bytes, bytearray))
-                else (tuple(v) if isinstance(v, (list, np.ndarray)) else v))
-        # DuckDB may return decimal/float32 where Spark gives float64
+                else (float(v) if isinstance(v, decimal.Decimal) else v))
+            if has_dec:
+                try:
+                    df[c] = pd.to_numeric(df[c])
+                except (ValueError, TypeError):
+                    pass
+        # width-normalize within a kind only — int-vs-float drift must
+        # stay visible (the driver's hash distinguishes 3 from 3.0)
         if str(df[c].dtype).startswith("float"):
             df[c] = df[c].astype("float64")
-        if str(df[c].dtype) in ("int32", "int16", "int8", "uint32"):
+        if str(df[c].dtype) in ("int32", "int16", "int8", "uint32",
+                                "uint64", "uint16", "uint8"):
             df[c] = df[c].astype("int64")
     if len(df):
         df = df.sort_values(by=list(df.columns), na_position="first")
@@ -42,12 +71,24 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(a: pd.DataFrame, b: pd.DataFrame):
-    """Return (ok, reason)."""
+    """Return (ok, reason). Driver-strict: any list-typed output
+    column and any int-vs-float dtype drift between the Spark frame
+    and the oracle frame is a FAILURE even when the values are equal,
+    because the driver's value hash sees them as different."""
     if len(a) != len(b):
         return False, f"row count {len(a)} vs {len(b)}"
     if sorted(a.columns) != sorted(b.columns):
         return False, f"columns {sorted(a.columns)} vs {sorted(b.columns)}"
+    listy = sorted(set(_list_columns(a)) | set(_list_columns(b)))
+    if listy:
+        return False, (f"list-typed output columns {listy} — driver hash "
+                       "cannot hash lists; stringify on both sides")
     a, b = normalize(a), normalize(b)
+    drift = [(c, str(a[c].dtype), str(b[c].dtype)) for c in a.columns
+             if len(a) and a[c].dtype.kind != b[c].dtype.kind]
+    if drift:
+        return False, ("dtype drift (spark vs oracle, driver hash "
+                       f"mismatch): {drift}")
     for c in a.columns:
         av, bv = a[c].values, b[c].values
         if str(a[c].dtype) == "float64":
