@@ -2,24 +2,45 @@
 columns with typed metadata, processed by Arrow-batched pandas
 functions over ``mapInPandas``.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container): ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder derived from the bytes is used. Everything
-Spark-side — schema handling, partition sizing, UDF signatures, Arrow
-batch shapes — is real and tested; swapping in PIL/libsndfile later
-changes one function body.
+Decoder seam (three tiers, resolved per call):
+1. optional libraries — PIL for images, soundfile for audio — used
+   automatically when importable;
+2. stdlib fallbacks that really decode the common container formats:
+   PNG (zlib inflate + scanline unfiltering, 8-bit gray/RGB/RGBA,
+   non-interlaced) and WAV (``wave`` module, PCM 8/16-bit);
+3. ``fake=True`` — a deterministic pseudo-decoder derived from the
+   payload hash, for plumbing tests with arbitrary byte payloads.
+
+So the non-fake path works out of the box on PNG/WAV even in minimal
+containers, upgrades itself when PIL/soundfile exist, and raises
+``NotImplementedError`` only for formats none of the available tiers
+can handle. Everything Spark-side — schema handling, partition
+sizing, UDF signatures, Arrow batch shapes — is identical across
+tiers.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # tier-1 image decoder (optional)
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # pragma: no cover - env-dependent
+    _PILImage = None
+
+try:  # tier-1 audio decoder (optional)
+    import soundfile as _soundfile  # type: ignore
+except ImportError:  # pragma: no cover - env-dependent
+    _soundfile = None
 
 # Typed metadata struct carried alongside every media column
 MEDIA_META_SCHEMA = T.StructType([
@@ -40,17 +61,138 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color type → samples per pixel (8-bit, non-interlaced support)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_decode(payload: bytes):
+    """Pure-stdlib PNG decode → (width, height, mean_luma).
+
+    Handles the mainstream subset: 8-bit depth, grayscale / RGB /
+    gray+alpha / RGBA, non-interlaced — zlib-inflates the IDAT stream
+    and undoes the per-scanline filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6) with numpy. Luma is Rec.601 over the color channels,
+    alpha ignored, normalized to [0, 1]."""
+    import numpy as np
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG")
+    width, height, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG subset decoder handles 8-bit non-interlaced "
+            f"gray/RGB(A); got depth={depth} color={color} "
+            f"interlace={interlace}")
+    ch = _PNG_CHANNELS[color]
+    stride = width * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride,
+            offset=y * (stride + 1) + 1).copy()
+        f = raw[y * (stride + 1)]
+        if f == 1:      # Sub
+            for x in range(ch, stride):
+                row[x] = (int(row[x]) + int(row[x - ch])) & 0xFF
+        elif f == 2:    # Up
+            row = (row.astype(np.int16) + prev) % 256
+            row = row.astype(np.uint8)
+        elif f == 3:    # Average
+            for x in range(stride):
+                left = int(row[x - ch]) if x >= ch else 0
+                row[x] = (int(row[x])
+                          + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:    # Paeth
+            for x in range(stride):
+                a = int(row[x - ch]) if x >= ch else 0
+                b, c = int(prev[x]), (int(prev[x - ch]) if x >= ch else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = row
+        prev = out[y]
+    px = out.reshape(height, width, ch).astype(np.float64)
+    if color in (0, 4):          # gray / gray+alpha
+        luma = px[:, :, 0]
+    else:                        # RGB / RGBA — Rec.601 weights
+        luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                + 0.114 * px[:, :, 2])
+    return int(width), int(height), float(luma.mean() / 255.0)
+
+
+def _wav_decode(payload: bytes):
+    """Pure-stdlib WAV decode → (sample_rate, n_samples, rms) via the
+    ``wave`` module; RMS over all channels, normalized to [0, 1] of
+    full scale (PCM 8-bit unsigned / 16-bit signed)."""
+    import numpy as np
+
+    with wave_open(io.BytesIO(payload)) as w:
+        rate, nframes = w.getframerate(), w.getnframes()
+        sampwidth, nch = w.getsampwidth(), w.getnchannels()
+        frames = w.readframes(nframes)
+    if sampwidth == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif sampwidth == 1:
+        x = (np.frombuffer(frames, dtype=np.uint8)
+             .astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(
+            f"WAV subset decoder handles PCM 8/16-bit; got "
+            f"sampwidth={sampwidth}")
+    rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+    del nch  # rms is over the interleaved stream; channels fold in
+    return int(rate), int(nframes), rms
+
+
+def wave_open(fh):
+    import wave
+
+    return wave.open(fh, "rb")
+
+
 def decode_image(payload: bytes, fake: bool = False):
     """Decode an image payload → (width, height, mean_luma).
 
-    STUB: real decoding needs an image library not present in this
-    container. ``fake=True`` derives deterministic pseudo-dimensions
-    from the payload hash so the distributed plumbing is testable."""
+    Non-fake path: PIL when importable (any format PIL knows), else
+    the stdlib PNG subset decoder; other formats raise
+    ``NotImplementedError``. ``fake=True`` derives deterministic
+    pseudo-dimensions from the payload hash so plumbing is testable
+    with arbitrary bytes."""
     if not fake:
+        if _PILImage is not None:
+            img = _PILImage.open(io.BytesIO(payload))
+            gray = img.convert("L")
+            import numpy as np
+            arr = np.asarray(gray, dtype=np.float64)
+            return img.width, img.height, float(arr.mean() / 255.0)
+        if payload[:8] == _PNG_MAGIC:
+            return _png_decode(payload)
         raise NotImplementedError(
-            "image decoding requires an imaging library (e.g. PIL); "
-            "not available in this environment — pass fake=True for "
-            "deterministic plumbing tests")
+            "no image library importable and payload is not PNG "
+            "(stdlib tier handles PNG only) — install PIL or pass "
+            "fake=True for plumbing tests")
     h = hashlib.md5(payload).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
@@ -59,16 +201,64 @@ def decode_image(payload: bytes, fake: bool = False):
 
 
 def decode_audio(payload: bytes, fake: bool = False):
-    """STUB — see decode_image."""
+    """Decode an audio payload → (sample_rate, n_samples, rms).
+
+    Non-fake path: soundfile when importable, else the stdlib WAV
+    decoder for RIFF/WAVE payloads; other formats raise
+    ``NotImplementedError``. ``fake=True`` is the hash-derived
+    pseudo-decoder."""
     if not fake:
+        if _soundfile is not None:
+            import numpy as np
+            data, rate = _soundfile.read(io.BytesIO(payload),
+                                         dtype="float64")
+            n = data.shape[0]
+            rms = float(np.sqrt((data * data).mean())) if n else 0.0
+            return int(rate), int(n), rms
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return _wav_decode(payload)
         raise NotImplementedError(
-            "audio decoding requires an audio library; pass fake=True "
-            "for deterministic plumbing tests")
+            "no audio library importable and payload is not WAV "
+            "(stdlib tier handles WAV only) — install soundfile or "
+            "pass fake=True for plumbing tests")
     h = hashlib.md5(payload).digest()
     sample_rate = (8000, 16000, 22050, 44100)[h[0] % 4]
     n_samples = 1000 + int.from_bytes(h[1:3], "big")
     rms = h[3] / 255.0
     return sample_rate, n_samples, rms
+
+
+def synthesize_png(width: int, height: int, value: int) -> bytes:
+    """Deterministic PNG synthesis (8-bit grayscale, constant fill,
+    filter 0): a real, spec-valid container the stdlib decoder (or
+    PIL) decodes bit-exactly — lets pipelines exercise the NON-fake
+    decode path with payloads whose features are computable in plain
+    SQL (mean_luma == value/255)."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    row = b"\x00" + bytes([value & 0xFF]) * width
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(row * height))
+            + chunk(b"IEND", b""))
+
+
+def synthesize_wav(n_samples: int, rate: int, amp_int: int) -> bytes:
+    """Deterministic WAV synthesis (mono PCM16, constant amplitude
+    ``amp_int`` counts): rms == amp_int/32768 exactly, so real-decode
+    outputs are SQL-checkable."""
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack("<h", amp_int) * n_samples)
+    return buf.getvalue()
 
 
 def attach_media_meta(df: DataFrame, binary_col: str, media_type: str,

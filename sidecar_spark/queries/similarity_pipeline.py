@@ -274,6 +274,88 @@ def multimodal_media_meta(spark, sf_dir):
 
 
 @query(
+    "multimodal_real_png_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 + doc_id % 6 AS INT) AS width,
+           CAST(2 + doc_id % 5 AS INT) AS height,
+           round((doc_id % 256) / 255.0, 6) AS mean_luma
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def multimodal_real_png_decode(spark, sf_dir):
+    """REAL image decode end to end: spec-valid PNG payloads are
+    synthesized per document (constant-gray, dimensions and fill
+    derived from doc_id), then decoded by the NON-fake path
+    (``decode_image(fake=False)`` — PIL when importable, else the
+    stdlib zlib+unfilter decoder) inside mapInPandas executors.  The
+    oracle recomputes width/height/luma arithmetically, so the hash
+    match proves actual pixel decoding, not plumbing alone."""
+    import pandas as pd
+
+    d = (spread(t(spark, sf_dir, "documents"))
+         .where(F.col("doc_id") % 3 == 0)
+         .select("doc_id",
+                 (F.col("doc_id") % 6 + 3).cast("int").alias("w"),
+                 (F.col("doc_id") % 5 + 2).cast("int").alias("h"),
+                 (F.col("doc_id") % 256).cast("int").alias("v")))
+
+    def synth(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": [M.synthesize_png(int(w), int(h), int(v))
+                            for w, h, v in zip(pdf["w"], pdf["h"],
+                                               pdf["v"])]})
+
+    payloads = d.mapInPandas(synth, "doc_id long, payload binary")
+    feats = M.extract_image_features(payloads, fake=False)
+    return feats.select("doc_id", "width", "height",
+                        F.round("mean_luma", 6).alias("mean_luma"))
+
+
+@query(
+    "multimodal_real_wav_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END
+                AS INT) AS sample_rate,
+           CAST(100 + doc_id % 400 AS BIGINT) AS n_samples,
+           round((doc_id % 10000) / 32768.0, 6) AS rms
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def multimodal_real_wav_decode(spark, sf_dir):
+    """REAL audio decode end to end: mono PCM16 WAV payloads with a
+    constant doc_id-derived amplitude are synthesized per document,
+    then decoded by the NON-fake path (soundfile when importable,
+    else the stdlib ``wave`` decoder).  rms == amp/32768 exactly for
+    a constant signal, so the oracle is pure arithmetic."""
+    import pandas as pd
+
+    d = (spread(t(spark, sf_dir, "documents"))
+         .where(F.col("doc_id") % 3 == 0)
+         .select("doc_id",
+                 F.when(F.col("doc_id") % 2 == 0, 8000)
+                 .otherwise(16000).cast("int").alias("rate"),
+                 (F.col("doc_id") % 400 + 100).cast("int").alias("n"),
+                 (F.col("doc_id") % 10000).cast("int").alias("amp")))
+
+    def synth(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": [M.synthesize_wav(int(n), int(r), int(a))
+                            for n, r, a in zip(pdf["n"], pdf["rate"],
+                                               pdf["amp"])]})
+
+    payloads = d.mapInPandas(synth, "doc_id long, payload binary")
+    feats = M.extract_audio_features(payloads, fake=False)
+    return feats.select("doc_id", "sample_rate", "n_samples",
+                        F.round("rms", 6).alias("rms"))
+
+
+@query(
     "emb_label_centroids",
     oracle="""
     SELECT label, dim_idx, round(avg(component), 6) AS mean_val
