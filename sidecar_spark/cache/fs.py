@@ -42,19 +42,54 @@ def _mtime_ms(info: pafs.FileInfo) -> int:
 
 
 class RemoteFS:
-    """Thin verb layer over a pyarrow FileSystem."""
+    """Thin verb layer over a pyarrow FileSystem.
 
-    def __init__(self, fs: pafs.FileSystem, root: str = "") -> None:
+    ``key_prefix`` keeps cache identities scheme-qualified: callers
+    (CacheManager meta/page keys) pass scheme-qualified paths like
+    ``mem://bucket/f`` — globally unique across providers, so
+    ``s3://b/x`` and ``gs://b/x`` can never share a page key — and
+    each verb strips the prefix before touching the native fs."""
+
+    def __init__(self, fs: pafs.FileSystem, root: str = "",
+                 key_prefix: str = "") -> None:
         self.fs = fs
         self.root = root
+        self.key_prefix = key_prefix
+
+    def _p(self, path: str) -> str:
+        """Scheme-qualified cache key → native in-fs path."""
+        if self.key_prefix and path.startswith(self.key_prefix):
+            return path[len(self.key_prefix):]
+        return path
+
+    def _q(self, path: str) -> str:
+        """Native in-fs path → scheme-qualified cache key."""
+        return self.key_prefix + path if self.key_prefix else path
 
     @classmethod
     def from_uri(cls, uri: str) -> Tuple["RemoteFS", str]:
-        """Dispatch on scheme; returns (fs, path-within-fs)."""
+        """Dispatch on scheme; returns (fs, scheme-qualified path —
+        pass it to every verb; the fs strips the scheme itself).
+
+        ``mem://store/path`` routes to the in-process object store
+        (cache/memfs.py) — a second, non-local scheme with cloud
+        whole-object semantics, so the dispatcher and every caching
+        verb are exercised beyond ``file://`` even without cloud
+        credentials (the reference's s3a/gs/abfs wrappers,
+        ``fs/s3a/SidecarS3AFileSystem.java:50-188``)."""
         if "://" not in uri:
             return cls(pafs.LocalFileSystem()), os.path.abspath(uri)
+        scheme = uri.split("://", 1)[0]
+        if scheme == "mem":
+            from sidecar_spark.cache.memfs import memory_filesystem
+
+            # one process-global store; the first path segment acts
+            # as the bucket (scheme-level fs caching in CacheManager
+            # requires one fs instance per scheme)
+            return cls(memory_filesystem(), key_prefix="mem://"), uri
         fs, path = pafs.FileSystem.from_uri(uri)
-        return cls(fs), path
+        prefix = f"{scheme}://"
+        return cls(fs, key_prefix=prefix), prefix + path
 
     @classmethod
     def local(cls) -> "RemoteFS":
@@ -63,7 +98,7 @@ class RemoteFS:
     # ---- metadata ------------------------------------------------------
 
     def stat(self, path: str) -> Optional[FileStat]:
-        info = self.fs.get_file_info(path)
+        info = self.fs.get_file_info(self._p(path))
         if info.type == pafs.FileType.NotFound:
             return None
         is_dir = info.type == pafs.FileType.Directory
@@ -74,10 +109,12 @@ class RemoteFS:
         return self.stat(path) is not None
 
     def list(self, path: str, recursive: bool = True) -> List[FileStat]:
-        sel = pafs.FileSelector(path, recursive=recursive, allow_not_found=True)
+        sel = pafs.FileSelector(self._p(path), recursive=recursive,
+                                allow_not_found=True)
         out = []
         for info in self.fs.get_file_info(sel):
-            out.append(FileStat(path=info.path, length=info.size or 0,
+            out.append(FileStat(path=self._q(info.path),
+                                length=info.size or 0,
                                 mtime=_mtime_ms(info),
                                 is_dir=info.type == pafs.FileType.Directory))
         return out
@@ -86,27 +123,28 @@ class RemoteFS:
 
     def open_read(self, path: str):
         """Random-access reader supporting read_at(nbytes, offset)."""
-        return self.fs.open_input_file(path)
+        return self.fs.open_input_file(self._p(path))
 
     def read_range(self, path: str, offset: int, length: int) -> bytes:
-        with self.fs.open_input_file(path) as f:
+        with self.fs.open_input_file(self._p(path)) as f:
             return f.read_at(length, offset)
 
     def read_all(self, path: str) -> bytes:
-        with self.fs.open_input_file(path) as f:
+        with self.fs.open_input_file(self._p(path)) as f:
             return f.read()
 
     def open_write(self, path: str):
-        return self.fs.open_output_stream(path)
+        return self.fs.open_output_stream(self._p(path))
 
     def write_all(self, path: str, data: bytes) -> None:
-        self.mkdirs(posixpath.dirname(path))
-        with self.fs.open_output_stream(path) as f:
+        self.mkdirs(posixpath.dirname(self._p(path)))
+        with self.fs.open_output_stream(self._p(path)) as f:
             f.write(data)
 
     # ---- mutation verbs (the cached FS verb set, SURVEY.md §2.1) --------
 
     def mkdirs(self, path: str) -> None:
+        path = self._p(path)
         if path:
             self.fs.create_dir(path, recursive=True)
 
@@ -114,15 +152,17 @@ class RemoteFS:
         st = self.stat(path)
         if st is None:
             return False
+        p = self._p(path)
         if st.is_dir:
-            self.fs.delete_dir(path) if recursive else self.fs.delete_dir_contents(path)
+            self.fs.delete_dir(p) if recursive else self.fs.delete_dir_contents(p)
         else:
-            self.fs.delete_file(path)
+            self.fs.delete_file(p)
         return True
 
     def rename(self, src: str, dst: str) -> bool:
         if not self.exists(src):
             return False
+        src, dst = self._p(src), self._p(dst)
         parent = posixpath.dirname(dst)
         if parent:
             self.fs.create_dir(parent, recursive=True)
@@ -130,6 +170,7 @@ class RemoteFS:
         return True
 
     def copy(self, src: str, dst: str) -> None:
+        src, dst = self._p(src), self._p(dst)
         parent = posixpath.dirname(dst)
         if parent:
             self.fs.create_dir(parent, recursive=True)
@@ -139,13 +180,13 @@ class RemoteFS:
         """Concatenate source files into target (ADL Gen1 verb,
         SidecarCachingFileSystem.java:1560-1586). Emulated by streaming
         copy since generic stores lack server-side concat."""
-        with self.fs.open_output_stream(target) as out:
+        with self.fs.open_output_stream(self._p(target)) as out:
             for s in sources:
-                with self.fs.open_input_stream(s) as f:
+                with self.fs.open_input_stream(self._p(s)) as f:
                     while True:
                         chunk = f.read(4 * 1024 * 1024)
                         if not chunk:
                             break
                         out.write(chunk)
         for s in sources:
-            self.fs.delete_file(s)
+            self.fs.delete_file(self._p(s))

@@ -287,8 +287,8 @@ class TestRemoteFSDispatch:
         from sidecar_spark.cache.fs import RemoteFS
 
         for uri, want_path in [
-            ("s3://bucket/a/b.parquet", "bucket/a/b.parquet"),
-            ("gs://bucket/a/b.parquet", "bucket/a/b.parquet"),
+            ("s3://bucket/a/b.parquet", "s3://bucket/a/b.parquet"),
+            ("gs://bucket/a/b.parquet", "gs://bucket/a/b.parquet"),
         ]:
             try:
                 fs, path = RemoteFS.from_uri(uri)
@@ -297,6 +297,22 @@ class TestRemoteFSDispatch:
                 _pytest.skip(f"{uri.split(':')[0]} unavailable: {e}")
             assert path == want_path
             assert fs.fs is not None
+
+
+@pytest.fixture(params=["file", "mem"])
+def remote_base(request, remote_dir):
+    """Remote location under two schemes: a local directory and the
+    in-process ``mem://`` object store — (base_uri, exists_fn)."""
+    if request.param == "file":
+        yield remote_dir, os.path.exists
+    else:
+        from sidecar_spark.cache.fs import RemoteFS
+        from sidecar_spark.cache.memfs import reset_store
+
+        reset_store()
+        fs, _ = RemoteFS.from_uri("mem://crud-bucket")
+        yield "mem://crud-bucket", fs.exists
+        reset_store()
 
 
 class TestCacheManager:
@@ -382,12 +398,19 @@ class TestCacheManager:
         mgr.close(save=False)
         mgr2.close(save=False)
 
-    def test_crud_lifecycle_tier_provenance(self, cache_dir, remote_dir):
+    def test_crud_lifecycle_tier_provenance(self, cache_dir, remote_base):
         """The §5.3 CRUD scenario: write 4 pages → read#1 from write
         cache, read#2 from data cache; rename keeps content; delete
-        drains both caches (TestCachingFileSystemBase.java:179-334)."""
+        drains both caches (TestCachingFileSystemBase.java:179-334).
+
+        Parametrized over the local filesystem AND the ``mem://``
+        object-store scheme, proving the RemoteFS dispatcher
+        (cache/fs.py) is a working connector beyond URI parsing —
+        the sandbox stand-in for the reference's s3a/gs/abfs wrappers
+        (fs/s3a/SidecarS3AFileSystem.java:50-188)."""
+        remote_dir, remote_exists = remote_base
         mgr = CacheManager(self._conf(cache_dir))
-        path = os.path.join(remote_dir, "f1")
+        path = remote_dir + "/f1"
         payload = virtual_read(0, 4 * PAGE)
 
         out = mgr.create(path)
@@ -409,7 +432,7 @@ class TestCacheManager:
         assert mgr.stats.get("total_bytes_read_data_cache") == 4 * PAGE
 
         # rename: content follows, meta moves
-        dst = os.path.join(remote_dir, "f2")
+        dst = remote_dir + "/f2"
         assert mgr.rename(path, dst)
         mgr.drain()
         assert mgr.meta.get(path) is None
@@ -421,7 +444,7 @@ class TestCacheManager:
         assert mgr.delete(dst)
         mgr.drain()
         assert mgr.meta.get(dst) is None
-        assert not os.path.exists(dst)
+        assert not remote_exists(dst)
         mgr.close(save=False)
 
     def test_persistence_round_trip(self, cache_dir, remote_dir):
@@ -461,6 +484,43 @@ class TestCacheManager:
         assert mgr.stats.get("total_read_requests_from_remote") == remote_reads
         assert mgr.stats.get("total_read_requests_from_data_cache") >= 1
         mgr.close(save=False)
+
+    def test_resolve_for_spark_mem_scheme(self, cache_dir, spark):
+        """The Alluxio-style mirror over a NON-local scheme: parquet
+        objects living in the mem:// store materialize into the local
+        mirror on first resolve (remote read) and serve locally on the
+        second (data-cache hit) — with Spark actually reading the
+        mirrored file. This is the end-to-end shape of the reference's
+        cloud wrappers with the object store swapped in-process."""
+        import io as _io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sidecar_spark.cache.fs import RemoteFS
+        from sidecar_spark.cache.memfs import reset_store
+
+        reset_store()
+        mgr = CacheManager(self._conf(cache_dir))
+        fs, _ = RemoteFS.from_uri("mem://lake")
+        buf = _io.BytesIO()
+        pq.write_table(pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]}),
+                       buf)
+        fs.write_all("mem://lake/t.parquet/part-0.parquet",
+                     buf.getvalue())
+
+        paths1 = mgr.resolve_for_spark("mem://lake/t.parquet")
+        assert len(paths1) == 1 and paths1[0].startswith(cache_dir)
+        remote = mgr.stats.get("total_read_requests_from_remote")
+        paths2 = mgr.resolve_for_spark("mem://lake/t.parquet")
+        assert paths2 == paths1
+        assert mgr.stats.get("total_read_requests_from_remote") == remote
+        assert mgr.stats.get("total_read_requests_from_data_cache") >= 1
+        rows = spark.read.parquet(*paths2).orderBy("a").collect()
+        assert [(r["a"], r["b"]) for r in rows] == \
+            [(1, "x"), (2, "y"), (3, "z")]
+        mgr.close(save=False)
+        reset_store()
 
     def test_exclude_list_bypasses_mirror(self, cache_dir, remote_dir):
         conf = self._conf(cache_dir, read_exclude_paths=[r".*\.csv"])
