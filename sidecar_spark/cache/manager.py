@@ -354,6 +354,18 @@ class CacheManager:
             remote_fh=remote_fh, caching_fh=caching_fh,
             on_close=on_close, on_cache_error=on_cache_error)
 
+    def create_non_recursive(self, uri: str) -> CachingOutputStream:
+        """createNonRecursive (SidecarCachingFileSystem.java:1720-1775):
+        the same dual-stream create, but the parent directory must
+        already exist — no implicit parent creation on the remote."""
+        fs, path = self._resolve(uri)
+        parent = os.path.dirname(path.rstrip("/"))
+        pst = fs.stat(parent) if parent else None
+        if pst is None or not pst.is_dir:
+            raise FileNotFoundError(
+                f"createNonRecursive: parent does not exist: {parent!r}")
+        return self.create(uri)
+
     def _closing_remote(self, fs: RemoteFS, path: str,
                         caching_path: Optional[str],
                         stream: CachingOutputStream) -> None:
@@ -419,6 +431,29 @@ class CacheManager:
         if self.write_cache is not None:
             self.write_cache.rename(src, dst)
         return True
+
+    def rename_with_options(self, src_uri: str, dst_uri: str, *,
+                            overwrite: bool = False) -> None:
+        """``rename(Path, Path, Rename...)`` — the void, exception-
+        throwing Hadoop overload (SidecarCachingFileSystem.java:
+        1859-1907). Contract differences from the boolean ``rename``:
+        a missing source raises ``FileNotFoundError``; an existing
+        destination raises ``FileExistsError`` unless
+        ``Rename.OVERWRITE`` was passed, in which case the destination
+        is deleted first (with full cache coherence — meta drop, page
+        eviction, write-cache mirror removal) before the move."""
+        fs, src = self._resolve(src_uri)
+        _, dst = self._resolve(dst_uri)
+        if fs.stat(src) is None:
+            raise FileNotFoundError(f"rename source missing: {src_uri}")
+        dst_st = fs.stat(dst)
+        if dst_st is not None:
+            if not overwrite:
+                raise FileExistsError(
+                    f"rename destination exists: {dst_uri}")
+            self.delete(dst_uri, recursive=dst_st.is_dir)
+        if not self.rename(src_uri, dst_uri):
+            raise OSError(f"rename failed: {src_uri} -> {dst_uri}")
 
     def mkdirs(self, uri: str) -> None:
         fs, path = self._resolve(uri)

@@ -548,6 +548,50 @@ class TestCacheManager:
         assert all(not os.path.exists(p) for p in parts)
         mgr.close(save=False)
 
+    def test_create_non_recursive_requires_parent(self, cache_dir,
+                                                  remote_dir):
+        """createNonRecursive (SidecarCachingFileSystem.java:1720-1775):
+        refuses when the parent is missing; succeeds (full dual-stream
+        create) once the parent exists."""
+        mgr = CacheManager(self._conf(cache_dir))
+        missing = os.path.join(remote_dir, "no_such_dir", "f1")
+        with pytest.raises(FileNotFoundError):
+            mgr.create_non_recursive(missing)
+        mgr.mkdirs(os.path.join(remote_dir, "no_such_dir"))
+        out = mgr.create_non_recursive(missing)
+        out.write(b"ok")
+        out.close()
+        mgr.drain()
+        with open(missing, "rb") as f:
+            assert f.read() == b"ok"
+        mgr.close(save=False)
+
+    def test_rename_with_options_overwrite(self, cache_dir, remote_dir):
+        """rename(Path,Path,Rename...) (:1859-1907): void overload —
+        missing src raises, existing dst raises without OVERWRITE,
+        OVERWRITE deletes dst (cache-coherently) then moves."""
+        mgr = CacheManager(self._conf(cache_dir))
+        src = os.path.join(remote_dir, "ra")
+        dst = os.path.join(remote_dir, "rb")
+        with pytest.raises(FileNotFoundError):
+            mgr.rename_with_options(src, dst)
+        with open(src, "wb") as f:
+            f.write(b"src-bytes")
+        with open(dst, "wb") as f:
+            f.write(b"old-dst")
+        # warm the meta cache for dst so coherence is observable
+        assert mgr.get_file_status(dst).length == 7
+        with pytest.raises(FileExistsError):
+            mgr.rename_with_options(src, dst)
+        mgr.rename_with_options(src, dst, overwrite=True)
+        mgr.drain()
+        assert not os.path.exists(src)
+        with open(dst, "rb") as f:
+            assert f.read() == b"src-bytes"
+        # meta must reflect the moved file, not the deleted old dst
+        assert mgr.get_file_status(dst).length == 9
+        mgr.close(save=False)
+
     def test_mutable_mtime_change_invalidates(self, cache_dir, remote_dir):
         conf = self._conf(cache_dir, remote_files_mutable=True)
         mgr = CacheManager(conf)
