@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import random
 import threading
+import time
 
 from sidecar_spark.cache import CacheManager, CachingInputStream, PageStore
 from sidecar_spark.config import SidecarConfig
@@ -132,10 +133,20 @@ class TestWorkloads:
         def payload(i: int) -> bytes:
             return virtual_read(i * 1000, file_len)
 
+        # The reference soaks this race for 10 minutes
+        # (TestCachingFileSystemMultithreadedBase.java:92-95). Default
+        # is a bounded smoke (30 cycles); set SIDECAR_SOAK_SECONDS to
+        # run the full-length soak, e.g. SIDECAR_SOAK_SECONDS=600.
+        soak_s = float(os.environ.get("SIDECAR_SOAK_SECONDS", "0"))
+        deadline = time.monotonic() + soak_s if soak_s > 0 else None
+
         def writer() -> None:
             rng = random.Random(1)
             try:
-                for round_no in range(30):
+                round_no = 0
+                while (round_no < 30 if deadline is None
+                       else time.monotonic() < deadline):
+                    round_no += 1
                     i = rng.randrange(n_files)
                     path = os.path.join(remote_dir, f"f{i}")
                     if os.path.exists(path):
@@ -173,7 +184,7 @@ class TestWorkloads:
         for t in threads + [wt]:
             t.start()
         for t in threads + [wt]:
-            t.join(timeout=120)
+            t.join(timeout=120 + soak_s)
         mgr.drain()
         mgr.close(save=False)
         assert not errors, errors
