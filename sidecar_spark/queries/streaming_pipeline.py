@@ -478,3 +478,44 @@ def stream_complete_topk(spark, sf_dir):
            .orderBy(F.desc("n_events"), "event_type", "user_bucket")
            .limit(10))
     return run_to_memory_sink(agg, "stream_complete_topk", "complete")
+
+
+@query(
+    "stream_transform_with_state",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_transform_with_state(spark, sf_dir):
+    """Arbitrary stateful processing via the Spark 4 StatefulProcessor
+    API (``transformWithStateInPandas``): per-user state composed of a
+    ValueState (running count + value sum) and a MapState (the set of
+    event types seen), updated per Arrow batch — the successor surface
+    to applyInPandasWithState, with typed composable state cells on
+    the RocksDB provider (required by the API), off-heap at 100 TB
+    state scale. Emissions are cumulative per batch; the final answer
+    per user takes the lexicographic max over (n_events, ...) — counts
+    strictly increase, so the last emission wins regardless of how the
+    availableNow backlog was split into micro-batches.
+
+    Environment seam (same policy as the multimodal decoders,
+    functions/multimodal.py:1-12): the TWS state-server protocol
+    requires ``google.protobuf``, absent from this container — when
+    protobuf is importable the StatefulProcessor path runs; otherwise
+    the SAME per-user state machine runs on applyInPandasWithState
+    (ValueState → state tuple, MapState → accumulated distinct-type
+    array). Either path must satisfy the one oracle."""
+    from sidecar_spark.streaming.ops import transform_with_state_user_acc
+
+    emitted = transform_with_state_user_acc(
+        spark, events_stream(spark, sf_dir), "stream_transform_with_state")
+    last = F.max(F.struct("n_events", "n_types", "total_value")).alias("s")
+    return (emitted.groupBy("user_id").agg(last)
+            .select("user_id", F.col("s.n_events").alias("n_events"),
+                    F.col("s.n_types").alias("n_types"),
+                    F.round("s.total_value", 4).alias("total_value")))

@@ -390,3 +390,89 @@ def run_append_two_pass(spark: SparkSession, build, name: str,
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def tws_available() -> bool:
+    """True when the transformWithStateInPandas runtime can work: its
+    driver/executor state-server protocol is protobuf-based, so the
+    API hard-fails at query start without ``google.protobuf``
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE)."""
+    import importlib.util
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        return False
+
+
+_TWS_OUT_SCHEMA = ("user_id bigint, n_events bigint, "
+                   "n_types bigint, total_value double")
+
+
+def _tws_fallback_fn(key: Tuple, pdfs: Iterable[pd.DataFrame],
+                     state: GroupState):
+    """applyInPandasWithState twin of the StatefulProcessor below:
+    ValueState → (n, total) tuple, MapState → sorted distinct-type
+    array carried in the same state tuple."""
+    n, total, types = state.get if state.exists else (0, 0.0, [])
+    seen = set(types)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        seen.update(str(t) for t in pdf["event_type"].unique())
+    state.update((n, total, sorted(seen)))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                        "n_types": [len(seen)], "total_value": [total]})
+
+
+def transform_with_state_user_acc(spark: SparkSession, events: DataFrame,
+                                  name: str) -> DataFrame:
+    """Per-user running (count, value-sum, distinct-type-count) state
+    machine on the Spark 4 StatefulProcessor API when the runtime
+    supports it, else on applyInPandasWithState with identical
+    semantics (see stream_transform_with_state for the seam contract).
+    Returns the per-batch cumulative emissions."""
+    e = events.select("user_id", "event_type", "value")
+    if not tws_available():
+        out = e.groupBy("user_id").applyInPandasWithState(
+            _tws_fallback_fn,
+            outputStructType=_TWS_OUT_SCHEMA,
+            stateStructType="n bigint, total double, types array<string>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+        return run_to_memory_sink(out, name, "append")
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class _UserAcc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._acc = handle.getValueState("acc", "n bigint, total double")
+            self._types = handle.getMapState("types", "t string",
+                                             "one smallint")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = (self._acc.get() if self._acc.exists() else (0, 0.0))
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                for tpe in pdf["event_type"].unique():
+                    self._types.updateValue((str(tpe),), (1,))
+            self._acc.update((n, total))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "n_types": [n_types], "total_value": [total]})
+
+        def close(self) -> None:
+            pass
+
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        prov, "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        out = e.groupBy("user_id").transformWithStateInPandas(
+            _UserAcc(), outputStructType=_TWS_OUT_SCHEMA,
+            outputMode="append", timeMode="None")
+        return run_to_memory_sink(out, name, "append")
+    finally:
+        spark.conf.unset(prov)
