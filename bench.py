@@ -45,6 +45,12 @@ def main() -> None:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        # a 240-query battery accumulates broadcast blocks, shuffle
+        # files and cached codegen across hundreds of jobs; the context
+        # cleaner only reclaims them on driver GC, which a 48g heap
+        # almost never triggers — force a periodic sweep so late
+        # queries run as fast as early ones
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()

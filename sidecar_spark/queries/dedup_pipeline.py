@@ -312,8 +312,13 @@ def dedup_contamination_check(spark, sf_dir):
     hs = F.transform(D.shingles(F.col("text"), k=3),
                      lambda s: D.hash60(s) % F.lit(D.MERSENNE31))
     bucket = D.hash60(F.col("doc_id").cast("string")) % 100
+    # both the train and test branches scan this projection; without
+    # persist() the shingle-hash transform (md5 per 3-gram, the
+    # dominant cost) runs twice — at any scale you materialize the
+    # hashed projection once (persist here; a checkpoint table on a
+    # real pipeline) and fan out from it
     hashed = d.select("doc_id", "lang", hs.alias("hs"),
-                      bucket.alias("bucket"))
+                      bucket.alias("bucket")).persist()
     train_set = (hashed.where(F.col("bucket") < 80)
                  .select(F.explode("hs").alias("h")).distinct())
     test_docs = (hashed.where(F.col("bucket") >= 90)

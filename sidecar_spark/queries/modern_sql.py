@@ -292,9 +292,9 @@ def statestore_reader(spark, sf_dir):
     (``SidecarCachingFileSystem.java:931-968``) re-expressed for
     Spark's state store; at scale it reads state files directly,
     partition-parallel, without touching the running query."""
-    from sidecar_spark.streaming.ops import events_stream
+    from sidecar_spark.streaming.ops import events_stream, scratch_dir
 
-    ckpt = tempfile.mkdtemp(prefix="sidecar-ssr-ckpt-")
+    ckpt = scratch_dir("sidecar-ssr-ckpt-")
     try:
         counts = (
             events_stream(spark, sf_dir)

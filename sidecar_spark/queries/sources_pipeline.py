@@ -322,7 +322,8 @@ def stream_python_source(spark, sf_dir):
         spark.dataSource.register(TelemetrySource)
     except Exception:
         pass  # already registered in this session
-    work = _tf.mkdtemp(prefix="sidecar-pystream-")
+    from sidecar_spark.streaming.ops import scratch_dir
+    work = scratch_dir("sidecar-pystream-")
     out, ckpt = f"{work}/out", f"{work}/ckpt"
     try:
         for _ in range(2):  # two runs, one checkpoint: offset resume

@@ -242,8 +242,9 @@ def stream_foreach_batch_sink(spark, sf_dir):
     from sidecar_spark.streaming import (events_stream,
                                          run_foreach_batch_parquet,
                                          windowed_counts)
+    from sidecar_spark.streaming.ops import scratch_dir
 
-    out = _tf.mkdtemp(prefix="sidecar-fbsink-")
+    out = scratch_dir("sidecar-fbsink-")
     try:
         s = windowed_counts(events_stream(spark, sf_dir))
         result = run_foreach_batch_parquet(s, "stream_foreach_batch_sink", out)

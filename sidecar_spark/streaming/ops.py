@@ -31,6 +31,22 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp for THROWAWAY streaming checkpoints/sinks, preferring a
+    RAM-backed filesystem (/dev/shm) over disk.
+
+    An HDFS-backed state store fsyncs a delta file per store instance
+    per micro-batch commit; on a disk-backed /tmp those fsyncs dominate
+    a bounded-backlog run's wall clock. The checkpoints written here
+    are ephemeral by contract (memory sinks, single-run demos), so RAM
+    placement loses nothing — a production deployment points
+    checkpointLocation at durable shared storage instead, exactly as a
+    real cluster would."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") and os.access(
+        "/dev/shm", os.W_OK) else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events table.
 
@@ -66,7 +82,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_memory_sink(stream_df: DataFrame, name: str,
                        output_mode: str,
-                       state_partitions: int = 4) -> DataFrame:
+                       state_partitions: int = 2) -> DataFrame:
     """Execute a streaming plan to completion with an availableNow
     trigger into an in-memory table; return the result as a DataFrame.
 
@@ -80,7 +96,7 @@ def run_to_memory_sink(stream_df: DataFrame, name: str,
     wants few, well-filled stores (a live deployment sizes this to
     keyspace/throughput instead — it is fixed per checkpoint)."""
     spark = stream_df.sparkSession
-    ckpt = tempfile.mkdtemp(prefix=f"sidecar-stream-{name}-")
+    ckpt = scratch_dir(f"sidecar-stream-{name}-")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
@@ -95,6 +111,9 @@ def run_to_memory_sink(stream_df: DataFrame, name: str,
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the memory sink owns the rows once the query terminates; the
+        # checkpoint is dead weight (and RAM, when scratch_dir chose shm)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -285,7 +304,7 @@ def left_joined_streams(events: DataFrame,
 
 def run_foreach_batch_parquet(stream_df: DataFrame, name: str,
                               out_dir: str,
-                              state_partitions: int = 4,
+                              state_partitions: int = 2,
                               checkpoint: str | None = None) -> DataFrame:
     """Execute a streaming plan with a ``foreachBatch`` parquet sink and
     return the sink contents.
@@ -298,8 +317,7 @@ def run_foreach_batch_parquet(stream_df: DataFrame, name: str,
     place instead of duplicating. The checkpoint + deterministic
     batch replay + idempotent write is the documented Spark recipe."""
     spark = stream_df.sparkSession
-    ckpt = checkpoint or tempfile.mkdtemp(
-        prefix=f"sidecar-stream-{name}-ckpt-")
+    ckpt = checkpoint or scratch_dir(f"sidecar-stream-{name}-ckpt-")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
 
@@ -354,7 +372,7 @@ def chained_join_windowed(events: DataFrame) -> DataFrame:
 
 
 def run_append_two_pass(spark: SparkSession, build, name: str,
-                        state_partitions: int = 4) -> DataFrame:
+                        state_partitions: int = 2) -> DataFrame:
     """Run an append-mode streaming plan TWICE over one checkpoint with
     an accumulating foreachBatch parquet sink, returning everything
     emitted across both runs.
@@ -367,8 +385,8 @@ def run_append_two_pass(spark: SparkSession, build, name: str,
     availableNow backlogs need the second pass.  ``build`` must
     construct a fresh stream DataFrame per call (streaming plans are
     single-use)."""
-    ckpt = tempfile.mkdtemp(prefix=f"sidecar-{name}-ckpt-")
-    out = tempfile.mkdtemp(prefix=f"sidecar-{name}-out-")
+    ckpt = scratch_dir(f"sidecar-{name}-ckpt-")
+    out = scratch_dir(f"sidecar-{name}-out-")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
