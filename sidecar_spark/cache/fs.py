@@ -87,6 +87,22 @@ class RemoteFS:
             # as the bucket (scheme-level fs caching in CacheManager
             # requires one fs instance per scheme)
             return cls(memory_filesystem(), key_prefix="mem://"), uri
+        if scheme == "s3" and os.environ.get("SIDECAR_S3_ENDPOINT"):
+            # explicit endpoint override — the pyarrow analog of the
+            # reference's Hadoop activation config (fs.s3a.endpoint /
+            # fs.s3a.impl, README.md:20-88).  Lets the full S3 REST
+            # dialect (ranged GET, multipart PUT, ListObjectsV2,
+            # CopyObject) run against a localhost or private endpoint;
+            # credentials come from the environment as with any SDK.
+            fs = pafs.S3FileSystem(
+                endpoint_override=os.environ["SIDECAR_S3_ENDPOINT"],
+                access_key=os.environ.get("AWS_ACCESS_KEY_ID", "sidecar"),
+                secret_key=os.environ.get(
+                    "AWS_SECRET_ACCESS_KEY", "sidecar"),
+                region=os.environ.get("AWS_REGION", "us-east-1"),
+                allow_bucket_creation=True,
+                allow_bucket_deletion=True)
+            return cls(fs, key_prefix="s3://"), uri
         fs, path = pafs.FileSystem.from_uri(uri)
         prefix = f"{scheme}://"
         return cls(fs, key_prefix=prefix), prefix + path
