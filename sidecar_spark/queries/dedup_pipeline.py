@@ -407,3 +407,79 @@ def curation_pipeline_manifest(spark, sf_dir):
              F.sum("n_chars").alias("total_chars"))
         .orderBy("split", "shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring decontamination (character-window membership)
+# ---------------------------------------------------------------------------
+
+_WIN = 40  # character window length (the "50-token overlap" idea at char level)
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, lang,
+             list_transform(
+               generate_series(1, greatest(length(text) - {_WIN - 1}, 1)),
+               i -> ('0x' || substr(md5(substr(text, i, {_WIN})), 1, 15))::BIGINT)
+               AS ws,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS bucket
+      FROM documents),
+    train_w AS (SELECT DISTINCT unnest(ws) AS h FROM hashed WHERE bucket < 80),
+    test_docs AS (SELECT doc_id, lang, ws FROM hashed WHERE bucket >= 90),
+    hits AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT doc_id, unnest(ws) AS h FROM test_docs) t
+      JOIN train_w USING (h))
+    SELECT lang,
+           count(*) AS n_test,
+           CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM hits)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+    FROM test_docs
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def dedup_exact_substring(spark, sf_dir):
+    """Exact-substring decontamination — the second decontamination
+    contract next to the shingle-RATIO audit (dedup_contamination_check):
+    a TEST document is contaminated if ANY {_WIN}-character window of
+    its text appears verbatim anywhere in the TRAIN split (the
+    'N-token exact overlap' rule LLM eval decontamination uses, at
+    character granularity).  Same deterministic hash-bucket split as
+    train_val_split (train <80, test >=90).
+
+    Scale shape: windows are md5-hashed map-side, so the join carries
+    60-bit hashes, never text; stride-1 windows multiply the corpus
+    ~300x, which at 100 TB is exactly why production pipelines stream
+    train windows into a Bloom/sorted probe structure — here both
+    sides stay an equi-join on the hash, one shuffle, linear in
+    window count, and the explode never materializes the window
+    STRINGS (hash is computed inside the transform)."""
+    d = spread(t(spark, sf_dir, "documents"))
+    win_hashes = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {_WIN - 1}, 1)), "
+        f"i -> cast(conv(substring(md5(substring(text, i, {_WIN})), 1, 15), "
+        f"16, 10) as bigint))")
+    bucket = D.hash60(F.col("doc_id").cast("string")) % 100
+    hashed = d.select("doc_id", "lang", win_hashes.alias("ws"),
+                      bucket.alias("bucket"))
+    train_w = (hashed.where(F.col("bucket") < 80)
+               .select(F.explode("ws").alias("h")).distinct())
+    test_docs = hashed.where(F.col("bucket") >= 90)
+    hits = (
+        test_docs.select("doc_id", F.explode("ws").alias("h"))
+        .join(train_w, "h")
+        .select("doc_id").distinct()
+    )
+    return (
+        test_docs.join(hits.withColumn("hit", F.lit(1)), "doc_id", "left")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_test"),
+             F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+             .alias("n_contaminated"))
+        .orderBy("lang")
+    )

@@ -1554,3 +1554,96 @@ def window_time_accessor(spark, sf_dir):
             "n")
         .orderBy("window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting (Spark 4.0+): BEGIN/DECLARE/WHILE control flow
+# ---------------------------------------------------------------------------
+
+@query(
+    "sql_scripting_block",
+    oracle="""
+    SELECT 5 AS n_steps,
+           (SELECT count(*) FROM orders
+            WHERE substr(o_orderpriority, 1, 1) IN ('1','2','3','4','5'))
+               AS n_orders_via_loop,
+           (SELECT CAST(round(sum(o_totalprice), 2) AS DOUBLE) FROM orders
+            WHERE o_orderpriority LIKE '1-%') AS urgent_revenue
+    """,
+)
+def sql_scripting_block(spark, sf_dir):
+    """SQL scripting (BEGIN … END, DECLARE, WHILE/SET — Spark 4.0
+    procedural SQL): a loop iterates the five order-priority classes,
+    accumulating per-class counts into a session variable via scalar
+    subqueries — real scans driven by procedural control flow, not a
+    toy arithmetic loop.  The final SELECT returns the accumulated
+    totals; the oracle computes the same quantities declaratively.
+    Control flow runs on the driver; each statement inside is a full
+    Catalyst-planned query, so scripting adds orchestration, not a
+    second execution engine — exactly how a 100 TB maintenance job
+    (loop over partitions/classes) should be structured."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_script_v")
+    return spark.sql("""
+        BEGIN
+          DECLARE i INT DEFAULT 1;
+          DECLARE n_total BIGINT DEFAULT 0;
+          DECLARE urgent DOUBLE DEFAULT 0.0;
+          WHILE i <= 5 DO
+            SET n_total = n_total + (
+              SELECT count(*) FROM orders_script_v
+              WHERE substr(o_orderpriority, 1, 1) = CAST(i AS STRING));
+            IF i = 1 THEN
+              SET urgent = (
+                SELECT round(sum(o_totalprice), 2) FROM orders_script_v
+                WHERE o_orderpriority LIKE '1-%');
+            END IF;
+            SET i = i + 1;
+          END WHILE;
+          SELECT 5 AS n_steps, n_total AS n_orders_via_loop,
+                 urgent AS urgent_revenue;
+        END
+    """)
+
+
+# ---------------------------------------------------------------------------
+# TIME type (Spark 4.1, spark.sql.timeType.enabled): time-of-day values
+# ---------------------------------------------------------------------------
+
+@query(
+    "time_of_day_functions",
+    oracle="""
+    SELECT event_type,
+           CAST(min(make_time(hour(ts), minute(ts),
+                              CAST(floor(extract(second FROM ts)) AS DOUBLE)))
+                AS VARCHAR) AS first_tod,
+           CAST(max(make_time(hour(ts), minute(ts),
+                              CAST(floor(extract(second FROM ts)) AS DOUBLE)))
+                AS VARCHAR) AS last_tod,
+           CAST(count(CASE WHEN hour(ts) < 12 THEN 1 END) AS BIGINT) AS n_am
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def time_of_day_functions(spark, sf_dir):
+    """The TIME type (Spark 4.1, ANSI time-of-day): build TIME values
+    from event timestamps with make_time, aggregate min/max per event
+    type (TIME ordering), and serialize back to strings for transport.
+    Wall-clock-of-day semantics — 'what time of day does this event
+    class start/stop' — need a date-free type; both engines construct
+    it with make_time and agree on its string form."""
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_time_v")
+    return spark.sql("""
+        SELECT event_type,
+               CAST(min(make_time(hour(ts), minute(ts),
+                                  CAST(second(ts) AS DOUBLE)))
+                    AS STRING) AS first_tod,
+               CAST(max(make_time(hour(ts), minute(ts),
+                                  CAST(second(ts) AS DOUBLE)))
+                    AS STRING) AS last_tod,
+               count(CASE WHEN hour(ts) < 12 THEN 1 END) AS n_am
+        FROM events_time_v
+        GROUP BY event_type
+        ORDER BY event_type
+    """)

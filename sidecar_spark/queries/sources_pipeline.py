@@ -532,3 +532,78 @@ def mergeschema_read_evolution(spark, sf_dir):
                   "total double")
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# s3:// object-store connector: read tables THROUGH the cache layer from
+# a live localhost S3-dialect endpoint
+# ---------------------------------------------------------------------------
+
+@query(
+    "s3_object_store_agg",
+    oracle="""
+    SELECT r_name AS region, count(*) AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY region
+    """,
+)
+def s3_object_store_agg(spark, sf_dir):
+    """The reference's headline deployment shape — Spark reading cloud
+    objects through the caching layer (fs/s3a/SidecarS3AFileSystem.java:
+    50-188) — as a graded battery entry: nation and region are uploaded
+    to a live localhost S3-dialect endpoint (testing/s3server.py),
+    resolved through CacheManager's local mirror (ranged HTTP GETs via
+    pyarrow S3FileSystem on the wire), and joined/aggregated by Spark
+    from the mirrored files.  The oracle runs on the original local
+    parquet: identical results prove the object-store round trip is
+    byte-faithful.  At 100 TB this mirror is per-executor and
+    page-granular; here the dims are tiny so whole objects
+    materialize."""
+    import shutil
+    import tempfile
+
+    from sidecar_spark.cache.fs import RemoteFS
+    from sidecar_spark.cache.manager import CacheManager
+    from sidecar_spark.config import SidecarConfig
+    from sidecar_spark.testing.s3server import S3StubServer
+
+    tmp = tempfile.mkdtemp(prefix="sidecar-s3q-")
+    try:
+        with S3StubServer() as srv:
+            os.environ["SIDECAR_S3_ENDPOINT"] = srv.endpoint
+            try:
+                fs, _ = RemoteFS.from_uri("s3://lake")
+                for tbl in ("nation", "region"):
+                    with open(os.path.join(sf_dir, f"{tbl}.parquet"),
+                              "rb") as f:
+                        fs.write_all(
+                            f"s3://lake/{tbl}.parquet/part-0.parquet",
+                            f.read())
+                conf = SidecarConfig.create(
+                    cache_dir=os.path.join(tmp, "cache"),
+                    data_cache_type="file", cache_persistent=False)
+                mgr = CacheManager.get_or_create(conf)
+                nation = spark.read.parquet(
+                    *mgr.resolve_for_spark("s3://lake/nation.parquet"))
+                region = spark.read.parquet(
+                    *mgr.resolve_for_spark("s3://lake/region.parquet"))
+                out = (
+                    nation.join(
+                        F.broadcast(region),
+                        nation.n_regionkey == region.r_regionkey)
+                    .groupBy(F.col("r_name").alias("region"))
+                    .agg(F.count(F.lit(1)).alias("n_nations"),
+                         F.sum("n_nationkey").cast("bigint")
+                         .alias("key_sum"))
+                    .orderBy("region")
+                )
+                # materialize while the mirror files + server still exist
+                out = out.localCheckpoint(eager=True)
+                mgr.close(save=False)
+                return out
+            finally:
+                os.environ.pop("SIDECAR_S3_ENDPOINT", None)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
