@@ -152,6 +152,19 @@ class RemoteFS:
     def open_write(self, path: str):
         return self.fs.open_output_stream(self._p(path))
 
+    def open_append(self, path: str):
+        """HDFS-style byte append on an existing file.  Object stores
+        reject this, exactly as the reference notes for its
+        ``appendRemote`` ('Object storage FS do not support this
+        operation, at least S3' — SidecarCachingFileSystem.java:
+        1778-1782); pyarrow surfaces that as NotImplementedError,
+        which we normalize to OSError for the caller."""
+        try:
+            return self.fs.open_append_stream(self._p(path))
+        except NotImplementedError as e:
+            raise OSError(
+                f"append not supported by this filesystem: {e}") from e
+
     def write_all(self, path: str, data: bytes) -> None:
         self.mkdirs(posixpath.dirname(self._p(path)))
         with self.fs.open_output_stream(self._p(path)) as f:

@@ -366,6 +366,55 @@ class CacheManager:
                 f"createNonRecursive: parent does not exist: {parent!r}")
         return self.create(uri)
 
+    def append(self, uri: str) -> CachingOutputStream:
+        """``append(Path,int,Progressable)``
+        (SidecarCachingFileSystem.java:1778-1805): dual-stream byte
+        append — the remote append stream plus, when the file already
+        has a write-cache mirror, an append stream on that mirror under
+        a fresh moniker.  A file with no mirror appends remote-only
+        (the reference's cacheOut=null fallback).  Cloud object stores
+        reject remote append (OSError from RemoteFS.open_append), as
+        in the reference.  Data pages are (path, mtime)-addressed, so
+        the close-time meta refresh — recording the new mtime/length —
+        makes every pre-append page unreachable: append is
+        self-invalidating, like rename."""
+        fs, path = self._resolve(uri)
+        st = fs.stat(path)
+        if st is None or st.is_dir:
+            raise FileNotFoundError(f"append: no such file: {uri!r}")
+        self.stats.add("total_files_opened")
+        remote_fh = fs.open_append(path)
+        caching_fh = caching_path = None
+        if self.write_cache is not None \
+                and not self.conf.write_excluded(path) \
+                and self.conf.should_cache(path, "write"):
+            caching_fh, caching_path = self.write_cache.open_append(path)
+
+        def on_close(stream: CachingOutputStream) -> None:
+            stream.remote_fh.close()
+            nst = fs.stat(path)
+            if nst is not None:
+                # metaUpdate, not metaSave: the entry exists (save is
+                # put-if-absent) and must move to the new mtime/length
+                self.meta.update(path, FileMeta(nst.mtime, nst.length,
+                                                nst.is_dir))
+            if caching_path is not None and self.write_cache is not None:
+                self.write_cache.register_append(caching_path,
+                                                 stream.bytes_written)
+                self.write_cache.delete_moniker(caching_path)
+                self.write_cache.check_eviction()
+
+        def on_cache_error(_exc: Exception) -> None:
+            # reportException for append: the half-appended mirror is
+            # corrupt — drop it from the cache entirely; remote holds
+            # the authoritative bytes
+            if caching_path is not None and self.write_cache is not None:
+                self.write_cache.drop_mirror(caching_path)
+
+        return CachingOutputStream(
+            remote_fh=remote_fh, caching_fh=caching_fh,
+            on_close=on_close, on_cache_error=on_cache_error)
+
     def _closing_remote(self, fs: RemoteFS, path: str,
                         caching_path: Optional[str],
                         stream: CachingOutputStream) -> None:

@@ -113,6 +113,45 @@ class WriteCache:
         self.create_moniker(cp)
         return open(cp, "wb"), cp
 
+    def open_append(self, remote_uri: str):
+        """Append stream on an EXISTING mirror, under a fresh moniker;
+        (None, None) when the file has no mirror — the reference's
+        ``writeCacheFS.append`` throws on a missing cachePath and the
+        caller degrades to remote-only
+        (SidecarCachingFileSystem.java:1793-1800)."""
+        cp = self.caching_path(remote_uri)
+        if not os.path.exists(cp):
+            return None, None
+        self.create_moniker(cp)
+        return open(cp, "ab"), cp
+
+    def register_append(self, caching_path: str, appended: int) -> None:
+        """File-list/size accounting for an append: the entry's length
+        becomes the mirror's FULL size (eviction subtracts entry
+        lengths), while the running size counter grows by the appended
+        delta only (the pre-append bytes are already counted)."""
+        try:
+            total = os.path.getsize(caching_path)
+        except OSError:
+            return
+        self.file_list.put(caching_path, total)
+        with self._size_lock:
+            self._size += appended
+
+    def drop_mirror(self, caching_path: str) -> None:
+        """Remove a mirror file and ALL its accounting (moniker, file
+        list, size counter) — the corrupt-mirror teardown used when a
+        cache-side append fails mid-stream."""
+        self.delete_moniker(caching_path)
+        ln = self.file_list.remove(caching_path)
+        if ln is not None:
+            with self._size_lock:
+                self._size -= ln
+        try:
+            os.remove(caching_path)
+        except OSError:
+            pass
+
     def register(self, caching_path: str, length: int) -> None:
         """Record a completed mirror write in the file list + size counters
         (the file-list half of closingRemote, :1286-1294)."""

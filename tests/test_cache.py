@@ -603,6 +603,86 @@ class TestCacheManager:
         assert all(not os.path.exists(p) for p in parts)
         mgr.close(save=False)
 
+    def test_append_dual_stream(self, cache_dir, remote_dir):
+        """append (SidecarCachingFileSystem.java:1778-1805): bytes land
+        on the remote AND on the existing write-cache mirror; a
+        subsequent read returns the full old+new content (served
+        locally), the meta cache records the new length, and the
+        mirror's file-list accounting reflects the full size."""
+        mgr = CacheManager(self._conf(cache_dir))
+        path = os.path.join(remote_dir, "ap1")
+        head = virtual_read(0, 2 * PAGE)
+        tail = virtual_read(2 * PAGE, PAGE)
+
+        out = mgr.create(path)
+        out.write(head)
+        out.close()
+        mgr.drain()
+
+        ap = mgr.append(path)
+        ap.write(tail)
+        ap.close()
+        mgr.drain()
+
+        with open(path, "rb") as f:  # remote holds old+new
+            assert f.read() == head + tail
+        # the mirror holds old+new too, and its accounting is full-size
+        cp = mgr.write_cache.caching_path(path)
+        with open(cp, "rb") as f:
+            assert f.read() == head + tail
+        assert mgr.write_cache.file_list.get(cp) == 3 * PAGE
+        assert mgr.write_cache.moniker_count() == 0
+        # meta refreshed to the appended length
+        assert mgr.meta.get(path).length == 3 * PAGE
+        # read-through returns the appended content
+        s = mgr.open(path)
+        assert s.read_at(0, 3 * PAGE) == head + tail
+        mgr.close(save=False)
+
+    def test_append_remote_only_without_mirror(self, cache_dir, remote_dir):
+        """Appending a file that has NO write-cache mirror degrades to
+        remote-only (the reference's cacheOut=null fallback): content
+        is correct, and no mirror materializes."""
+        mgr = CacheManager(self._conf(cache_dir))
+        path = os.path.join(remote_dir, "ap2")
+        with open(path, "wb") as f:  # created OUTSIDE the cache layer
+            f.write(b"abc")
+        ap = mgr.append(path)
+        ap.write(b"def")
+        ap.close()
+        mgr.drain()
+        with open(path, "rb") as f:
+            assert f.read() == b"abcdef"
+        assert not os.path.exists(mgr.write_cache.caching_path(path))
+        with pytest.raises(FileNotFoundError):
+            mgr.append(os.path.join(remote_dir, "missing"))
+        mgr.close(save=False)
+
+    def test_append_invalidates_stale_pages(self, cache_dir, remote_dir):
+        """(path, mtime)-addressed data pages self-invalidate on append:
+        pages admitted before the append are unreachable after the
+        close-time meta refresh, so no reader can ever see pre-append
+        content lengths."""
+        import time as _time
+
+        mgr = CacheManager(self._conf(cache_dir, write_cache_size=0))
+        path = os.path.join(remote_dir, "ap3")
+        head = virtual_read(0, 2 * PAGE)
+        with open(path, "wb") as f:
+            f.write(head)
+        s = mgr.open(path)
+        assert s.read_at(0, 2 * PAGE) == head  # pages admitted
+        assert mgr.pages.page_count() > 0
+        _time.sleep(1.1)  # ensure the append moves mtime(ms)
+        ap = mgr.append(path)
+        ap.write(virtual_read(2 * PAGE, PAGE))
+        ap.close()
+        mgr.drain()
+        s2 = mgr.open(path)
+        got = s2.read_at(0, 3 * PAGE)
+        assert got == virtual_read(0, 3 * PAGE)
+        mgr.close(save=False)
+
     def test_create_non_recursive_requires_parent(self, cache_dir,
                                                   remote_dir):
         """createNonRecursive (SidecarCachingFileSystem.java:1720-1775):
