@@ -20,6 +20,7 @@ Hash parity (see functions/dedup.py::hash60): Spark
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sidecar_spark.functions.dedup import hash60
 from sidecar_spark.queries.registry import query, t
@@ -200,3 +201,58 @@ def training_shard_export(spark, sf_dir):
                   "min_doc bigint, max_doc bigint")
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture weights (multilingual/domain alpha-sampling)
+# ---------------------------------------------------------------------------
+
+@query(
+    "temperature_mix_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY lang, source
+    ), probs AS (
+      SELECT *, n_chars * 1.0 / sum(n_chars) OVER () AS p
+      FROM counts
+    ), scaled AS (
+      SELECT *, pow(p, 0.3) AS p_alpha FROM probs
+    )
+    SELECT lang, source, n_docs, n_chars,
+           round(p, 6) AS p_natural,
+           round(p_alpha / sum(p_alpha) OVER (), 6) AS p_sample,
+           CAST(round(p_alpha / sum(p_alpha) OVER () * 100000, 0) AS BIGINT)
+               AS budget_docs
+    FROM scaled
+    ORDER BY lang, source
+    """,
+)
+def temperature_mix_weights(spark, sf_dir):
+    """Temperature-scaled mixture sampling (the multilingual alpha-
+    sampling rule, p_i^alpha / sum p^alpha with alpha=0.3): flattens the
+    natural char-count distribution across (lang, source) cells so
+    low-resource cells are upsampled in the training mix, then
+    allocates a 100k-document budget per cell.  Two tiny window sums
+    over the per-cell aggregate — the fact scan is the only
+    data-scale stage; the mixture math runs on a cells-sized frame
+    that would broadcast at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    counts = (d.groupBy("lang", "source")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("n_chars").cast("bigint").alias("n_chars")))
+    w = Window.partitionBy()
+    probs = counts.withColumn(
+        "p", F.col("n_chars") / F.sum("n_chars").over(w))
+    scaled = probs.withColumn("p_alpha", F.pow("p", F.lit(0.3)))
+    z = F.sum("p_alpha").over(w)
+    return (
+        scaled.select(
+            "lang", "source", "n_docs", "n_chars",
+            F.round("p", 6).alias("p_natural"),
+            F.round(F.col("p_alpha") / z, 6).alias("p_sample"),
+            F.round(F.col("p_alpha") / z * 100000, 0).cast("bigint")
+            .alias("budget_docs"))
+        .orderBy("lang", "source")
+    )

@@ -1199,3 +1199,137 @@ def regexp_functions_extended(spark, sf_dir):
             .alias("mentions_engine"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# polymorphic Python UDTF: output schema computed by analyze()
+# ---------------------------------------------------------------------------
+
+@query(
+    "udtf_polymorphic_split",
+    oracle="""
+    SELECT split_part(o_orderpriority, '-', 1) AS c0,
+           split_part(o_orderpriority, '-', 2) AS c1,
+           count(*) AS n
+    FROM orders
+    GROUP BY c0, c1
+    ORDER BY c0, c1
+    """,
+)
+def udtf_polymorphic_split(spark, sf_dir):
+    """POLYMORPHIC Python UDTF (Spark 4 static analyze()): the output
+    schema is not declared — it is COMPUTED at plan time from the
+    literal n_cols argument (c0..c{n-1}), the compile-time
+    polymorphism that lets one UDTF serve any arity. Splitting the
+    priority code '1-URGENT' with n_cols=2 yields (c0, c1); the
+    LATERAL join + aggregate checks both the computed schema and the
+    row contents against DuckDB's split_part."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (StringType, StructField, StructType)
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class SplitCols:
+        @staticmethod
+        def analyze(s: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            return AnalyzeResult(schema=StructType(
+                [StructField(f"c{i}", StringType())
+                 for i in range(int(n.value))]))
+
+        def eval(self, s, n):
+            parts = (s or "").split("-", n - 1)
+            parts += [None] * (n - len(parts))
+            yield tuple(parts[:n])
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    spark.udtf.register("sidecar_splitcols", udtf(SplitCols))
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_udtf_v")
+    return spark.sql("""
+        SELECT t.c0, t.c1, count(*) AS n
+        FROM orders_udtf_v,
+             LATERAL sidecar_splitcols(o_orderpriority, 2) t
+        GROUP BY t.c0, t.c1
+        ORDER BY t.c0, t.c1
+    """)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction audit (regex machinery over synthesized PII)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "pii_detection_audit",
+    oracle=f"""
+    WITH notes AS (
+      SELECT c_mktsegment,
+             c_name || ' contact ' ||
+             CASE WHEN c_custkey % 7 = 0
+                  THEN 'user' || CAST(c_custkey AS VARCHAR) || '@example.com '
+                  ELSE '' END ||
+             CASE WHEN c_custkey % 11 = 0
+                  THEN '555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                       || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END AS note
+      FROM customer)
+    SELECT c_mktsegment,
+           count(*) AS n_notes,
+           CAST(sum(len(regexp_extract_all(note, '{_EMAIL_RE}'))) AS BIGINT)
+               AS n_emails,
+           CAST(sum(len(regexp_extract_all(note, '{_PHONE_RE}'))) AS BIGINT)
+               AS n_phones,
+           CAST(sum(CASE WHEN regexp_matches(note, '{_EMAIL_RE}')
+                           OR regexp_matches(note, '{_PHONE_RE}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(len(regexp_replace(note, '{_EMAIL_RE}', '<EMAIL>', 'g'))
+                    - len(note)) AS BIGINT) AS redaction_len_delta
+    FROM notes
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def pii_detection_audit(spark, sf_dir):
+    """PII detection + redaction — the privacy pass a training-data
+    pipeline runs before anything ships: count email/phone-shaped
+    spans, flag documents containing either, and measure the length
+    delta of a redaction rewrite.  The corpus is word-salad with no
+    real PII, so PII-shaped spans are synthesized DETERMINISTICALLY
+    from customer keys (every 7th gets an email, every 11th a phone) —
+    the audit then verifies the actual regex machinery (regexp_count /
+    rlike / regexp_replace vs DuckDB regexp_extract_all / matches /
+    replace) on both engines, not a lucky all-zeros.  All map-side
+    expressions; one tiny aggregate shuffle — at 100 TB the scan
+    dominates exactly as it should."""
+    c = t(spark, sf_dir, "customer")
+    note = F.concat(
+        F.col("c_name"), F.lit(" contact "),
+        F.when(F.col("c_custkey") % 7 == 0,
+               F.concat(F.lit("user"), F.col("c_custkey").cast("string"),
+                        F.lit("@example.com ")))
+        .otherwise(F.lit("")),
+        F.when(F.col("c_custkey") % 11 == 0,
+               F.concat(F.lit("555-"),
+                        F.lpad((F.col("c_custkey") % 1000).cast("string"),
+                               3, "0"),
+                        F.lit("-"),
+                        F.lpad((F.col("c_custkey") % 10000).cast("string"),
+                               4, "0")))
+        .otherwise(F.lit("")))
+    notes = c.select("c_mktsegment", note.alias("note"))
+    email, phone = _EMAIL_RE, _PHONE_RE
+    return (
+        notes.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_notes"),
+             F.sum(F.expr(f"regexp_count(note, '{email}')"))
+             .alias("n_emails"),
+             F.sum(F.expr(f"regexp_count(note, '{phone}')"))
+             .alias("n_phones"),
+             F.sum(F.when(F.col("note").rlike(email)
+                          | F.col("note").rlike(phone), 1).otherwise(0))
+             .alias("n_flagged"),
+             F.sum(F.length(F.regexp_replace("note", email, "<EMAIL>"))
+                   - F.length("note")).alias("redaction_len_delta"))
+        .orderBy("c_mktsegment")
+    )
