@@ -465,14 +465,21 @@ def dedup_exact_substring(spark, sf_dir):
         f"i -> cast(conv(substring(md5(substring(text, i, {_WIN})), 1, 15), "
         f"16, 10) as bigint))")
     bucket = D.hash60(F.col("doc_id").cast("string")) % 100
+    # three consumers (train windows, test docs, test-window explode)
+    # would each re-run the md5-per-window transform — materialize it
+    # once, as the contamination check does
     hashed = d.select("doc_id", "lang", win_hashes.alias("ws"),
-                      bucket.alias("bucket"))
+                      bucket.alias("bucket")).persist()
     train_w = (hashed.where(F.col("bucket") < 80)
-               .select(F.explode("ws").alias("h")).distinct())
+               .select(F.explode("ws").alias("h")))
     test_docs = hashed.where(F.col("bucket") >= 90)
+    # LEFT SEMI: stops at the first matching train window per test
+    # window — no fan-out on duplicated train windows, and no
+    # pre-DISTINCT pass over the (corpus x ~300) train window set,
+    # which is the expensive shuffle at any scale
     hits = (
         test_docs.select("doc_id", F.explode("ws").alias("h"))
-        .join(train_w, "h")
+        .join(train_w, "h", "left_semi")
         .select("doc_id").distinct()
     )
     return (

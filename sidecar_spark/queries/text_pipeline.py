@@ -1242,7 +1242,11 @@ def udtf_polymorphic_split(spark, sf_dir):
 
     spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     spark.udtf.register("sidecar_splitcols", udtf(SplitCols))
-    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_udtf_v")
+    # single-file scan -> one partition would serialize the Python
+    # stage; spread it (same rationale as udtf_token_explode)
+    t(spark, sf_dir, "orders").select("o_orderpriority").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView("orders_udtf_v")
     return spark.sql("""
         SELECT t.c0, t.c1, count(*) AS n
         FROM orders_udtf_v,
