@@ -43,7 +43,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("--md", default="",
+                    help="also rewrite this EXPLAIN_AUDIT.md in place "
+                         "(keeps the prose header, splices the fresh run)")
     args = ap.parse_args()
+    audit_lines: list[str] = []
 
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master("local[8]")
@@ -110,10 +114,21 @@ def main() -> int:
         if notes:
             line += "  << " + "; ".join(notes)
         print(line)
+        audit_lines.append(line)
         if args.verbose and notes:
             print(plan)
 
-    print(f"\n{'FAIL: ' + ', '.join(hard_failures) if hard_failures else 'all plan checks pass'}")
+    summary = ("FAIL: " + ", ".join(hard_failures)
+               if hard_failures else "all plan checks pass")
+    print(f"\n{summary}")
+    if args.md:
+        hdr = []
+        for ln in open(args.md).read().splitlines():
+            hdr.append(ln)
+            if ln.strip() == "```":
+                break
+        with open(args.md, "w") as fh:
+            fh.write("\n".join(hdr + audit_lines + [summary, "```", ""]))
     return 1 if hard_failures else 0
 
 
