@@ -266,3 +266,64 @@ def triangle_count(spark, sf_dir):
     tri = wedges.join(
         e3, (wedges.u == e3.u3) & (wedges.w == e3.w3))
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query(
+    "item_cosine_similarity",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), freq AS (
+      SELECT l_partkey, count(*) AS n FROM items GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_both
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+      HAVING count(*) >= 2)
+    SELECT part_a, part_b, n_both,
+           round(n_both / sqrt(fa.n * fb.n), 6) AS cosine
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = part_a
+    JOIN freq fb ON fb.l_partkey = part_b
+    ORDER BY cosine DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def item_cosine_similarity(spark, sf_dir):
+    """Item-item cosine similarity over binary basket vectors — the
+    collaborative-filtering neighborhood model: cos(a,b) =
+    |orders with both| / sqrt(|orders with a| * |orders with b|),
+    min-support 2, top-20.  Same single co-partitioned self-join as
+    copurchase_pairs (one shuffle on the basket key feeds both
+    sides); the norms join is a broadcast of the item-frequency table
+    (items-sized, not pairs-sized); top-k is TakeOrdered.  At 100 TB
+    the per-basket bound caps the pair blowup and the frequency table
+    stays millions of rows — broadcastable or bucketable, never
+    quadratic."""
+    li = (t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("part_a"),
+                 F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= 2)
+    )
+    fa = F.broadcast(freq.select(F.col("l_partkey").alias("part_a"),
+                                 F.col("n").alias("na")))
+    fb = F.broadcast(freq.select(F.col("l_partkey").alias("part_b"),
+                                 F.col("n").alias("nb")))
+    return (
+        pairs.join(fa, "part_a").join(fb, "part_b")
+        .select("part_a", "part_b", "n_both",
+                F.round(F.col("n_both")
+                        / F.sqrt(F.col("na") * F.col("nb")), 6)
+                .alias("cosine"))
+        .orderBy(F.desc("cosine"), "part_a", "part_b")
+        .limit(20)
+    )

@@ -12,6 +12,8 @@ the watermark semantics.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from sidecar_spark.queries.registry import query
@@ -520,3 +522,146 @@ def stream_transform_with_state(spark, sf_dir):
             .select("user_id", F.col("s.n_events").alias("n_events"),
                     F.col("s.n_types").alias("n_types"),
                     F.round("s.total_value", 4).alias("total_value")))
+
+
+@query(
+    "stream_stream_full_outer_join",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ), wm AS (
+      SELECT make_timestamp((epoch_ms(least(
+               (SELECT max(p_ts) FROM purchases),
+               (SELECT max(c_ts) FROM clicks))) - 30 * 60 * 1000) * 1000)
+             AS w)
+    SELECT p.user_id, p.purchase_id, c.click_id
+    FROM purchases p
+    JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE AND c.c_ts <= p.p_ts
+    UNION ALL
+    SELECT p.user_id, p.purchase_id, NULL AS click_id
+    FROM purchases p CROSS JOIN wm
+    WHERE p.p_ts < wm.w
+      AND NOT EXISTS (SELECT 1 FROM clicks c
+                      WHERE c.user_id = p.user_id
+                        AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE
+                        AND c.c_ts <= p.p_ts)
+    UNION ALL
+    SELECT c.user_id, NULL AS purchase_id, c.click_id
+    FROM clicks c CROSS JOIN wm
+    WHERE c.c_ts + INTERVAL 10 MINUTE < wm.w
+      AND NOT EXISTS (SELECT 1 FROM purchases p
+                      WHERE p.user_id = c.user_id
+                        AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE
+                        AND c.c_ts <= p.p_ts)
+    """,
+)
+def stream_stream_full_outer_join(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join — the completion of the
+    join matrix (inner / left / full): matches emit immediately; a
+    null-padded PURCHASE emits once the watermark passes its ts (no
+    older click can match), and a null-padded CLICK emits once the
+    watermark passes ts + lookback (no purchase in [c_ts, c_ts+10min]
+    can still arrive) — the two eviction cutoffs are asymmetric
+    because the interval condition is, and the oracle's two UNION
+    branches encode each one explicitly."""
+    from sidecar_spark.streaming import events_stream, run_to_memory_sink
+
+    e = events_stream(spark, sf_dir)
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts")).withWatermark("p_ts", "30 minutes")
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts")).withWatermark("c_ts", "30 minutes")
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "full_outer",
+    ).select(F.coalesce("user_id", "c_user").alias("user_id"),
+             "purchase_id", "click_id")
+    return run_to_memory_sink(j, "stream_stream_full_outer_join", "append")
+
+
+@query(
+    "stream_cdc_apply",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id % 500 AS k, event_id, ts, round(value, 2) AS value,
+             CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ), latest AS (
+      SELECT k, op, value,
+             row_number() OVER (PARTITION BY k
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM changes)
+    SELECT k, value FROM latest WHERE rn = 1 AND op <> 'D'
+    ORDER BY k
+    """,
+)
+def stream_cdc_apply(spark, sf_dir):
+    """CDC apply — the Debezium-shaped pattern: a keyed change stream
+    (upserts + deletes, ordered by (ts, event_id)) applied through
+    foreachBatch into a materialized state table with last-writer-wins
+    semantics; deletes remove the key.  Each micro-batch does a
+    read-merge-overwrite of the state parquet — deterministic and
+    replay-idempotent, which is the exactly-once recipe for a MERGE
+    target.  The oracle computes the same final state declaratively
+    (latest row per key where op != 'D').  At scale the state table is
+    a partitioned MERGE target (Delta/Iceberg); the per-batch merge
+    below is the same logical plan."""
+    import shutil
+
+    from sidecar_spark.streaming import events_stream
+    from sidecar_spark.streaming.ops import scratch_dir
+
+    work = scratch_dir("sidecar-cdc-")
+    state_dir, ckpt = f"{work}/state", f"{work}/ckpt"
+    changes = events_stream(spark, sf_dir).select(
+        (F.col("user_id") % 500).alias("k"), "event_id", "ts",
+        F.round("value", 2).alias("value"),
+        F.when(F.col("event_id") % 10 == 0, "D").otherwise("U").alias("op"))
+
+    def apply_batch(batch_df, batch_id):
+        b = batch_df.sparkSession
+        try:
+            cur = b.read.parquet(state_dir)
+        except Exception:  # first batch: empty state
+            cur = batch_df.sparkSession.createDataFrame(
+                [], "k bigint, event_id bigint, ts timestamp, "
+                    "value double, op string")
+        from pyspark.sql.window import Window
+        merged = cur.unionByName(batch_df)
+        w = Window.partitionBy("k").orderBy(F.desc("ts"),
+                                            F.desc("event_id"))
+        latest = (merged.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") == 1).drop("rn"))
+        # overwrite via staging dir: the source is the dir being replaced
+        tmp = state_dir + ".next"
+        latest.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(tmp, state_dir)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (changes.writeStream.foreachBatch(apply_batch)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = (spark.read.parquet(state_dir)
+               .where(F.col("op") != "D")
+               .select("k", "value").orderBy("k"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(work, ignore_errors=True)
