@@ -665,3 +665,58 @@ def stream_cdc_apply(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_timeout_sessionize",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
+      FROM gaps
+    ), agg AS (
+      SELECT user_id, session_id,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             count(*) AS n_events,
+             round(sum(value), 2) AS session_value,
+             max(ts) AS last_ts,
+             max(session_id) OVER (PARTITION BY user_id) AS last_session
+      FROM sessions
+      GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, n_events, session_value
+    FROM agg
+    WHERE session_id < last_session        -- closed by a newer event
+       OR last_ts + INTERVAL 30 MINUTE < {_WM}  -- flushed by the timer
+    """,
+)
+def stream_timeout_sessionize(spark, sf_dir):
+    """Custom sessionization on the state-store TIMER path
+    (applyInPandasWithState + EventTimeTimeout): a session emits when
+    a newer event from the same user closes it by exceeding the
+    30-minute gap, or when the event-time timer parked at
+    last_event + gap fires as the watermark passes it (the no-data
+    micro-batch).  This differs from the native session_window entry
+    (stream_session_window) precisely in the emission trigger — timer
+    vs watermark-held window — and the oracle's two-branch WHERE
+    encodes that contract.  State per user is one open session tuple;
+    timers bound its lifetime, so state size tracks active users, not
+    stream length."""
+    from sidecar_spark.streaming import events_stream, run_to_memory_sink
+    from sidecar_spark.streaming.ops import timeout_sessionized
+
+    s = timeout_sessionized(events_stream(spark, sf_dir))
+    # Python-heavy stateful op: width = parallel Python workers, and
+    # the timer batch invokes the function once per parked user —
+    # size the stateful shuffle to the dispatch cost, not the floor
+    return run_to_memory_sink(s, "stream_timeout_sessionize", "append",
+                              state_partitions=16)

@@ -494,3 +494,75 @@ def transform_with_state_user_acc(spark: SparkSession, events: DataFrame,
         return run_to_memory_sink(out, name, "append")
     finally:
         spark.conf.unset(prov)
+
+
+_TIMEOUT_SESS_SCHEMA = ("user_id long, session_start string, "
+                        "n_events long, session_value double")
+_TIMEOUT_SESS_STATE = ("start_us long, last_us long, n long, total double")
+_SESS_GAP_US = 30 * 60 * 1_000_000
+
+
+def _timeout_sessionize_fn(key: Tuple, pdfs: Iterable[pd.DataFrame],
+                           state: GroupState):
+    """Timer-driven sessionizer (EventTimeTimeout): batches split into
+    gap-separated sessions; every session CLOSED BY DATA (a newer
+    event from the same user past the gap) emits immediately, and the
+    trailing open session is parked in state with an event-time timer
+    at last_ts + gap — the no-data micro-batch that advances the
+    watermark past that timer fires the timeout branch, which flushes
+    the held session.  This is the hand-rolled twin of the native
+    session_window operator, exercising the state-timeout API."""
+    def frame(rows):
+        # ONE DataFrame per invocation: per-yield Arrow batches are the
+        # dominant cost when groups are small and numerous
+        return pd.DataFrame({
+            "user_id": [key[0]] * len(rows),
+            "session_start": [pd.Timestamp(s0, unit="us")
+                              .strftime("%Y-%m-%d %H:%M:%S")
+                              for s0, _n, _t in rows],
+            "n_events": [n for _s, n, _t in rows],
+            "session_value": [round(t, 2) for _s, _n, t in rows],
+        })
+
+    if state.hasTimedOut:
+        start_us, _last, n, total = state.get
+        state.remove()
+        yield frame([(start_us, n, total)])
+        return
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_us")
+    cur = state.get if state.exists else None
+    closed = []
+    for ts_us, value in zip(rows["ts_us"], rows["value"]):
+        ts_us, value = int(ts_us), float(value)
+        if cur is None:
+            cur = (ts_us, ts_us, 1, value)
+        elif ts_us - cur[1] > _SESS_GAP_US:
+            closed.append((cur[0], cur[2], cur[3]))  # closed by data
+            cur = (ts_us, ts_us, 1, value)
+        else:
+            cur = (cur[0], ts_us, cur[2] + 1, cur[3] + value)
+    if cur is not None:
+        state.update(cur)
+        # park the open session: timer at last event + gap (ms)
+        state.setTimeoutTimestamp((cur[1] + _SESS_GAP_US) // 1000)
+    if closed:
+        yield frame(closed)
+
+
+def timeout_sessionized(events: DataFrame,
+                        watermark: str = "10 minutes") -> DataFrame:
+    """applyInPandasWithState with EventTimeTimeout — the custom
+    sessionization that relies on the state-store TIMER path (vs the
+    native session_window operator, which holds windows purely on the
+    watermark)."""
+    e = (events.withWatermark("ts", watermark)
+         .select("user_id", "value", "ts",
+                 (F.unix_micros("ts")).alias("ts_us")))
+    return e.groupBy("user_id").applyInPandasWithState(
+        _timeout_sessionize_fn,
+        outputStructType=_TIMEOUT_SESS_SCHEMA,
+        stateStructType=_TIMEOUT_SESS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
