@@ -607,3 +607,66 @@ def s3_object_store_agg(spark, sf_dir):
                 os.environ.pop("SIDECAR_S3_ENDPOINT", None)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# error-tolerant ingestion: PERMISSIVE mode + corrupt-record column
+# ---------------------------------------------------------------------------
+
+@query(
+    "csv_corrupt_records",
+    oracle="""
+    WITH lines AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                  ELSE o_totalprice END AS price,
+             o_orderkey % 13 = 0 AS corrupt
+      FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corrupt,
+           round(sum(coalesce(price, 0)), 2) AS clean_revenue
+    FROM lines
+    """,
+)
+def csv_corrupt_records(spark, sf_dir):
+    """Error-tolerant ingestion — PERMISSIVE CSV parsing with the
+    _corrupt_record escape hatch: rows that fail the declared schema
+    land intact in the corrupt-record column instead of killing the
+    job (the quarantine pattern every at-scale ingest needs; DROPMALFORMED
+    and FAILFAST are the stricter siblings).  Malformed rows are
+    synthesized deterministically (every 13th order gets a non-numeric
+    price), so the oracle knows exactly which rows must quarantine.
+    The parse runs partition-parallel over the staged CSV; the audit
+    is a single tiny aggregate."""
+    import tempfile
+
+    src = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    staged = (src.select(
+        F.concat_ws(",",
+                    F.col("o_orderkey").cast("string"),
+                    F.when(F.col("o_orderkey") % 13 == 0, F.lit("N/A"))
+                    .otherwise(F.col("o_totalprice").cast("string")))
+        .alias("value")))
+    out = tempfile.mkdtemp(prefix="sidecar-corrupt-")
+    try:
+        staged.write.mode("overwrite").text(os.path.join(out, "csv"))
+        parsed = (
+            spark.read.schema(
+                "o_orderkey long, price double, _corrupt_record string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(os.path.join(out, "csv")))
+        # caching the parsed frame is REQUIRED for _corrupt_record
+        # queries (Spark refuses a bare filter on only that column)
+        parsed = parsed.cache()
+        result = parsed.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1)
+                  .otherwise(0)).alias("n_corrupt"),
+            F.round(F.sum(F.coalesce(F.col("price"), F.lit(0.0))), 2)
+            .alias("clean_revenue"))
+        return result.localCheckpoint(eager=True)
+    finally:
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
