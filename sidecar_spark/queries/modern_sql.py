@@ -1647,3 +1647,171 @@ def time_of_day_functions(spark, sf_dir):
         GROUP BY event_type
         ORDER BY event_type
     """)
+
+
+# ---------------------------------------------------------------------------
+# map higher-order functions + array_agg
+# ---------------------------------------------------------------------------
+
+@query(
+    "map_higher_order_functions",
+    oracle="""
+    WITH per_type AS (
+      SELECT user_id % 5 AS cohort, event_type,
+             count(*) AS c, sum(value) AS s
+      FROM events GROUP BY cohort, event_type)
+    SELECT cohort,
+           array_to_string(list_transform(
+             list_sort(array_agg(event_type)),
+             t -> upper(t)), ',') AS keys_upper,
+           array_to_string(
+             list_transform(
+               list_sort(array_agg({'k': event_type,
+                                    'v': round(s / c, 4)})),
+               e -> e.k || ':' || CAST(e.v AS VARCHAR)), ',') AS avg_map
+    FROM per_type
+    GROUP BY cohort
+    ORDER BY cohort
+    """,
+)
+def map_higher_order_functions(spark, sf_dir):
+    """Map higher-order functions — transform_keys, map_zip_with,
+    map_from_entries over per-cohort event maps, plus the ANSI
+    array_agg alias: two maps (type->count, type->value-sum) zip into
+    a type->avg map, keys uppercase via transform_keys, then
+    serialized through sorted map_entries for the hash.  DuckDB has no
+    map lambdas, so the oracle computes the same result from sorted
+    entry lists — which is exactly the serialization contract."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_maps_v")
+    return spark.sql("""
+        WITH per_type AS (
+          SELECT user_id % 5 AS cohort, event_type,
+                 count(*) AS c, sum(value) AS s
+          FROM events_maps_v GROUP BY cohort, event_type
+        ), maps AS (
+          SELECT cohort,
+                 array_join(array_sort(transform(
+                   array_agg(event_type), t -> upper(t))), ',') AS keys_upper,
+                 map_from_entries(sort_array(array_agg(
+                   struct(event_type AS k, c AS v)))) AS m_cnt,
+                 map_from_entries(sort_array(array_agg(
+                   struct(event_type AS k, s AS v)))) AS m_sum
+          FROM per_type GROUP BY cohort
+        )
+        SELECT cohort, keys_upper,
+               array_join(transform(
+                 sort_array(map_entries(
+                   transform_keys(
+                     map_zip_with(m_cnt, m_sum,
+                                  (k, c, s) -> round(s / c, 4)),
+                     (k, v) -> k))),
+                 e -> e.key || ':' || CAST(e.value AS STRING)), ',')
+                 AS avg_map
+        FROM maps
+        ORDER BY cohort
+    """)
+
+
+# ---------------------------------------------------------------------------
+# generator functions: stack() wide→long + json_tuple extraction
+# ---------------------------------------------------------------------------
+
+@query(
+    "generator_functions_sql",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderstatus,
+             CAST(count(*) AS DOUBLE) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY o_orderstatus)
+    SELECT o_orderstatus, 'n_orders' AS metric, n AS value,
+           CAST(CAST(n AS BIGINT) AS VARCHAR) AS from_json
+    FROM agg
+    UNION ALL
+    SELECT o_orderstatus, 'revenue' AS metric, total AS value,
+           CAST(CAST(total AS DECIMAL(18,2)) AS VARCHAR) AS from_json
+    FROM agg
+    ORDER BY o_orderstatus, metric
+    """,
+)
+def generator_functions_sql(spark, sf_dir):
+    """Generator functions — stack(n, ...) pivoting a wide aggregate
+    to long (metric, value) rows, and json_tuple pulling fields back
+    out of a JSON document built from the same row: the long value
+    and the JSON-extracted string must agree, which pins both the
+    row-multiplicity of stack and the path semantics of json_tuple."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gen_v")
+    return spark.sql("""
+        WITH agg AS (
+          SELECT o_orderstatus,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 round(sum(o_totalprice), 2) AS total,
+                 -- field values as JSON STRINGS: json_tuple re-parses
+                 -- JSON numbers into doubles (scientific notation on
+                 -- re-serialization); strings pass through verbatim
+                 to_json(struct(CAST(count(*) AS STRING) AS n_orders,
+                                CAST(CAST(round(sum(o_totalprice), 2)
+                                          AS DECIMAL(18,2)) AS STRING)
+                                    AS revenue))
+                     AS doc
+          FROM orders_gen_v GROUP BY o_orderstatus
+        ), long AS (
+          SELECT o_orderstatus, metric, value, doc
+          FROM agg
+          LATERAL VIEW stack(2, 'n_orders', n, 'revenue', total)
+              s AS metric, value
+        )
+        SELECT o_orderstatus, metric, value,
+               CASE metric
+                 WHEN 'n_orders' THEN j.f1
+                 ELSE j.f2
+               END AS from_json
+        FROM long
+        LATERAL VIEW json_tuple(doc, 'n_orders', 'revenue') j AS f1, f2
+        ORDER BY o_orderstatus, metric
+    """)
+
+
+# ---------------------------------------------------------------------------
+# overlay / initcap / next_day / unix_timestamp / months_between
+# ---------------------------------------------------------------------------
+
+@query(
+    "string_datetime_misc_functions",
+    oracle="""
+    SELECT p_partkey,
+           substr(p_name, 1, 2) || 'XX' || substr(p_name, 6) AS overlaid,
+           array_to_string(list_transform(string_split(p_name, ' '),
+             w -> upper(w[1]) || lower(w[2:])), ' ') AS title_name,
+           CAST(epoch(CAST(d AS TIMESTAMP)) AS BIGINT) AS epoch_s,
+           strftime(d + INTERVAL ((7 + 1 - isodow(d) - 1) % 7 + 1) DAY,
+                    '%Y-%m-%d') AS next_monday,
+           3.0 AS months_fwd
+    FROM (SELECT p_partkey, p_name,
+                 DATE '1995-01-01' + INTERVAL (p_partkey % 1000) DAY AS d
+          FROM part)
+    WHERE p_partkey <= 200
+    ORDER BY p_partkey
+    """,
+)
+def string_datetime_misc_functions(spark, sf_dir):
+    """The remaining string/datetime surface — overlay (splice at
+    position), initcap (title-case), next_day (next Monday strictly
+    after d), unix_timestamp, months_between (day-aligned dates give
+    exact integers): each has a DuckDB twin or a two-line emulation
+    (initcap/overlay via word/substr algebra), so every value is
+    hash-checked rather than smoke-tested."""
+    p = t(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
+    d = F.expr("date_add(DATE'1995-01-01', CAST(p_partkey % 1000 AS INT))")
+    return (
+        p.select(
+            "p_partkey",
+            F.expr("overlay(p_name PLACING 'XX' FROM 3 FOR 3)")
+            .alias("overlaid"),
+            F.initcap(F.lower("p_name")).alias("title_name"),
+            F.unix_timestamp(d.cast("timestamp")).alias("epoch_s"),
+            F.date_format(F.next_day(d, "Mon"), "yyyy-MM-dd")
+            .alias("next_monday"),
+            F.months_between(F.add_months(d, 3), d).alias("months_fwd"))
+        .orderBy("p_partkey")
+    )
