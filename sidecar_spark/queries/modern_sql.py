@@ -1815,3 +1815,119 @@ def string_datetime_misc_functions(spark, sf_dir):
             F.months_between(F.add_months(d, 3), d).alias("months_fwd"))
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# numeric misc: banker's rounding, covariance, hypot/log1p/expm1,
+# factorial, nanvl
+# ---------------------------------------------------------------------------
+
+@query(
+    "numeric_misc_functions",
+    oracle="""
+    WITH v AS (
+      SELECT p_partkey,
+             (p_partkey % 10) + 0.5 AS halfv,
+             (p_partkey % 100) / 10.0 AS x,
+             (p_partkey % 7) * 1.0 AS y
+      FROM part WHERE p_partkey <= 500)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(CASE WHEN CAST(floor(halfv) AS BIGINT) % 2 = 0
+                          THEN floor(halfv) ELSE ceil(halfv) END), 1)
+               AS sum_banker,
+           round(covar_pop(x, y), 6) AS cov_p,
+           round(covar_samp(x, y), 6) AS cov_s,
+           round(sum(sqrt(x * x + y * y)), 4) AS sum_hypot,
+           round(sum(ln(1 + x)), 4) AS sum_log1p,
+           round(sum(exp(x / 10.0) - 1), 4) AS sum_expm1,
+           CAST(max(factorial(CAST(p_partkey % 10 AS INT))) AS BIGINT)
+               AS max_fact,
+           round(sum(CASE WHEN isnan(x / nullif(y, 0)) OR x / nullif(y, 0)
+                               IS NULL THEN -1.0
+                          ELSE x / nullif(y, 0) END), 4) AS sum_nanvl
+    FROM v
+    """,
+)
+def numeric_misc_functions(spark, sf_dir):
+    """Remaining numeric surface — bround (banker's half-even, pinned
+    on exact .5 ties where it diverges from half-away rounding),
+    covar_pop/covar_samp, hypot, log1p/expm1, factorial, and nanvl
+    (NaN-coalescing, exercised via 0/0).  The oracle emulates bround
+    with floor/ceil parity algebra and nanvl with an isnan CASE —
+    every value exact after fixed rounding."""
+    p = t(spark, sf_dir, "part").where(F.col("p_partkey") <= 500)
+    halfv = (F.col("p_partkey") % 10) + F.lit(0.5)
+    x = (F.col("p_partkey") % 100) / 10.0
+    y = (F.col("p_partkey") % 7) * 1.0
+    ratio = x / F.nullif(y, F.lit(0))
+    return p.select(halfv.alias("halfv"), x.alias("x"), y.alias("y"),
+                    (F.col("p_partkey") % 10).cast("int").alias("k"),
+                    ratio.alias("ratio")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.bround("halfv", 0)), 1).alias("sum_banker"),
+        F.round(F.covar_pop("x", "y"), 6).alias("cov_p"),
+        F.round(F.covar_samp("x", "y"), 6).alias("cov_s"),
+        F.round(F.sum(F.hypot("x", "y")), 4).alias("sum_hypot"),
+        F.round(F.sum(F.log1p("x")), 4).alias("sum_log1p"),
+        F.round(F.sum(F.expm1(F.col("x") / 10.0)), 4).alias("sum_expm1"),
+        F.max(F.factorial("k")).alias("max_fact"),
+        F.round(F.sum(F.coalesce(F.nanvl("ratio", F.lit(-1.0)),
+                                 F.lit(-1.0))), 4).alias("sum_nanvl"))
+
+
+# ---------------------------------------------------------------------------
+# row identity + collection lambdas: monotonically_increasing_id,
+# array_repeat, map_filter, session identity
+# ---------------------------------------------------------------------------
+
+@query(
+    "identity_and_lambda_functions",
+    oracle="""
+    WITH v AS (
+      SELECT p_partkey % 5 AS cohort,
+             p_partkey % 3 AS reps,
+             p_partkey % 7 AS a, p_partkey % 11 AS b
+      FROM part)
+    SELECT cohort,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct_ids,
+           CAST(sum(reps) AS BIGINT) AS total_repeats,
+           CAST(sum(CASE WHEN a > 3 THEN 1 ELSE 0 END
+                    + CASE WHEN b > 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_entries,
+           TRUE AS has_session_user
+    FROM v
+    GROUP BY cohort
+    ORDER BY cohort
+    """,
+)
+def identity_and_lambda_functions(spark, sf_dir):
+    """Row identity + collection-lambda surface:
+    monotonically_increasing_id (values are partition-dependent, so
+    the CONTRACT checked is global uniqueness — distinct count equals
+    row count), array_repeat (element multiplication), map_filter
+    (per-entry predicate), and session_user()/current_user()
+    (environment-dependent, checked as non-empty).  Each
+    nondeterministic-by-value feature is pinned by the invariant it
+    actually guarantees — the only honest way to oracle identity
+    functions."""
+    p = t(spark, sf_dir, "part")
+    v = p.select(
+        (F.col("p_partkey") % 5).alias("cohort"),
+        F.monotonically_increasing_id().alias("mid"),
+        F.array_repeat(F.col("p_brand"),
+                       (F.col("p_partkey") % 3).cast("int")).alias("arr"),
+        F.map_filter(
+            F.create_map(F.lit("a"), F.col("p_partkey") % 7,
+                         F.lit("b"), F.col("p_partkey") % 11),
+            lambda k, val: val > 3).alias("kept"),
+        (F.length(F.session_user()) > 0).alias("su"))
+    return (
+        v.groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.count_distinct("mid").alias("n_distinct_ids"),
+             F.sum(F.size("arr")).alias("total_repeats"),
+             F.sum(F.size("kept")).alias("kept_entries"),
+             F.bool_and("su").alias("has_session_user"))
+        .orderBy("cohort")
+    )
