@@ -327,6 +327,12 @@ class CacheManager:
     def create(self, uri: str) -> CachingOutputStream:
         fs, path = self._resolve(uri)
         self.stats.add("total_files_created")
+        # overwrite coherence (deliberate hardening over the reference,
+        # whose metaSave is put-if-absent — SidecarCachingFileSystem.java:
+        # 1283-1289 — leaving stale meta/pages when an EXISTING path is
+        # re-created within one mtime(ms) tick): remember the prior
+        # cache identity so close can metaUpdate and purge its pages
+        old_meta = self.meta.get(path)
         caching_fh = None
         caching_path = None
         if self.write_cache is not None and not self.conf.write_excluded(path) \
@@ -339,7 +345,8 @@ class CacheManager:
         remote_fh = None if local_first else fs.open_write(path)
 
         def on_close(stream: CachingOutputStream) -> None:
-            self._closing_remote(fs, path, caching_path, stream)
+            self._closing_remote(fs, path, caching_path, stream,
+                                 old_meta=old_meta)
 
         def on_cache_error(_exc: Exception) -> None:
             # reportException: delete half-written cache file, keep remote
@@ -390,6 +397,8 @@ class CacheManager:
                 and self.conf.should_cache(path, "write"):
             caching_fh, caching_path = self.write_cache.open_append(path)
 
+        old_mtime, old_length = st.mtime, st.length
+
         def on_close(stream: CachingOutputStream) -> None:
             stream.remote_fh.close()
             nst = fs.stat(path)
@@ -398,6 +407,12 @@ class CacheManager:
                 # put-if-absent) and must move to the new mtime/length
                 self.meta.update(path, FileMeta(nst.mtime, nst.length,
                                                 nst.is_dir))
+                if nst.mtime == old_mtime:
+                    # append completed within the same mtime(ms) tick:
+                    # (path, mtime)-addressed pages would NOT
+                    # self-invalidate — evict the old span explicitly
+                    self.pages.delete_file_pages(path, old_mtime,
+                                                 old_length)
             if caching_path is not None and self.write_cache is not None:
                 self.write_cache.register_append(caching_path,
                                                  stream.bytes_written)
@@ -417,7 +432,8 @@ class CacheManager:
 
     def _closing_remote(self, fs: RemoteFS, path: str,
                         caching_path: Optional[str],
-                        stream: CachingOutputStream) -> None:
+                        stream: CachingOutputStream,
+                        old_meta: Optional[FileMeta] = None) -> None:
         def finish_remote() -> None:
             if stream.remote_fh is not None:
                 stream.remote_fh.close()
@@ -435,7 +451,19 @@ class CacheManager:
                         dst.close()
             st = fs.stat(path)
             if st is not None:
-                self.meta.save(path, FileMeta(st.mtime, st.length, st.is_dir))
+                if old_meta is not None:
+                    # overwrite of a known file: refresh the entry and
+                    # purge pages keyed by its previous (mtime, length)
+                    # identity — they would otherwise survive a
+                    # same-ms overwrite (metaUpdate + dataDeleteFile,
+                    # the delete/rename coherence applied to create)
+                    self.meta.update(
+                        path, FileMeta(st.mtime, st.length, st.is_dir))
+                    self.pages.delete_file_pages(
+                        path, old_meta.mtime, old_meta.length)
+                else:
+                    self.meta.save(
+                        path, FileMeta(st.mtime, st.length, st.is_dir))
             if caching_path is not None and self.write_cache is not None:
                 self.write_cache.delete_moniker(caching_path)
                 self.write_cache.check_eviction()

@@ -154,10 +154,13 @@ class WriteCache:
 
     def register(self, caching_path: str, length: int) -> None:
         """Record a completed mirror write in the file list + size counters
-        (the file-list half of closingRemote, :1286-1294)."""
+        (the file-list half of closingRemote, :1286-1294).  Re-creating
+        an existing mirror REPLACES its entry, so the size counter
+        moves by the delta, not the full new length."""
+        prev = self.file_list.get(caching_path)
         self.file_list.put(caching_path, length)
         with self._size_lock:
-            self._size += length
+            self._size += length - (prev or 0)
         self.stats.add("total_bytes_read", 0)  # touch-free; counters live in stats
 
     def put_file(self, remote_uri: str, data: bytes, synced: bool = True) -> str:

@@ -119,3 +119,89 @@ def test_page_store_roundtrip(tmp_path, data, mtime):
     # no-op (content-addressed keys make double-insert harmless)
     store.put(key, b"\x00" * len(data))
     assert store.get(key) == data
+
+
+# ---------------------------------------------------------------------------
+# mutation-verb model test: any op sequence vs an in-memory oracle
+# ---------------------------------------------------------------------------
+
+_VERB_PAGE = 1024
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(st.tuples(
+    st.sampled_from(["create", "append", "rename", "delete", "read"]),
+    st.integers(0, 3),            # file slot
+    st.integers(0, 3),            # second slot (rename dst)
+    st.integers(1, 3 * _VERB_PAGE)),  # payload length
+    min_size=1, max_size=25))
+def test_mutation_verbs_match_model(tmp_path, ops):
+    """ANY sequence of create/append/rename/delete/read over a small
+    file-slot space matches a dict-of-bytes model: content equality on
+    every read, existence parity on every verb — the differential
+    oracle extended to the full mutation surface (including the new
+    byte-append path and its page self-invalidation)."""
+    import shutil
+
+    from sidecar_spark.cache.manager import CacheManager
+
+    cache_dir = os.path.join(str(tmp_path), "cache")
+    remote = os.path.join(str(tmp_path), "remote")
+    os.makedirs(remote, exist_ok=True)
+    conf = SidecarConfig.create(
+        cache_dir=cache_dir, data_page_size=_VERB_PAGE,
+        io_buffer_size=4 * _VERB_PAGE, data_cache_type="file",
+        write_cache_size=64 * 1024 * 1024, cache_persistent=False)
+    mgr = CacheManager(conf)
+    model: dict = {}
+    seed = 0
+    try:
+        for verb, a, b, ln in ops:
+            pa = os.path.join(remote, f"f{a}")
+            pb = os.path.join(remote, f"f{b}")
+            seed += 1
+            payload = bytes(((seed + i) % 251 for i in range(ln)))
+            if verb == "create":
+                out = mgr.create(pa)
+                out.write(payload)
+                out.close()
+                mgr.drain()
+                model[pa] = payload
+            elif verb == "append":
+                if pa in model:
+                    ap = mgr.append(pa)
+                    ap.write(payload)
+                    ap.close()
+                    mgr.drain()
+                    model[pa] = model[pa] + payload
+                else:
+                    try:
+                        mgr.append(pa)
+                        assert False, "append on missing file must raise"
+                    except FileNotFoundError:
+                        pass
+            elif verb == "rename":
+                did = mgr.rename(pa, pb)
+                mgr.drain()
+                if pa in model and pa != pb:
+                    assert did
+                    model[pb] = model.pop(pa)
+            elif verb == "delete":
+                did = mgr.delete(pa)
+                mgr.drain()
+                assert did == (pa in model)
+                model.pop(pa, None)
+            elif verb == "read":
+                if pa in model:
+                    s = mgr.open(pa)
+                    want = model[pa]
+                    assert s.read_at(0, len(want)) == want
+        # final full sweep: every surviving file byte-identical
+        for path, want in model.items():
+            s = mgr.open(path)
+            assert s.read_at(0, len(want)) == want
+    finally:
+        mgr.close(save=False)
+        CacheManager.clear_instances()
+        shutil.rmtree(str(tmp_path), ignore_errors=True)
