@@ -1931,3 +1931,108 @@ def identity_and_lambda_functions(spark, sf_dir):
              F.bool_and("su").alias("has_session_user"))
         .orderBy("cohort")
     )
+
+
+# ---------------------------------------------------------------------------
+# state-metadata reader: checkpoint operator topology introspection
+# ---------------------------------------------------------------------------
+
+@query(
+    "state_metadata_reader",
+    oracle="""
+    SELECT 0 AS operatorId, 'stateStoreSave' AS operatorName,
+           'default' AS stateStoreName, 4 AS numPartitions,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_state_keys
+    FROM events
+    """,
+)
+def state_metadata_reader(spark, sf_dir):
+    """The state-METADATA reader (Spark 4): operator topology of a
+    checkpoint — operator ids/names, store names, partition counts —
+    without touching row data; the companion to the statestore row
+    reader (statestore_reader).  The metadata's operator layout is
+    deterministic for a given plan, so it oracles exactly; the key
+    count cross-check ties the metadata to the same aggregation state
+    the row reader sees.  At scale this is how you inventory a
+    production checkpoint (which operators, how many stores, batch
+    span) before surgery."""
+    from sidecar_spark.streaming.ops import events_stream, scratch_dir
+
+    ckpt = scratch_dir("sidecar-smr-ckpt-")
+    try:
+        counts = (events_stream(spark, sf_dir)
+                  .groupBy("event_type")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (counts.writeStream.format("noop")
+                 .outputMode("complete")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        md = (spark.read.format("state-metadata").load(ckpt)
+              .select("operatorId", "operatorName", "stateStoreName",
+                      "numPartitions"))
+        keys = (spark.read.format("statestore").load(ckpt)
+                .agg(F.count(F.lit(1)).alias("n_state_keys")))
+        out = md.crossJoin(keys)  # 1x1: metadata row + key count
+        return out.localCheckpoint(eager=True)
+    finally:
+        import shutil
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query(
+    "statestore_change_feed",
+    oracle="""
+    SELECT 0 AS batch_id, 'update' AS change_type, event_type,
+           count(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def statestore_change_feed(spark, sf_dir):
+    """The state-store CHANGE FEED reader (Spark 4,
+    readChangeFeed=true): per-batch change events (update/delete) of
+    keyed state rows — the CDC view of a checkpoint, where the plain
+    statestore source is its snapshot view.  A single-backlog
+    complete-mode aggregation puts every key exactly once in batch 0,
+    so the feed must contain exactly one 'update' per event_type
+    carrying the final count — which is precisely what the oracle
+    states.  At scale this reader is the basis for state audits and
+    cross-checkpoint diffing without replaying the stream."""
+    from sidecar_spark.streaming.ops import events_stream, scratch_dir
+
+    ckpt = scratch_dir("sidecar-scf-ckpt-")
+    try:
+        counts = (events_stream(spark, sf_dir)
+                  .groupBy("event_type")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (counts.writeStream.format("noop")
+                 .outputMode("complete")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        cf = (spark.read.format("statestore")
+              .option("readChangeFeed", "true")
+              .option("changeStartBatchId", 0)
+              .load(ckpt))
+        # the state VALUE struct carries the physical aggregate name
+        # ("count"), not the query alias — part of the reader contract
+        out = (cf.select("batch_id", "change_type",
+                         F.col("key.event_type").alias("event_type"),
+                         F.col("value.count").alias("cnt"))
+               .orderBy("event_type"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        import shutil
+        shutil.rmtree(ckpt, ignore_errors=True)
