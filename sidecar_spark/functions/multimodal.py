@@ -375,3 +375,235 @@ def sample_video_frames(df: DataFrame, binary_col: str = "payload",
 
     return df.mapInPandas(
         batches, schema="doc_id long, frame_idx int, frame_checksum string")
+
+
+# ---------------------------------------------------------------------------
+# GIF: real multi-frame decode (LZW) + deterministic synthesis — gives
+# the frame-sampling path an actual animated container to decode
+# ---------------------------------------------------------------------------
+
+_GIF_MAGIC = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes):
+    """GIF-flavor LZW: variable-width codes LSB-first, CLEAR resets the
+    table, EOI terminates. Returns the index stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    prev = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes):
+    """Decode a (non-interlaced, full-frame, global-palette) GIF into a
+    list of HxW uint8 grayscale frames (palette luma via Rec.601).
+    Pure stdlib — the real-decode tier for animated/frame media when
+    PIL is absent; raises ValueError on malformed input."""
+    import numpy as np
+
+    if payload[:6] not in _GIF_MAGIC:
+        raise ValueError("not a GIF payload")
+    w, h, flags = struct.unpack("<HHB", payload[6:11])
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        raw = payload[pos:pos + 3 * n]
+        pos += 3 * n
+        rgb = np.frombuffer(raw, dtype=np.uint8).reshape(n, 3)
+        palette = (0.299 * rgb[:, 0] + 0.587 * rgb[:, 1]
+                   + 0.114 * rgb[:, 2]).round().astype(np.uint8)
+    frames = []
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        fx, fy, fw, fh, iflags = struct.unpack("<HHHHB",
+                                               payload[pos:pos + 9])
+        pos += 9
+        if iflags & 0x80:  # local palette
+            n = 2 << (iflags & 0x07)
+            raw = payload[pos:pos + 3 * n]
+            pos += 3 * n
+            import numpy as _np
+            rgb = _np.frombuffer(raw, dtype=_np.uint8).reshape(n, 3)
+            pal = (0.299 * rgb[:, 0] + 0.587 * rgb[:, 1]
+                   + 0.114 * rgb[:, 2]).round().astype(_np.uint8)
+        else:
+            pal = palette
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        min_code = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            lzw += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(min_code, bytes(lzw))
+        if len(idx) < fw * fh:
+            raise ValueError("short GIF index stream")
+        arr = np.frombuffer(idx[:fw * fh], dtype=np.uint8).reshape(fh, fw)
+        frames.append(pal[arr])
+    if not frames:
+        raise ValueError("GIF contained no image blocks")
+    return frames
+
+
+def synthesize_gif(width: int, height: int, frame_values) -> bytes:
+    """Deterministic multi-frame GIF synthesis: grayscale global
+    palette (entry i = (i,i,i)), each frame a constant fill of
+    ``frame_values[f]`` — so frame f's mean luma is exactly that
+    value.  LZW stream written in the 'uncompressed GIF' style
+    (literal 8-bit codes with a CLEAR every 125 symbols keeps the
+    table from outgrowing 9-bit width), which every conformant
+    decoder accepts."""
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHB", width, height, 0x80 | 0x07)  # 256-color GCT
+    out += b"\x00\x00"
+    for i in range(256):
+        out += bytes((i, i, i))
+    for v in frame_values:
+        out += b"\x21\xf9\x04\x00\x02\x00\x00\x00"  # GCE: 2cs delay
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out += bytes([8])  # LZW min code size
+        npix = width * height
+        codes = []
+        for i in range(npix):
+            if i % 125 == 0:
+                codes.append(256)  # CLEAR
+            codes.append(v & 0xFF)
+        codes.append(257)  # EOI
+        # pack 9-bit codes LSB-first
+        acc = nbits = 0
+        stream = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += 9
+            while nbits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            stream.append(acc & 0xFF)
+        for i in range(0, len(stream), 255):
+            block = stream[i:i + 255]
+            out += bytes([len(block)]) + block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _gif_lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """Real GIF LZW compression (greedy longest-match, table capped at
+    4096 with CLEAR) — the encoder twin that makes the decoder's
+    table-growth and width-bump paths honestly testable."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+    width = min_code_size + 1
+
+    def put(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    put(clear)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        put(table[w])
+        table[wk] = next_code
+        next_code += 1
+        # width bumps AFTER the code that fills the current width
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            put(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([b])
+    if w:
+        put(table[w])
+    put(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def synthesize_gif_gradient(width: int, height: int, bases) -> bytes:
+    """Multi-frame GIF with REAL LZW compression and non-constant
+    content: frame f's pixel (x, y) = bases[f] + x + y (callers keep
+    bases[f] + width + height - 2 <= 255), so mean luma is exactly
+    bases[f] + (width - 1 + height - 1) / 2."""
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHB", width, height, 0x80 | 0x07)
+    out += b"\x00\x00"
+    for i in range(256):
+        out += bytes((i, i, i))
+    for base in bases:
+        pixels = bytes((base + x + y) & 0xFF
+                       for y in range(height) for x in range(width))
+        out += b"\x21\xf9\x04\x00\x02\x00\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out += bytes([8])
+        stream = _gif_lzw_encode(8, pixels)
+        for i in range(0, len(stream), 255):
+            block = stream[i:i + 255]
+            out += bytes([len(block)]) + block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

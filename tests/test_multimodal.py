@@ -187,3 +187,47 @@ class TestDistributedRealDecode:
             assert out[i]["sample_rate"] == 8000
             assert out[i]["n_samples"] == 50 * (i + 1)
             assert out[i]["rms"] == pytest.approx(0.25, rel=1e-2)
+
+
+class TestGifCodec:
+    """Real GIF decode (LZW) against the deterministic synthesizers."""
+
+    def test_constant_frames_roundtrip(self):
+        from sidecar_spark.functions.multimodal import (decode_gif_frames,
+                                                        synthesize_gif)
+        g = synthesize_gif(8, 8, [10, 55, 200])
+        frames = decode_gif_frames(g)
+        assert [int(f.mean()) for f in frames] == [10, 55, 200]
+        assert all(f.shape == (8, 8) for f in frames)
+
+    def test_gradient_lzw_roundtrip_exact_pixels(self):
+        import numpy as np
+
+        from sidecar_spark.functions.multimodal import (
+            decode_gif_frames, synthesize_gif_gradient)
+        g = synthesize_gif_gradient(16, 16, [5, 60, 120])
+        for base, f in zip([5, 60, 120], decode_gif_frames(g)):
+            want = np.add.outer(np.arange(16), np.arange(16)) + base
+            assert (f == want).all()
+
+    def test_lzw_width_growth_and_clear(self):
+        """A 128x64 gradient forces the code width through 9->10->11
+        bits and (via the 4096 cap) a mid-stream CLEAR reset."""
+        import numpy as np
+
+        from sidecar_spark.functions.multimodal import (
+            decode_gif_frames, synthesize_gif_gradient)
+        f = decode_gif_frames(synthesize_gif_gradient(128, 64, [3]))[0]
+        want = (np.add.outer(np.arange(64), np.arange(128)) + 3) & 0xFF
+        assert (f == want).all()
+
+    def test_malformed_gif_raises(self):
+        import pytest as _pytest
+
+        from sidecar_spark.functions.multimodal import decode_gif_frames
+        with _pytest.raises(ValueError):
+            decode_gif_frames(b"NOTAGIF" + b"\x00" * 32)
+        from sidecar_spark.functions.multimodal import synthesize_gif
+        trunc = synthesize_gif(8, 8, [1])[:-10]
+        with _pytest.raises((ValueError, IndexError)):
+            decode_gif_frames(trunc + b"")  # truncated stream
