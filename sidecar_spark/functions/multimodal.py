@@ -607,3 +607,72 @@ def synthesize_gif_gradient(width: int, height: int, bases) -> bytes:
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+def synthesize_sine_wav(rate: int, n_samples: int, freq: float,
+                        amp_int: int = 16384) -> bytes:
+    """Mono PCM16 WAV carrying a pure sine at ``freq`` Hz.  When freq
+    sits exactly on an FFT bin (freq = k*rate/n_samples), the decoded
+    spectrum concentrates on bin k — int16 quantization spreads less
+    than 1e-4 relative energy — so spectral features are arithmetic-
+    checkable."""
+    import wave as _wave
+
+    import numpy as np
+
+    t = np.arange(n_samples)
+    x = np.round(amp_int * np.sin(2 * np.pi * freq * t / rate)
+                 ).astype(np.int16)
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def spectral_features(samples, rate: int):
+    """Power-spectrum features of a 1-D sample array: spectral
+    centroid (energy-weighted mean frequency) and peak-bin frequency.
+    numpy.fft on the executor — the real-DSP tier of the audio path."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.fft.rfftfreq(len(x), 1.0 / rate)
+    total = spec.sum()
+    centroid = float((spec * freqs).sum() / total) if total > 0 else 0.0
+    peak = float(freqs[int(np.argmax(spec))])
+    return centroid, peak
+
+
+def decode_audio_samples(payload: bytes):
+    """Decode an audio payload to raw samples → (sample_rate,
+    float64 ndarray in [-1, 1]).  soundfile when importable, else the
+    stdlib ``wave`` module for PCM16/8 WAV — the sample-level twin of
+    ``decode_audio`` (which returns summary features only)."""
+    import numpy as np
+
+    if _soundfile is not None:
+        data, rate = _soundfile.read(io.BytesIO(payload), dtype="float64")
+        if data.ndim > 1:
+            data = data.mean(axis=1)
+        return int(rate), data
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import wave as _wave
+
+        with _wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            n = w.getnframes()
+            width = w.getsampwidth()
+            raw = w.readframes(n)
+        if width == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif width == 1:
+            x = (np.frombuffer(raw, dtype=np.uint8)
+                 .astype(np.float64) - 128.0) / 128.0
+        else:
+            raise NotImplementedError(f"PCM width {width} unsupported")
+        return int(rate), x
+    raise NotImplementedError("payload is not WAV and soundfile absent")

@@ -758,3 +758,60 @@ def multimodal_real_gif_frames(spark, sf_dir):
         decode, "doc_id long, n_frames int, avg_luma double, "
                 "sampled_luma double")
     return out.orderBy("doc_id")
+
+
+@query(
+    "multimodal_audio_spectrum",
+    oracle="""
+    SELECT doc_id,
+           CAST(2000 AS BIGINT) AS n_samples,
+           round((10 + doc_id % 50) * 4.0, 3) AS centroid_hz,
+           round((10 + doc_id % 50) * 4.0, 3) AS peak_hz
+    FROM documents WHERE doc_id % 7 = 0
+    ORDER BY doc_id
+    """,
+)
+def multimodal_audio_spectrum(spark, sf_dir):
+    """REAL audio DSP end to end: pure-sine PCM16 WAVs (frequency
+    pinned to FFT bin k = 10 + doc_id%50 at rate 8000 / 2000 samples,
+    i.e. 4k Hz) are synthesized per document, decoded by the stdlib
+    wave path, and FFT-analyzed (numpy.rfft) inside mapInPandas
+    executors; the spectral centroid and the peak-bin frequency must
+    BOTH equal the synthesis frequency to 3 decimals — int16
+    quantization spreads <1e-4 relative energy, so this hash-checks
+    genuine spectrum math, not metadata."""
+    import numpy as np
+    import pandas as pd
+
+    d = (spread(t(spark, sf_dir, "documents"))
+         .where(F.col("doc_id") % 7 == 0)
+         .select("doc_id",
+                 (F.col("doc_id") % 50 + 10).cast("int").alias("k")))
+
+    def synth(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": [M.synthesize_sine_wav(8000, 2000,
+                                                  int(k) * 4.0)
+                            for k in pdf["k"]]})
+
+    payloads = d.mapInPandas(synth, "doc_id long, payload binary")
+
+    def analyze(it):
+        for pdf in it:
+            rows = {"doc_id": [], "n_samples": [], "centroid_hz": [],
+                    "peak_hz": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = M.decode_audio_samples(bytes(payload))
+                cen, peak = M.spectral_features(samples, rate)
+                rows["doc_id"].append(int(doc_id))
+                rows["n_samples"].append(len(samples))
+                rows["centroid_hz"].append(round(cen, 3))
+                rows["peak_hz"].append(round(peak, 3))
+            yield pd.DataFrame(rows)
+
+    out = payloads.mapInPandas(
+        analyze, "doc_id long, n_samples long, centroid_hz double, "
+                 "peak_hz double")
+    return out.orderBy("doc_id")
