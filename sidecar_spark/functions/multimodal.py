@@ -66,8 +66,8 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def _png_decode(payload: bytes):
-    """Pure-stdlib PNG decode → (width, height, mean_luma).
+def _png_decode_array(payload: bytes):
+    """Pure-stdlib PNG decode → (HxWxch uint8 array, color type).
 
     Handles the mainstream subset: 8-bit depth, grayscale / RGB /
     gray+alpha / RGBA, non-interlaced — zlib-inflates the IDAT stream
@@ -133,13 +133,54 @@ def _png_decode(payload: bytes):
             raise ValueError(f"unknown PNG filter {f}")
         out[y] = row
         prev = out[y]
-    px = out.reshape(height, width, ch).astype(np.float64)
+    px = out.reshape(height, width, ch)
+    return px, color
+
+
+def _png_decode(payload: bytes):
+    """Summary decode → (width, height, mean_luma in [0,1]) — the
+    original feature-level API, now over the array decoder."""
+    px, color = _png_decode_array(payload)
+    h, w = px.shape[0], px.shape[1]
+    return int(w), int(h), float(_png_luma(px, color).mean() / 255.0)
+
+
+def _png_luma(px, color):
+    import numpy as np  # noqa: F811
+
+    fpx = px.astype("float64")
     if color in (0, 4):          # gray / gray+alpha
-        luma = px[:, :, 0]
-    else:                        # RGB / RGBA — Rec.601 weights
-        luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
-                + 0.114 * px[:, :, 2])
-    return int(width), int(height), float(luma.mean() / 255.0)
+        return fpx[:, :, 0]
+    return (0.299 * fpx[:, :, 0] + 0.587 * fpx[:, :, 1]
+            + 0.114 * fpx[:, :, 2])
+
+
+def decode_image_array(payload: bytes):
+    """Pure-stdlib PNG decode to PIXELS → HxW uint8 luma array (the
+    array-level twin of the (w, h, mean) summary decoder) — feeds the
+    real resize path."""
+    px, color = _png_decode_array(payload)
+    return _png_luma(px, color).round().astype("uint8")
+
+
+def encode_png_gray(arr) -> bytes:
+    """Encode an HxW uint8 array as an 8-bit grayscale PNG (filter 0
+    rows, one zlib stream) — the encoder twin that lets the real
+    resize path emit spec-valid output payloads."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = a.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
 
 
 def _wav_decode(payload: bytes):
@@ -330,16 +371,29 @@ def extract_audio_features(df: DataFrame, binary_col: str = "payload",
 
 def resize_images(df: DataFrame, binary_col: str = "payload",
                   target: int = 224, fake: bool = True) -> DataFrame:
-    """Resize plumbing: output schema mirrors input with a resized
-    payload column. The fake path passes bytes through (checksummed);
-    a real implementation swaps the body only."""
+    """Resize: output schema mirrors input with a resized payload
+    column.  The REAL path decodes PNG payloads to luma pixels,
+    nearest-neighbor resamples to target x target (src index =
+    floor(i * src / target)), and re-encodes grayscale PNG — fully
+    stdlib.  The fake path passes bytes through (plumbing tests with
+    arbitrary payloads)."""
+
+    def _resize_one(payload: bytes) -> bytes:
+        import numpy as np
+
+        a = decode_image_array(bytes(payload))
+        h, w = a.shape
+        ys = (np.arange(target) * h) // target
+        xs = (np.arange(target) * w) // target
+        return encode_png_gray(a[np.ix_(ys, xs)])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError("real resize needs an image library")
             pdf = pdf.copy()
-            pdf["resized"] = pdf[binary_col]
+            if fake:
+                pdf["resized"] = pdf[binary_col]
+            else:
+                pdf["resized"] = [_resize_one(p) for p in pdf[binary_col]]
             pdf["target_size"] = target
             yield pdf
 
@@ -351,26 +405,38 @@ def resize_images(df: DataFrame, binary_col: str = "payload",
 
 def sample_video_frames(df: DataFrame, binary_col: str = "payload",
                         every_n: int = 30, fake: bool = True) -> DataFrame:
-    """Frame-sampling plumbing: one row in → N frame rows out
-    (flat-map shape). Fake decoder emits a deterministic frame count
-    derived from the payload hash."""
+    """Frame sampling: one row in → N frame rows out (flat-map
+    shape).  The REAL path decodes animated GIFs (decode_gif_frames)
+    and keeps every n-th decoded frame; the fake path derives a
+    deterministic frame count from the payload hash for arbitrary
+    bytes."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError("real frame sampling needs a video library")
             rows = []
             for _, row in pdf.iterrows():
                 payload = bytes(row[binary_col])
-                digest = hashlib.md5(payload).hexdigest()
-                n_frames = 1 + int(digest[:2], 16) % 8
-                for i in range(n_frames):
-                    rows.append({
-                        "doc_id": row["doc_id"],
-                        "frame_idx": i * every_n,
-                        "frame_checksum": hashlib.md5(
-                            f"{digest}:{i}".encode()).hexdigest(),
-                    })
+                if fake:
+                    digest = hashlib.md5(payload).hexdigest()
+                    n_frames = 1 + int(digest[:2], 16) % 8
+                    for i in range(n_frames):
+                        rows.append({
+                            "doc_id": row["doc_id"],
+                            "frame_idx": i * every_n,
+                            "frame_checksum": hashlib.md5(
+                                f"{digest}:{i}".encode()).hexdigest(),
+                        })
+                else:
+                    # REAL path: decode the animated GIF and keep every
+                    # n-th actual frame, checksummed over decoded pixels
+                    frames = decode_gif_frames(payload)
+                    for i in range(0, len(frames), every_n):
+                        rows.append({
+                            "doc_id": row["doc_id"],
+                            "frame_idx": i,
+                            "frame_checksum": hashlib.md5(
+                                frames[i].tobytes()).hexdigest(),
+                        })
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_checksum"])
 
     return df.mapInPandas(

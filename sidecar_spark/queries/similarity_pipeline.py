@@ -815,3 +815,52 @@ def multimodal_audio_spectrum(spark, sf_dir):
         analyze, "doc_id long, n_samples long, centroid_hz double, "
                  "peak_hz double")
     return out.orderBy("doc_id")
+
+
+@query(
+    "multimodal_real_resize",
+    oracle="""
+    SELECT doc_id,
+           4 AS target_size,
+           round((doc_id % 100 + 6) / 255.0, 6) AS resized_luma
+    FROM documents WHERE doc_id % 11 = 0
+    ORDER BY doc_id
+    """,
+)
+def multimodal_real_resize(spark, sf_dir):
+    """REAL image resize end to end: gradient PNGs (pixel (x,y) =
+    base + x + y on 8x8, base = doc_id%100) are encoded with the
+    stdlib PNG writer, nearest-neighbor resized to 4x4 by the real
+    path (decode pixels -> index-map -> re-encode PNG), and the
+    RESIZED payload is then re-decoded for its mean luma.  The 4x4
+    grid samples x,y in {0,2,4,6} whose mean is 3+3, so resized mean
+    luma = (base+6)/255 exactly — the oracle hash-checks the full
+    decode -> resample -> encode -> decode loop."""
+    import numpy as np
+    import pandas as pd
+
+    d = (spread(t(spark, sf_dir, "documents"))
+         .where(F.col("doc_id") % 11 == 0)
+         .select("doc_id",
+                 (F.col("doc_id") % 100).cast("int").alias("base")))
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for b in pdf["base"]:
+                arr = (np.add.outer(np.arange(8), np.arange(8))
+                       + int(b)).astype(np.uint8)
+                payloads.append(M.encode_png_gray(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                "payload": payloads})
+
+    payloads = d.mapInPandas(synth, "doc_id long, payload binary")
+    resized = M.resize_images(payloads, target=4, fake=False)
+    feats = M.extract_image_features(
+        resized.select("doc_id", F.col("resized").alias("payload"),
+                       "target_size"),
+        fake=False)
+    return (feats.join(resized.select("doc_id", "target_size"), "doc_id")
+            .select("doc_id", "target_size",
+                    F.round("mean_luma", 6).alias("resized_luma"))
+            .orderBy("doc_id"))

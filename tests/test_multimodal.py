@@ -231,3 +231,45 @@ class TestGifCodec:
         trunc = synthesize_gif(8, 8, [1])[:-10]
         with _pytest.raises((ValueError, IndexError)):
             decode_gif_frames(trunc + b"")  # truncated stream
+
+
+class TestRealResizeAndFrames:
+    def test_png_encode_decode_roundtrip(self):
+        import numpy as np
+
+        from sidecar_spark.functions.multimodal import (decode_image_array,
+                                                        encode_png_gray)
+        arr = (np.add.outer(np.arange(13), np.arange(9)) * 3 % 256
+               ).astype(np.uint8)
+        assert (decode_image_array(encode_png_gray(arr)) == arr).all()
+
+    def test_real_resize_nearest_neighbor(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from sidecar_spark.functions import multimodal as M
+        arr = (np.add.outer(np.arange(8), np.arange(8)) + 10
+               ).astype(np.uint8)
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "payload": [M.encode_png_gray(arr)]}))
+        out = M.resize_images(df, target=4, fake=False).collect()[0]
+        back = M.decode_image_array(bytes(out["resized"]))
+        assert back.shape == (4, 4)
+        assert (back == arr[np.ix_([0, 2, 4, 6], [0, 2, 4, 6])]).all()
+
+    def test_real_frame_sampling_gif(self, spark):
+        import hashlib
+
+        import pandas as pd
+
+        from sidecar_spark.functions import multimodal as M
+        gif = M.synthesize_gif_gradient(8, 8, [5, 15, 25, 35, 45])
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [7], "payload": [gif]}))
+        rows = (M.sample_video_frames(df, every_n=2, fake=False)
+                .orderBy("frame_idx").collect())
+        frames = M.decode_gif_frames(gif)
+        assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+        for r in rows:
+            want = hashlib.md5(frames[r["frame_idx"]].tobytes()).hexdigest()
+            assert r["frame_checksum"] == want
