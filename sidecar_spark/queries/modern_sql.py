@@ -2036,3 +2036,177 @@ def statestore_change_feed(spark, sf_dir):
     finally:
         import shutil
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# schema introspection + session identity functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "schema_introspection_functions",
+    oracle="""
+    SELECT 'STRUCT<a: BIGINT, b: ARRAY<DOUBLE>>' AS json_schema,
+           'STRUCT<_c0: INT, _c1: STRING, _c2: DOUBLE>' AS csv_schema,
+           'OBJECT<a: BIGINT>' AS variant_schema,
+           'array<int>' AS arr_type,
+           'decimal(12,2)' AS dec_type,
+           'spark_catalog' AS catalog,
+           'default' AS schema_name,
+           TRUE AS has_version,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    """,
+)
+def schema_introspection_functions(spark, sf_dir):
+    """Schema-introspection surface — schema_of_json / schema_of_csv /
+    schema_of_variant (plan-time schema inference from sample
+    documents), typeof (runtime type names), current_catalog /
+    current_schema (session identity; deterministic in a default
+    session), and version() (environment-dependent, checked
+    non-empty).  These are the discovery functions an ingestion
+    pipeline calls BEFORE committing to a schema; their string forms
+    are part of the stable API and oracle as literals."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_introspect_v")
+    return spark.sql("""
+        SELECT schema_of_json('{"a":1,"b":[1.5]}') AS json_schema,
+               schema_of_csv('1,x,3.5') AS csv_schema,
+               schema_of_variant(parse_json('{"a":1}')) AS variant_schema,
+               typeof(array(1, 2)) AS arr_type,
+               typeof(CAST(1 AS DECIMAL(12,2))) AS dec_type,
+               current_catalog() AS catalog,
+               current_schema() AS schema_name,
+               length(version()) > 0 AS has_version,
+               count(*) AS n_orders
+        FROM orders_introspect_v
+    """)
+
+
+# ---------------------------------------------------------------------------
+# interval constructors, bit access, regexp_instr, try-aggregates
+# ---------------------------------------------------------------------------
+
+@query(
+    "interval_bit_functions",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey,
+             o_orderkey % 30 AS d,
+             o_orderkey % 24 AS h,
+             repeat('a', CAST(o_orderkey % 5 AS INT)) || 'X9' AS s
+      FROM orders WHERE o_orderkey <= 400)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum((o_orderkey >> 2) & 1) AS BIGINT) AS bits2,
+           CAST(sum((o_orderkey >> 5) & 1) AS BIGINT) AS bits5,
+           CAST(sum(o_orderkey % 5 + 2) AS BIGINT) AS instr_sum,
+           round(sum(d * 86400.0 + h * 3600.0), 1) AS dt_interval_secs,
+           CAST(sum(12 * 2 + (o_orderkey % 12)) AS BIGINT) AS ym_months,
+           round(sum(o_orderkey * 1.0), 1) AS try_sum_v,
+           round(avg(o_orderkey * 1.0), 6) AS try_avg_v,
+           bool_and(o_orderkey > 0) AS every_pos,
+           bool_or(o_orderkey % 99 = 0) AS any_99
+    FROM v
+    """,
+)
+def interval_bit_functions(spark, sf_dir):
+    """Interval constructors (make_dt_interval / make_ym_interval,
+    verified through their second/month magnitudes), bit access
+    (getbit / bit_get), regexp_instr (match position pinned by
+    construction: k 'a's then a digit at k+2), try_sum / try_avg
+    (overflow-tolerant aggregates; equal to the plain forms on
+    in-range data), and every / any boolean aggregates."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 400)
+    v = o.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 30).alias("d"),
+        (F.col("o_orderkey") % 24).alias("h"),
+        F.concat(F.repeat(F.lit("a"),
+                          (F.col("o_orderkey") % 5).cast("int")),
+                 F.lit("X9")).alias("s"))
+    v.createOrReplaceTempView("interval_bits_v")
+    return spark.sql("""
+        SELECT count(*) AS n,
+               sum(getbit(o_orderkey, 2)) AS bits2,
+               sum(bit_get(o_orderkey, 5)) AS bits5,
+               sum(regexp_instr(s, '[0-9]')) AS instr_sum,
+               round(sum(CAST(extract(SECOND FROM make_dt_interval(
+                     CAST(d AS INT), CAST(h AS INT), 0, 0.0)) AS DOUBLE)
+                   + extract(MINUTE FROM make_dt_interval(
+                     CAST(d AS INT), CAST(h AS INT), 0, 0.0)) * 60.0
+                   + extract(HOUR FROM make_dt_interval(
+                     CAST(d AS INT), CAST(h AS INT), 0, 0.0)) * 3600.0
+                   + extract(DAY FROM make_dt_interval(
+                     CAST(d AS INT), CAST(h AS INT), 0, 0.0)) * 86400.0),
+                   1) AS dt_interval_secs,
+               sum(extract(YEAR FROM make_ym_interval(
+                     2, CAST(o_orderkey % 12 AS INT))) * 12
+                   + extract(MONTH FROM make_ym_interval(
+                     2, CAST(o_orderkey % 12 AS INT)))) AS ym_months,
+               round(try_sum(o_orderkey * 1.0), 1) AS try_sum_v,
+               round(try_avg(o_orderkey * 1.0), 6) AS try_avg_v,
+               every(o_orderkey > 0) AS every_pos,
+               any(o_orderkey % 99 = 0) AS any_99
+        FROM interval_bits_v
+    """)
+
+
+# ---------------------------------------------------------------------------
+# generator outer variants: inline / inline_outer / posexplode_outer
+# ---------------------------------------------------------------------------
+
+@query(
+    "generator_outer_variants",
+    oracle="""
+    -- arithmetic replay of the generators: a NULL array yields ONE
+    -- null-padded row (a = -1 sentinel, pos = -1); a 2-element array
+    -- yields rows a = k%7, k%11 and pos 0, 1
+    SELECT CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 2 END)
+                AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_rows,
+           CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN -1
+                         ELSE o_orderkey % 7 + o_orderkey % 11 END)
+                AS BIGINT) AS sum_a,
+           CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN -1 ELSE 1 END)
+                AS BIGINT) AS sum_pos
+    FROM orders WHERE o_orderkey <= 300
+    """,
+)
+def generator_outer_variants(spark, sf_dir):
+    """Outer generator variants — inline_outer (array-of-structs to
+    columns, null array preserved as a null row) with posexplode_outer
+    (position-preserving explode, same null contract): every 3rd
+    order carries a NULL array and must survive as exactly one
+    null-padded row in both generators.  DuckDB replays the same
+    semantics with LEFT JOIN LATERAL unnest; the null-row and
+    multiplicity accounting is the test."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 300)
+    src = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
+            F.array(
+                F.struct((F.col("o_orderkey") % 7).alias("a"),
+                         F.col("o_orderstatus").alias("b")),
+                F.struct((F.col("o_orderkey") % 11).alias("a"),
+                         F.lit("z").alias("b")))).alias("arr"))
+    src.createOrReplaceTempView("gen_outer_v")
+    inl = spark.sql("""
+        SELECT o_orderkey, a FROM gen_outer_v
+        LATERAL VIEW OUTER inline_outer(arr) AS a, b
+    """)
+    pos = spark.sql("""
+        SELECT o_orderkey, pos FROM gen_outer_v
+        LATERAL VIEW OUTER posexplode_outer(arr) AS pos, val
+    """)
+    joined = (inl.groupBy("o_orderkey")
+              .agg(F.count(F.lit(1)).alias("n_i"),
+                   F.sum(F.when(F.col("a").isNull(), 1).otherwise(0))
+                   .alias("nulls_i"),
+                   F.sum(F.coalesce(F.col("a"), F.lit(-1))).alias("sa"))
+              .join(pos.groupBy("o_orderkey")
+                    .agg(F.sum(F.coalesce(F.col("pos"), F.lit(-1)))
+                         .alias("sp")), "o_orderkey"))
+    return joined.agg(
+        F.sum("n_i").alias("n_rows"),
+        F.sum("nulls_i").alias("n_null_rows"),
+        F.sum("sa").alias("sum_a"),
+        F.sum("sp").alias("sum_pos"))
