@@ -2210,3 +2210,91 @@ def generator_outer_variants(spark, sf_dir):
         F.sum("nulls_i").alias("n_null_rows"),
         F.sum("sa").alias("sum_a"),
         F.sum("sp").alias("sum_pos"))
+
+
+# ---------------------------------------------------------------------------
+# SQL session variables (DECLARE / SET VAR) + IDENTIFIER indirection
+# ---------------------------------------------------------------------------
+
+@query(
+    "session_variables_sql",
+    oracle="""
+    WITH th AS (SELECT round(avg(o_totalprice), 2) AS t FROM orders)
+    SELECT (SELECT t FROM th) AS threshold,
+           CAST((SELECT count(*) FROM orders, th
+                 WHERE o_totalprice > t) AS BIGINT) AS n_above,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    """,
+)
+def session_variables_sql(spark, sf_dir):
+    """SQL session variables (Spark 4: DECLARE VARIABLE / SET VAR):
+    a threshold computed by one statement is carried in a session
+    variable into the next — cross-statement state without temp
+    views, plus IDENTIFIER() indirection resolving a table name from
+    a variable.  The oracle inlines the same two-step computation as
+    CTEs; equal results prove the variable carried the exact value."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sesvar_v")
+    spark.sql("DECLARE OR REPLACE VARIABLE sidecar_threshold DOUBLE")
+    spark.sql("DECLARE OR REPLACE VARIABLE sidecar_tbl STRING")
+    spark.sql("SET VAR sidecar_threshold = (SELECT round(avg(o_totalprice), 2) "
+              "FROM orders_sesvar_v)")
+    spark.sql("SET VAR sidecar_tbl = 'orders_sesvar_v'")
+    return spark.sql("""
+        SELECT sidecar_threshold AS threshold,
+               (SELECT count(*) FROM IDENTIFIER(sidecar_tbl)
+                WHERE o_totalprice > sidecar_threshold) AS n_above,
+               count(*) AS n_orders
+        FROM IDENTIFIER(sidecar_tbl)
+    """)
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE TABLE statistics: the CBO input surface
+# ---------------------------------------------------------------------------
+
+@query(
+    "analyze_table_stats",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS row_count,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS seg_ndv,
+           CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS acctbal_nulls
+    FROM customer
+    """,
+)
+def analyze_table_stats(spark, sf_dir):
+    """ANALYZE TABLE ... COMPUTE STATISTICS (+ FOR COLUMNS): the
+    statistics that feed cost-based join reordering and broadcast
+    decisions at 100 TB.  The table is materialized into the session
+    catalog, analyzed, and the recorded stats are read back via
+    DESCRIBE EXTENDED — the recorded row count and per-column
+    distinct/null counts must equal the true values the oracle
+    computes (Spark column NDV comes from HLL++ at a precision that
+    is exact at this cardinality)."""
+    spark.sql("DROP TABLE IF EXISTS sidecar_cust_stats")
+    (t(spark, sf_dir, "customer")
+     .write.mode("overwrite").saveAsTable("sidecar_cust_stats"))
+    spark.sql("ANALYZE TABLE sidecar_cust_stats COMPUTE STATISTICS")
+    spark.sql("ANALYZE TABLE sidecar_cust_stats COMPUTE STATISTICS "
+              "FOR COLUMNS c_mktsegment, c_acctbal")
+    rows = spark.sql(
+        "DESCRIBE TABLE EXTENDED sidecar_cust_stats").collect()
+    stats_line = next(r["data_type"] for r in rows
+                      if r["col_name"] == "Statistics")
+    row_count = int(stats_line.split(",")[1].strip().split(" ")[0])
+    seg = spark.sql("DESCRIBE TABLE EXTENDED sidecar_cust_stats "
+                    "c_mktsegment").collect()
+    bal = spark.sql("DESCRIBE TABLE EXTENDED sidecar_cust_stats "
+                    "c_acctbal").collect()
+
+    def stat(rows_, name):
+        return next(r["info_value"] for r in rows_
+                    if r["info_name"] == name)
+
+    out = spark.createDataFrame(
+        [(row_count, int(stat(seg, "distinct_count")),
+          int(stat(bal, "num_nulls")))],
+        "row_count bigint, seg_ndv bigint, acctbal_nulls bigint")
+    spark.sql("DROP TABLE IF EXISTS sidecar_cust_stats")
+    return out.localCheckpoint(eager=True)
