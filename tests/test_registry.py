@@ -75,13 +75,16 @@ def _final_select_items(sql: str):
         elif depth == 0:
             end = last + m.start()
             break
-    items, buf, depth = [], [], 0
+    items, buf, depth, in_str = [], [], 0, False
     for ch in flat[last:end]:
-        if ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "'":
+            in_str = not in_str  # commas inside string literals don't split
+        elif not in_str:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+        if ch == "," and depth == 0 and not in_str:
             items.append("".join(buf).strip())
             buf = []
         else:

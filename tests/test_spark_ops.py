@@ -333,3 +333,63 @@ class TestTransformWithState:
         except ModuleNotFoundError:
             has = False
         assert tws_available() == has
+
+
+class TestEngineOverObjectStore:
+    def test_engine_sql_over_s3_base_dir(self, spark, sf_dir):
+        """The reference's deployment scenario at Engine level: the
+        base_dir is an s3:// location (localhost S3-dialect endpoint),
+        tables resolve through the cache mirror, and a SQL join/agg
+        over the registered views equals the same query on the local
+        originals — the full 'switch fs.s3a.impl and keep your
+        queries' contract."""
+        import shutil
+
+        from sidecar_spark import Engine, SidecarConfig
+        from sidecar_spark.cache.fs import RemoteFS
+        from sidecar_spark.cache.manager import CacheManager
+        from sidecar_spark.testing.s3server import S3StubServer
+
+        CacheManager.clear_instances()
+        tmp = tempfile.mkdtemp(prefix="sidecar-engs3-")
+        with S3StubServer() as srv:
+            os.environ["SIDECAR_S3_ENDPOINT"] = srv.endpoint
+            try:
+                fs, _ = RemoteFS.from_uri("s3://lake2")
+                for tbl in ("nation", "region"):
+                    with open(os.path.join(sf_dir, f"{tbl}.parquet"),
+                              "rb") as f:
+                        fs.write_all(
+                            f"s3://lake2/{tbl}.parquet/part-0.parquet",
+                            f.read())
+                eng = Engine(spark, base_dir="s3://lake2",
+                             conf=SidecarConfig.create(
+                                 cache_dir=os.path.join(tmp, "cache"),
+                                 data_cache_type="file",
+                                 cache_persistent=False))
+                eng.register("nation")
+                eng.register("region")
+                got = eng.sql("""
+                    SELECT r_name, count(*) AS n
+                    FROM nation JOIN region ON n_regionkey = r_regionkey
+                    GROUP BY r_name ORDER BY r_name
+                """).collect()
+                nat = spark.read.parquet(
+                    os.path.join(sf_dir, "nation.parquet"))
+                reg = spark.read.parquet(
+                    os.path.join(sf_dir, "region.parquet"))
+                nat.createOrReplaceTempView("nat_l")
+                reg.createOrReplaceTempView("reg_l")
+                want = spark.sql("""
+                    SELECT r_name, count(*) AS n
+                    FROM nat_l JOIN reg_l ON n_regionkey = r_regionkey
+                    GROUP BY r_name ORDER BY r_name
+                """).collect()
+                assert [tuple(r) for r in got] == [tuple(r) for r in want]
+                # provenance: the mirror served the bytes locally
+                assert eng.cache.stats.get(
+                    "total_read_requests_from_remote") > 0
+                eng.close()
+            finally:
+                os.environ.pop("SIDECAR_S3_ENDPOINT", None)
+                shutil.rmtree(tmp, ignore_errors=True)
