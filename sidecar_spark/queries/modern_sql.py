@@ -2298,3 +2298,98 @@ def analyze_table_stats(spark, sf_dir):
         "row_count bigint, seg_ndv bigint, acctbal_nulls bigint")
     spark.sql("DROP TABLE IF EXISTS sidecar_cust_stats")
     return out.localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# xpath family over constructed XML documents
+# ---------------------------------------------------------------------------
+
+@query(
+    "xpath_functions",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey, o_orderkey % 7 AS a, o_orderkey % 5 AS n_items
+      FROM orders WHERE o_orderkey <= 400)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a) AS BIGINT) AS sum_a,
+           CAST(sum(CASE WHEN a > 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_big,
+           CAST(sum(n_items) AS BIGINT) AS total_items,
+           array_to_string(['s' || CAST(min(o_orderkey) % 7 AS VARCHAR)],
+                           ',') AS first_tag
+    FROM v
+    """,
+)
+def xpath_functions(spark, sf_dir):
+    """The xpath family (xpath_string / xpath_int / xpath_boolean /
+    xpath list form) over per-row XML documents constructed from
+    order keys — every extraction is pinned by the construction rule
+    (value k%7 in <a>, k%5 repeated <item> elements counted via the
+    list form).  XML path extraction is the legacy-ingest surface
+    (SOAP/feed dumps) a migration pipeline still meets at scale; all
+    map-side expressions."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 400)
+    xml = F.concat(
+        F.lit("<r><a>"), (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("</a><s>s"), (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("</s>"),
+        F.expr("repeat('<item/>', CAST(o_orderkey % 5 AS INT))"),
+        F.lit("</r>"))
+    v = o.select("o_orderkey", xml.alias("doc"))
+    v.createOrReplaceTempView("xpath_v")
+    return spark.sql("""
+        SELECT count(*) AS n,
+               sum(xpath_int(doc, '/r/a')) AS sum_a,
+               sum(CASE WHEN xpath_boolean(doc, '/r/a > 3')
+                        THEN 1 ELSE 0 END) AS n_big,
+               sum(size(xpath(doc, '/r/item'))) AS total_items,
+               array_join(xpath(min_by(doc, o_orderkey), '/r/s/text()'),
+                          ',') AS first_tag
+        FROM xpath_v
+    """)
+
+
+# ---------------------------------------------------------------------------
+# binary conversion: to_binary / try_to_binary across encodings
+# ---------------------------------------------------------------------------
+
+@query(
+    "binary_conversion_functions",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey, 'k' || CAST(o_orderkey AS VARCHAR) AS s
+      FROM orders WHERE o_orderkey <= 300)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN from_base64(to_base64(s::BLOB))::VARCHAR = s
+                         THEN 1 ELSE 0 END) AS BIGINT) AS b64_roundtrip,
+           CAST(sum(length(hex(s::BLOB))) AS BIGINT) AS hex_len,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_invalid,
+           min(chr(65 + CAST(o_orderkey % 26 AS INT))) AS min_chr
+    FROM v
+    """,
+)
+def binary_conversion_functions(spark, sf_dir):
+    """to_binary / try_to_binary across encodings: utf-8 and base64
+    round trips must be identities, hex widening doubles the length,
+    try_to_binary returns NULL (not an error) on invalid hex — the
+    error-tolerant twin — and char() maps code points.  Binary
+    transport correctness is what keeps multimodal payload columns
+    byte-faithful through string channels."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 300)
+    v = o.select("o_orderkey",
+                 F.concat(F.lit("k"), F.col("o_orderkey").cast("string"))
+                 .alias("s"))
+    v.createOrReplaceTempView("binconv_v")
+    return spark.sql("""
+        SELECT count(*) AS n,
+               sum(CASE WHEN CAST(to_binary(base64(encode(s, 'utf-8')),
+                                            'base64') AS STRING) = s
+                        THEN 1 ELSE 0 END) AS b64_roundtrip,
+               sum(length(hex(encode(s, 'utf-8')))) AS hex_len,
+               sum(CASE WHEN o_orderkey % 2 = 0
+                        AND try_to_binary('zz-not-hex', 'hex') IS NULL
+                        THEN 1 ELSE 0 END) AS null_invalid,
+               min(char(65 + o_orderkey % 26)) AS min_chr
+        FROM binconv_v
+    """)
