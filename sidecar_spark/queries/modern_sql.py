@@ -2393,3 +2393,44 @@ def binary_conversion_functions(spark, sf_dir):
                min(char(65 + o_orderkey % 26)) AS min_chr
         FROM binconv_v
     """)
+
+
+# ---------------------------------------------------------------------------
+# EXECUTE IMMEDIATE — dynamic SQL (Spark 4.0+)
+# ---------------------------------------------------------------------------
+
+@query(
+    "execute_immediate_dynamic",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_totalprice > 150000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def execute_immediate_dynamic(spark, sf_dir):
+    """EXECUTE IMMEDIATE (Spark 4 dynamic SQL): the statement text
+    lives in a session variable and parameters bind via USING — the
+    pattern metadata-driven pipelines use to run generated SQL
+    (per-tenant filters, config-driven thresholds) without Python
+    string splicing.  The parameter marker is bound server-side, so
+    the plan is identical to the static form: one scan with the
+    pushed predicate, one shuffle for the aggregate.  The oracle is
+    the statically written equivalent; matching hashes prove the
+    dynamic path binds the parameter exactly."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_dynsql_v")
+    spark.sql("DECLARE OR REPLACE VARIABLE sidecar_dyn_sql STRING")
+    spark.sql("""
+        SET VAR sidecar_dyn_sql =
+          'SELECT o_orderpriority,
+                  count(*) AS n_orders,
+                  round(sum(o_totalprice), 2) AS total
+           FROM orders_dynsql_v
+           WHERE o_totalprice > ?
+           GROUP BY o_orderpriority
+           ORDER BY o_orderpriority'
+    """)
+    return spark.sql("EXECUTE IMMEDIATE sidecar_dyn_sql USING 150000")

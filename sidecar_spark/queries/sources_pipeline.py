@@ -28,6 +28,9 @@ from sidecar_spark.queries.registry import query, t
 
 _ROOT = "/tmp/sidecar-formats"
 
+# DuckDB twin of functions/dedup.py::hash60 over a SQL expression
+_H60 = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
+
 
 def _tag(sf_dir: str) -> str:
     return os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
@@ -670,3 +673,157 @@ def csv_corrupt_records(spark, sf_dir):
     finally:
         import shutil
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Raw-file sources: binaryFile + text (the corpus-of-files ingest path)
+# ---------------------------------------------------------------------------
+
+def _materialize_doc_files(spark, sf_dir, mod: int) -> str:
+    """One raw file per document (doc_id % mod == 0), laid out as
+    ``doc_id=<k>/part-*`` via a partitionBy text write — the
+    file-per-record corpus layout a crawl or scrape delivers.  Same
+    marker + source-mtime guard as ``_materialize``."""
+    docs = t(spark, sf_dir, "documents")
+    try:
+        mt = os.stat(os.path.join(sf_dir, "documents.parquet")).st_mtime_ns
+    except OSError:
+        mt = 0
+    path = os.path.join(_ROOT, _tag(sf_dir), f"docfiles_{mod}_{mt}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        import glob as _glob
+        import shutil as _shutil
+        for old in _glob.glob(os.path.join(
+                _ROOT, _tag(sf_dir), f"docfiles_{mod}_*")):
+            if old != path:
+                _shutil.rmtree(old, ignore_errors=True)
+        (docs.where(F.col("doc_id") % mod == 0)
+             .select("doc_id", "text")
+             .write.mode("overwrite").partitionBy("doc_id")
+             .format("text").save(path))
+    return path
+
+
+def _materialize_text_lines(spark, sf_dir, single: bool) -> str:
+    """documents.text exported line-per-row as raw text, either with
+    natural partitioning (distributed read path) or coalesced to one
+    file (the wholetext case)."""
+    docs = t(spark, sf_dir, "documents").select("text")
+    try:
+        mt = os.stat(os.path.join(sf_dir, "documents.parquet")).st_mtime_ns
+    except OSError:
+        mt = 0
+    tag = "textlines1" if single else "textlines"
+    path = os.path.join(_ROOT, _tag(sf_dir), f"{tag}_{mt}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        import glob as _glob
+        import shutil as _shutil
+        for old in _glob.glob(os.path.join(_ROOT, _tag(sf_dir), f"{tag}_*")):
+            if old != path:
+                _shutil.rmtree(old, ignore_errors=True)
+        out = docs.coalesce(1) if single else docs
+        out.write.mode("overwrite").format("text").save(path)
+    return path
+
+
+@query(
+    "binaryfile_source_scan",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(strlen(text) + 1) AS BIGINT) AS total_bytes,
+           CAST(count(*) AS BIGINT) AS n_verified
+    FROM documents
+    WHERE doc_id % 25 = 0
+    """,
+)
+def binaryfile_source_scan(spark, sf_dir):
+    """The ``binaryFile`` source — Spark's opaque-bytes reader and the
+    front door for every multimodal ingest (images, audio, raw docs
+    land as files, not rows; SURVEY.md multimodal plumbing starts
+    here).  Each file arrives as (path, modificationTime, length,
+    content); the partition-directory key is recovered from the path
+    and every payload is byte-verified against the table of record
+    (text + the sink's line terminator), so the aggregate proves
+    content fidelity, not just file counts.  At 100 TB this scan is
+    embarrassingly parallel — files split across tasks, no shuffle
+    until the final 1-row aggregate; the join back to ``documents``
+    broadcasts the (tiny) file-key side only because verification
+    demands it, a test-only step."""
+    path = _materialize_doc_files(spark, sf_dir, 25)
+    docs = (t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 25 == 0)
+            .select("doc_id", "text"))
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "part-*")
+             .option("recursiveFileLookup", "true")
+             .load(path))
+    parsed = files.select(
+        F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("long")
+         .alias("doc_id"),
+        F.col("length").alias("nbytes"),
+        F.decode("content", "UTF-8").alias("payload"))
+    return (parsed.join(docs, "doc_id")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum("nbytes").alias("total_bytes"),
+                 F.sum(F.when(F.col("payload")
+                              == F.concat(F.col("text"), F.lit("\n")), 1)
+                       .otherwise(0)).alias("n_verified")))
+
+
+@query(
+    "text_source_lines",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_chars,
+           CAST(min(strlen(text)) AS BIGINT) AS min_len,
+           CAST(max(strlen(text)) AS BIGINT) AS max_len,
+           CAST(sum({_H60.format(e='text')} % 1000000007) AS BIGINT)
+               AS checksum
+    FROM documents
+    """,
+)
+def text_source_lines(spark, sf_dir):
+    """``spark.read.text`` line-per-row — the raw-text ingest path
+    (crawl dumps, log corpora) before any schema exists.  The export
+    keeps natural partitioning so the read is distributed: one task
+    per split, newline framing inside the scan, zero shuffles before
+    the final aggregate.  A content checksum (the battery's shared
+    60-bit md5 fold) rides along so any mangling of line framing or
+    encoding — not just a miscount — breaks the oracle match."""
+    from sidecar_spark.functions.dedup import hash60
+
+    path = _materialize_text_lines(spark, sf_dir, single=False)
+    lines = spark.read.text(path)
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.length("value")).alias("min_len"),
+        F.max(F.length("value")).alias("max_len"),
+        F.sum(hash60(F.col("value")) % 1000000007).alias("checksum"))
+
+
+@query(
+    "text_source_wholetext",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(strlen(text) + 1) AS BIGINT) AS file_bytes
+    FROM documents
+    """,
+)
+def text_source_wholetext(spark, sf_dir):
+    """``wholetext=true``: one row per FILE instead of per line — how
+    document-level formats (one story/article per file) enter a
+    pipeline without losing their internal newlines.  The export is
+    coalesced to a single file, so the source must deliver exactly
+    one row carrying every byte; line count and byte count are then
+    recovered from inside the payload and must equal the per-row
+    truth.  The scale contract differs from the line reader: wholetext
+    files are NOT splittable (one task per file), so at 100 TB the
+    unit of parallelism is the file count, never the byte count."""
+    path = _materialize_text_lines(spark, sf_dir, single=True)
+    # NOTE: reader.option("wholetext", ...).text(path) is silently
+    # overridden by .text()'s own keyword defaults - pass the kwarg
+    whole = spark.read.text(path, wholetext=True)
+    return whole.agg(
+        F.sum(F.size(F.split(F.col("value"), "\n")) - 1).alias("n_lines"),
+        F.sum(F.length("value")).alias("file_bytes"))

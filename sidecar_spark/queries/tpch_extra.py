@@ -2037,3 +2037,77 @@ def sql_pivot_clause(spark, sf_dir):
                                      'P' AS P_total))
         ORDER BY o_orderpriority
     """)
+
+
+@query(
+    "stat_crosstab",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+           count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+               AS unspecified,
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+    FROM orders
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def stat_crosstab(spark, sf_dir):
+    """``DataFrame.stat.crosstab`` — the contingency-table member of
+    the df.stat surface (cov/corr/approxQuantile live in stats_agg /
+    approx_quantile_audit).  crosstab compiles to a pivot-style
+    conditional aggregate: ONE shuffle on the row key; the column key's
+    distinct values become columns driver-side, so it is only legal
+    when the column-key cardinality is tiny (here 5 priorities) — at
+    100 TB the row-key cardinality can be anything, the column key
+    must stay enumerable.  Columns are selected explicitly because
+    crosstab's column order is derived from an unordered distinct
+    scan."""
+    ct = (t(spark, sf_dir, "orders")
+          .select("o_orderstatus", "o_orderpriority")
+          .stat.crosstab("o_orderstatus", "o_orderpriority"))
+    return (ct.select(
+        F.col("o_orderstatus_o_orderpriority").alias("status"),
+        F.col("`1-URGENT`").alias("urgent"),
+        F.col("`2-HIGH`").alias("high"),
+        F.col("`3-MEDIUM`").alias("medium"),
+        F.col("`4-NOT SPECIFIED`").alias("unspecified"),
+        F.col("`5-LOW`").alias("low"))
+        .orderBy("status"))
+
+
+@query(
+    "freq_items_verified",
+    oracle="""
+    SELECT lang AS item, count(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    HAVING count(*) >= 0.3 * (SELECT count(*) FROM documents)
+    ORDER BY item
+    """,
+)
+def freq_items_verified(spark, sf_dir):
+    """``DataFrame.stat.freqItems`` hardened into an exact operator.
+    freqItems is single-pass streaming (Karp et al. misra-gries): it
+    GUARANTEES every item with frequency > support is returned but may
+    add false positives — so raw output is not oracle-comparable.  The
+    production pattern at 100 TB: freqItems as the cheap one-pass
+    candidate generator (map-side, no shuffle), then one exact count
+    over the (tiny) candidate set to drop the false positives.  The
+    verify side aggregates the corpus once on a uniform key; the
+    candidate join is a broadcast of a handful of rows."""
+    docs = t(spark, sf_dir, "documents")
+    cand = (docs.stat.freqItems(["lang"], support=0.3)
+            .select(F.explode("lang_freqItems").alias("item")))
+    counts = docs.groupBy(F.col("lang").alias("item")) \
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    total_w = W.partitionBy()
+    verified = (counts
+                .withColumn("__total", F.sum("n_docs").over(total_w))
+                .join(F.broadcast(cand), "item")
+                .where(F.col("n_docs") >= 0.3 * F.col("__total"))
+                .select("item", "n_docs")
+                .orderBy("item"))
+    return verified
