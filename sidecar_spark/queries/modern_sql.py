@@ -2434,3 +2434,146 @@ def execute_immediate_dynamic(spark, sf_dir):
            ORDER BY o_orderpriority'
     """)
     return spark.sql("EXECUTE IMMEDIATE sidecar_dyn_sql USING 150000")
+
+
+# ---------------------------------------------------------------------------
+# DataFrame.transpose (Spark 4.0) + lateral column aliases +
+# DISTRIBUTE/SORT BY + the SQL UNPIVOT clause
+# ---------------------------------------------------------------------------
+
+@query(
+    "dataframe_transpose",
+    oracle="""
+    SELECT 'n_orders' AS key,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS F,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS O,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS P
+    FROM orders
+    UNION ALL
+    SELECT 'sum_price',
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2),
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2),
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2)
+    FROM orders
+    """,
+)
+def dataframe_transpose(spark, sf_dir):
+    """``DataFrame.transpose`` (Spark 4.0): rows become columns with
+    the first column supplying the new header.  Strictly a
+    driver-bounded operator — the frame being transposed must be
+    small (here a 3-row aggregate), because the transposed width is
+    the input row count; the correct 100 TB usage is always
+    aggregate-then-transpose, never transpose-the-fact-table.  Values
+    share one common type (double here) since a transposed column
+    mixes what were heterogeneous row values."""
+    agg = (t(spark, sf_dir, "orders")
+           .groupBy("o_orderstatus")
+           .agg(F.count(F.lit(1)).cast("double").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+           .orderBy("o_orderstatus"))
+    return agg.transpose()
+
+
+@query(
+    "lateral_column_alias",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(o_totalprice), 2) AS total,
+           round(round(sum(o_totalprice), 2) * 0.1, 2) AS tax,
+           round(round(round(sum(o_totalprice), 2) * 0.1, 2) / 2, 2)
+               AS half_tax
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def lateral_column_alias(spark, sf_dir):
+    """Lateral column aliases (Spark 3.4+): a SELECT-list alias is
+    referenced by LATER expressions in the same SELECT — the
+    spreadsheet-style derivation chain that otherwise needs nested
+    subqueries.  Catalyst inlines the alias chain into one Project,
+    so the plan is identical to writing the expressions out in full
+    (which is exactly what the oracle does)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lca_v")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               round(sum(o_totalprice), 2) AS total,
+               round(total * 0.1, 2) AS tax,
+               round(tax / 2, 2) AS half_tax
+        FROM orders_lca_v
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)
+
+
+@query(
+    "distribute_sort_by",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n_cust,
+           round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def distribute_sort_by(spark, sf_dir):
+    """DISTRIBUTE BY / SORT BY — Hive-inherited physical-layout SQL:
+    DISTRIBUTE BY hashes rows to partitions (an Exchange on exactly
+    that key, no global order), SORT BY orders within each partition
+    only.  This is the write-side layout tool: a downstream consumer
+    aggregating on the distribution key gets its shuffle for free,
+    and partition-local runs of the sort key compress better in
+    parquet.  The aggregate on top consumes the pre-distributed
+    layout without a second exchange; results are layout-invariant,
+    which is what the oracle pins."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_dsb_v")
+    return spark.sql("""
+        WITH laid_out AS (
+          SELECT c_nationkey, c_acctbal
+          FROM customer_dsb_v
+          DISTRIBUTE BY c_nationkey SORT BY c_nationkey, c_acctbal
+        )
+        SELECT c_nationkey, count(*) AS n_cust,
+               round(sum(c_acctbal), 2) AS sum_bal
+        FROM laid_out
+        GROUP BY c_nationkey
+    """)
+
+
+@query(
+    "sql_unpivot_clause",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderstatus,
+             round(sum(o_totalprice), 2) AS sum_price,
+             round(avg(o_totalprice), 2) AS avg_price,
+             round(max(o_totalprice), 2) AS max_price
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, metric, val FROM (
+      SELECT o_orderstatus, 'sum_price' AS metric, sum_price AS val
+      FROM wide
+      UNION ALL
+      SELECT o_orderstatus, 'avg_price', avg_price FROM wide
+      UNION ALL
+      SELECT o_orderstatus, 'max_price', max_price FROM wide)
+    ORDER BY o_orderstatus, metric
+    """,
+)
+def sql_unpivot_clause(spark, sf_dir):
+    """The SQL UNPIVOT clause (vs the DataFrame ``unpivot``/melt API
+    used by unpivot_melt): wide→long inside pure SQL.  UNPIVOT
+    compiles to the same Expand node as melt — each input row fans
+    out to one row per measure column with zero shuffles; the
+    ORDER BY at the top is the only exchange in the plan."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_unpv_v")
+    return spark.sql("""
+        SELECT o_orderstatus, metric, val FROM (
+          SELECT o_orderstatus,
+                 round(sum(o_totalprice), 2) AS sum_price,
+                 round(avg(o_totalprice), 2) AS avg_price,
+                 round(max(o_totalprice), 2) AS max_price
+          FROM orders_unpv_v GROUP BY o_orderstatus
+        )
+        UNPIVOT (val FOR metric IN (sum_price, avg_price, max_price))
+        ORDER BY o_orderstatus, metric
+    """)
