@@ -864,3 +864,51 @@ def multimodal_real_resize(spark, sf_dir):
             .select("doc_id", "target_size",
                     F.round("mean_luma", 6).alias("resized_luma"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Covariance of the leading embedding dims — the PCA input at scale
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_covariance",
+    oracle="""
+    WITH e AS (
+      SELECT embedding[1]::DOUBLE AS x0, embedding[2]::DOUBLE AS x1,
+             embedding[3]::DOUBLE AS x2, embedding[4]::DOUBLE AS x3
+      FROM embeddings)
+    SELECT 'cov' AS stat,
+           round(covar_pop(x0, x0), 6) AS c00,
+           round(covar_pop(x0, x1), 6) AS c01,
+           round(covar_pop(x0, x2), 6) AS c02,
+           round(covar_pop(x0, x3), 6) AS c03,
+           round(covar_pop(x1, x1), 6) AS c11,
+           round(covar_pop(x1, x2), 6) AS c12,
+           round(covar_pop(x1, x3), 6) AS c13,
+           round(covar_pop(x2, x2), 6) AS c22,
+           round(covar_pop(x2, x3), 6) AS c23,
+           round(covar_pop(x3, x3), 6) AS c33,
+           round(covar_pop(x0, x0) + covar_pop(x1, x1)
+                 + covar_pop(x2, x2) + covar_pop(x3, x3), 6)
+             AS trace_var
+    FROM e
+    """,
+)
+def embedding_covariance(spark, sf_dir):
+    """The upper triangle of the population covariance matrix over
+    the leading 4 embedding dimensions plus its trace (total
+    variance) — the exact aggregation a distributed PCA runs before
+    the driver-side eigendecomposition: covariance is a pure
+    map-side-partial aggregate (sum, sum of products), one reduce,
+    O(d^2) state regardless of row count, so the same plan covers
+    100 TB of vectors.  covar_pop on both engines pins the parity."""
+    e = t(spark, sf_dir, "embeddings")
+    cols = [F.col("embedding")[i].cast("double").alias(f"x{i}")
+            for i in range(4)]
+    v = e.select(*cols)
+    names = [(i, j) for i in range(4) for j in range(i, 4)]
+    aggs = ([F.round(F.covar_pop(f"x{i}", f"x{j}"), 6)
+             .alias(f"c{i}{j}") for i, j in names]
+            + [F.round(sum(F.covar_pop(f"x{i}", f"x{i}")
+                           for i in range(4)), 6).alias("trace_var")])
+    return v.agg(*aggs).select(F.lit("cov").alias("stat"), "*")

@@ -1337,3 +1337,147 @@ def pii_detection_audit(spark, sf_dir):
                    - F.length("note")).alias("redaction_len_delta"))
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style segment-level dedup: fixed word-window spans deduped corpus-wide
+# ---------------------------------------------------------------------------
+
+@query(
+    "segment_dedup_c4",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws
+      FROM documents),
+    seg AS (
+      SELECT doc_id, source,
+             array_to_string(ws[k.k*10+1 : k.k*10+10], ' ') AS seg
+      FROM w, LATERAL (
+        SELECT unnest(generate_series(
+          0, CAST(ceil(len(ws)/10.0) AS INT) - 1)) AS k) k),
+    d AS (
+      SELECT seg, count(DISTINCT doc_id) AS nd, count(*) AS cnt
+      FROM seg GROUP BY seg)
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_occurrences,
+           CAST(sum(CASE WHEN d.nd > 1 THEN length(s.seg) ELSE 0 END)
+                AS BIGINT) AS chars_flagged,
+           CAST(count(DISTINCT CASE WHEN d.nd > 1 THEN s.doc_id END)
+                AS BIGINT) AS docs_with_dup
+    FROM seg s JOIN d USING (seg)
+    GROUP BY s.source ORDER BY s.source
+    """,
+)
+def segment_dedup_c4(spark, sf_dir):
+    """C4-style span dedup (the step between exact-doc and MinHash
+    dedup in a training-data pipeline): cut every document into
+    fixed 10-word segments, count each segment's distinct-document
+    support corpus-wide, and flag occurrences whose segment appears
+    in more than one document.  Two shuffles at scale — explode is
+    map-side, support count groups on the segment text (bounded key:
+    ≤10 words), and the occurrence→support join is an equi-join on
+    the same key, so partitioning is reused.  Per-source report:
+    occurrences flagged, chars that would be cut, docs touched."""
+    d = t(spark, sf_dir, "documents")
+    seg = (
+        d.select(
+            "doc_id", "source",
+            F.explode(F.expr(
+                "transform(sequence(0, cast(ceil(size(split(text, ' '))/10.0)"
+                " as int) - 1),"
+                " k -> array_join(slice(split(text, ' '), k*10+1, 10), ' '))"
+            )).alias("seg")))
+    support = (seg.groupBy("seg")
+               .agg(F.countDistinct("doc_id").alias("nd")))
+    joined = seg.join(support, "seg")
+    dup = F.col("nd") > 1
+    return (
+        joined.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_segments"),
+             F.sum(F.when(dup, 1).otherwise(0)).alias("n_dup_occurrences"),
+             F.sum(F.when(dup, F.length("seg")).otherwise(0))
+             .alias("chars_flagged"),
+             F.countDistinct(F.when(dup, F.col("doc_id")))
+             .alias("docs_with_dup"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule battery: hard quality gates as pure column expressions
+# ---------------------------------------------------------------------------
+
+@query(
+    "gopher_rules_filter",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_words,
+             length(replace(text, ' ', '')) * 1.0
+               / len(string_split(text, ' ')) AS mean_wlen,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a'))) * 1.0
+               / len(string_split(text, ' ')) AS stop_frac,
+             len(list_filter(string_split(text, ' '),
+                             w -> regexp_matches(w, '^[0-9]+$'))) * 1.0
+               / len(string_split(text, ' ')) AS digit_frac
+      FROM documents),
+    r AS (
+      SELECT lang,
+             CASE WHEN n_words BETWEEN 15 AND 200 THEN 1 ELSE 0 END AS r_len,
+             CASE WHEN mean_wlen BETWEEN 2.0 AND 10.0 THEN 1 ELSE 0 END
+               AS r_wlen,
+             CASE WHEN stop_frac >= 0.01 THEN 1 ELSE 0 END AS r_stop,
+             CASE WHEN digit_frac <= 0.2 THEN 1 ELSE 0 END AS r_digit
+      FROM f)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(r_len) AS BIGINT) AS pass_len,
+           CAST(sum(r_wlen) AS BIGINT) AS pass_wlen,
+           CAST(sum(r_stop) AS BIGINT) AS pass_stop,
+           CAST(sum(r_digit) AS BIGINT) AS pass_digit,
+           CAST(sum(r_len * r_wlen * r_stop * r_digit) AS BIGINT)
+             AS pass_all
+    FROM r GROUP BY lang ORDER BY lang
+    """,
+)
+def gopher_rules_filter(spark, sf_dir):
+    """Gopher-style hard quality gates (word-count bounds, mean word
+    length band, minimum stopword mass, digit-token ceiling) as pure
+    JVM column expressions — one map-side pass plus a tiny groupBy
+    on lang.  Each rule is reported separately and as the conjunctive
+    pass count, the shape a curation pipeline uses to tune thresholds
+    before committing to a cut.  No UDFs anywhere; at 100 TB this is
+    a single scan."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    mean_wlen = (F.length(F.regexp_replace("text", " ", ""))
+                 .cast("double") / n_words)
+    stop_frac = (F.size(F.filter(words, lambda w: w.isin("the", "a")))
+                 .cast("double") / n_words)
+    digit_frac = (F.size(F.filter(words, lambda w: w.rlike("^[0-9]+$")))
+                  .cast("double") / n_words)
+    f = d.select(
+        "lang",
+        n_words.alias("n_words"), mean_wlen.alias("mean_wlen"),
+        stop_frac.alias("stop_frac"), digit_frac.alias("digit_frac"))
+    r_len = F.when(F.col("n_words").between(15, 200), 1).otherwise(0)
+    r_wlen = F.when(F.col("mean_wlen").between(2.0, 10.0), 1).otherwise(0)
+    r_stop = F.when(F.col("stop_frac") >= 0.01, 1).otherwise(0)
+    r_digit = F.when(F.col("digit_frac") <= 0.2, 1).otherwise(0)
+    r = f.select("lang", r_len.alias("r_len"), r_wlen.alias("r_wlen"),
+                 r_stop.alias("r_stop"), r_digit.alias("r_digit"))
+    return (
+        r.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("r_len").alias("pass_len"),
+             F.sum("r_wlen").alias("pass_wlen"),
+             F.sum("r_stop").alias("pass_stop"),
+             F.sum("r_digit").alias("pass_digit"),
+             F.sum(F.col("r_len") * F.col("r_wlen") * F.col("r_stop")
+                   * F.col("r_digit")).alias("pass_all"))
+        .orderBy("lang")
+    )

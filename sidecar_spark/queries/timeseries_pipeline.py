@@ -938,3 +938,50 @@ def cyclical_time_features(spark, sf_dir):
              F.round(F.avg(F.sin(dow_angle)), 6).alias("dow_sin"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the per-minute event-count series
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_autocorrelation",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('minute', ts) AS minute, count(*) AS cnt
+      FROM events GROUP BY 1),
+    lagged AS (
+      SELECT cnt,
+             lag(cnt, 1) OVER (ORDER BY minute) AS l1,
+             lag(cnt, 2) OVER (ORDER BY minute) AS l2,
+             lag(cnt, 3) OVER (ORDER BY minute) AS l3
+      FROM m)
+    SELECT CAST(count(*) AS BIGINT) AS n_minutes,
+           round(corr(cnt, l1), 6) AS acf1,
+           round(corr(cnt, l2), 6) AS acf2,
+           round(corr(cnt, l3), 6) AS acf3
+    FROM lagged
+    """,
+)
+def events_autocorrelation(spark, sf_dir):
+    """Autocorrelation of the per-minute arrival-count series at lags
+    1-3 — the seasonality probe run before choosing a forecast model.
+    Two stages: a groupBy on the truncated minute (map-side partials),
+    then lag windows over the *aggregated* series — thousands of rows
+    regardless of raw volume, so the single-partition window is cheap
+    by construction and the raw 100 TB never passes through a global
+    sort.  Pearson corr against the lagged copies on both engines."""
+    e = t(spark, sf_dir, "events")
+    m = (e.groupBy(F.date_trunc("minute", "ts").alias("minute"))
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    w = W.orderBy("minute")
+    lagged = m.select(
+        "cnt",
+        F.lag("cnt", 1).over(w).alias("l1"),
+        F.lag("cnt", 2).over(w).alias("l2"),
+        F.lag("cnt", 3).over(w).alias("l3"))
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_minutes"),
+        F.round(F.corr("cnt", "l1"), 6).alias("acf1"),
+        F.round(F.corr("cnt", "l2"), 6).alias("acf2"),
+        F.round(F.corr("cnt", "l3"), 6).alias("acf3"))
