@@ -2577,3 +2577,168 @@ def sql_unpivot_clause(spark, sf_dir):
         UNPIVOT (val FOR metric IN (sum_price, avg_price, max_price))
         ORDER BY o_orderstatus, metric
     """)
+
+
+# ---------------------------------------------------------------------------
+# hyperbolic / reciprocal trig + cube root + shift family
+# ---------------------------------------------------------------------------
+
+@query(
+    "hyperbolic_math_functions",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey % 5 + 1 AS k, (o_orderkey % 5 + 1) / 10.0 AS x
+      FROM orders WHERE o_orderkey <= 200)
+    SELECT k,
+           round(sum((exp(x) - exp(-x)) / 2), 6) AS s_sinh,
+           round(sum((exp(x) + exp(-x)) / 2), 6) AS s_cosh,
+           round(sum((exp(x) - exp(-x)) / (exp(x) + exp(-x))), 6) AS s_tanh,
+           round(sum(0.5 * ln((1 + x) / (1 - x))), 6) AS s_atanh,
+           round(sum(ln(x + sqrt(x * x + 1))), 6) AS s_asinh,
+           round(sum(ln((1 + x) + sqrt((1 + x) * (1 + x) - 1))), 6)
+             AS s_acosh,
+           round(sum(tan(x)), 6) AS s_tan,
+           round(sum(cot(x)), 6) AS s_cot,
+           round(sum(1.0 / sin(x)), 6) AS s_csc,
+           round(sum(1.0 / cos(x)), 6) AS s_sec,
+           round(sum(cbrt(x)), 6) AS s_cbrt,
+           round(sum(log2(1 + x)), 6) AS s_log2,
+           round(sum(pow(x, 3)), 6) AS s_pow3
+    FROM v GROUP BY k ORDER BY k
+    """,
+)
+def hyperbolic_math_functions(spark, sf_dir):
+    """The hyperbolic / reciprocal-trig corner of the math surface
+    (sinh..acosh, tan/cot/csc/sec, cbrt, log2, power) summed per
+    residue class — all JVM intrinsics folded map-side; parity pinned
+    by double-precision identical libm results rounded to 6 places."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 200)
+    v = o.select((F.col("o_orderkey") % 5 + 1).alias("k"),
+                 ((F.col("o_orderkey") % 5 + 1) / 10.0).alias("x"))
+    x = F.col("x")
+    return (
+        v.groupBy("k")
+        .agg(F.round(F.sum(F.sinh(x)), 6).alias("s_sinh"),
+             F.round(F.sum(F.cosh(x)), 6).alias("s_cosh"),
+             F.round(F.sum(F.tanh(x)), 6).alias("s_tanh"),
+             F.round(F.sum(F.atanh(x)), 6).alias("s_atanh"),
+             F.round(F.sum(F.asinh(x)), 6).alias("s_asinh"),
+             F.round(F.sum(F.acosh(1 + x)), 6).alias("s_acosh"),
+             F.round(F.sum(F.tan(x)), 6).alias("s_tan"),
+             F.round(F.sum(F.cot(x)), 6).alias("s_cot"),
+             F.round(F.sum(F.csc(x)), 6).alias("s_csc"),
+             F.round(F.sum(F.sec(x)), 6).alias("s_sec"),
+             F.round(F.sum(F.cbrt(x)), 6).alias("s_cbrt"),
+             F.round(F.sum(F.log2(1 + x)), 6).alias("s_log2"),
+             F.round(F.sum(F.power(x, 3)), 6).alias("s_pow3"))
+        .orderBy("k")
+    )
+
+
+@query(
+    "bit_shift_functions",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey AS k, CAST(o_orderkey % 7 AS BIGINT) AS n
+      FROM orders WHERE o_orderkey <= 300)
+    SELECT CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(n << 3) AS BIGINT) AS sum_shl,
+           CAST(sum((k * 1024) >> 4) AS BIGINT) AS sum_shr,
+           CAST(sum((k * 1024) >> 10) AS BIGINT) AS sum_shru,
+           CAST(sum(~n) AS BIGINT) AS sum_not,
+           CAST(sum(xor(n, 5)) AS BIGINT) AS sum_xor
+    FROM v
+    """,
+)
+def bit_shift_functions(spark, sf_dir):
+    """shiftleft / shiftright / shiftrightunsigned / bitwise NOT /
+    XOR over non-negative keys (where arithmetic and logical right
+    shift agree — the sign-bit divergence is a 2's-complement detail
+    pinned elsewhere by the bitwise family).  Pure codegen'd integer
+    ops, single map-reduce."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 300)
+    v = o.select(F.col("o_orderkey").alias("k"),
+                 (F.col("o_orderkey") % 7).cast("bigint").alias("n"))
+    return v.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.shiftleft(F.col("n"), 3)).alias("sum_shl"),
+        F.sum(F.shiftright(F.col("k") * 1024, 4)).alias("sum_shr"),
+        F.sum(F.shiftrightunsigned(F.col("k") * 1024, 10)).alias("sum_shru"),
+        F.sum(F.bitwise_not(F.col("n"))).alias("sum_not"),
+        F.sum(F.expr("n ^ 5")).alias("sum_xor"))
+
+
+# ---------------------------------------------------------------------------
+# datetime long tail: part extractors, unix-epoch bridges, make_* ctors
+# ---------------------------------------------------------------------------
+
+@query(
+    "datetime_longtail_functions",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(o_orderdate AS TIMESTAMP) AS ts,
+             o_orderkey AS k
+      FROM orders WHERE o_orderkey <= 400)
+    SELECT CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(date_part('year', d)) AS BIGINT) AS sum_year,
+           CAST(sum(dayofyear(d)) AS BIGINT) AS sum_doy,
+           CAST(sum(day(d)) AS BIGINT) AS sum_dom,
+           CAST(sum(isodow(d) - 1) AS BIGINT) AS sum_weekday,
+           min(strftime(d, '%a')) AS min_dayname_abbr,
+           max(strftime(d, '%b')) AS max_monthname_abbr,
+           CAST(sum(d - DATE '1970-01-01') AS BIGINT) AS sum_unix_date,
+           CAST(min(CAST(DATE '1970-01-01' + INTERVAL (19000) DAY AS DATE))
+                AS VARCHAR) AS from_unix_date_19000,
+           CAST(sum(CAST(epoch(ts) AS BIGINT)) AS BIGINT) AS sum_unix_sec,
+           CAST(sum(CAST(epoch_ms(ts) AS BIGINT)) AS BIGINT) AS sum_unix_ms,
+           CAST(max(CAST(to_timestamp(86400 * 365) AS TIMESTAMP))
+                AS VARCHAR) AS ts_sec,
+           CAST(max(epoch_ms(epoch_ms(CAST(86400123 AS BIGINT))))
+                AS VARCHAR) AS ts_ms,
+           CAST(max(make_date(2024, CAST(k % 12 + 1 AS INT), 15))
+                AS VARCHAR) AS max_make_date,
+           CAST(min(date_trunc('month', d)) AS VARCHAR) AS min_trunc_month,
+           CAST(max(CAST(d - INTERVAL (7) DAY AS DATE)) AS VARCHAR)
+             AS max_minus7,
+           CAST(max(CAST(d + INTERVAL (30) DAY AS DATE)) AS VARCHAR)
+             AS max_plus30
+    FROM v
+    """,
+)
+def datetime_longtail_functions(spark, sf_dir):
+    """The datetime long tail: date_part extractors (dayofyear /
+    dayofmonth / weekday / dayname / monthname), the unix-epoch
+    bridge family in both directions (unix_date / date_from_unix_date
+    / unix_seconds / unix_millis / timestamp_seconds /
+    timestamp_millis), make_date, trunc-to-month, and date_sub /
+    dateadd — every one a codegen'd expression; temporal outputs are
+    stringified for cross-engine parity (DuckDB timestamps are
+    UTC-naive, session zone pinned to UTC)."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 400)
+    v = o.select(F.col("o_orderdate").cast("date").alias("d"),
+                 F.col("o_orderdate").cast("timestamp").alias("ts"),
+                 F.col("o_orderkey").alias("k"))
+    d, ts, k = F.col("d"), F.col("ts"), F.col("k")
+    return v.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.date_part(F.lit("year"), d)).alias("sum_year"),
+        F.sum(F.dayofyear(d)).alias("sum_doy"),
+        F.sum(F.dayofmonth(d)).alias("sum_dom"),
+        F.sum(F.weekday(d)).alias("sum_weekday"),
+        F.min(F.dayname(d)).alias("min_dayname_abbr"),
+        F.max(F.monthname(d)).alias("max_monthname_abbr"),
+        F.sum(F.unix_date(d)).alias("sum_unix_date"),
+        F.min(F.date_from_unix_date(F.lit(19000)).cast("string"))
+        .alias("from_unix_date_19000"),
+        F.sum(F.unix_seconds(ts)).alias("sum_unix_sec"),
+        F.sum(F.unix_millis(ts)).alias("sum_unix_ms"),
+        F.max(F.timestamp_seconds(F.lit(86400 * 365)).cast("string"))
+        .alias("ts_sec"),
+        F.max(F.unix_millis(F.timestamp_millis(F.lit(86400123)))
+              .cast("string")).alias("ts_ms"),
+        F.max(F.make_date(F.lit(2024), (k % 12 + 1), F.lit(15))
+              .cast("string")).alias("max_make_date"),
+        F.min(F.trunc(d, "month").cast("string")).alias("min_trunc_month"),
+        F.max(F.date_sub(d, 7).cast("string")).alias("max_minus7"),
+        F.max(F.dateadd(d, 30).cast("string")).alias("max_plus30"))
