@@ -2742,3 +2742,152 @@ def datetime_longtail_functions(spark, sf_dir):
         F.min(F.trunc(d, "month").cast("string")).alias("min_trunc_month"),
         F.max(F.date_sub(d, 7).cast("string")).alias("max_minus7"),
         F.max(F.dateadd(d, 30).cast("string")).alias("max_plus30"))
+
+
+# ---------------------------------------------------------------------------
+# string long tail: ascii/elt/format_number/ilike/locate/quote/soundex/...
+# ---------------------------------------------------------------------------
+
+@query(
+    "string_longtail_functions",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey AS k,
+             'k' || CAST(o_orderkey AS VARCHAR) AS s,
+             o_orderkey % 3 + 1 AS idx
+      FROM orders WHERE o_orderkey <= 300)
+    SELECT CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(ascii(s)) AS BIGINT) AS sum_ascii,
+           CAST(sum(bit_length(s)) AS BIGINT) AS sum_bitlen,
+           CAST(sum(length(s)) AS BIGINT) AS sum_charlen,
+           min(trim('xx' || s || 'xx', 'x')) AS min_btrim,
+           max((['alpha', 'beta', 'gamma'])[CAST(idx AS INT)]) AS max_elt,
+           CAST(sum(CASE WHEN s ILIKE 'K1%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ilike,
+           CAST(sum(strpos(s, '1')) AS BIGINT) AS sum_locate,
+           max(rpad(s, 8, '*')) AS max_rpad,
+           min(upper(s)) AS min_ucase,
+           max(lower('K' || CAST(k AS VARCHAR))) AS max_lcase,
+           CAST(sum(CASE WHEN regexp_matches(s, '^k[0-9]+$')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_regexp_like,
+           max(regexp_extract(s, '[0-9]+')) AS max_regexp_substr,
+           min('''' || s || '''') AS min_quote,
+           'R163' AS soundex_robert,
+           max(unhex(hex(s))::VARCHAR) AS max_unhex_rt,
+           min(replace(replace('a%20b%2Fc', '%20', ' '), '%2F', '/'))
+             AS url_decoded,
+           min(format('{:,}', 1234567)) AS fmt_grouped
+    FROM v
+    """,
+)
+def string_longtail_functions(spark, sf_dir):
+    """The string long tail: ascii / bit_length / character_length /
+    btrim / elt / ilike / locate / rpad / ucase / lcase /
+    regexp_like / regexp_substr / quote / soundex / unhex round-trip
+    / url_decode / format_number — all codegen'd JVM expressions;
+    engine-specific spellings (soundex, url_decode, digit grouping)
+    are pinned by constants or replace-chains on the oracle side."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 300)
+    v = o.select(F.col("o_orderkey").alias("k"),
+                 F.concat(F.lit("k"), F.col("o_orderkey").cast("string"))
+                 .alias("s"),
+                 (F.col("o_orderkey") % 3 + 1).alias("idx"))
+    s = F.col("s")
+    return v.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.ascii(s)).alias("sum_ascii"),
+        F.sum(F.bit_length(s)).alias("sum_bitlen"),
+        F.sum(F.character_length(s)).alias("sum_charlen"),
+        F.min(F.btrim(F.concat(F.lit("xx"), s, F.lit("xx")), F.lit("x")))
+        .alias("min_btrim"),
+        F.max(F.elt(F.col("idx").cast("int"), F.lit("alpha"),
+                    F.lit("beta"), F.lit("gamma"))).alias("max_elt"),
+        F.sum(F.when(F.ilike(s, F.lit("K1%")), 1).otherwise(0))
+        .alias("n_ilike"),
+        F.sum(F.locate("1", s)).alias("sum_locate"),
+        F.max(F.rpad(s, 8, "*")).alias("max_rpad"),
+        F.min(F.ucase(s)).alias("min_ucase"),
+        F.max(F.lcase(F.concat(F.lit("K"), F.col("k").cast("string"))))
+        .alias("max_lcase"),
+        F.sum(F.when(F.regexp_like(s, F.lit("^k[0-9]+$")), 1).otherwise(0))
+        .alias("n_regexp_like"),
+        F.max(F.regexp_substr(s, F.lit("[0-9]+"))).alias("max_regexp_substr"),
+        F.min(F.expr("quote(s)")).alias("min_quote"),
+        F.min(F.soundex(F.lit("Robert"))).alias("soundex_robert"),
+        F.max(F.decode(F.unhex(F.hex(s)), "utf-8")).alias("max_unhex_rt"),
+        F.min(F.url_decode(F.lit("a%20b%2Fc"))).alias("url_decoded"),
+        F.min(F.format_number(F.lit(1234567), 0)).alias("fmt_grouped"))
+
+
+# ---------------------------------------------------------------------------
+# null-safety + try_* arithmetic: ifnull/nvl/nullifzero/equal_null, try_add...
+# ---------------------------------------------------------------------------
+
+@query(
+    "null_safety_try_arithmetic",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                  ELSE o_orderkey % 7 END AS x,
+             CAST(o_orderkey % 5 AS BIGINT) AS d
+      FROM orders WHERE o_orderkey <= 400)
+    SELECT CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(ifnull(x, -1)) AS BIGINT) AS sum_ifnull,
+           CAST(sum(coalesce(x, 99)) AS BIGINT) AS sum_nvl,
+           CAST(sum(CASE WHEN nullif(d, 0) IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nullifzero,
+           CAST(sum(coalesce(x, 0)) AS BIGINT) AS sum_zeroifnull,
+           CAST(sum(CASE WHEN x IS NOT DISTINCT FROM d THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_equal_null,
+           CAST(sum(CASE WHEN x IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_notnull,
+           CAST(sum(k + d) AS BIGINT) AS sum_try_add,
+           CAST(sum(k - d) AS BIGINT) AS sum_try_sub,
+           CAST(sum(CASE WHEN d = 0 THEN NULL ELSE k % d END) AS BIGINT)
+             AS sum_try_mod,
+           CAST(sum(k * d) AS BIGINT) AS sum_try_mul,
+           CAST(max(CASE WHEN 1 = 1 THEN NULL ELSE 0 END) AS BIGINT)
+             AS overflow_add,
+           CAST(count(try_cast('2024-02-30' AS DATE)) AS BIGINT)
+             AS n_bad_dates,
+           CAST(min(CAST(make_timestamp(2024, 3, 1, 12, 30, 0)
+                         AS VARCHAR)) AS VARCHAR) AS ts_made
+    FROM v
+    """,
+)
+def null_safety_try_arithmetic(spark, sf_dir):
+    """Null-safety surface (ifnull / nvl / nullifzero / zeroifnull /
+    equal_null / isnotnull) and the error-tolerant try_* arithmetic
+    twins: try_add / try_subtract / try_multiply / try_mod return
+    NULL instead of raising on overflow and mod-by-zero (the bigint
+    MAX+1 probe is pinned NULL), try_to_date rejects the impossible
+    calendar day, try_make_timestamp builds the valid one.  ANSI-safe
+    pipelines at 100 TB depend on these never killing a stage."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 400)
+    v = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 4 == 0, None)
+        .otherwise(F.col("o_orderkey") % 7).alias("x"),
+        (F.col("o_orderkey") % 5).cast("bigint").alias("d"))
+    k, x, d = F.col("k"), F.col("x"), F.col("d")
+    big = F.lit(9223372036854775807).cast("long")
+    return v.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.ifnull(x, F.lit(-1))).alias("sum_ifnull"),
+        F.sum(F.nvl(x, F.lit(99))).alias("sum_nvl"),
+        F.sum(F.when(F.nullifzero(d).isNull(), 1).otherwise(0))
+        .alias("n_nullifzero"),
+        F.sum(F.zeroifnull(x)).alias("sum_zeroifnull"),
+        F.sum(F.when(F.equal_null(x, d), 1).otherwise(0))
+        .alias("n_equal_null"),
+        F.sum(F.when(F.isnotnull(x), 1).otherwise(0)).alias("n_notnull"),
+        F.sum(F.try_add(k, d)).alias("sum_try_add"),
+        F.sum(F.try_subtract(k, d)).alias("sum_try_sub"),
+        F.sum(F.try_mod(k, d)).alias("sum_try_mod"),
+        F.sum(F.try_multiply(k, d)).alias("sum_try_mul"),
+        F.max(F.try_add(big, F.lit(1))).alias("overflow_add"),
+        F.count(F.try_to_date(F.lit("2024-02-30"))).alias("n_bad_dates"),
+        F.min(F.try_make_timestamp(
+            F.lit(2024), F.lit(3), F.lit(1), F.lit(12), F.lit(30),
+            F.lit(0)).cast("string")).alias("ts_made"))
