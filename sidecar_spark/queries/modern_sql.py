@@ -2891,3 +2891,117 @@ def null_safety_try_arithmetic(spark, sf_dir):
         F.min(F.try_make_timestamp(
             F.lit(2024), F.lit(3), F.lit(1), F.lit(12), F.lit(30),
             F.lit(0)).cast("string")).alias("ts_made"))
+
+
+# ---------------------------------------------------------------------------
+# aggregate long tail: std/var_pop/sum_distinct/percentile_approx/histogram
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_longtail_functions",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey % 50 AS x, o_orderkey % 4 AS b
+      FROM orders WHERE o_orderkey <= 2000)
+    SELECT round(stddev_samp(x), 6) AS std_samp,
+           round(stddev_pop(x), 6) AS std_pop,
+           round(var_pop(x), 6) AS v_pop,
+           CAST(sum(DISTINCT x) AS BIGINT) AS sum_dist,
+           CAST(quantile_disc(x, 0.5) AS BIGINT) AS p50_exact,
+           (SELECT string_agg(CAST(b AS VARCHAR) || ':'
+                              || CAST(c AS VARCHAR), ',' ORDER BY b)
+            FROM (SELECT b, count(*) AS c FROM v GROUP BY b) g)
+             AS hist_4bins
+    FROM v
+    """,
+)
+def agg_longtail_functions(spark, sf_dir):
+    """Aggregate long tail: std (sample) vs stddev_pop vs var_pop,
+    sum(DISTINCT), percentile_approx at an accuracy that makes the
+    GK sketch exact for this cardinality (pinned against the exact
+    discrete quantile), and histogram_numeric collapsing onto the 4
+    distinct values — with #bins == #distinct the centroids are the
+    values and the heights the exact counts, so the sketch output is
+    deterministic and stringified for comparison."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    v = o.select((F.col("o_orderkey") % 50).alias("x"),
+                 (F.col("o_orderkey") % 4).alias("b"))
+    hist = F.expr("histogram_numeric(b, 4)")
+    return v.agg(
+        F.round(F.std("x"), 6).alias("std_samp"),
+        F.round(F.stddev_pop("x"), 6).alias("std_pop"),
+        F.round(F.var_pop("x"), 6).alias("v_pop"),
+        F.sum_distinct(F.col("x")).alias("sum_dist"),
+        F.percentile_approx("x", 0.5, 100000).alias("p50_exact"),
+        F.array_join(
+            F.transform(
+                F.array_sort(hist),
+                lambda s: F.concat(s["x"].cast("bigint").cast("string"),
+                                   F.lit(":"),
+                                   s["y"].cast("bigint").cast("string"))),
+            ",").alias("hist_4bins"))
+
+
+# ---------------------------------------------------------------------------
+# array/map leftovers: flatten/forall/arrays_zip/array_size/map ctors
+# ---------------------------------------------------------------------------
+
+@query(
+    "array_map_leftover_functions",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey AS k,
+             [o_orderkey % 5, o_orderkey % 3] AS a,
+             [o_orderkey % 7] AS b
+      FROM orders WHERE o_orderkey <= 300)
+    SELECT CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(len(flatten([a, b]))) AS BIGINT) AS sum_flat_len,
+           CAST(sum(CASE WHEN len(list_filter(a, e -> e >= 0)) = len(a)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_forall_nonneg,
+           CAST(sum(a[1] * 10 + b[1]) AS BIGINT) AS sum_zip_pairs,
+           CAST(sum(len(a) + len(b)) AS BIGINT) AS sum_array_size,
+           CAST(sum(CAST((map(['lo', 'hi'],
+                              [a[1], a[2]])['hi'])[1] AS BIGINT)) AS BIGINT)
+             AS sum_map_from_arrays,
+           CAST(sum(CAST((map_concat(map(['x'], [a[1]]),
+                                     map(['y'], [b[1]]))['y'])[1] AS BIGINT))
+                AS BIGINT) AS sum_map_concat,
+           CAST(sum(list_sum(map_values(map(['p', 'q'],
+                                            [a[1], b[1]])))) AS BIGINT)
+             AS sum_map_values
+    FROM v
+    """,
+)
+def array_map_leftover_functions(spark, sf_dir):
+    """Array/map constructor leftovers: flatten (nested → flat),
+    forall (universal quantifier), arrays_zip (positional pairing,
+    probed via the zipped struct fields), array_size,
+    map_from_arrays, map_concat, map_values — each a codegen'd
+    collection expression; the zip probe folds the paired elements
+    into one integer so parity needs no struct serialization."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 300)
+    v = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.array(F.col("o_orderkey") % 5, F.col("o_orderkey") % 3).alias("a"),
+        F.array(F.col("o_orderkey") % 7).alias("b"))
+    a, b = F.col("a"), F.col("b")
+    zipped = F.arrays_zip(a, b)
+    return v.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.array_size(F.flatten(F.array(a, b)))).alias("sum_flat_len"),
+        F.sum(F.when(F.forall(a, lambda e: e >= 0), 1).otherwise(0))
+        .alias("n_forall_nonneg"),
+        F.sum(zipped[0]["a"] * 10 + zipped[0]["b"]).alias("sum_zip_pairs"),
+        F.sum(F.array_size(a) + F.array_size(b)).alias("sum_array_size"),
+        F.sum(F.map_from_arrays(
+            F.array(F.lit("lo"), F.lit("hi")),
+            F.array(a[0], a[1]))["hi"].cast("bigint"))
+        .alias("sum_map_from_arrays"),
+        F.sum(F.map_concat(
+            F.create_map(F.lit("x"), a[0]),
+            F.create_map(F.lit("y"), b[0]))["y"].cast("bigint"))
+        .alias("sum_map_concat"),
+        F.sum(F.aggregate(
+            F.map_values(F.create_map(F.lit("p"), a[0], F.lit("q"), b[0])),
+            F.lit(0).cast("bigint"), lambda acc, e: acc + e))
+        .alias("sum_map_values"))
