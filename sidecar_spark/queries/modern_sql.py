@@ -3005,3 +3005,208 @@ def array_map_leftover_functions(spark, sf_dir):
             F.map_values(F.create_map(F.lit("p"), a[0], F.lit("q"), b[0])),
             F.lit(0).cast("bigint"), lambda acc, e: acc + e))
         .alias("sum_map_values"))
+
+
+# ---------------------------------------------------------------------------
+# VARIANT long tail: try_parse_json / variant null + typed get / to_variant
+# ---------------------------------------------------------------------------
+
+@query(
+    "variant_longtail_functions",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'not json'
+                  WHEN o_orderkey % 7 = 0 THEN 'null'
+                  ELSE '{"a": ' || CAST(o_orderkey % 5 AS VARCHAR)
+                       || ', "b": [1, ' || CAST(o_orderkey % 3 AS VARCHAR)
+                       || ']}' END AS js
+      FROM orders WHERE o_orderkey <= 400)
+    SELECT CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CASE WHEN json_valid(js) THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_unparsable,
+           CAST(sum(CASE WHEN js = 'null' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_variant_null,
+           CAST(sum(CASE WHEN json_valid(js)
+                         THEN CAST(json_extract(js, '$.a') AS BIGINT)
+                         END) AS BIGINT) AS sum_a,
+           CAST(sum(CASE WHEN json_valid(js)
+                         THEN CAST(json_extract(js, '$.b[1]') AS BIGINT)
+                         END) AS BIGINT) AS sum_b1,
+           min(CASE WHEN json_valid(js) AND js <> 'null'
+                    THEN 'OBJECT<a: BIGINT, b: ARRAY<BIGINT>>' END)
+             AS agg_schema,
+           max('{"x":7}') AS variant_obj
+    FROM v
+    """,
+)
+def variant_longtail_functions(spark, sf_dir):
+    """The VARIANT long tail: try_parse_json returns NULL (not an
+    error) on malformed input, is_variant_null distinguishes the JSON
+    null value from parse failure, try_variant_get typed extraction
+    with JSONPath (object field and array index), to_variant_object
+    builds a variant from a struct, and schema_of_variant_agg merges
+    the observed schemas across rows.  Semi-structured columns at
+    100 TB need exactly this error-tolerant, schema-on-read path."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 400)
+    js = (F.when(F.col("o_orderkey") % 10 == 0, F.lit("not json"))
+          .when(F.col("o_orderkey") % 7 == 0, F.lit("null"))
+          .otherwise(F.concat(
+              F.lit('{"a": '), (F.col("o_orderkey") % 5).cast("string"),
+              F.lit(', "b": [1, '), (F.col("o_orderkey") % 3).cast("string"),
+              F.lit("]}"))))
+    v = o.select(F.col("o_orderkey").alias("k"), js.alias("js"))
+    var = F.try_parse_json(F.col("js"))
+    return v.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(var.isNull(), 1).otherwise(0)).alias("n_unparsable"),
+        F.sum(F.when(F.is_variant_null(var), 1).otherwise(0))
+        .alias("n_variant_null"),
+        F.sum(F.try_variant_get(var, "$.a", "bigint")).alias("sum_a"),
+        F.sum(F.try_variant_get(var, "$.b[1]", "bigint")).alias("sum_b1"),
+        F.schema_of_variant_agg(
+            F.when(var.isNotNull() & ~F.is_variant_null(var), var))
+        .cast("string").alias("agg_schema"),
+        F.max(F.to_variant_object(F.struct(F.lit(7).alias("x")))
+              .cast("string")).alias("variant_obj"))
+
+
+# ---------------------------------------------------------------------------
+# UTF-8 validation + sentences() tokenizer
+# ---------------------------------------------------------------------------
+
+@query(
+    "utf8_sentences_functions",
+    oracle="""
+    WITH v AS (SELECT doc_id, text FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words
+      FROM v)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_valid_utf8,
+           CAST(count(*) AS BIGINT) AS n_make_valid_id,
+           CAST(count(*) AS BIGINT) AS n_try_validate,
+           CAST((SELECT sum(n_words) FROM s) AS BIGINT) AS total_words,
+           1 AS one_sentence_docs_frac_num,
+           'Abc' AS decoded_invalid
+    FROM v
+    """,
+)
+def utf8_sentences_functions(spark, sf_dir):
+    """UTF-8 validation family (is_valid_utf8 / make_valid_utf8 /
+    validate_utf8 / try_validate_utf8 — identity on well-formed text,
+    pinned by counting) and the sentences() locale tokenizer: corpus
+    text has no sentence punctuation, so sentences(text) yields one
+    sentence whose word list equals the whitespace split — the word
+    totals agree with the split-based count, tying the ICU tokenizer
+    to the plain split.  make_valid_utf8 over a raw byte literal is
+    pinned by value."""
+    d = t(spark, sf_dir, "documents")
+    sents = F.sentences(F.col("text"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.is_valid_utf8("text"), 1).otherwise(0))
+        .alias("n_valid_utf8"),
+        F.sum(F.when(F.make_valid_utf8("text") == F.col("text"), 1)
+              .otherwise(0)).alias("n_make_valid_id"),
+        F.sum(F.when(F.try_validate_utf8(F.validate_utf8("text"))
+                     == F.col("text"), 1).otherwise(0))
+        .alias("n_try_validate"),
+        F.sum(F.size(sents[0])).alias("total_words"),
+        F.min(F.size(sents)).alias("one_sentence_docs_frac_num"),
+        F.max(F.make_valid_utf8(F.unhex(F.lit("416263")).cast("string")))
+        .alias("decoded_invalid"))
+
+
+# ---------------------------------------------------------------------------
+# TIME-type long tail: to_time / try_to_time / time_trunc / time_diff
+# ---------------------------------------------------------------------------
+
+@query(
+    "time_type_longtail",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ts AS TIME) AS tod, event_type FROM events
+      WHERE event_id <= 2000)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(min(make_time(CAST(hour(tod) AS BIGINT), 0, 0.0))
+                AS VARCHAR) AS min_hour_trunc,
+           CAST(sum(datediff('minute', TIME '00:00:00', tod)) AS BIGINT)
+             AS sum_minutes_since_midnight,
+           CAST(min(TIME '09:30:00') AS VARCHAR) AS parsed_time,
+           CAST(count(CASE WHEN NULL IS NULL THEN NULL END) AS BIGINT)
+             AS n_bad_parse
+    FROM v GROUP BY event_type ORDER BY event_type
+    """,
+)
+def time_type_longtail(spark, sf_dir):
+    """TIME-type long tail (Spark 4.1, spark.sql.timeType.enabled):
+    cast timestamps to time-of-day, time_trunc to the hour, time_diff
+    minutes since midnight as the aggregation key, to_time parsing a
+    wall-clock literal and try_to_time rejecting a malformed one —
+    date-free scheduling semantics with DuckDB's native TIME as the
+    oracle."""
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_ttl_v")
+    return spark.sql("""
+        SELECT event_type,
+               count(*) AS cnt,
+               CAST(min(time_trunc('HOUR',
+                        make_time(hour(ts), minute(ts),
+                                  CAST(second(ts) AS DOUBLE)))) AS STRING)
+                 AS min_hour_trunc,
+               sum(time_diff('MINUTE', TIME'00:00:00',
+                             make_time(hour(ts), minute(ts),
+                                       CAST(second(ts) AS DOUBLE))))
+                 AS sum_minutes_since_midnight,
+               CAST(min(to_time('09:30:00')) AS STRING) AS parsed_time,
+               count(try_to_time('nope')) AS n_bad_parse
+        FROM events_ttl_v WHERE event_id <= 2000
+        GROUP BY event_type ORDER BY event_type
+    """)
+
+
+# ---------------------------------------------------------------------------
+# xpath numeric variants: double/float/number/short over constructed XML
+# ---------------------------------------------------------------------------
+
+@query(
+    "xpath_numeric_variants",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey % 9 AS a, o_orderkey % 100 AS b
+      FROM orders WHERE o_orderkey <= 300)
+    SELECT CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(a * 1.5), 6) AS sum_xd,
+           round(sum(CAST(CAST(a * 1.5 AS FLOAT) AS DOUBLE)), 6) AS sum_xf,
+           round(sum(a * 1.5), 6) AS sum_xn,
+           CAST(sum(b) AS BIGINT) AS sum_xs
+    FROM v
+    """,
+)
+def xpath_numeric_variants(spark, sf_dir):
+    """The numeric xpath extraction variants — xpath_double /
+    xpath_float / xpath_number (alias) / xpath_short — over per-row
+    constructed XML, each pinned by the construction rule (a*1.5
+    carried as decimal text, b within short range); the float
+    variant's single-precision rounding is reproduced by the
+    float→double cast chain on the oracle side."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 300)
+    xml = F.concat(F.lit("<r><d>"),
+                   ((F.col("o_orderkey") % 9) * 1.5).cast("string"),
+                   F.lit("</d><s>"),
+                   (F.col("o_orderkey") % 100).cast("string"),
+                   F.lit("</s></r>"))
+    v = o.select(xml.alias("doc"))
+    v.createOrReplaceTempView("xpath_num_v")
+    return spark.sql("""
+        SELECT count(*) AS cnt,
+               round(sum(xpath_double(doc, '/r/d')), 6) AS sum_xd,
+               round(sum(CAST(xpath_float(doc, '/r/d') AS DOUBLE)), 6)
+                 AS sum_xf,
+               round(sum(xpath_number(doc, '/r/d')), 6) AS sum_xn,
+               sum(CAST(xpath_short(doc, '/r/s') AS BIGINT)) AS sum_xs
+        FROM xpath_num_v
+    """)
