@@ -3210,3 +3210,150 @@ def xpath_numeric_variants(spark, sf_dir):
                sum(CAST(xpath_short(doc, '/r/s') AS BIGINT)) AS sum_xs
         FROM xpath_num_v
     """)
+
+
+# ---------------------------------------------------------------------------
+# GEOMETRY/GEOGRAPHY storage type (Spark 4.1, spark.sql.geospatial.enabled)
+# ---------------------------------------------------------------------------
+
+#: four fixed WKB point literals (little-endian, type=1): (1,2) (3,4)
+#: (5,6) (7,8) — the coordinates are pinned by the hex, so the
+#: geom→wkb round trip being the identity is the whole contract
+_WKB_POINTS = [
+    "0101000000000000000000F03F0000000000000040",
+    "010100000000000000000008400000000000001040",
+    "010100000000000000000014400000000000001840",
+    "01010000000000000000001C400000000000002040",
+]
+
+
+@query(
+    "geospatial_wkb_roundtrip",
+    oracle=f"""
+    WITH v AS (
+      SELECT o_orderkey AS k,
+             CASE CAST(o_orderkey % 4 AS INT)
+               WHEN 0 THEN '{_WKB_POINTS[0]}'
+               WHEN 1 THEN '{_WKB_POINTS[1]}'
+               WHEN 2 THEN '{_WKB_POINTS[2]}'
+               ELSE '{_WKB_POINTS[3]}' END AS wkb_hex
+      FROM orders WHERE o_orderkey <= 400)
+    SELECT CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(*) AS BIGINT) AS n_roundtrip_id,
+           CAST(sum(CASE WHEN k % 2 = 0 THEN 4326 ELSE 3857 END) AS BIGINT)
+             AS sum_srid,
+           min(wkb_hex) AS min_wkb,
+           CAST(count(*) AS BIGINT) AS n_geog_roundtrip
+    FROM v
+    """,
+)
+def geospatial_wkb_roundtrip(spark, sf_dir):
+    """The Spark 4.1 GEOMETRY/GEOGRAPHY storage types
+    (spark.sql.geospatial.enabled): st_geomfromwkb / st_asbinary
+    must be a lossless round trip (pinned by counting identity rows
+    over fixed WKB point literals), st_setsrid / st_srid carry the
+    spatial reference id, and st_geogfromwkb round-trips the
+    geography variant.  DuckDB needs no spatial extension — the
+    contract under test is byte-identity, checked Spark-side and
+    reduced to counts."""
+    spark.conf.set("spark.sql.geospatial.enabled", "true")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 400)
+    wkb = (F.when(F.col("o_orderkey") % 4 == 0, F.lit(_WKB_POINTS[0]))
+           .when(F.col("o_orderkey") % 4 == 1, F.lit(_WKB_POINTS[1]))
+           .when(F.col("o_orderkey") % 4 == 2, F.lit(_WKB_POINTS[2]))
+           .otherwise(F.lit(_WKB_POINTS[3])))
+    v = o.select(F.col("o_orderkey").alias("k"), wkb.alias("wkb_hex"))
+    v.createOrReplaceTempView("geo_v")
+    return spark.sql("""
+        SELECT count(*) AS cnt,
+               sum(CASE WHEN hex(st_asbinary(st_geomfromwkb(unhex(wkb_hex))))
+                             = wkb_hex THEN 1 ELSE 0 END) AS n_roundtrip_id,
+               sum(st_srid(st_setsrid(st_geomfromwkb(unhex(wkb_hex)),
+                                      CASE WHEN k % 2 = 0 THEN 4326
+                                           ELSE 3857 END))) AS sum_srid,
+               min(wkb_hex) AS min_wkb,
+               sum(CASE WHEN hex(st_asbinary(st_geogfromwkb(unhex(wkb_hex))))
+                             = wkb_hex THEN 1 ELSE 0 END)
+                 AS n_geog_roundtrip
+        FROM geo_v
+    """)
+
+
+# ---------------------------------------------------------------------------
+# listagg DISTINCT + scalar hll_union merge
+# ---------------------------------------------------------------------------
+
+@query(
+    "distinct_listagg_hll_union",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderstatus AS st, o_orderpriority AS pr, o_custkey AS c
+      FROM orders WHERE o_orderkey <= 2000),
+    l AS (
+      SELECT st,
+             string_agg(DISTINCT pr, '|' ORDER BY pr) AS pr_list,
+             count(DISTINCT c) AS exact_c
+      FROM v GROUP BY st)
+    SELECT st, pr_list, pr_list AS pr_list2,
+           CAST(exact_c AS BIGINT) AS exact_c,
+           CAST(1 AS BIGINT) AS hll_merge_ok
+    FROM l ORDER BY st
+    """,
+)
+def distinct_listagg_hll_union(spark, sf_dir):
+    """listagg(DISTINCT .. ) WITHIN GROUP ordered string aggregation
+    (and its string_agg_distinct twin pinned equal), plus the scalar
+    hll_union: per-(status, half) HLL sketches merged pairwise with
+    hll_union must estimate the same distinct-customer count as the
+    exact distinct count within HLL++'s error envelope, as is the
+    single-pass whole-group sketch (merged and single-pass estimates
+    may differ slightly — sparse-mode coalescing differs — but both
+    must land within 5%% of truth); reduced to a boolean."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    v = o.select(F.col("o_orderstatus").alias("st"),
+                 F.col("o_orderpriority").alias("pr"),
+                 F.col("o_custkey").alias("c"),
+                 (F.col("o_orderkey") % 2).alias("half"))
+    v.createOrReplaceTempView("listagg_v")
+    halves = spark.sql("""
+        SELECT st, half, hll_sketch_agg(c) AS sk
+        FROM listagg_v GROUP BY st, half
+    """)
+    halves.createOrReplaceTempView("listagg_halves_v")
+    merged = spark.sql("""
+        WITH whole AS (
+          SELECT st, hll_sketch_estimate(hll_sketch_agg(c)) AS whole_c
+          FROM listagg_v GROUP BY st)
+        SELECT a.st,
+               hll_sketch_estimate(hll_union(a.sk, b.sk)) AS merged_c,
+               w.whole_c
+        FROM listagg_halves_v a
+        JOIN listagg_halves_v b
+          ON a.st = b.st AND a.half = 0 AND b.half = 1
+        JOIN whole w ON w.st = a.st
+    """)
+    merged.createOrReplaceTempView("listagg_merged_v")
+    # NOTE: mixing listagg(DISTINCT) with count(DISTINCT) in ONE
+    # aggregate trips a Spark 4.1 planner ClassCastException
+    # (AttributeReference -> SortOrder), so the two run as separate
+    # aggregations joined on the group key.
+    return spark.sql("""
+        WITH lists AS (
+          SELECT st,
+                 listagg(DISTINCT pr, '|')
+                   WITHIN GROUP (ORDER BY pr) AS pr_list,
+                 string_agg(DISTINCT pr, '|')
+                   WITHIN GROUP (ORDER BY pr) AS pr_list2
+          FROM listagg_v GROUP BY st),
+        exacts AS (
+          SELECT st, count(DISTINCT c) AS exact_c
+          FROM listagg_v GROUP BY st)
+        SELECT l.st, l.pr_list, l.pr_list2, e.exact_c,
+               CASE WHEN abs(m.merged_c - e.exact_c) <= 0.05 * e.exact_c
+                         AND abs(m.whole_c - e.exact_c) <= 0.05 * e.exact_c
+                    THEN 1 ELSE 0 END AS hll_merge_ok
+        FROM lists l
+        JOIN exacts e ON l.st = e.st
+        JOIN listagg_merged_v m ON l.st = m.st
+        ORDER BY l.st
+    """)
