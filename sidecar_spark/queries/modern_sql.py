@@ -3357,3 +3357,249 @@ def distinct_listagg_hll_union(spark, sf_dir):
         JOIN listagg_merged_v m ON l.st = m.st
         ORDER BY l.st
     """)
+
+
+# ---------------------------------------------------------------------------
+# KLL typed sketch variants: bigint/float/double agg, merge, quantile, rank
+# ---------------------------------------------------------------------------
+
+@query(
+    "kll_typed_sketch_variants",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(o_orderkey % 100 AS BIGINT) AS x,
+             CAST(o_orderkey % 2 AS INT) AS half
+      FROM orders WHERE o_orderkey <= 150)
+    SELECT CAST(count(*) AS BIGINT) AS n_big,
+           CAST(count(*) AS BIGINT) AS n_float,
+           CAST(quantile_disc(x, 0.5) AS BIGINT) AS p50_big,
+           round(CAST(quantile_disc(x, 0.5) AS DOUBLE), 6)
+             AS p50_float,
+           round(CAST((SELECT count(*) FROM v i WHERE i.x <= 50) AS DOUBLE)
+                 / count(*), 6) AS rank_50_big,
+           CAST(1 AS BIGINT) AS p90_merge_consistent_big,
+           CAST(1 AS BIGINT) AS p90_merge_consistent_float,
+           CAST(count(*) AS BIGINT) AS n_merged_double
+    FROM v
+    """,
+)
+def kll_typed_sketch_variants(spark, sf_dir):
+    """The typed KLL sketch matrix: kll_sketch_agg_{bigint,float} /
+    kll_sketch_get_{n,quantile,rank}_* / kll_merge_agg_* /
+    kll_sketch_merge_* — built per half, merged both ways (pairwise
+    scalar merge and merge-agg), then queried.  KLL compaction is
+    RANDOMIZED, so the probe keeps n below the sketch capacity
+    (k=200): no compaction runs, the sketch stores every value, and
+    quantiles/ranks are exact and deterministic — the median pins
+    against the exact discrete quantile, rank against the inclusive
+    CDF (KLL rank is P(X<=v)), and the merged sketches' p90 must
+    equal the single-pass sketch's (lossless merge below k).  Sketch
+    state is O(k log n) per group — the shape that lets percentile
+    state distribute over 1000 executors."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 150)
+    o.select((F.col("o_orderkey") % 100).cast("bigint").alias("x"),
+             (F.col("o_orderkey") % 2).cast("int").alias("half")
+             ).createOrReplaceTempView("kll_v")
+    spark.sql("""
+        SELECT half,
+               kll_sketch_agg_bigint(x) AS skb,
+               kll_sketch_agg_float(CAST(x AS FLOAT)) AS skf,
+               kll_sketch_agg_double(CAST(x AS DOUBLE)) AS skd
+        FROM kll_v GROUP BY half
+    """).createOrReplaceTempView("kll_halves_v")
+    return spark.sql("""
+        WITH whole AS (
+          SELECT kll_sketch_agg_bigint(x) AS skb,
+                 kll_sketch_agg_float(CAST(x AS FLOAT)) AS skf
+          FROM kll_v),
+        pair_merge AS (
+          SELECT kll_sketch_merge_bigint(a.skb, b.skb) AS mb,
+                 kll_sketch_merge_float(a.skf, b.skf) AS mf,
+                 kll_sketch_merge_double(a.skd, b.skd) AS md
+          FROM kll_halves_v a JOIN kll_halves_v b
+            ON a.half = 0 AND b.half = 1),
+        agg_merge AS (
+          SELECT kll_merge_agg_bigint(skb) AS ab,
+                 kll_merge_agg_float(skf) AS af
+          FROM kll_halves_v)
+        SELECT kll_sketch_get_n_bigint(w.skb) AS n_big,
+               kll_sketch_get_n_float(w.skf) AS n_float,
+               kll_sketch_get_quantile_bigint(w.skb, 0.5) AS p50_big,
+               round(CAST(kll_sketch_get_quantile_float(w.skf, 0.5)
+                          AS DOUBLE), 6) AS p50_float,
+               round(kll_sketch_get_rank_bigint(w.skb, 50), 6)
+                 AS rank_50_big,
+               CASE WHEN kll_sketch_get_quantile_bigint(p.mb, 0.9)
+                         = kll_sketch_get_quantile_bigint(w.skb, 0.9)
+                    THEN 1 ELSE 0 END AS p90_merge_consistent_big,
+               CASE WHEN kll_sketch_get_quantile_float(a.af, 0.9)
+                         = kll_sketch_get_quantile_float(w.skf, 0.9)
+                    THEN 1 ELSE 0 END AS p90_merge_consistent_float,
+               kll_sketch_get_n_double(p.md) AS n_merged_double
+        FROM whole w, pair_merge p, agg_merge a
+    """)
+
+
+# ---------------------------------------------------------------------------
+# sketch aggregate leftovers: theta_*_agg, bitmap_and_agg, count_min_sketch
+# ---------------------------------------------------------------------------
+
+@query(
+    "sketch_agg_leftovers",
+    oracle="""
+    WITH v AS (
+      SELECT o_custkey % 64 AS b, o_orderkey % 2 AS half
+      FROM orders WHERE o_orderkey <= 2000)
+    SELECT CAST((SELECT count(DISTINCT b) FROM v) AS BIGINT)
+             AS theta_union_est,
+           CAST((SELECT count(DISTINCT b) FROM v WHERE half = 0
+                 AND b IN (SELECT b FROM v WHERE half = 1)) AS BIGINT)
+             AS theta_intersect_est,
+           CAST((SELECT count(DISTINCT b) FROM v WHERE half = 0
+                 AND b IN (SELECT b FROM v WHERE half = 1)) AS BIGINT)
+             AS bitmap_and_count,
+           CAST((SELECT count(DISTINCT b) FROM v) AS BIGINT)
+             AS bitmap_or_count,
+           CAST(1 AS BIGINT) AS cms_deterministic,
+           CAST(1 AS BIGINT) AS cms_input_sensitive
+    FROM (SELECT 1) one
+    """,
+)
+def sketch_agg_leftovers(spark, sf_dir):
+    """The remaining sketch AGGREGATE forms: theta_union_agg /
+    theta_intersection_agg (union resp. intersection over per-half
+    theta sketches — exact at 64 distinct values), bitmap_and_agg /
+    bitmap_or_agg folding per-half bitmaps, and the native
+    count_min_sketch aggregate — its binary has no SQL-side query
+    surface, so the probe pins what IS observable: a fixed seed makes
+    the sketch bytes deterministic across independent passes, and
+    removing one key's rows changes them.  Estimates pin against
+    their exact relational twins."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    o.select((F.col("o_custkey") % 64).alias("b"),
+             (F.col("o_orderkey") % 2).alias("half")
+             ).createOrReplaceTempView("sketchv")
+    spark.sql("""
+        SELECT half,
+               theta_sketch_agg(b) AS th,
+               bitmap_construct_agg(bitmap_bit_position(b + 1)) AS bm
+        FROM sketchv GROUP BY half
+    """).createOrReplaceTempView("sketch_halves")
+    return spark.sql("""
+        WITH theta AS (
+          SELECT theta_sketch_estimate(theta_union_agg(th))
+                   AS theta_union_est,
+                 theta_sketch_estimate(theta_intersection_agg(th))
+                   AS theta_intersect_est
+          FROM sketch_halves),
+        bm AS (
+          SELECT bitmap_count(bitmap_and_agg(bm)) AS bitmap_and_count,
+                 bitmap_count(bitmap_or_agg(bm)) AS bitmap_or_count
+          FROM sketch_halves),
+        cms1 AS (
+          SELECT count_min_sketch(b, 0.001d, 0.01d, 42) AS sk
+          FROM sketchv),
+        cms2 AS (
+          SELECT count_min_sketch(b, 0.001d, 0.01d, 42) AS sk
+          FROM sketchv),
+        cms3 AS (
+          SELECT count_min_sketch(b, 0.001d, 0.01d, 42) AS sk
+          FROM sketchv WHERE b <> 7)
+        SELECT t.theta_union_est, t.theta_intersect_est,
+               b.bitmap_and_count, b.bitmap_or_count,
+               CASE WHEN hex(c1.sk) = hex(c2.sk) THEN 1 ELSE 0 END
+                 AS cms_deterministic,
+               CASE WHEN hex(c1.sk) <> hex(c3.sk) THEN 1 ELSE 0 END
+                 AS cms_input_sensitive
+        FROM theta t, bm b, cms1 c1, cms2 c2, cms3 c3
+    """)
+
+
+# ---------------------------------------------------------------------------
+# LTZ/NTZ timestamp family + interval ctors + epoch bridges
+# ---------------------------------------------------------------------------
+
+@query(
+    "timestamp_ltz_ntz_functions",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(o_orderdate AS TIMESTAMP) AS ts, o_orderkey AS k
+      FROM orders WHERE o_orderkey <= 400)
+    SELECT CAST(count(*) AS BIGINT) AS cnt,
+           CAST(max(CAST('2024-03-15 10:30:00' AS TIMESTAMP) )
+                AS VARCHAR) AS ts_ltz_parse,
+           CAST(max(CAST('2024-03-15 10:30:00' AS TIMESTAMP))
+                AS VARCHAR) AS ts_ntz_parse,
+           CAST(max(make_timestamp(2024, 5, 20, 8, 15, 30)) AS VARCHAR)
+             AS made_ltz,
+           CAST(max(make_timestamp(2024, 5, 20, 8, 15, 30)) AS VARCHAR)
+             AS made_ntz,
+           CAST(count(CASE WHEN NULL IS NULL THEN NULL END) AS BIGINT)
+             AS n_bad_made,
+           CAST(TIMESTAMP '1970-01-02 00:00:00' AS VARCHAR)
+             AS from_unix_86400,
+           CAST(sum(CAST(epoch(ts) AS BIGINT)) AS BIGINT)
+             AS sum_to_unix,
+           CAST(max(ts + to_days(3) + to_hours(2)) AS VARCHAR)
+             AS plus_interval,
+           CAST(count(CASE WHEN NULL IS NULL THEN NULL END) AS BIGINT)
+             AS n_bad_interval,
+           CAST(sum(date_part('hour',
+                    ts + INTERVAL 90 MINUTE)) AS BIGINT) AS sum_datepart_h,
+           CAST(TIMESTAMP '2024-01-01 00:45:00' AS VARCHAR) AS ts_add_45m,
+           CAST(datediff('minute',
+                TIMESTAMP '2024-01-01 00:00:00',
+                TIMESTAMP '2024-01-02 03:30:00') AS BIGINT) AS tdiff_minutes,
+           'UTC' AS session_tz,
+           CAST(1 AS BIGINT) AS curdate_consistent
+    FROM v
+    """,
+)
+def timestamp_ltz_ntz_functions(spark, sf_dir):
+    """The LTZ/NTZ timestamp constructor matrix: to_timestamp_ltz /
+    to_timestamp_ntz parse identically under the pinned UTC session
+    zone, make_timestamp_ltz / make_timestamp_ntz build the same
+    wall-clock instant, try_make_timestamp_ltz rejects month 13,
+    from_unixtime / to_unix_timestamp bridge the epoch in both
+    directions, make_interval / try_make_interval construct
+    day-time intervals (the invalid int-overflow form returning
+    NULL), the timestamp_add / timestamp_diff named functions and
+    datepart join their SQL-keyword twins, current_timezone reports
+    the pinned session zone, and curdate() == current_date() is an
+    in-plan consistency identity (both resolve at plan time)."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 400)
+    o.select(F.col("o_orderdate").cast("timestamp").alias("ts"),
+             F.col("o_orderkey").alias("k")
+             ).createOrReplaceTempView("ltz_v")
+    return spark.sql("""
+        SELECT count(*) AS cnt,
+               CAST(max(to_timestamp_ltz('2024-03-15 10:30:00'))
+                    AS STRING) AS ts_ltz_parse,
+               CAST(max(to_timestamp_ntz('2024-03-15 10:30:00'))
+                    AS STRING) AS ts_ntz_parse,
+               CAST(max(make_timestamp_ltz(2024, 5, 20, 8, 15, 30))
+                    AS STRING) AS made_ltz,
+               CAST(max(make_timestamp_ntz(2024, 5, 20, 8, 15, 30))
+                    AS STRING) AS made_ntz,
+               count(try_make_timestamp_ltz(2024, 13, 1, 0, 0, 0))
+                 AS n_bad_made,
+               CAST(max(from_unixtime(86400)) AS STRING) AS from_unix_86400,
+               sum(to_unix_timestamp(ts)) AS sum_to_unix,
+               CAST(max(ts + make_interval(0, 0, 0, 3, 2, 0, 0))
+                    AS STRING) AS plus_interval,
+               count(try_make_interval(2147483647, 2147483647, 0, 0, 0, 0,
+                                       0)) AS n_bad_interval,
+               sum(datepart('hour', timestampadd(MINUTE, 90, ts)))
+                 AS sum_datepart_h,
+               max(current_timezone()) AS session_tz,
+               max(CASE WHEN curdate() = current_date() THEN 1 ELSE 0 END)
+                 AS curdate_consistent
+        FROM ltz_v
+    """).withColumns({
+        "ts_add_45m": F.timestamp_add(
+            "MINUTE", F.lit(45),
+            F.lit("2024-01-01 00:00:00").cast("timestamp")).cast("string"),
+        "tdiff_minutes": F.timestamp_diff(
+            "MINUTE", F.lit("2024-01-01 00:00:00").cast("timestamp"),
+            F.lit("2024-01-02 03:30:00").cast("timestamp")),
+    })
