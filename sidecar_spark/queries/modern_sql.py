@@ -3603,3 +3603,137 @@ def timestamp_ltz_ntz_functions(spark, sf_dir):
             "MINUTE", F.lit("2024-01-01 00:00:00").cast("timestamp"),
             F.lit("2024-01-02 03:30:00").cast("timestamp")),
     })
+
+
+# ---------------------------------------------------------------------------
+# regression second moments + misc scalar leftovers
+# ---------------------------------------------------------------------------
+
+@query(
+    "regr_moments_misc_functions",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y,
+             l_orderkey AS k
+      FROM lineitem WHERE l_orderkey <= 2000)
+    SELECT round(regr_sxx(y, x), 4) AS sxx,
+           round(regr_sxy(y, x), 4) AS sxy,
+           round(regr_syy(y, x), 4) AS syy,
+           CAST(sum(CAST(round(x / 7 + 0.3) AS BIGINT)) AS BIGINT)
+             AS sum_rint,
+           CAST(sum(-k) AS BIGINT) AS sum_negate,
+           round(sum(acos(1.0 / (1 + k % 5))), 6) AS sum_acos,
+           min(ltrim('  pad  ')) AS ltrimmed,
+           min(rtrim('  pad  ')) AS rtrimmed,
+           'a9993e364706816aba3e25717850c26c9cd0d89d' AS sha1_abc,
+           '123.45' AS to_varchar_fmt,
+           CAST(count(CASE WHEN k % 2 = 0
+                           THEN try_cast('12x' AS DOUBLE) END) AS BIGINT)
+             AS n_bad_number
+    FROM v
+    """,
+)
+def regr_moments_misc_functions(spark, sf_dir):
+    """Regression second moments regr_sxx / regr_sxy / regr_syy
+    (the sufficient statistics a distributed OLS reduces to — one
+    map-side-partial aggregate each) plus scalar leftovers: rint
+    banker's rounding probed off the .5 boundary, negate, acos,
+    ltrim / rtrim defaults, sha (sha1 alias) pinned on a fixed
+    input, to_varchar decimal formatting, try_to_number NULL on
+    malformed input."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 2000)
+    v = li.select(F.col("l_quantity").cast("double").alias("x"),
+                  F.col("l_extendedprice").cast("double").alias("y"),
+                  F.col("l_orderkey").alias("k"))
+    x, y, k = F.col("x"), F.col("y"), F.col("k")
+    return v.agg(
+        F.round(F.regr_sxx(y, x), 4).alias("sxx"),
+        F.round(F.regr_sxy(y, x), 4).alias("sxy"),
+        F.round(F.regr_syy(y, x), 4).alias("syy"),
+        F.sum(F.rint(x / 7 + 0.3).cast("bigint")).alias("sum_rint"),
+        F.sum(F.negate(k)).alias("sum_negate"),
+        F.round(F.sum(F.acos(1.0 / (1 + k % 5))), 6).alias("sum_acos"),
+        F.min(F.ltrim(F.lit("  pad  "))).alias("ltrimmed"),
+        F.min(F.rtrim(F.lit("  pad  "))).alias("rtrimmed"),
+        F.min(F.sha(F.lit("abc").cast("binary"))).alias("sha1_abc"),
+        F.min(F.to_varchar(F.lit(123.45).cast("decimal(5,2)"),
+                           F.lit("000.00"))).alias("to_varchar_fmt"),
+        F.count(F.when(k % 2 == 0, F.try_to_number(F.lit("12x"),
+                                                   F.lit("999"))))
+        .alias("n_bad_number"))
+
+
+# ---------------------------------------------------------------------------
+# UDF invocation surface: call_udf / call_function / java_method /
+# raise_error guard / randstr shape / input_file block metadata / null order
+# ---------------------------------------------------------------------------
+
+@query(
+    "udf_invocation_surface",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_orderkey % 3 END AS nx
+      FROM orders WHERE o_orderkey <= 300)
+    SELECT CAST(sum(k + 1) AS BIGINT) AS sum_call_udf,
+           CAST(sum((k * 2) % 7) AS BIGINT) AS sum_call_function,
+           CAST(sum(((k % 7) + 7) % 7) AS BIGINT) AS sum_java_floormod,
+           CAST(count(*) AS BIGINT) AS n_no_error,
+           CAST(count(*) AS BIGINT) AS n_randstr_len8,
+           CAST(0 AS BIGINT) AS min_block_start,
+           CAST(count(*) AS BIGINT) AS n_block_len_pos,
+           CAST((SELECT sum(k) FROM (
+                   SELECT k FROM v ORDER BY nx ASC NULLS FIRST, k LIMIT 5) s)
+                AS BIGINT) AS top5_nulls_first,
+           CAST((SELECT sum(k) FROM (
+                   SELECT k FROM v ORDER BY nx DESC NULLS LAST, k LIMIT 5) s)
+                AS BIGINT) AS top5_desc_nulls_last
+    FROM v
+    """,
+)
+def udf_invocation_surface(spark, sf_dir):
+    """Dynamic invocation surface: call_udf on a session-registered
+    Python UDF, call_function on a CREATE FUNCTION SQL UDF,
+    java_method reflecting Math.floorMod, raise_error behind a
+    never-true guard (lazy branch evaluation — the query must NOT
+    raise), randstr probed by shape only (length is the deterministic
+    part), input_file_block_start/length scan metadata (single-split
+    parquet files: start 0, positive length), and the four null-order
+    sort modifiers via deterministic top-5 windows."""
+    spark.udf.register("sc_plus_one", lambda v: v + 1, "bigint")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION sc_double_mod7(x BIGINT) "
+              "RETURNS BIGINT RETURN (x * 2) % 7")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 300)
+    v = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderkey") % 3).alias("nx"),
+        F.input_file_block_start().alias("bs"),
+        F.input_file_block_length().alias("bl"),
+        F.java_method(F.lit("java.lang.Math"), F.lit("floorMod"),
+                      (F.col("o_orderkey") % 7).cast("int"),
+                      F.lit(7)).cast("bigint").alias("jfm"),
+        F.when(F.length(F.randstr(F.lit(8), F.lit(42))) == 8, 1)
+        .otherwise(0).alias("rs8"))
+    k = F.col("k")
+    top5_nf = (v.orderBy(F.asc_nulls_first("nx"), F.asc("k")).limit(5)
+               .agg(F.sum("k").alias("s")))
+    top5_dnl = (v.orderBy(F.desc_nulls_last("nx"), F.asc("k")).limit(5)
+                .agg(F.sum("k").alias("s")))
+    agg = v.agg(
+        F.sum(F.call_udf("sc_plus_one", k)).alias("sum_call_udf"),
+        F.sum(F.call_function("sc_double_mod7", k))
+        .alias("sum_call_function"),
+        F.sum(F.col("jfm")).alias("sum_java_floormod"),
+        F.count(F.when(F.lit(False),
+                       F.raise_error(F.lit("unreachable")))
+                .otherwise(F.lit(1))).alias("n_no_error"),
+        F.sum(F.col("rs8")).alias("n_randstr_len8"),
+        F.min("bs").alias("min_block_start"),
+        F.sum(F.when(F.col("bl") > 0, 1).otherwise(0))
+        .alias("n_block_len_pos"))
+    return (agg.crossJoin(top5_nf.withColumnRenamed("s", "top5_nulls_first"))
+            .crossJoin(top5_dnl
+                       .withColumnRenamed("s", "top5_desc_nulls_last")))
