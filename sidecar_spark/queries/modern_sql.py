@@ -3737,3 +3737,123 @@ def udf_invocation_surface(spark, sf_dir):
     return (agg.crossJoin(top5_nf.withColumnRenamed("s", "top5_nulls_first"))
             .crossJoin(top5_dnl
                        .withColumnRenamed("s", "top5_desc_nulls_last")))
+
+
+# ---------------------------------------------------------------------------
+# to_xml / schema_of_xml: struct -> XML serialization and schema inference
+# ---------------------------------------------------------------------------
+
+@query(
+    "xml_serialize_schema",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st
+      FROM orders WHERE o_orderkey <= 200)
+    SELECT CAST(count(*) AS BIGINT) AS cnt,
+           min('<ROW>' || chr(10) || '    <k>' || CAST(k AS VARCHAR)
+               || '</k>' || chr(10) || '    <st>' || st || '</st>'
+               || chr(10) || '</ROW>') AS min_xml,
+           CAST(sum(CASE WHEN ('<ROW>' || chr(10) || '    <k>'
+                               || CAST(k AS VARCHAR) || '</k>' || chr(10)
+                               || '    <st>' || st || '</st>' || chr(10)
+                               || '</ROW>')
+                              LIKE '%<k>%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_has_field,
+           'STRUCT<k: BIGINT, st: STRING>' AS inferred_schema
+    FROM v
+    """,
+)
+def xml_serialize_schema(spark, sf_dir):
+    """to_xml serializing a struct per row (the writer half of the
+    XML surface — from_xml's inverse) and schema_of_xml inferring the
+    struct type from a sample document; serialized form is pinned by
+    reconstructing Spark's ROW markup in the oracle (4-space indent,
+    newline separators), inference by the literal type string."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 200)
+    v = o.select(
+        F.to_xml(F.struct(F.col("o_orderkey").alias("k"),
+                          F.col("o_orderstatus").alias("st"))).alias("xml"))
+    return v.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("xml").alias("min_xml"),
+        F.sum(F.when(F.col("xml").like("%<k>%"), 1).otherwise(0))
+        .alias("n_has_field"),
+        F.min(F.schema_of_xml(F.lit("<ROW><k>1</k><st>O</st></ROW>")))
+        .alias("inferred_schema"))
+
+
+# ---------------------------------------------------------------------------
+# error-tolerant try_* net/crypto/reflect family
+# ---------------------------------------------------------------------------
+
+@query(
+    "try_net_crypto_reflect",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey AS k,
+             'http://example.com/p' || CAST(o_orderkey % 5 AS VARCHAR)
+               || '?q=' || CAST(o_orderkey % 3 AS VARCHAR) AS url
+      FROM orders WHERE o_orderkey <= 300)
+    SELECT CAST(count(*) AS BIGINT) AS cnt,
+           min(CASE WHEN k % 5 = 0 THEN '/p0' WHEN k % 5 = 1 THEN '/p1'
+                    WHEN k % 5 = 2 THEN '/p2' WHEN k % 5 = 3 THEN '/p3'
+                    ELSE '/p4' END) AS min_path,
+           CAST(count(CASE WHEN 1 = 0 THEN 1 END) AS BIGINT)
+             AS n_bad_url_parse,
+           CAST(count(CASE WHEN 1 = 0 THEN 1 END) AS BIGINT)
+             AS n_bad_url_decode,
+           'a b c' AS decoded_ok,
+           CAST(count(*) AS BIGINT) AS n_aes_roundtrip,
+           CAST(count(CASE WHEN 1 = 0 THEN 1 END) AS BIGINT)
+             AS n_aes_tampered,
+           CAST(sum(((k % 9) + 9) % 9) AS BIGINT) AS sum_reflect_mod,
+           CAST(count(CASE WHEN 1 = 0 THEN 1 END) AS BIGINT)
+             AS n_bad_reflect
+    FROM v
+    """,
+)
+def try_net_crypto_reflect(spark, sf_dir):
+    """The error-tolerant try_* tail: try_parse_url extracts PATH and
+    returns NULL (not an error) on a malformed URL, try_url_decode
+    NULLs an invalid %-escape while decoding the valid one,
+    try_aes_decrypt round-trips aes_encrypt output under the right
+    key and NULLs a tampered ciphertext, and try_reflect invokes
+    Math.floorMod while NULLing a runtime reflection failure
+    (Integer.parseInt on a non-number) —
+    every failure mode that would otherwise kill a 1000-executor
+    stage reduced to NULL accounting."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 300)
+    key = "0123456789abcdef"
+    v = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.concat(F.lit("http://example.com/p"),
+                 (F.col("o_orderkey") % 5).cast("string"),
+                 F.lit("?q="),
+                 (F.col("o_orderkey") % 3).cast("string")).alias("url"),
+        F.try_reflect(F.lit("java.lang.Math"), F.lit("floorMod"),
+                      (F.col("o_orderkey") % 9).cast("int"),
+                      F.lit(9)).cast("bigint").alias("refl_ok"),
+        F.try_reflect(F.lit("java.lang.Integer"), F.lit("parseInt"),
+                      F.lit("not a number")).alias("refl_bad"))
+    k = F.col("k")
+    enc = F.expr(f"aes_encrypt(cast(k as string), '{key}', 'ECB')")
+    dec_ok = F.expr(
+        f"cast(try_aes_decrypt(aes_encrypt(cast(k as string), '{key}', "
+        f"'ECB'), '{key}', 'ECB') as string)")
+    dec_bad = F.expr(
+        f"try_aes_decrypt(cast(concat('xx', cast(aes_encrypt("
+        f"cast(k as string), '{key}', 'ECB') as string)) as binary), "
+        f"'{key}', 'ECB')")
+    return v.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.try_parse_url(F.col("url"), F.lit("PATH")))
+        .alias("min_path"),
+        F.count(F.try_parse_url(F.lit("not a url %"), F.lit("HOST"),
+                                F.lit("x"))).alias("n_bad_url_parse"),
+        F.count(F.try_url_decode(F.lit("%zz"))).alias("n_bad_url_decode"),
+        F.min(F.try_url_decode(F.lit("a%20b%20c"))).alias("decoded_ok"),
+        F.sum(F.when(dec_ok == k.cast("string"), 1).otherwise(0))
+        .alias("n_aes_roundtrip"),
+        F.count(dec_bad).alias("n_aes_tampered"),
+        F.sum(F.col("refl_ok")).alias("sum_reflect_mod"),
+        F.count(F.col("refl_bad")).alias("n_bad_reflect"))
