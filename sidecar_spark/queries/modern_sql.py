@@ -3857,3 +3857,83 @@ def try_net_crypto_reflect(spark, sf_dir):
         F.count(dec_bad).alias("n_aes_tampered"),
         F.sum(F.col("refl_ok")).alias("sum_reflect_mod"),
         F.count(F.col("refl_bad")).alias("n_bad_reflect"))
+
+
+# ---------------------------------------------------------------------------
+# native Arrow UDF (arrow_udf) + UDT unwrap + session introspection tail
+# ---------------------------------------------------------------------------
+
+@query(
+    "arrow_native_udf_surface",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey AS k,
+             CAST(o_totalprice AS DOUBLE) AS p,
+             CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                  ELSE o_orderkey % 6 END AS nx
+      FROM orders WHERE o_orderkey <= 400)
+    SELECT CAST(sum(k * 3 + 1) AS BIGINT) AS sum_arrow_udf,
+           round(sum(p * 1.1), 4) AS sum_arrow_scaled,
+           round(1.0 + 2.0, 6) AS sum_udt_values,
+           'default' AS cur_db,
+           CAST(1 AS BIGINT) AS local_ts_consistent,
+           CAST((SELECT sum(k) FROM (
+                   SELECT k FROM v ORDER BY nx ASC NULLS LAST, k
+                   LIMIT 5) s) AS BIGINT) AS top5_asc_nulls_last,
+           CAST((SELECT sum(k) FROM (
+                   SELECT k FROM v ORDER BY nx DESC NULLS FIRST, k
+                   LIMIT 5) s) AS BIGINT) AS top5_desc_nulls_first
+    FROM v
+    """,
+)
+def arrow_native_udf_surface(spark, sf_dir):
+    """The native Arrow UDF API (@arrow_udf — the 4.1 evolution of
+    pandas_udf that hands the worker raw pyarrow arrays, no pandas
+    conversion), unwrap_udt exposing an ML VectorUDT's internal
+    struct to SQL, current_database, the localtimestamp/
+    current_timestamp NTZ/LTZ consistency identity under the UTC
+    session zone (both are frozen at query start, so their epoch
+    difference is exactly 0), and the remaining two null-order sort
+    modifiers (asc_nulls_last / desc_nulls_first) via deterministic
+    top-5 windows."""
+    import pyarrow.compute as pc
+    from pyspark.ml.linalg import Vectors
+
+    @F.arrow_udf("bigint")
+    def sc_affine(a):
+        return pc.add(pc.multiply(a, 3), 1)
+
+    @F.arrow_udf("double")
+    def sc_scale(a):
+        return pc.multiply(a, 1.1)
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 400)
+    v = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("p"),
+        F.when(F.col("o_orderkey") % 4 == 0, None)
+        .otherwise(F.col("o_orderkey") % 6).alias("nx"))
+    udt = spark.createDataFrame([(Vectors.dense([1.0, 2.0]),)], ["vec"])
+    udt_sum = (udt.select(F.unwrap_udt("vec").alias("u"))
+               .select(F.aggregate(F.col("u.values"),
+                                   F.lit(0.0),
+                                   lambda acc, e: acc + e).alias("s")))
+    intro = spark.sql("""
+        SELECT current_database() AS cur_db,
+               CASE WHEN unix_timestamp(current_timestamp())
+                         - unix_timestamp(localtimestamp()) = 0
+                    THEN 1 ELSE 0 END AS local_ts_consistent
+    """)
+    top5_anl = (v.orderBy(F.asc_nulls_last("nx"), F.asc("k")).limit(5)
+                .agg(F.sum("k").alias("top5_asc_nulls_last")))
+    top5_dnf = (v.orderBy(F.desc_nulls_first("nx"), F.asc("k")).limit(5)
+                .agg(F.sum("k").alias("top5_desc_nulls_first")))
+    agg = v.agg(
+        F.sum(sc_affine(F.col("k"))).alias("sum_arrow_udf"),
+        F.round(F.sum(sc_scale(F.col("p"))), 4).alias("sum_arrow_scaled"))
+    return (agg
+            .crossJoin(udt_sum.select(F.round(F.col("s"), 6)
+                                      .alias("sum_udt_values")))
+            .crossJoin(intro)
+            .crossJoin(top5_anl)
+            .crossJoin(top5_dnf))
