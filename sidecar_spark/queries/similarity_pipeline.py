@@ -912,3 +912,113 @@ def embedding_covariance(spark, sf_dir):
             + [F.round(sum(F.covar_pop(f"x{i}", f"x{i}")
                            for i in range(4)), 6).alias("trace_var")])
     return v.agg(*aggs).select(F.lit("cov").alias("stat"), "*")
+
+
+# ---------------------------------------------------------------------------
+# PCA top eigenvector by power iteration — all-SQL, oracle-replayable
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_pca_power_iteration",
+    oracle="""
+    WITH e AS (
+      SELECT embedding[1]::DOUBLE AS x0, embedding[2]::DOUBLE AS x1,
+             embedding[3]::DOUBLE AS x2, embedding[4]::DOUBLE AS x3
+      FROM embeddings),
+    c AS (
+      SELECT covar_pop(x0,x0) AS c00, covar_pop(x0,x1) AS c01,
+             covar_pop(x0,x2) AS c02, covar_pop(x0,x3) AS c03,
+             covar_pop(x1,x1) AS c11, covar_pop(x1,x2) AS c12,
+             covar_pop(x1,x3) AS c13, covar_pop(x2,x2) AS c22,
+             covar_pop(x2,x3) AS c23, covar_pop(x3,x3) AS c33
+      FROM e),
+    it1 AS (
+      SELECT c.*,
+             c00*0.5 + c01*0.5 + c02*0.5 + c03*0.5 AS v0,
+             c01*0.5 + c11*0.5 + c12*0.5 + c13*0.5 AS v1,
+             c02*0.5 + c12*0.5 + c22*0.5 + c23*0.5 AS v2,
+             c03*0.5 + c13*0.5 + c23*0.5 + c33*0.5 AS v3
+      FROM c),
+    n1 AS (SELECT *, sqrt(v0*v0+v1*v1+v2*v2+v3*v3) AS nn FROM it1),
+    u1 AS (SELECT *, v0/nn AS u0, v1/nn AS u1, v2/nn AS u2, v3/nn AS u3
+           FROM n1),
+    it2 AS (
+      SELECT *,
+             c00*u0 + c01*u1 + c02*u2 + c03*u3 AS w0,
+             c01*u0 + c11*u1 + c12*u2 + c13*u3 AS w1,
+             c02*u0 + c12*u1 + c22*u2 + c23*u3 AS w2,
+             c03*u0 + c13*u1 + c23*u2 + c33*u3 AS w3
+      FROM u1),
+    n2 AS (SELECT *, sqrt(w0*w0+w1*w1+w2*w2+w3*w3) AS nn2 FROM it2),
+    u2t AS (SELECT *, w0/nn2 AS p0, w1/nn2 AS p1, w2/nn2 AS p2,
+                   w3/nn2 AS p3 FROM n2),
+    it3 AS (
+      SELECT *,
+             c00*p0 + c01*p1 + c02*p2 + c03*p3 AS z0,
+             c01*p0 + c11*p1 + c12*p2 + c13*p3 AS z1,
+             c02*p0 + c12*p1 + c22*p2 + c23*p3 AS z2,
+             c03*p0 + c13*p1 + c23*p2 + c33*p3 AS z3
+      FROM u2t)
+    SELECT round(abs(z0 / sqrt(z0*z0+z1*z1+z2*z2+z3*z3)), 6) AS ev0,
+           round(abs(z1 / sqrt(z0*z0+z1*z1+z2*z2+z3*z3)), 6) AS ev1,
+           round(abs(z2 / sqrt(z0*z0+z1*z1+z2*z2+z3*z3)), 6) AS ev2,
+           round(abs(z3 / sqrt(z0*z0+z1*z1+z2*z2+z3*z3)), 6) AS ev3,
+           round(p0*z0 + p1*z1 + p2*z2 + p3*z3, 6) AS rayleigh
+    FROM it3
+    """,
+)
+def embedding_pca_power_iteration(spark, sf_dir):
+    """Distributed PCA without leaving SQL: ONE covariance pass over
+    the corpus (map-side-partial aggregate, O(d^2) state) reduces
+    100 TB of vectors to a 4x4 matrix; three unrolled power
+    iterations from a fixed start vector then run entirely on that
+    tiny aggregate — pure scalar arithmetic replayed identically by
+    the oracle, no driver-side eigensolver, no second data pass.
+    Output: the leading eigenvector (|components|, sign-free) and
+    its Rayleigh-quotient eigenvalue estimate."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select(*[F.col("embedding")[i].cast("double").alias(f"x{i}")
+                   for i in range(4)])
+    v.createOrReplaceTempView("pca_v")
+    return spark.sql("""
+        WITH c AS (
+          SELECT covar_pop(x0,x0) AS c00, covar_pop(x0,x1) AS c01,
+                 covar_pop(x0,x2) AS c02, covar_pop(x0,x3) AS c03,
+                 covar_pop(x1,x1) AS c11, covar_pop(x1,x2) AS c12,
+                 covar_pop(x1,x3) AS c13, covar_pop(x2,x2) AS c22,
+                 covar_pop(x2,x3) AS c23, covar_pop(x3,x3) AS c33
+          FROM pca_v),
+        it1 AS (
+          SELECT c.*,
+                 c00*0.5 + c01*0.5 + c02*0.5 + c03*0.5 AS v0,
+                 c01*0.5 + c11*0.5 + c12*0.5 + c13*0.5 AS v1,
+                 c02*0.5 + c12*0.5 + c22*0.5 + c23*0.5 AS v2,
+                 c03*0.5 + c13*0.5 + c23*0.5 + c33*0.5 AS v3
+          FROM c),
+        n1 AS (SELECT *, sqrt(v0*v0+v1*v1+v2*v2+v3*v3) AS nn FROM it1),
+        u1 AS (SELECT *, v0/nn AS u0, v1/nn AS u1, v2/nn AS u2,
+                      v3/nn AS u3 FROM n1),
+        it2 AS (
+          SELECT *,
+                 c00*u0 + c01*u1 + c02*u2 + c03*u3 AS w0,
+                 c01*u0 + c11*u1 + c12*u2 + c13*u3 AS w1,
+                 c02*u0 + c12*u1 + c22*u2 + c23*u3 AS w2,
+                 c03*u0 + c13*u1 + c23*u2 + c33*u3 AS w3
+          FROM u1),
+        n2 AS (SELECT *, sqrt(w0*w0+w1*w1+w2*w2+w3*w3) AS nn2 FROM it2),
+        u2t AS (SELECT *, w0/nn2 AS p0, w1/nn2 AS p1, w2/nn2 AS p2,
+                       w3/nn2 AS p3 FROM n2),
+        it3 AS (
+          SELECT *,
+                 c00*p0 + c01*p1 + c02*p2 + c03*p3 AS z0,
+                 c01*p0 + c11*p1 + c12*p2 + c13*p3 AS z1,
+                 c02*p0 + c12*p1 + c22*p2 + c23*p3 AS z2,
+                 c03*p0 + c13*p1 + c23*p2 + c33*p3 AS z3
+          FROM u2t)
+        SELECT round(abs(z0 / sqrt(z0*z0+z1*z1+z2*z2+z3*z3)), 6) AS ev0,
+               round(abs(z1 / sqrt(z0*z0+z1*z1+z2*z2+z3*z3)), 6) AS ev1,
+               round(abs(z2 / sqrt(z0*z0+z1*z1+z2*z2+z3*z3)), 6) AS ev2,
+               round(abs(z3 / sqrt(z0*z0+z1*z1+z2*z2+z3*z3)), 6) AS ev3,
+               round(p0*z0 + p1*z1 + p2*z2 + p3*z3, 6) AS rayleigh
+        FROM it3
+    """)

@@ -985,3 +985,56 @@ def events_autocorrelation(spark, sf_dir):
         F.round(F.corr("cnt", "l1"), 6).alias("acf1"),
         F.round(F.corr("cnt", "l2"), 6).alias("acf2"),
         F.round(F.corr("cnt", "l3"), 6).alias("acf3"))
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition: hour-of-day seasonal index + residual variance
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_seasonal_decompose",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, hour(ts) AS hod,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    季 AS (SELECT 1),
+    seasonal AS (
+      SELECT hod, avg(cnt) AS s FROM hourly GROUP BY hod),
+    g AS (SELECT avg(cnt) AS gmean FROM hourly),
+    dec AS (
+      SELECT h.hod, h.cnt, s.s, g.gmean,
+             h.cnt - s.s AS resid
+      FROM hourly h JOIN seasonal s ON h.hod = s.hod CROSS JOIN g)
+    SELECT hod,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           round(avg(s), 6) AS seasonal_index,
+           round(avg(s) / max(gmean), 6) AS seasonal_ratio,
+           round(var_pop(resid), 6) AS resid_var
+    FROM dec GROUP BY hod ORDER BY hod
+    """,
+)
+def events_seasonal_decompose(spark, sf_dir):
+    """Classical seasonal decomposition of the hourly arrival series:
+    aggregate to hourly counts (first shuffle — the raw volume never
+    reappears), compute the hour-of-day seasonal index (second, 24-row
+    aggregate), and the de-seasonalized residual variance per hour
+    slot — the decomposition behind capacity planning and anomaly
+    thresholds.  Both engines run the identical two-level average, so
+    the index, its ratio to the grand mean, and the residual variance
+    pin exactly."""
+    e = t(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("h"),
+                        F.hour("ts").alias("hod"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    seasonal = hourly.groupBy("hod").agg(F.avg("cnt").alias("s"))
+    g = hourly.agg(F.avg("cnt").alias("gmean"))
+    dec = (hourly.join(seasonal, "hod").crossJoin(F.broadcast(g))
+           .withColumn("resid", F.col("cnt") - F.col("s")))
+    return (dec.groupBy("hod")
+            .agg(F.count(F.lit(1)).alias("n_hours"),
+                 F.round(F.avg("s"), 6).alias("seasonal_index"),
+                 F.round(F.avg("s") / F.max("gmean"), 6)
+                 .alias("seasonal_ratio"),
+                 F.round(F.var_pop("resid"), 6).alias("resid_var"))
+            .orderBy("hod"))
