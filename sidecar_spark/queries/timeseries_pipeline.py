@@ -998,7 +998,6 @@ def events_autocorrelation(spark, sf_dir):
       SELECT date_trunc('hour', ts) AS h, hour(ts) AS hod,
              count(*) AS cnt
       FROM events GROUP BY 1, 2),
-    季 AS (SELECT 1),
     seasonal AS (
       SELECT hod, avg(cnt) AS s FROM hourly GROUP BY hod),
     g AS (SELECT avg(cnt) AS gmean FROM hourly),
