@@ -1037,3 +1037,168 @@ def events_seasonal_decompose(spark, sf_dir):
                  .alias("seasonal_ratio"),
                  F.round(F.var_pop("resid"), 6).alias("resid_var"))
             .orderBy("hod"))
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit over order totals
+# ---------------------------------------------------------------------------
+
+@query(
+    "benford_first_digit_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    obs AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    tot AS (SELECT sum(n) AS total FROM obs)
+    SELECT o.digit,
+           CAST(o.n AS BIGINT) AS n,
+           round(CAST(o.n AS DOUBLE) / t.total, 6) AS observed_p,
+           round(log10(1 + CAST(1 AS DOUBLE) / o.digit), 6) AS benford_p,
+           round(t.total * pow(CAST(o.n AS DOUBLE) / t.total
+                               - log10(1 + CAST(1 AS DOUBLE) / o.digit), 2)
+                 / log10(1 + CAST(1 AS DOUBLE) / o.digit), 6) AS chi2_term
+    FROM obs o CROSS JOIN tot t
+    ORDER BY o.digit
+    """,
+)
+def benford_first_digit_audit(spark, sf_dir):
+    """Benford's-law first-digit audit of order totals — the fraud /
+    synthetic-data smell test: observed leading-digit frequencies
+    against log10(1+1/d) with the per-digit chi-square contribution.
+    One scan + a 9-row aggregate; the digit extraction is a string
+    head over the integer part, identical in both engines."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    # explicit floor: DuckDB's DOUBLE->BIGINT cast rounds half-even
+    # while Spark's truncates — floor() first makes both exact
+    d = o.select(F.substring(F.floor(F.col("o_totalprice")).cast("bigint")
+                             .cast("string"), 1, 1).cast("bigint")
+                 .alias("digit"))
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    p = F.col("n") * 1.0 / F.col("total")
+    bp = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (obs.crossJoin(F.broadcast(tot))
+            .select("digit",
+                    F.col("n"),
+                    F.round(p, 6).alias("observed_p"),
+                    F.round(bp, 6).alias("benford_p"),
+                    F.round(F.col("total") * F.pow(p - bp, 2) / bp, 6)
+                    .alias("chi2_term"))
+            .orderBy("digit"))
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence: event_type x value-bucket contingency
+# ---------------------------------------------------------------------------
+
+@query(
+    "chi_square_independence",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(least(floor(value / 25.0), 3) AS BIGINT) AS vb
+      FROM events),
+    cell AS (SELECT event_type, vb, count(*) AS o
+             FROM v GROUP BY event_type, vb),
+    rowm AS (SELECT event_type, sum(o) AS rn FROM cell GROUP BY event_type),
+    colm AS (SELECT vb, sum(o) AS cn FROM cell GROUP BY vb),
+    tot AS (SELECT sum(o) AS n FROM cell)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((SELECT count(*) FROM rowm) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM colm) AS BIGINT) AS n_cols,
+           CAST(((SELECT count(*) FROM rowm) - 1)
+                * ((SELECT count(*) FROM colm) - 1) AS BIGINT) AS dof,
+           round(sum(pow(c.o - r.rn * m.cn * 1.0 / t.n, 2)
+                     / (r.rn * m.cn * 1.0 / t.n)), 6) AS chi2
+    FROM cell c
+    JOIN rowm r ON c.event_type = r.event_type
+    JOIN colm m ON c.vb = m.vb
+    CROSS JOIN tot t
+    """,
+)
+def chi_square_independence(spark, sf_dir):
+    """Pearson chi-square independence test between event type and
+    the bucketed value — the categorical-drift / feature-dependence
+    audit.  Contingency cells, margins and the statistic are all
+    aggregates over aggregates: the raw table is touched once, every
+    later stage operates on the (types x buckets) grid, and the
+    margins broadcast-join back onto the cells."""
+    e = t(spark, sf_dir, "events")
+    v = e.select("event_type",
+                 F.least(F.floor(F.col("value") / 25.0), F.lit(3))
+                 .cast("bigint").alias("vb"))
+    cell = v.groupBy("event_type", "vb").agg(F.count(F.lit(1)).alias("o"))
+    rowm = cell.groupBy("event_type").agg(F.sum("o").alias("rn"))
+    colm = cell.groupBy("vb").agg(F.sum("o").alias("cn"))
+    tot = cell.agg(F.sum("o").alias("n"))
+    nr = rowm.count()
+    nc = colm.count()
+    exp = F.col("rn") * F.col("cn") * 1.0 / F.col("n")
+    return (cell.join(F.broadcast(rowm), "event_type")
+            .join(F.broadcast(colm), "vb")
+            .crossJoin(F.broadcast(tot))
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.lit(nr).cast("bigint").alias("n_rows"),
+                 F.lit(nc).cast("bigint").alias("n_cols"),
+                 F.lit((nr - 1) * (nc - 1)).cast("bigint").alias("dof"),
+                 F.round(F.sum(F.pow(F.col("o") - exp, 2) / exp), 6)
+                 .alias("chi2")))
+
+
+# ---------------------------------------------------------------------------
+# Welch two-sample t statistic between event types
+# ---------------------------------------------------------------------------
+
+@query(
+    "welch_t_test",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             count(*) AS n, avg(value) AS m,
+             var_samp(value) AS s2
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY event_type),
+    a AS (SELECT * FROM g WHERE event_type = 'click'),
+    b AS (SELECT * FROM g WHERE event_type = 'view')
+    SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           round(a.m - b.m, 6) AS mean_diff,
+           round((a.m - b.m) / sqrt(a.s2 / a.n + b.s2 / b.n), 6)
+             AS t_stat,
+           round(pow(a.s2 / a.n + b.s2 / b.n, 2)
+                 / (pow(a.s2 / a.n, 2) / (a.n - 1)
+                    + pow(b.s2 / b.n, 2) / (b.n - 1)), 6) AS welch_dof
+    FROM a, b
+    """,
+)
+def welch_t_test(spark, sf_dir):
+    """Welch's unequal-variance two-sample t statistic (with the
+    Welch-Satterthwaite degrees of freedom) comparing the value
+    distribution of two event classes — the A/B-experiment readout.
+    Each group reduces to (n, mean, s^2) map-side; the statistic is
+    scalar arithmetic on the two 1-row aggregates."""
+    e = (t(spark, sf_dir, "events")
+         .where(F.col("event_type").isin("click", "view")))
+    g = (e.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("m"),
+              F.var_samp("value").alias("s2")))
+    a = g.where(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"), F.col("m").alias("m_a"),
+        F.col("s2").alias("s2_a"))
+    b = g.where(F.col("event_type") == "view").select(
+        F.col("n").alias("n_b"), F.col("m").alias("m_b"),
+        F.col("s2").alias("s2_b"))
+    se2 = F.col("s2_a") / F.col("n_a") + F.col("s2_b") / F.col("n_b")
+    return (a.crossJoin(b)
+            .select("n_a", "n_b",
+                    F.round(F.col("m_a") - F.col("m_b"), 6)
+                    .alias("mean_diff"),
+                    F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 6)
+                    .alias("t_stat"),
+                    F.round(F.pow(se2, 2)
+                            / (F.pow(F.col("s2_a") / F.col("n_a"), 2)
+                               / (F.col("n_a") - 1)
+                               + F.pow(F.col("s2_b") / F.col("n_b"), 2)
+                               / (F.col("n_b") - 1)), 6)
+                    .alias("welch_dof")))
