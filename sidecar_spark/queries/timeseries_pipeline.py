@@ -1202,3 +1202,125 @@ def welch_t_test(spark, sf_dir):
                                + F.pow(F.col("s2_b") / F.col("n_b"), 2)
                                / (F.col("n_b") - 1)), 6)
                     .alias("welch_dof")))
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) between two event classes
+# ---------------------------------------------------------------------------
+
+@query(
+    "mann_whitney_u",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('click', 'view')),
+    r AS (
+      SELECT event_type,
+             rank() OVER (ORDER BY value) AS rk,
+             count(*) OVER (PARTITION BY value) AS ties
+      FROM s),
+    avg_r AS (
+      SELECT event_type, rk + (ties - 1) / 2.0 AS arank FROM r),
+    agg AS (
+      SELECT event_type, count(*) AS n, sum(arank) AS rsum
+      FROM avg_r GROUP BY event_type),
+    a AS (SELECT * FROM agg WHERE event_type = 'click'),
+    b AS (SELECT * FROM agg WHERE event_type = 'view')
+    SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           round(a.rsum, 2) AS ranksum_a,
+           round(a.rsum - a.n * (a.n + 1) / 2.0, 2) AS u_a,
+           round(a.n * CAST(b.n AS DOUBLE)
+                 - (a.rsum - a.n * (a.n + 1) / 2.0), 2) AS u_b,
+           round((a.rsum - a.n * (a.n + 1) / 2.0)
+                 / (a.n * CAST(b.n AS DOUBLE)), 6) AS auc_estimate
+    FROM a, b
+    """,
+)
+def mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U rank-sum test between two event classes — the
+    nonparametric A/B readout (its normalized U is exactly the AUC
+    of 'does a click outrank a view').  Midranks for ties come from
+    rank() plus the tie-count window, both over the global value
+    order: ONE sort-shuffle of the two-class subset, then a 2-row
+    aggregate; no per-pair work, so 100 TB never sees the quadratic
+    comparison the naive AUC runs."""
+    s = (t(spark, sf_dir, "events")
+         .where(F.col("event_type").isin("click", "view"))
+         .select("event_type", "value"))
+    w_rank = W.orderBy("value")
+    w_ties = W.partitionBy("value")
+    r = s.select(
+        "event_type",
+        (F.rank().over(w_rank)
+         + (F.count(F.lit(1)).over(w_ties) - 1) / 2.0).alias("arank"))
+    agg = (r.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("arank").alias("rsum")))
+    a = agg.where(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"), F.col("rsum").alias("rsum_a"))
+    b = agg.where(F.col("event_type") == "view").select(
+        F.col("n").alias("n_b"))
+    u_a = F.col("rsum_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    return (a.crossJoin(b)
+            .select("n_a", "n_b",
+                    F.round(F.col("rsum_a"), 2).alias("ranksum_a"),
+                    F.round(u_a, 2).alias("u_a"),
+                    F.round(F.col("n_a") * F.col("n_b").cast("double")
+                            - u_a, 2).alias("u_b"),
+                    F.round(u_a / (F.col("n_a")
+                                   * F.col("n_b").cast("double")), 6)
+                    .alias("auc_estimate")))
+
+
+# ---------------------------------------------------------------------------
+# Lorenz deciles: revenue concentration across customers
+# ---------------------------------------------------------------------------
+
+@query(
+    "revenue_decile_concentration",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_custkey),
+    tiled AS (
+      SELECT rev, ntile(10) OVER (ORDER BY rev, o_custkey) AS decile
+      FROM cust),
+    d AS (
+      SELECT decile, count(*) AS n_cust, sum(rev) AS rev
+      FROM tiled GROUP BY decile),
+    tot AS (SELECT sum(rev) AS total FROM d)
+    SELECT decile,
+           CAST(n_cust AS BIGINT) AS n_cust,
+           round(rev, 2) AS decile_rev,
+           round(rev / t.total, 6) AS rev_share,
+           round(sum(rev) OVER (ORDER BY decile) / t.total, 6)
+             AS cum_share
+    FROM d CROSS JOIN tot t
+    ORDER BY decile
+    """,
+)
+def revenue_decile_concentration(spark, sf_dir):
+    """Lorenz-curve revenue concentration: per-customer revenue,
+    ntile(10) deciles over the (rev, key) total order, and each
+    decile's share plus the cumulative share — the concentration
+    readout behind Gini (the battery's pandas-UDAF Gini is the
+    same curve integrated).  One aggregate + one sort-shuffle of
+    the customer-level rollup (already 1/40th of raw), then 10-row
+    arithmetic."""
+    o = t(spark, sf_dir, "orders")
+    cust = (o.groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("rev")))
+    tiled = cust.select(
+        "rev", F.ntile(10).over(W.orderBy("rev", "o_custkey"))
+        .alias("decile"))
+    d = (tiled.groupBy("decile")
+         .agg(F.count(F.lit(1)).alias("n_cust"), F.sum("rev").alias("rev")))
+    tot = d.agg(F.sum("rev").alias("total"))
+    return (d.crossJoin(F.broadcast(tot))
+            .select("decile", "n_cust",
+                    F.round(F.col("rev"), 2).alias("decile_rev"),
+                    F.round(F.col("rev") / F.col("total"), 6)
+                    .alias("rev_share"),
+                    F.round(F.sum("rev").over(W.orderBy("decile"))
+                            / F.col("total"), 6).alias("cum_share"))
+            .orderBy("decile"))
