@@ -3937,3 +3937,37 @@ def arrow_native_udf_surface(spark, sf_dir):
             .crossJoin(intro)
             .crossJoin(top5_anl)
             .crossJoin(top5_dnf))
+
+
+# ---------------------------------------------------------------------------
+# DataFrame.summary()/describe() wiring over exact statistics
+# ---------------------------------------------------------------------------
+
+@query(
+    "dataframe_summary_stats",
+    oracle="""
+    WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS p FROM orders)
+    SELECT 'count' AS summary,
+           CAST(count(*) AS VARCHAR) AS o_totalprice FROM v
+    UNION ALL
+    SELECT 'mean', CAST(avg(p) AS VARCHAR) FROM v
+    UNION ALL
+    SELECT 'stddev', CAST(stddev_samp(p) AS VARCHAR) FROM v
+    UNION ALL
+    SELECT 'min', CAST(min(p) AS VARCHAR) FROM v
+    UNION ALL
+    SELECT 'max', CAST(max(p) AS VARCHAR) FROM v
+    ORDER BY summary
+    """,
+)
+def dataframe_summary_stats(spark, sf_dir):
+    """DataFrame.summary() — the interactive profiling verb — over
+    the exact-statistic subset (count/mean/stddev/min/max; the
+    percentile rows use approxQuantile and are pinned elsewhere by
+    the sketch-audit queries).  summary() emits STRING cells, so the
+    oracle casts its exact aggregates to the same text form; row
+    order is normalized by sorting on the summary label."""
+    o = t(spark, sf_dir, "orders")
+    v = o.select(F.col("o_totalprice").cast("double"))
+    return (v.summary("count", "mean", "stddev", "min", "max")
+            .orderBy("summary"))

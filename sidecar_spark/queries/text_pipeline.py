@@ -1481,3 +1481,62 @@ def gopher_rules_filter(spark, sf_dir):
                    * F.col("r_digit")).alias("pass_all"))
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed inference batching: padding-waste accounting
+# ---------------------------------------------------------------------------
+
+@query(
+    "length_bucketed_batching",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents),
+    b AS (
+      SELECT doc_id, n_tok,
+             CAST(least(floor(n_tok / 64.0), 7) AS BIGINT) AS bucket
+      FROM d),
+    agg AS (
+      SELECT bucket, count(*) AS n_docs,
+             max(n_tok) AS max_tok, sum(n_tok) AS sum_tok
+      FROM b GROUP BY bucket)
+    SELECT bucket,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(max_tok AS BIGINT) AS pad_to,
+           CAST(sum_tok AS BIGINT) AS real_tokens,
+           CAST(n_docs * max_tok - sum_tok AS BIGINT) AS padding_tokens,
+           round(CAST(n_docs * max_tok - sum_tok AS DOUBLE)
+                 / (n_docs * max_tok), 6) AS padding_frac
+    FROM agg ORDER BY bucket
+    """,
+)
+def length_bucketed_batching(spark, sf_dir):
+    """Length-bucketed batching for inference/training: assign each
+    document to a 64-token-wide length bucket (capped tail), pad
+    every batch member to the bucket's max length, and account the
+    padding waste per bucket — the statistic that decides bucket
+    widths for a GPU-batch scheduler.  Pure map + one small groupBy;
+    the whole-corpus padding fraction falls out of the same 8-row
+    aggregate at any scale."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    b = d.select(
+        n_tok.alias("n_tok"),
+        F.least(F.floor(n_tok / 64.0), F.lit(7)).cast("bigint")
+        .alias("bucket"))
+    agg = (b.groupBy("bucket")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.max("n_tok").alias("pad_to"),
+                F.sum("n_tok").alias("real_tokens")))
+    padding = F.col("n_docs") * F.col("pad_to") - F.col("real_tokens")
+    return (agg.select(
+        "bucket", "n_docs",
+        F.col("pad_to").cast("bigint").alias("pad_to"),
+        F.col("real_tokens").cast("bigint").alias("real_tokens"),
+        padding.cast("bigint").alias("padding_tokens"),
+        F.round(padding.cast("double")
+                / (F.col("n_docs") * F.col("pad_to")), 6)
+        .alias("padding_frac"))
+        .orderBy("bucket"))
