@@ -1748,3 +1748,48 @@ def trig_functions(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped applyInArrow: per-group pyarrow-native aggregation
+# ---------------------------------------------------------------------------
+
+@query(
+    "grouped_apply_in_arrow",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value,
+           round(max(value) - min(value), 4) AS value_range
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def grouped_apply_in_arrow(spark, sf_dir):
+    """groupBy().applyInArrow — the Arrow-native grouped map (Spark
+    4): each group arrives as a raw pyarrow.Table (no pandas
+    conversion on either side), the function reduces it with
+    pyarrow.compute kernels and returns a one-row table.  The
+    per-group reduction shape is what a custom C-speed aggregator
+    (quantile sketch, tokenizer stats) plugs into; parity against
+    the plain SQL aggregate pins the plumbing end to end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def reduce_group(table: "pa.Table") -> "pa.Table":
+        v = table.column("value")
+        return pa.table({
+            "event_type": [table.column("event_type")[0].as_py()],
+            "n": pa.array([table.num_rows], pa.int64()),
+            "sum_value": pa.array(
+                [round(pc.sum(v).as_py(), 4)], pa.float64()),
+            "value_range": pa.array(
+                [round(pc.max(v).as_py() - pc.min(v).as_py(), 4)],
+                pa.float64()),
+        })
+
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    out_schema = ("event_type string, n bigint, sum_value double, "
+                  "value_range double")
+    return (e.groupBy("event_type")
+            .applyInArrow(reduce_group, schema=out_schema)
+            .orderBy("event_type"))

@@ -933,27 +933,35 @@ def embedding_covariance(spark, sf_dir):
              covar_pop(x2,x3) AS c23, covar_pop(x3,x3) AS c33
       FROM e),
     it1 AS (
-      SELECT c.*,
+      SELECT c00, c01, c02, c03, c11, c12, c13, c22, c23, c33,
              c00*0.5 + c01*0.5 + c02*0.5 + c03*0.5 AS v0,
              c01*0.5 + c11*0.5 + c12*0.5 + c13*0.5 AS v1,
              c02*0.5 + c12*0.5 + c22*0.5 + c23*0.5 AS v2,
              c03*0.5 + c13*0.5 + c23*0.5 + c33*0.5 AS v3
       FROM c),
-    n1 AS (SELECT *, sqrt(v0*v0+v1*v1+v2*v2+v3*v3) AS nn FROM it1),
-    u1 AS (SELECT *, v0/nn AS u0, v1/nn AS u1, v2/nn AS u2, v3/nn AS u3
-           FROM n1),
+    u1 AS (
+      SELECT c00, c01, c02, c03, c11, c12, c13, c22, c23, c33,
+             v0/sqrt(v0*v0+v1*v1+v2*v2+v3*v3) AS u0,
+             v1/sqrt(v0*v0+v1*v1+v2*v2+v3*v3) AS u1,
+             v2/sqrt(v0*v0+v1*v1+v2*v2+v3*v3) AS u2,
+             v3/sqrt(v0*v0+v1*v1+v2*v2+v3*v3) AS u3
+      FROM it1),
     it2 AS (
-      SELECT *,
+      SELECT c00, c01, c02, c03, c11, c12, c13, c22, c23, c33,
              c00*u0 + c01*u1 + c02*u2 + c03*u3 AS w0,
              c01*u0 + c11*u1 + c12*u2 + c13*u3 AS w1,
              c02*u0 + c12*u1 + c22*u2 + c23*u3 AS w2,
              c03*u0 + c13*u1 + c23*u2 + c33*u3 AS w3
       FROM u1),
-    n2 AS (SELECT *, sqrt(w0*w0+w1*w1+w2*w2+w3*w3) AS nn2 FROM it2),
-    u2t AS (SELECT *, w0/nn2 AS p0, w1/nn2 AS p1, w2/nn2 AS p2,
-                   w3/nn2 AS p3 FROM n2),
+    u2t AS (
+      SELECT c00, c01, c02, c03, c11, c12, c13, c22, c23, c33,
+             w0/sqrt(w0*w0+w1*w1+w2*w2+w3*w3) AS p0,
+             w1/sqrt(w0*w0+w1*w1+w2*w2+w3*w3) AS p1,
+             w2/sqrt(w0*w0+w1*w1+w2*w2+w3*w3) AS p2,
+             w3/sqrt(w0*w0+w1*w1+w2*w2+w3*w3) AS p3
+      FROM it2),
     it3 AS (
-      SELECT *,
+      SELECT p0, p1, p2, p3,
              c00*p0 + c01*p1 + c02*p2 + c03*p3 AS z0,
              c01*p0 + c11*p1 + c12*p2 + c13*p3 AS z1,
              c02*p0 + c12*p1 + c22*p2 + c23*p3 AS z2,
@@ -989,27 +997,35 @@ def embedding_pca_power_iteration(spark, sf_dir):
                  covar_pop(x2,x3) AS c23, covar_pop(x3,x3) AS c33
           FROM pca_v),
         it1 AS (
-          SELECT c.*,
+          SELECT c00, c01, c02, c03, c11, c12, c13, c22, c23, c33,
                  c00*0.5 + c01*0.5 + c02*0.5 + c03*0.5 AS v0,
                  c01*0.5 + c11*0.5 + c12*0.5 + c13*0.5 AS v1,
                  c02*0.5 + c12*0.5 + c22*0.5 + c23*0.5 AS v2,
                  c03*0.5 + c13*0.5 + c23*0.5 + c33*0.5 AS v3
           FROM c),
-        n1 AS (SELECT *, sqrt(v0*v0+v1*v1+v2*v2+v3*v3) AS nn FROM it1),
-        u1 AS (SELECT *, v0/nn AS u0, v1/nn AS u1, v2/nn AS u2,
-                      v3/nn AS u3 FROM n1),
+        u1 AS (
+          SELECT c00, c01, c02, c03, c11, c12, c13, c22, c23, c33,
+                 v0/sqrt(v0*v0+v1*v1+v2*v2+v3*v3) AS u0,
+                 v1/sqrt(v0*v0+v1*v1+v2*v2+v3*v3) AS u1,
+                 v2/sqrt(v0*v0+v1*v1+v2*v2+v3*v3) AS u2,
+                 v3/sqrt(v0*v0+v1*v1+v2*v2+v3*v3) AS u3
+          FROM it1),
         it2 AS (
-          SELECT *,
+          SELECT c00, c01, c02, c03, c11, c12, c13, c22, c23, c33,
                  c00*u0 + c01*u1 + c02*u2 + c03*u3 AS w0,
                  c01*u0 + c11*u1 + c12*u2 + c13*u3 AS w1,
                  c02*u0 + c12*u1 + c22*u2 + c23*u3 AS w2,
                  c03*u0 + c13*u1 + c23*u2 + c33*u3 AS w3
           FROM u1),
-        n2 AS (SELECT *, sqrt(w0*w0+w1*w1+w2*w2+w3*w3) AS nn2 FROM it2),
-        u2t AS (SELECT *, w0/nn2 AS p0, w1/nn2 AS p1, w2/nn2 AS p2,
-                       w3/nn2 AS p3 FROM n2),
+        u2t AS (
+          SELECT c00, c01, c02, c03, c11, c12, c13, c22, c23, c33,
+                 w0/sqrt(w0*w0+w1*w1+w2*w2+w3*w3) AS p0,
+                 w1/sqrt(w0*w0+w1*w1+w2*w2+w3*w3) AS p1,
+                 w2/sqrt(w0*w0+w1*w1+w2*w2+w3*w3) AS p2,
+                 w3/sqrt(w0*w0+w1*w1+w2*w2+w3*w3) AS p3
+          FROM it2),
         it3 AS (
-          SELECT *,
+          SELECT p0, p1, p2, p3,
                  c00*p0 + c01*p1 + c02*p2 + c03*p3 AS z0,
                  c01*p0 + c11*p1 + c12*p2 + c13*p3 AS z1,
                  c02*p0 + c12*p1 + c22*p2 + c23*p3 AS z2,
