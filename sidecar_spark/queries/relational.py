@@ -1793,3 +1793,40 @@ def grouped_apply_in_arrow(spark, sf_dir):
     return (e.groupBy("event_type")
             .applyInArrow(reduce_group, schema=out_schema)
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Arrow interchange round trip: toArrow() -> createDataFrame(pa.Table)
+# ---------------------------------------------------------------------------
+
+@query(
+    "arrow_interchange_roundtrip",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderstatus AS st, count(*) AS n,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY o_orderstatus)
+    SELECT st, CAST(n AS BIGINT) AS n, rev,
+           CAST(n AS BIGINT) AS n_rt, rev AS rev_rt
+    FROM agg ORDER BY st
+    """,
+)
+def arrow_interchange_roundtrip(spark, sf_dir):
+    """The Arrow interchange surface: DataFrame.toArrow() exports a
+    (small, aggregated — driver-side by design, like any collect)
+    result as a pyarrow.Table and spark.createDataFrame accepts the
+    Table straight back (Spark 4).  The round-tripped columns are
+    joined against the original aggregate so any value or type
+    mangling in the Arrow bridge breaks the hash.  The export runs
+    AFTER reduction: 3 rows cross the driver, never the corpus."""
+    o = t(spark, sf_dir, "orders")
+    agg = (o.groupBy(F.col("o_orderstatus").alias("st"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("rev")))
+    pa_table = agg.toArrow()
+    back = spark.createDataFrame(pa_table).select(
+        F.col("st").alias("st_rt"), F.col("n").alias("n_rt"),
+        F.col("rev").alias("rev_rt"))
+    return (agg.join(back, agg.st == back.st_rt)
+            .select("st", "n", "rev", "n_rt", "rev_rt")
+            .orderBy("st"))
