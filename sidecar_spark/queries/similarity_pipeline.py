@@ -857,11 +857,12 @@ def multimodal_real_resize(spark, sf_dir):
     payloads = d.mapInPandas(synth, "doc_id long, payload binary")
     resized = M.resize_images(payloads, target=4, fake=False)
     feats = M.extract_image_features(
-        resized.select("doc_id", F.col("resized").alias("payload"),
-                       "target_size"),
+        resized.select("doc_id", F.col("resized").alias("payload")),
         fake=False)
-    return (feats.join(resized.select("doc_id", "target_size"), "doc_id")
-            .select("doc_id", "target_size",
+    # target_size is the plan literal 4 — joining it back to `resized`
+    # would re-run the whole Python decode pipeline a second time
+    return (feats
+            .select("doc_id", F.lit(4).alias("target_size"),
                     F.round("mean_luma", 6).alias("resized_luma"))
             .orderBy("doc_id"))
 
