@@ -327,3 +327,255 @@ def item_cosine_similarity(spark, sf_dir):
         .orderBy(F.desc("cosine"), "part_a", "part_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Undirected nation trade graph (least/greatest-canonicalized edges of
+# the directed trade graph) — shared base for the structural queries
+# below.  The fact-scale stage is the same 4-table join as
+# `_trade_edges`; everything after runs on a ≤25×25 aggregate.
+# ---------------------------------------------------------------------------
+
+_SQL_UEDGES = """
+    dedges AS (
+      SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE s_nationkey <> c_nationkey
+      GROUP BY src, dst
+    ), topk AS (
+      SELECT src, dst, w FROM (
+        SELECT src, dst, w,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rk
+        FROM dedges) WHERE rk <= 3
+    ), uedges AS (
+      SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+             sum(w) AS w
+      FROM topk GROUP BY u, v
+    ), sym AS (
+      SELECT u AS x, v AS y, w FROM uedges
+      UNION ALL
+      SELECT v AS x, u AS y, w FROM uedges
+    )
+"""
+
+
+def _undirected_edges(spark, sf_dir):
+    """(u, v, w) with u < v: trade edges SPARSIFIED to each node's
+    top-3 outgoing neighbors by weight (deterministic tie-break on
+    dst — weights are integral counts), then canonicalized.  The full
+    trade graph is near-complete, which makes structural queries
+    degenerate; top-k-per-node is the standard kNN-graph
+    sparsification and keeps every downstream join |V|-scale.
+    localCheckpoint truncates the fact-join lineage so the
+    multi-branch consumers below never re-embed the 4-table join."""
+    from pyspark.sql import Window as W
+
+    d = _trade_edges(spark, sf_dir).where(F.col("src") != F.col("dst"))
+    topk = (d.withColumn(
+                "rk", F.row_number().over(
+                    W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))))
+            .where(F.col("rk") <= 3))
+    return (
+        topk.groupBy(F.least("src", "dst").alias("u"),
+                     F.greatest("src", "dst").alias("v"))
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _sym(edges):
+    return (edges.select(F.col("u").alias("x"), F.col("v").alias("y"), "w")
+            .union(edges.select(F.col("v").alias("x"),
+                                F.col("u").alias("y"), "w")))
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_SQL_UEDGES},
+    deg AS (SELECT x AS node, count(*) AS degree FROM sym GROUP BY x)
+    SELECT degree, count(*) AS n_nodes
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def graph_degree_distribution(spark, sf_dir):
+    """Degree histogram of the undirected nation trade graph — the
+    first sanity profile of any graph dataset (skew detection before
+    choosing a partitioning).  Two tiny aggregations after the one
+    fact-scale edge build; at 100 TB the degree count is the standard
+    per-vertex combine (map-side partials on the vertex key) and the
+    histogram is a ≤|V|-row second pass."""
+    edges = _undirected_edges(spark, sf_dir)
+    deg = _sym(edges).groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree"))
+    return (deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+            .orderBy("degree"))
+
+
+@query(
+    "graph_link_prediction_jaccard",
+    oracle=f"""
+    WITH {_SQL_UEDGES},
+    common AS (
+      SELECT s1.x AS a, s2.x AS b, count(*) AS n_common
+      FROM sym s1 JOIN sym s2 ON s1.y = s2.y AND s1.x < s2.x
+      GROUP BY a, b
+    ), deg AS (SELECT x, count(*) AS d FROM sym GROUP BY x)
+    SELECT a, b, n_common,
+           round(n_common * 1.0 / (da.d + db.d - n_common), 6) AS jaccard
+    FROM common
+    LEFT JOIN uedges e ON e.u = common.a AND e.v = common.b
+    JOIN deg da ON da.x = common.a
+    JOIN deg db ON db.x = common.b
+    WHERE e.u IS NULL
+    ORDER BY jaccard DESC, a, b
+    LIMIT 20
+    """,
+)
+def graph_link_prediction_jaccard(spark, sf_dir):
+    """Link prediction by common-neighbor Jaccard: for node pairs NOT
+    already linked, |N(a)∩N(b)| / |N(a)∪N(b)|, top-20.  The wedge
+    self-join on the shared neighbor is the one pair-generating
+    shuffle (same cost class as triangle counting); the degree table
+    is |V|-sized and broadcast; the existing-edge filter is an anti
+    join.  At 100 TB the hub guard is degree-ordered wedge generation
+    — identical to the triangle-count note."""
+    edges = _undirected_edges(spark, sf_dir)
+    sym = _sym(edges)
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    common = (
+        s1.join(s2, (F.col("s1.y") == F.col("s2.y"))
+                & (F.col("s1.x") < F.col("s2.x")))
+        .groupBy(F.col("s1.x").alias("a"), F.col("s2.x").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common")))
+    deg = sym.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    da = F.broadcast(deg.select(F.col("x").alias("a"), F.col("d").alias("da")))
+    db = F.broadcast(deg.select(F.col("x").alias("b"), F.col("d").alias("db")))
+    linked = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    return (
+        common.join(linked, ["a", "b"], "left_anti")
+        .join(da, "a").join(db, "b")
+        .select("a", "b", "n_common",
+                F.round(F.col("n_common")
+                        / (F.col("da") + F.col("db") - F.col("n_common")), 6)
+                .alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "a", "b")
+        .limit(20)
+    )
+
+
+_LPA_ITERS = 3
+
+
+def _sql_lpa_step(prev: str, nxt: str) -> str:
+    return f"""
+    {nxt} AS (
+      SELECT p.node, coalesce(b.lbl, p.lbl) AS lbl
+      FROM {prev} p LEFT JOIN (
+        SELECT node, lbl FROM (
+          SELECT s.x AS node, q.lbl, sum(s.w) AS tw,
+                 row_number() OVER (PARTITION BY s.x
+                                    ORDER BY sum(s.w) DESC, q.lbl) AS rk
+          FROM sym s JOIN {prev} q ON q.node = s.y
+          GROUP BY s.x, q.lbl) WHERE rk = 1
+      ) b ON b.node = p.node)
+    """
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_SQL_UEDGES},
+    l0 AS (SELECT DISTINCT x AS node, x AS lbl FROM sym),
+    {','.join(_sql_lpa_step(f'l{i}', f'l{i + 1}')
+              for i in range(_LPA_ITERS))}
+    SELECT lbl AS community, count(*) AS n_members,
+           min(node) AS min_node
+    FROM l{_LPA_ITERS} GROUP BY lbl ORDER BY lbl
+    """,
+)
+def graph_label_propagation(spark, sf_dir):
+    """Community detection by weighted label propagation (3 synchronous
+    unrolled iterations, deterministic: adopt the neighbor label with
+    the highest incident weight, ties broken by smallest label).  Edge
+    weights are integral lineitem counts so the argmax is bit-exact on
+    both engines.  Per iteration: one shuffle on the vertex key
+    (neighbor-label aggregation) + a window rank on |V|-scale rows —
+    the GraphX/Pregel LPA shape with labels as the only iterating
+    state; the fact-scale join runs exactly once up front."""
+    from pyspark.sql import Window as W
+
+    edges = _undirected_edges(spark, sf_dir)
+    sym = _sym(edges)
+    labels = sym.select(F.col("x").alias("node")).distinct() \
+        .withColumn("lbl", F.col("node"))
+    for _ in range(_LPA_ITERS):
+        scored = (
+            sym.join(F.broadcast(labels.withColumnRenamed("node", "y")
+                                 .withColumnRenamed("lbl", "nlbl")), "y")
+            .groupBy(F.col("x").alias("node"), F.col("nlbl").alias("cand"))
+            .agg(F.sum("w").alias("tw")))
+        best = (
+            scored.withColumn(
+                "rk", F.row_number().over(
+                    W.partitionBy("node")
+                    .orderBy(F.desc("tw"), F.asc("cand"))))
+            .where(F.col("rk") == 1)
+            .select("node", F.col("cand").alias("new_lbl")))
+        labels = (
+            labels.join(F.broadcast(best), "node", "left")
+            .select("node",
+                    F.coalesce("new_lbl", "lbl").alias("lbl")))
+        labels = labels.localCheckpoint(eager=True)
+    return (labels.groupBy(F.col("lbl").alias("community"))
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.min("node").alias("min_node"))
+            .orderBy("community"))
+
+
+@query(
+    "graph_two_hop_reach",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE s_nationkey <> c_nationkey
+    )
+    SELECT n_name AS nation,
+           count(DISTINCT e2.dst) AS n_two_hop
+    FROM edges e1
+    JOIN edges e2 ON e1.dst = e2.src AND e2.dst <> e1.src
+    JOIN nation ON e1.src = n_nationkey
+    GROUP BY n_name
+    ORDER BY nation
+    """,
+)
+def graph_two_hop_reach(spark, sf_dir):
+    """Two-hop reachability fan-out per nation on the DIRECTED trade
+    graph (distinct destinations reachable via one intermediary,
+    excluding the source itself).  The hop join runs on the
+    ≤25×25 distinct edge aggregate — at 100 TB multi-hop traversal
+    over a fact-derived graph always aggregates to the entity-level
+    edge list first, then walks; the walk itself never touches fact
+    rows."""
+    d = (_trade_edges(spark, sf_dir)
+         .where(F.col("src") != F.col("dst"))
+         .select("src", "dst").distinct()
+         .localCheckpoint(eager=True))
+    e1, e2 = d.alias("e1"), d.alias("e2")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        e1.join(e2, (F.col("e1.dst") == F.col("e2.src"))
+                & (F.col("e2.dst") != F.col("e1.src")))
+        .join(F.broadcast(nation), F.col("e1.src") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count_distinct(F.col("e2.dst")).alias("n_two_hop"))
+        .orderBy("nation")
+    )
