@@ -256,3 +256,140 @@ def temperature_mix_weights(spark, sf_dir):
             .alias("budget_docs"))
         .orderBy("lang", "source")
     )
+
+
+# Poisson(1) inverse-CDF thresholds over a uniform 0..999999 integer
+# draw (cumulative pmf * 1e6, floored): k = #thresholds below u.
+# Integer compares only — bit-identical on both engines.
+_POIS_T = (367879, 735758, 919698, 981011, 996340)
+
+
+@query(
+    "poisson_bootstrap_estimate",
+    oracle=f"""
+    WITH draws AS (
+      SELECT o_totalprice, rep,
+             {_H60.format(e="CAST(o_orderkey AS VARCHAR) || ':b' || CAST(rep AS VARCHAR)")}
+               % 1000000 AS u
+      FROM orders CROSS JOIN generate_series(0, 2) g(rep)
+    ), weighted AS (
+      SELECT rep, o_totalprice,
+             {' + '.join(f'CASE WHEN u >= {t} THEN 1 ELSE 0 END'
+                         for t in _POIS_T)} AS k
+      FROM draws)
+    SELECT rep AS replicate,
+           CAST(sum(k) AS BIGINT) AS n_resampled,
+           round(sum(k * o_totalprice) / sum(k), 2) AS boot_mean,
+           round((SELECT avg(o_totalprice) FROM orders), 2) AS true_mean
+    FROM weighted GROUP BY rep ORDER BY rep
+    """,
+)
+def poisson_bootstrap_estimate(spark, sf_dir):
+    """Poisson bootstrap (Chamandy et al.): each row draws a
+    Poisson(1) replicate weight from a DETERMINISTIC per-(row,
+    replicate) hash-uniform, so resampling the corpus never
+    materializes copies and never needs driver coordination — the
+    only way to bootstrap 100 TB (classic bootstrap's n-out-of-n
+    draw needs global coordination; Poisson weights are pure row
+    math).  3 replicates of the mean order price vs the true mean;
+    the inverse-CDF thresholds are integer compares, so every weight
+    matches the oracle exactly."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("rep")
+    d = o.select("o_orderkey", "o_totalprice", reps)
+    u = hash60(F.concat(F.col("o_orderkey").cast("string"),
+                        F.lit(":b"), F.col("rep").cast("string"))) % 1000000
+    k = sum((u >= F.lit(th)).cast("int") for th in _POIS_T)
+    true_mean = o.agg(F.avg("o_totalprice")).first()[0]
+    return (
+        d.select(F.col("rep").alias("replicate"),
+                 "o_totalprice", k.alias("k"))
+        .groupBy("replicate")
+        .agg(F.sum("k").cast("bigint").alias("n_resampled"),
+             F.round(F.sum(F.col("k") * F.col("o_totalprice"))
+                     / F.sum("k"), 2).alias("boot_mean"))
+        .withColumn("true_mean", F.round(F.lit(true_mean), 2))
+        .orderBy("replicate")
+    )
+
+
+@query(
+    "kfold_assignment",
+    oracle=f"""
+    WITH folds AS (
+      SELECT {_H60.format(e="CAST(o_orderkey AS VARCHAR) || ':fold'")} % 5
+               AS fold,
+             o_totalprice
+      FROM orders)
+    SELECT fold,
+           count(*) AS n_eval,
+           (SELECT count(*) FROM orders) - count(*) AS n_train,
+           round(avg(o_totalprice), 2) AS eval_mean_price
+    FROM folds GROUP BY fold ORDER BY fold
+    """,
+)
+def kfold_assignment(spark, sf_dir):
+    """Deterministic 5-fold cross-validation assignment by salted
+    hash — every engine and every run agrees on each row's fold, so
+    fold membership needs no persisted assignment table.  Per fold:
+    eval size, complementary train size, and the held-out mean.  The
+    assignment is one map-side expression; the summary is one
+    |folds|-row aggregate."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    total = o.count()
+    fold = (hash60(F.concat(F.col("o_orderkey").cast("string"),
+                            F.lit(":fold"))) % 5).alias("fold")
+    return (
+        o.select(fold, "o_totalprice")
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n_eval"),
+             F.round(F.avg("o_totalprice"), 2).alias("eval_mean_price"))
+        .select("fold", "n_eval",
+                (F.lit(total) - F.col("n_eval")).alias("n_train"),
+                "eval_mean_price")
+        .orderBy("fold")
+    )
+
+
+@query(
+    "coreset_farthest_points",
+    oracle="""
+    WITH mean_vec AS (
+      SELECT list(m ORDER BY pos) AS mv FROM (
+        SELECT t.pos, avg(embedding[t.pos]::DOUBLE) AS m
+        FROM embeddings CROSS JOIN generate_series(1, 64) t(pos)
+        GROUP BY t.pos)
+    ), dist AS (
+      SELECT vec_id, label,
+             round(sqrt(list_sum(list_transform(range(1, 65),
+               i -> (embedding[i]::DOUBLE - mv[i])
+                    * (embedding[i]::DOUBLE - mv[i])))), 6) AS d_centroid
+      FROM embeddings CROSS JOIN mean_vec)
+    SELECT vec_id, label, d_centroid
+    FROM dist
+    ORDER BY d_centroid DESC, vec_id
+    LIMIT 20
+    """,
+)
+def coreset_farthest_points(spark, sf_dir):
+    """Coreset seeding: the 20 embeddings farthest from the corpus
+    centroid — the outlier-first pick that seeds kmeans++ /
+    greedy-coreset construction and flags distributional edge cases
+    for curation review.  The centroid is a 64-double aggregate
+    (driver-size, inlined as literals exactly like the k-means
+    centroid broadcast); distance is then a pure map expression and
+    top-20 is TakeOrdered — one aggregate pass + one map pass at any
+    corpus size."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("v"))
+    mean_row = (e.select(F.posexplode("v").alias("pos", "val"))
+                .groupBy("pos").agg(F.avg("val").alias("m"))
+                .orderBy("pos").collect())
+    mv = F.array(*[F.lit(float(r["m"])) for r in mean_row])
+    d = F.round(F.sqrt(F.aggregate(
+        F.zip_with("v", mv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)), 6)
+    return (e.select("vec_id", "label", d.alias("d_centroid"))
+            .orderBy(F.desc("d_centroid"), "vec_id")
+            .limit(20))
