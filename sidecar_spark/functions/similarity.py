@@ -408,3 +408,52 @@ def _near_dup_blocked_gemm(v: DataFrame, threshold: float,
 
     return both.groupBy("bi", "bj").applyInPandas(
         block_pair, schema="id_a long, id_b long, cos_sim double")
+
+
+def mips_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximum-inner-product top-k via the norm-augmentation reduction
+    (Bachrach et al., RecSys'14): append sqrt(M² − |x|²) to every
+    corpus vector (M = max corpus norm) and 0 to every query, making
+    every augmented corpus vector length exactly M — then
+    cos(q′, x′) = ⟨q,x⟩ / (|q|·M), so COSINE ranking of the augmented
+    vectors IS the inner-product ranking.  This is the standard trick
+    that lets any cosine-ANN index (LSH/IVF above) serve MIPS
+    workloads (un-normalized recommender scores).  M is a driver
+    scalar (one aggregate); augmentation is pure map math."""
+    from pyspark.sql import Window as W
+
+    v = spread(vectors).select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v_vec"),
+    ).withColumn("v_nrm", norm(F.col("v_vec")))
+    m = v.agg(F.max("v_nrm")).first()[0]
+    v_aug = v.withColumn(
+        "v_aug",
+        F.concat("v_vec", F.array(F.sqrt(F.greatest(
+            F.lit(0.0), F.lit(float(m)) * F.lit(float(m))
+            - F.col("v_nrm") * F.col("v_nrm"))))))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("q_vec"),
+    ).withColumn("q_aug", F.concat("q_vec", F.array(F.lit(0.0))))
+    scored = (
+        v_aug.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            cosine(F.col("q_aug"), F.col("v_aug")).alias("aug_cos"),
+            F.round(dot(F.col("q_vec"), F.col("v_vec")), 6).alias("dot_score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("aug_cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "vec_id", "dot_score", "rk")
+    )

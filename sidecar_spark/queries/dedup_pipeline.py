@@ -490,3 +490,70 @@ def dedup_exact_substring(spark, sf_dir):
              .alias("n_contaminated"))
         .orderBy("lang")
     )
+
+
+@query(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_transform(list_distinct(CASE WHEN trim({_NORM}) = ''
+                 THEN []::VARCHAR[] ELSE {_WS} END),
+                 tk -> {_h60('tk')}) AS hashes
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 32), b ->
+                 CASE WHEN list_sum(list_transform(hashes,
+                          h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS sh
+      FROM base
+    ), banded AS (
+      SELECT doc_id, sh, g.b AS band_idx, (sh >> (8 * g.b)) & 255 AS bv
+      FROM sigs CROSS JOIN generate_series(0, 3) g(b)
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.sh AS sa, b.sh AS sb
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.bv = b.bv
+       AND a.doc_id < b.doc_id
+    )
+    SELECT bit_count(xor(sa, sb)) AS hamming, count(*) AS n_pairs
+    FROM cands
+    WHERE bit_count(xor(sa, sb)) <= 3
+    GROUP BY hamming ORDER BY hamming
+    """,
+)
+def dedup_simhash_hamming(spark, sf_dir):
+    """SimHash near-dup PAIRING — completes the simhash story (the
+    ``dedup_simhash`` entry stops at fingerprints): 32-bit simhash,
+    4 bands × 8 bits; by pigeonhole any pair within hamming distance
+    3 shares at least one intact band, so candidates come from a
+    band-value equi-join (never all-pairs) and the verify step is one
+    integer ``bit_count(xor)`` per candidate.  Histogram of verified
+    pair counts per hamming distance.  At 100 TB: signatures are
+    map-side, the band join shuffles (id, 8-byte sig) only, and band
+    width tunes the candidate volume exactly like MinHash-LSH band
+    count."""
+    d = spread(t(spark, sf_dir, "documents"))
+    sigs = d.select(
+        "doc_id", D.simhash(F.col("text"), bits=32).alias("sh"))
+    banded = sigs.select(
+        "doc_id", "sh",
+        F.posexplode(F.array(*[
+            F.shiftright("sh", 8 * b).bitwiseAND(F.lit(255))
+            for b in range(4)])).alias("band_idx", "bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.bv") == F.col("b.bv"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sh").alias("sa"), F.col("b.sh").alias("sb"))
+        .distinct())
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (cands.select(ham.alias("hamming"))
+            .where(F.col("hamming") <= 3)
+            .groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("hamming"))

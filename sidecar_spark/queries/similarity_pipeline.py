@@ -1039,3 +1039,81 @@ def embedding_pca_power_iteration(spark, sf_dir):
                round(p0*z0 + p1*z1 + p2*z2 + p3*z3, 6) AS rayleigh
         FROM it3
     """)
+
+
+@query(
+    "ann_mips_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, v.vec_id,
+             round({_sql_dot('q.q_vec', 'v.embedding')}, 6) AS dot_score
+      FROM embeddings v CROSS JOIN q
+      WHERE v.vec_id <> q.query_id)
+    SELECT query_id, vec_id, dot_score, rk FROM (
+      SELECT query_id, vec_id, dot_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot_score DESC, vec_id) AS rk
+      FROM scored)
+    WHERE rk <= 10
+    """,
+)
+def ann_mips_topk(spark, sf_dir):
+    """Maximum-inner-product top-10 via the norm-augmentation
+    reduction to cosine (append sqrt(M²−|x|²) / 0, rank by augmented
+    cosine) — the oracle ranks by raw inner product directly, so a
+    hash match PROVES the reduction preserves the MIPS order."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return S.mips_topk(emb, queries, k=10, query_id_col="query_id")
+
+
+@query(
+    "ann_radius_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, v.vec_id,
+             {_sql_cos('q.q_vec', 'v.embedding')} AS cos_sim
+      FROM embeddings v CROSS JOIN q
+      WHERE v.vec_id <> q.query_id)
+    SELECT query_id,
+           count(*) FILTER (WHERE cos_sim >= 0.25) AS n_within,
+           round(max(cos_sim), 6) AS max_cos,
+           round(avg(cos_sim) FILTER (WHERE cos_sim >= 0.25), 6)
+             AS mean_within
+    FROM scored GROUP BY query_id ORDER BY query_id
+    """,
+)
+def ann_radius_search(spark, sf_dir):
+    """Range (radius) search: per query, how many corpus vectors lie
+    within cosine ≥ 0.25, their mean similarity, and the nearest
+    score — the fixed-threshold retrieval mode (near-duplicate
+    harvesting, recall sweeps) as opposed to top-k.  Same broadcast
+    one-pass shape as the brute-force baseline; the threshold
+    comparison runs on UNROUNDED doubles (both engines fold the 64
+    dims sequentially in double precision, so the boundary decision
+    is bit-identical)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double(F.col("embedding")).alias("q_vec"))
+    v = spread(emb).select(
+        F.col("vec_id").alias("vec_id"),
+        S.as_double(F.col("embedding")).alias("v_vec"))
+    cos = S.cosine(F.col("q_vec"), F.col("v_vec"))
+    scored = (v.crossJoin(F.broadcast(q))
+              .where(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", cos.alias("cos_sim")))
+    within = F.col("cos_sim") >= 0.25
+    return (
+        scored.groupBy("query_id")
+        .agg(F.count(F.when(within, 1)).alias("n_within"),
+             F.round(F.max("cos_sim"), 6).alias("max_cos"),
+             F.round(F.avg(F.when(within, F.col("cos_sim"))), 6)
+             .alias("mean_within"))
+        .orderBy("query_id")
+    )
