@@ -1540,3 +1540,151 @@ def length_bucketed_batching(spark, sf_dir):
                 / (F.col("n_docs") * F.col("pad_to")), 6)
         .alias("padding_frac"))
         .orderBy("bucket"))
+
+
+@query(
+    "text_readability_flesch",
+    oracle=f"""
+    WITH feat AS (
+      SELECT lang,
+             {_SQL_NWORDS.format(e='text')} AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sents,
+             list_sum(list_transform({_SQL_WORDS.format(e='text')},
+               w -> greatest(len(regexp_extract_all(lower(w),
+                                                    '[aeiouy]+')), 1)))
+               AS n_syll
+      FROM documents
+      WHERE {_SQL_NWORDS.format(e='text')} > 0
+    ), scored AS (
+      SELECT lang,
+             206.835 - 1.015 * (n_words * 1.0 / n_sents)
+                     - 84.6 * (n_syll * 1.0 / n_words) AS flesch
+      FROM feat)
+    SELECT lang, count(*) AS n_docs,
+           round(avg(flesch), 6) AS avg_flesch,
+           count(*) FILTER (WHERE flesch < 30) AS n_hard,
+           count(*) FILTER (WHERE flesch >= 70) AS n_easy
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def text_readability_flesch(spark, sf_dir):
+    """Flesch reading-ease scoring — the classic readability gate in
+    curation stacks (a complexity prior next to the quality funnel):
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    sentences counted as terminal-punctuation runs and syllables
+    approximated by vowel-group runs per word (the standard
+    dictionary-free proxy).  All three counts are regexp/array column
+    expressions — one map pass, one lang-sized aggregate; no Python,
+    no shuffle of text."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.when(F.trim("text") == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(F.trim("text"), r"\s+"))
+    n_words = F.size(ws)
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1))
+    n_syll = F.aggregate(
+        F.transform(ws, lambda w: F.greatest(
+            F.size(F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"),
+                                        F.lit(0))),
+            F.lit(1))),
+        F.lit(0), lambda acc, x: acc + x)
+    feat = (d.where(n_words > 0)
+            .select("lang", n_words.alias("n_words"),
+                    n_sents.alias("n_sents"), n_syll.alias("n_syll")))
+    flesch = (F.lit(206.835)
+              - 1.015 * (F.col("n_words") / F.col("n_sents"))
+              - 84.6 * (F.col("n_syll") / F.col("n_words")))
+    return (
+        feat.select("lang", flesch.alias("flesch"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg("flesch"), 6).alias("avg_flesch"),
+             F.count(F.when(F.col("flesch") < 30, 1)).alias("n_hard"),
+             F.count(F.when(F.col("flesch") >= 70, 1)).alias("n_easy"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+    uni AS (
+      SELECT doc_id, lang, unnest(ws) AS tok FROM toks),
+    ufreq AS (SELECT tok, count(*) AS c1 FROM uni GROUP BY tok),
+    total AS (SELECT sum(c1) AS n FROM ufreq),
+    bgs AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(2, len(ws) + 1),
+                    i -> ws[i-1] || chr(31) || ws[i])) AS bg
+      FROM toks),
+    bfreq AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY bg),
+    doc_lp AS (
+      SELECT b.doc_id, b.lang,
+             sum(ln(0.75 * f2.c2 / f_ctx.c1
+                    + 0.25 * f_cur.c1 / (SELECT n FROM total)))
+               AS logprob,
+             count(*) AS n_bg
+      FROM bgs b
+      JOIN bfreq f2 ON f2.bg = b.bg
+      JOIN ufreq f_ctx ON f_ctx.tok = split_part(b.bg, chr(31), 1)
+      JOIN ufreq f_cur ON f_cur.tok = split_part(b.bg, chr(31), 2)
+      GROUP BY b.doc_id, b.lang)
+    SELECT lang, count(*) AS n_docs,
+           round(avg(logprob / n_bg), 6) AS avg_per_bg_lp,
+           round(min(logprob / n_bg), 6) AS min_per_bg_lp,
+           round(max(logprob / n_bg), 6) AS max_per_bg_lp
+    FROM doc_lp GROUP BY lang ORDER BY lang
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram language-model scoring — one order up from
+    ``text_unigram_logprob`` and the standard cheap perplexity proxy
+    (KenLM-style filtering without the external model): p(w|ctx) =
+    0.75·c(ctx,w)/c(ctx) + 0.25·c(w)/N, scored as mean log-prob per
+    bigram per document, summarized per language.  Count tables are
+    vocabulary/bigram-vocabulary sized and broadcast; the scoring
+    join is map-side over the exploded corpus — two count passes +
+    one scoring pass, the same 100 TB shape as every n-gram LM
+    build."""
+    sep = "\x1f"
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("ws"))
+    uni = toks.select("doc_id", "lang", F.explode("ws").alias("tok"))
+    ufreq = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    total = ufreq.agg(F.sum("c1").alias("n"))
+    bg_list = F.transform(
+        F.sequence(F.lit(2), F.size("ws")),
+        lambda i: F.concat(F.element_at("ws", i - 1), F.lit(sep),
+                           F.element_at("ws", i)))
+    bgs = (toks.where(F.size("ws") >= 2)
+           .select("doc_id", "lang", F.explode(bg_list).alias("bg")))
+    bfreq = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = F.split_part(F.col("bg"), F.lit(sep), F.lit(1))
+    cur = F.split_part(F.col("bg"), F.lit(sep), F.lit(2))
+    doc_lp = (
+        bgs.join(F.broadcast(bfreq), "bg")
+        .join(F.broadcast(ufreq.select(F.col("tok").alias("__ctx"),
+                                       F.col("c1").alias("c_ctx"))),
+              ctx == F.col("__ctx"))
+        .join(F.broadcast(ufreq.select(F.col("tok").alias("__cur"),
+                                       F.col("c1").alias("c_cur"))),
+              cur == F.col("__cur"))
+        .join(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.log(0.75 * F.col("c2") / F.col("c_ctx")
+                         + 0.25 * F.col("c_cur") / F.col("n")))
+             .alias("logprob"),
+             F.count(F.lit(1)).alias("n_bg")))
+    per_bg = F.col("logprob") / F.col("n_bg")
+    return (
+        doc_lp.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg(per_bg), 6).alias("avg_per_bg_lp"),
+             F.round(F.min(per_bg), 6).alias("min_per_bg_lp"),
+             F.round(F.max(per_bg), 6).alias("max_per_bg_lp"))
+        .orderBy("lang")
+    )
