@@ -393,3 +393,91 @@ def coreset_farthest_points(spark, sf_dir):
     return (e.select("vec_id", "label", d.alias("d_centroid"))
             .orderBy(F.desc("d_centroid"), "vec_id")
             .limit(20))
+
+
+# --- distributed logistic-regression training --------------------------------
+_LR_ITERS = 3
+_LR_RATE = 1.0
+
+_SQL_LR_FEAT = """
+    feat AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+             1.0 AS x0,
+             o_totalprice / 100000.0 AS x1,
+             (year(o_orderdate) - 1995) / 3.0 AS x2
+      FROM orders
+    )"""
+
+
+def _sql_lr_step(i: int) -> str:
+    prev = f"lw{i - 1}"
+    return f"""
+    g{i} AS (
+      SELECT avg(x0 * d) AS g0, avg(x1 * d) AS g1, avg(x2 * d) AS g2,
+             avg(-(y * ln(p) + (1 - y) * ln(1 - p))) AS loss
+      FROM (
+        SELECT y, x0, x1, x2, p, p - y AS d FROM (
+          SELECT y, x0, x1, x2,
+                 1 / (1 + exp(-(w0 * x0 + w1 * x1 + w2 * x2))) AS p
+          FROM feat CROSS JOIN {prev}))
+    ), lw{i} AS (
+      SELECT w0 - {_LR_RATE} * g0 AS w0,
+             w1 - {_LR_RATE} * g1 AS w1,
+             w2 - {_LR_RATE} * g2 AS w2
+      FROM {prev} CROSS JOIN g{i}
+    )"""
+
+
+@query(
+    "logreg_training_iterations",
+    oracle=f"""
+    WITH {_SQL_LR_FEAT},
+    lw0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+    {','.join(_sql_lr_step(i) for i in range(1, _LR_ITERS + 1))}
+    SELECT * FROM (
+      {' UNION ALL '.join(
+          f"SELECT {i} AS iteration, round(lw{i}.w0, 6) AS w0,"
+          f" round(lw{i}.w1, 6) AS w1, round(lw{i}.w2, 6) AS w2,"
+          f" round(g{i}.loss, 6) AS loss_before"
+          f" FROM lw{i} CROSS JOIN g{i}"
+          for i in range(1, _LR_ITERS + 1))})
+    ORDER BY iteration
+    """,
+)
+def logreg_training_iterations(spark, sf_dir):
+    """Distributed logistic-regression training (3 full-batch gradient
+    steps): learn P(order is fulfilled) from bias + scaled price +
+    scaled order year.  The MLlib template for any GLM at 100 TB:
+    per iteration ONE aggregate pass computes the gradient
+    avg(x·(σ(w·x)−y)) with map-side partial sums (weights enter as
+    plan literals — the driver-size broadcast), and the update is
+    driver math on 3 doubles.  Reported per iteration: updated
+    weights and the pre-update log-loss, so the oracle checks every
+    gradient decision of the full training trajectory."""
+    o = t(spark, sf_dir, "orders")
+    feat = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("o_totalprice") / 100000.0).alias("x1"),
+        ((F.year("o_orderdate") - 1995) / 3.0).alias("x2"),
+    ).localCheckpoint(eager=True)
+    w = [0.0, 0.0, 0.0]
+    rows = []
+    for i in range(1, _LR_ITERS + 1):
+        z = (F.lit(w[0]) * F.col("x0") + F.lit(w[1]) * F.col("x1")
+             + F.lit(w[2]) * F.col("x2"))
+        p = 1 / (1 + F.exp(-z))
+        d = p - F.col("y")
+        g = feat.agg(
+            F.avg(F.col("x0") * d).alias("g0"),
+            F.avg(F.col("x1") * d).alias("g1"),
+            F.avg(F.col("x2") * d).alias("g2"),
+            F.avg(-(F.col("y") * F.log(p)
+                    + (1 - F.col("y")) * F.log(1 - p))).alias("loss"),
+        ).first()
+        w = [w[j] - _LR_RATE * g[f"g{j}"] for j in range(3)]
+        rows.append((i, round(w[0], 6), round(w[1], 6), round(w[2], 6),
+                     round(g["loss"], 6)))
+    return spark.createDataFrame(
+        rows, "iteration int, w0 double, w1 double, w2 double,"
+              " loss_before double")

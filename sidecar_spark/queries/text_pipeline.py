@@ -1688,3 +1688,107 @@ def text_bigram_logprob(spark, sf_dir):
              F.round(F.max(per_bg), 6).alias("max_per_bg_lp"))
         .orderBy("lang")
     )
+
+
+# --- full BPE merge loop -----------------------------------------------------
+# Symbol sequences are strings of chr(1)-wrapped-chr(2) symbols:
+# "\x01a\x02\x01b\x02...".  Merging pair (a,b) is then one
+# replace("\x01a\x02\x01b\x02" -> "\x01ab\x02") — both engines scan
+# left-to-right non-overlapping, which IS greedy BPE merge order, and
+# the wrappers make cross-symbol false matches impossible.
+_BPE_ITERS = 3
+_BPE_VOCAB = 200
+
+_SQL_BPE_SYMS = ("list_transform(list_filter(string_split({s}, chr(2)), "
+                 "e -> e <> ''), e -> replace(e, chr(1), ''))")
+
+
+def _sql_bpe_step(i: int) -> str:
+    prev = f"bw{i - 1}"
+    return f"""
+    p{i} AS (
+      SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+        SELECT cnt, syms[j-1] AS a, syms[j] AS b FROM (
+          SELECT cnt, {_SQL_BPE_SYMS.format(s='seq')} AS syms FROM {prev})
+        CROSS JOIN generate_series(2, 40) t(j)
+        WHERE j <= len(syms))
+      GROUP BY a, b
+    ), b{i} AS (
+      SELECT a, b, pc FROM p{i} ORDER BY pc DESC, a, b LIMIT 1
+    ), bw{i} AS (
+      SELECT w, cnt,
+             replace(seq, chr(1) || a || chr(2) || chr(1) || b || chr(2),
+                     chr(1) || a || b || chr(2)) AS seq
+      FROM {prev} CROSS JOIN b{i}
+    )"""
+
+
+@query(
+    "bpe_merge_iterations",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest({_SQL_WORDS.format(e='lower(text)')}) AS w
+        FROM documents) WHERE w <> ''
+      GROUP BY w ORDER BY cnt DESC, w LIMIT {_BPE_VOCAB}
+    ), bw0 AS (
+      SELECT w, cnt,
+             regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS seq
+      FROM vocab
+    ),
+    {','.join(_sql_bpe_step(i) for i in range(1, _BPE_ITERS + 1))}
+    SELECT * FROM (
+      {' UNION ALL '.join(
+          f"SELECT {i} AS merge_rank, a AS sym_a, b AS sym_b, pc AS pair_count FROM b{i}"
+          for i in range(1, _BPE_ITERS + 1))})
+    ORDER BY merge_rank
+    """,
+)
+def bpe_merge_iterations(spark, sf_dir):
+    """FULL BPE tokenizer training loop (3 merges over the top-200
+    word vocabulary): per iteration, count adjacent symbol pairs
+    weighted by word frequency, pick the argmax (ties → lexicographic),
+    and merge it greedily left-to-right in every word — the exact
+    Sennrich et al. algorithm.  Spark shape per iteration: pair counts
+    are an array-expression explode + one map-side-combined aggregate;
+    the winning pair is a driver-size decision (like the k-means
+    centroid fetch); the merge itself is one ``replace`` map pass.
+    The vocabulary table is corpus-aggregated ONCE; iterations never
+    rescan the corpus — at 100 TB this is the standard two-phase BPE
+    trainer (word-count pass, then vocab-sized iterations)."""
+    c1, c2 = "\x01", "\x02"
+    d = t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                 .alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "w").limit(_BPE_VOCAB))
+    w = vocab.withColumn(
+        "seq", F.regexp_replace("w", "(.)", f"{c1}$1{c2}")) \
+        .localCheckpoint(eager=True)
+    syms = F.transform(
+        F.filter(F.split("seq", c2), lambda e: e != ""),
+        lambda e: F.replace(e, F.lit(c1), F.lit("")))
+    merges = []
+    for i in range(1, _BPE_ITERS + 1):
+        pairs = (
+            w.select("cnt", syms.alias("syms"))
+            .where(F.size("syms") >= 2)
+            .select("cnt", F.explode(F.transform(
+                F.sequence(F.lit(2), F.size("syms")),
+                lambda j: F.struct(
+                    F.element_at("syms", j - 1).alias("a"),
+                    F.element_at("syms", j).alias("b")))).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("pc")))
+        best = pairs.orderBy(F.desc("pc"), "a", "b").limit(1).first()
+        merges.append((i, best["a"], best["b"], int(best["pc"])))
+        w = w.withColumn(
+            "seq", F.replace(
+                "seq", F.lit(f"{c1}{best['a']}{c2}{c1}{best['b']}{c2}"),
+                F.lit(f"{c1}{best['a']}{best['b']}{c2}"))) \
+            .localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, sym_a string, sym_b string, pair_count bigint")
