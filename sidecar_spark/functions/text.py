@@ -140,3 +140,51 @@ def fingerprint(col) -> Column:
     (The rolling-hash variant for shingle-level fingerprints lives in
     dedup.shingle_hashes.)"""
     return F.md5(normalized_text(col))
+
+
+def bpe_train(vocab, iters: int = 3):
+    """FULL BPE tokenizer training loop (Sennrich et al.) over a
+    word-frequency DataFrame ``vocab`` (columns ``w``, ``cnt``):
+    per iteration, count adjacent symbol pairs weighted by word
+    frequency, pick the argmax pair (ties → lexicographic), and
+    merge it greedily left-to-right in every word.  Returns a
+    DataFrame (merge_rank, sym_a, sym_b, pair_count).
+
+    Symbol sequences are strings of chr(1)-wrapped-chr(2) symbols;
+    merging pair (a, b) is then one ``replace`` — string replace
+    scans left-to-right non-overlapping, which IS greedy BPE merge
+    order, and the wrappers make cross-symbol false matches
+    impossible.  At 100 TB: the corpus is aggregated to the vocab
+    table ONCE; iterations touch only vocab-sized frames, and the
+    winning pair is a driver-size decision (like a k-means centroid
+    fetch)."""
+    c1, c2 = "\x01", "\x02"
+    spark = vocab.sparkSession
+    w = vocab.withColumn(
+        "seq", F.regexp_replace("w", "(.)", f"{c1}$1{c2}")) \
+        .localCheckpoint(eager=True)
+    syms = F.transform(
+        F.filter(F.split("seq", c2), lambda e: e != ""),
+        lambda e: F.replace(e, F.lit(c1), F.lit("")))
+    merges = []
+    for i in range(1, iters + 1):
+        pairs = (
+            w.select("cnt", syms.alias("syms"))
+            .where(F.size("syms") >= 2)
+            .select("cnt", F.explode(F.transform(
+                F.sequence(F.lit(2), F.size("syms")),
+                lambda j: F.struct(
+                    F.element_at("syms", j - 1).alias("a"),
+                    F.element_at("syms", j).alias("b")))).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("pc")))
+        best = pairs.orderBy(F.desc("pc"), "a", "b").limit(1).first()
+        merges.append((i, best["a"], best["b"], int(best["pc"])))
+        w = w.withColumn(
+            "seq", F.replace(
+                "seq", F.lit(f"{c1}{best['a']}{c2}{c1}{best['b']}{c2}"),
+                F.lit(f"{c1}{best['a']}{best['b']}{c2}"))) \
+            .localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, sym_a string, sym_b string, pair_count bigint")

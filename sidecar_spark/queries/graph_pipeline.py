@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from sidecar_spark.functions import graph as G
 from sidecar_spark.queries.registry import query, t
 
 _PR_DAMPING = 0.85
@@ -92,37 +93,12 @@ def nation_pagerank(spark, sf_dir):
     edge aggregation is the only fact-scale stage, and each iteration
     is a broadcast join on the (tiny) node set, so iterations add no
     fact-table rescans."""
-    # localCheckpoint truncates the fact-join lineage: without it the
-    # unrolled iterations re-embed the 4-table join subtree ~14× and
-    # the plan balloons to 110 broadcast joins (10 s of pure planning
-    # at sf0.01). The checkpointed edge list is nation×nation-sized.
-    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
-    outw = edges.groupBy("src").agg(F.sum("w").alias("total_w"))
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select(F.col("dst").alias("node")))
-             .distinct())
-    n_nodes = nodes.count()
-    rank = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
-    contrib_base = (
-        edges.join(outw, "src")
-        .select("src", "dst", (F.col("w") / F.col("total_w")).alias("share"))
-    )
-    for _ in range(_PR_ITERS):
-        contrib = (
-            contrib_base
-            .join(F.broadcast(rank), F.col("src") == F.col("node"))
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") * F.col("share")).alias("mass"))
-        )
-        rank = (
-            nodes.join(F.broadcast(contrib),
-                       F.col("node") == F.col("dst"), "left")
-            .select(
-                "node",
-                ((1 - _PR_DAMPING) / n_nodes
-                 + _PR_DAMPING * F.coalesce(F.col("mass"), F.lit(0.0)))
-                .alias("pr"))
-        )
+    # the checkpoint inside G.pagerank truncates the fact-join
+    # lineage: without it the unrolled iterations re-embed the
+    # 4-table join subtree ~14× and the plan balloons to 110
+    # broadcast joins (10 s of pure planning at sf0.01)
+    rank = G.pagerank(_trade_edges(spark, sf_dir),
+                      iters=_PR_ITERS, damping=_PR_DAMPING)
     nation = t(spark, sf_dir, "nation")
     return (
         rank.join(F.broadcast(nation), rank.node == nation.n_nationkey)
@@ -387,10 +363,7 @@ def _undirected_edges(spark, sf_dir):
     )
 
 
-def _sym(edges):
-    return (edges.select(F.col("u").alias("x"), F.col("v").alias("y"), "w")
-            .union(edges.select(F.col("v").alias("x"),
-                                F.col("u").alias("y"), "w")))
+_sym = G.symmetrize
 
 
 @query(
@@ -507,30 +480,8 @@ def graph_label_propagation(spark, sf_dir):
     (neighbor-label aggregation) + a window rank on |V|-scale rows —
     the GraphX/Pregel LPA shape with labels as the only iterating
     state; the fact-scale join runs exactly once up front."""
-    from pyspark.sql import Window as W
-
-    edges = _undirected_edges(spark, sf_dir)
-    sym = _sym(edges)
-    labels = sym.select(F.col("x").alias("node")).distinct() \
-        .withColumn("lbl", F.col("node"))
-    for _ in range(_LPA_ITERS):
-        scored = (
-            sym.join(F.broadcast(labels.withColumnRenamed("node", "y")
-                                 .withColumnRenamed("lbl", "nlbl")), "y")
-            .groupBy(F.col("x").alias("node"), F.col("nlbl").alias("cand"))
-            .agg(F.sum("w").alias("tw")))
-        best = (
-            scored.withColumn(
-                "rk", F.row_number().over(
-                    W.partitionBy("node")
-                    .orderBy(F.desc("tw"), F.asc("cand"))))
-            .where(F.col("rk") == 1)
-            .select("node", F.col("cand").alias("new_lbl")))
-        labels = (
-            labels.join(F.broadcast(best), "node", "left")
-            .select("node",
-                    F.coalesce("new_lbl", "lbl").alias("lbl")))
-        labels = labels.localCheckpoint(eager=True)
+    labels = G.label_propagation(_undirected_edges(spark, sf_dir),
+                                 iters=_LPA_ITERS)
     return (labels.groupBy(F.col("lbl").alias("community"))
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.min("node").alias("min_node"))

@@ -1756,7 +1756,6 @@ def bpe_merge_iterations(spark, sf_dir):
     The vocabulary table is corpus-aggregated ONCE; iterations never
     rescan the corpus — at 100 TB this is the standard two-phase BPE
     trainer (word-count pass, then vocab-sized iterations)."""
-    c1, c2 = "\x01", "\x02"
     d = t(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
@@ -1764,31 +1763,4 @@ def bpe_merge_iterations(spark, sf_dir):
         .where(F.col("w") != "")
         .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), "w").limit(_BPE_VOCAB))
-    w = vocab.withColumn(
-        "seq", F.regexp_replace("w", "(.)", f"{c1}$1{c2}")) \
-        .localCheckpoint(eager=True)
-    syms = F.transform(
-        F.filter(F.split("seq", c2), lambda e: e != ""),
-        lambda e: F.replace(e, F.lit(c1), F.lit("")))
-    merges = []
-    for i in range(1, _BPE_ITERS + 1):
-        pairs = (
-            w.select("cnt", syms.alias("syms"))
-            .where(F.size("syms") >= 2)
-            .select("cnt", F.explode(F.transform(
-                F.sequence(F.lit(2), F.size("syms")),
-                lambda j: F.struct(
-                    F.element_at("syms", j - 1).alias("a"),
-                    F.element_at("syms", j).alias("b")))).alias("p"))
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("cnt").alias("pc")))
-        best = pairs.orderBy(F.desc("pc"), "a", "b").limit(1).first()
-        merges.append((i, best["a"], best["b"], int(best["pc"])))
-        w = w.withColumn(
-            "seq", F.replace(
-                "seq", F.lit(f"{c1}{best['a']}{c2}{c1}{best['b']}{c2}"),
-                F.lit(f"{c1}{best['a']}{best['b']}{c2}"))) \
-            .localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, sym_a string, sym_b string, pair_count bigint")
+    return X.bpe_train(vocab, iters=_BPE_ITERS)
