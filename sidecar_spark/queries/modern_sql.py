@@ -3971,3 +3971,72 @@ def dataframe_summary_stats(spark, sf_dir):
     v = o.select(F.col("o_totalprice").cast("double"))
     return (v.summary("count", "mean", "stddev", "min", "max")
             .orderBy("summary"))
+
+
+# DuckDB twin of functions/dedup.py::hash60
+_H60_MS = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
+
+
+@query(
+    "count_min_sketch_estimate",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT l_partkey % 1000 AS k FROM lineitem
+    ), exact AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM keyed GROUP BY k
+    ), cells AS (
+      SELECT g.r,
+             {_H60_MS.format(e="CAST(k AS VARCHAR) || ':cm' || CAST(g.r AS VARCHAR)")}
+               % 64 AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM keyed CROSS JOIN generate_series(0, 2) g(r)
+      GROUP BY g.r, b
+    ), est AS (
+      SELECT e.k, e.exact_cnt, min(c.c) AS est_cnt
+      FROM exact e CROSS JOIN generate_series(0, 2) g(r)
+      JOIN cells c
+        ON c.r = g.r
+       AND c.b = {_H60_MS.format(e="CAST(e.k AS VARCHAR) || ':cm' || CAST(g.r AS VARCHAR)")}
+               % 64
+      GROUP BY e.k, e.exact_cnt
+    )
+    SELECT k, exact_cnt, est_cnt,
+           est_cnt - exact_cnt AS overcount
+    FROM est ORDER BY exact_cnt DESC, k LIMIT 10
+    """,
+)
+def count_min_sketch_estimate(spark, sf_dir):
+    """Hand-rolled count-min sketch (depth 3 × width 64, salted-hash
+    rows) with its estimates checked against exact counts: the sketch
+    build is GROUP BY (row, bucket) — 192 cells regardless of key
+    cardinality, the mergeable fixed-size summary that makes heavy-
+    hitter tracking feasible in one pass at 100 TB — and every
+    estimate provably ≥ the exact count (the CM overestimate
+    guarantee; ``overcount`` makes the collision error visible, width
+    64 against 1000 keys forces collisions).  Top-10 keys by exact
+    count."""
+    from sidecar_spark.functions.dedup import hash60
+
+    li = t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 1000).alias("k"))
+    exact = li.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+    keyed_r = li.select(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("r"))
+    bucket = hash60(F.concat(F.col("k").cast("string"), F.lit(":cm"),
+                             F.col("r").cast("string"))) % 64
+    cells = (keyed_r.select("r", bucket.alias("b"))
+             .groupBy("r", "b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    probes = exact.select(
+        "k", "exact_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("r")) \
+        .withColumn("b", bucket)
+    est = (probes.join(F.broadcast(cells), ["r", "b"])
+           .groupBy("k", "exact_cnt")
+           .agg(F.min("c").alias("est_cnt")))
+    return (est.select("k", "exact_cnt", "est_cnt",
+                       (F.col("est_cnt") - F.col("exact_cnt"))
+                       .alias("overcount"))
+            .orderBy(F.desc("exact_cnt"), "k").limit(10))

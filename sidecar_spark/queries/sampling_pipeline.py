@@ -481,3 +481,81 @@ def logreg_training_iterations(spark, sf_dir):
     return spark.createDataFrame(
         rows, "iteration int, w0 double, w1 double, w2 double,"
               " loss_before double")
+
+
+# binary entropy H(p) with 0·ln0 = 0, as a SQL fragment over {p}
+_SQL_ENT = ("CASE WHEN {p} <= 0 OR {p} >= 1 THEN 0.0 "
+            "ELSE -({p}) * ln({p}) - (1 - ({p})) * ln(1 - ({p})) END")
+
+
+@query(
+    "decision_stump_split",
+    oracle=f"""
+    WITH lab AS (
+      SELECT o_totalprice AS x,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), split AS (
+      SELECT 50000.0 * g.i AS thr,
+             count(*) AS n,
+             CAST(sum(y) AS BIGINT) AS pos,
+             count(*) FILTER (WHERE x <= 50000.0 * g.i) AS nl,
+             CAST(coalesce(sum(y) FILTER (WHERE x <= 50000.0 * g.i), 0)
+                  AS BIGINT) AS pl
+      FROM lab CROSS JOIN generate_series(1, 9) g(i)
+      GROUP BY thr
+    ), gains AS (
+      SELECT thr, nl, pl,
+             round({_SQL_ENT.format(p='pos * 1.0 / n')}
+                   - CASE WHEN nl = 0 THEN 0.0 ELSE nl * 1.0 / n *
+                       ({_SQL_ENT.format(p='pl * 1.0 / nl')}) END
+                   - CASE WHEN n - nl = 0 THEN 0.0 ELSE (n - nl) * 1.0 / n *
+                       ({_SQL_ENT.format(p='(pos - pl) * 1.0 / (n - nl)')}) END,
+                   6) AS info_gain
+      FROM split)
+    SELECT thr, nl, pl, info_gain,
+           row_number() OVER (ORDER BY info_gain DESC, thr) AS rk
+    FROM gains ORDER BY thr
+    """,
+)
+def decision_stump_split(spark, sf_dir):
+    """Decision-stump training: exhaustive information-gain search
+    over a fixed threshold grid for predicting order fulfillment from
+    total price — the inner loop of every distributed tree learner
+    (and of feature-importance audits on training data).  Spark
+    shape: ONE pass computes all 9 candidate splits' class histograms
+    simultaneously (explode the grid, conditional aggregation — not 9
+    scans), entropy math then runs on the 9-row result.  The same
+    plan at 100 TB: histogram building is the only data-scale stage,
+    exactly how tree libraries (XGBoost/LightGBM histogram mode)
+    distribute split finding."""
+    o = t(spark, sf_dir, "orders")
+    lab = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"))
+    grid = lab.select(
+        "x", "y",
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("i")) \
+        .withColumn("thr", F.col("i") * 50000.0)
+    left = F.col("x") <= F.col("thr")
+    split = (grid.groupBy("thr")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("y").cast("bigint").alias("pos"),
+                  F.count(F.when(left, 1)).alias("nl"),
+                  F.coalesce(F.sum(F.when(left, F.col("y"))), F.lit(0))
+                  .cast("bigint").alias("pl")))
+
+    def ent(p):
+        return (F.when((p <= 0) | (p >= 1), 0.0)
+                .otherwise(-p * F.log(p) - (1 - p) * F.log(1 - p)))
+
+    n, pos, nl, pl = (F.col("n"), F.col("pos"), F.col("nl"), F.col("pl"))
+    gain = F.round(
+        ent(pos / n)
+        - F.when(nl == 0, 0.0).otherwise(nl / n * ent(pl / nl))
+        - F.when(n - nl == 0, 0.0)
+        .otherwise((n - nl) / n * ent((pos - pl) / (n - nl))), 6)
+    gains = split.select("thr", "nl", "pl", gain.alias("info_gain"))
+    rk = F.row_number().over(Window.orderBy(F.desc("info_gain"), "thr"))
+    return gains.select("thr", "nl", "pl", "info_gain", rk.alias("rk")) \
+        .orderBy("thr")

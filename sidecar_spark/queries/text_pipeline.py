@@ -21,6 +21,9 @@ from sidecar_spark.functions.common import spread
 from sidecar_spark.queries.registry import query, t
 
 # SQL fragment: whitespace words of $expr (DuckDB)
+# DuckDB twin of functions/dedup.py::hash60 over a SQL expression
+_H60_TP = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
+
 _SQL_WORDS = (
     "CASE WHEN trim({e}) = '' THEN []::VARCHAR[] "
     "ELSE regexp_split_to_array(trim({e}), '\\s+') END"
@@ -1764,3 +1767,144 @@ def bpe_merge_iterations(spark, sf_dir):
         .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), "w").limit(_BPE_VOCAB))
     return X.bpe_train(vocab, iters=_BPE_ITERS)
+
+
+@query(
+    "naive_bayes_langid",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang, text,
+             {_H60_TP.format(e="CAST(doc_id AS VARCHAR) || ':nb'")} % 100 < 80
+               AS is_train
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, lang, is_train, unnest(string_split(text, ' ')) AS tok
+      FROM docs
+    ), cls AS (
+      SELECT lang AS c, count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_tok
+      FROM toks WHERE is_train GROUP BY lang
+    ), prior AS (
+      SELECT c, n_docs, n_tok,
+             ln(n_docs * 1.0 / (SELECT sum(n_docs) FROM cls)) AS lp
+      FROM cls
+    ), wl AS (
+      SELECT tok, lang AS c, count(*) AS cnt
+      FROM toks WHERE is_train GROUP BY tok, lang
+    ), vocab AS (SELECT count(DISTINCT tok) AS v FROM toks WHERE is_train),
+    scored AS (
+      SELECT t.doc_id, t.lang AS true_lang, p.c AS cand,
+             round(p.lp
+                   + sum(ln((coalesce(w.cnt, 0) + 1.0)
+                            / (p.n_tok + vocab.v))),
+                   6) AS score
+      FROM toks t
+      CROSS JOIN prior p
+      CROSS JOIN vocab
+      LEFT JOIN wl w ON w.tok = t.tok AND w.c = p.c
+      WHERE NOT t.is_train
+      GROUP BY t.doc_id, t.lang, p.c, p.lp
+    ), pred AS (
+      SELECT doc_id, true_lang, cand AS pred_lang FROM (
+        SELECT doc_id, true_lang, cand,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand) AS rk
+        FROM scored) WHERE rk = 1
+    )
+    SELECT true_lang, pred_lang, count(*) AS n_docs
+    FROM pred GROUP BY true_lang, pred_lang
+    ORDER BY true_lang, pred_lang
+    """,
+)
+def naive_bayes_langid(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier, trained and
+    evaluated fully in-plan: deterministic 80/20 hash split, add-one
+    smoothed per-(word, lang) likelihoods, argmax of the rounded
+    log-posterior (round 6 before the argmax makes the decision
+    portable; ties → lexicographic), reported as a confusion matrix.
+    The 100 TB shape of every count-based classifier: two count
+    passes build vocabulary-sized tables that broadcast; scoring is
+    a map-side join over the exploded test corpus ×|classes| and one
+    per-doc aggregate — no driver state, no iteration."""
+    d = t(spark, sf_dir, "documents")
+    from sidecar_spark.functions.dedup import hash60
+
+    is_train = (hash60(F.concat(F.col("doc_id").cast("string"),
+                                F.lit(":nb"))) % 100 < 80)
+    toks = d.select(
+        "doc_id", "lang", is_train.alias("is_train"),
+        F.explode(F.split("text", " ")).alias("tok"))
+    train = toks.where("is_train")
+    cls = train.groupBy(F.col("lang").alias("c")).agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tok"))
+    total_docs = cls.agg(F.sum("n_docs")).first()[0]
+    prior = cls.select(
+        "c", "n_tok",
+        F.log(F.col("n_docs") / F.lit(float(total_docs))).alias("lp"))
+    wl = train.groupBy("tok", F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+    v = train.select("tok").distinct().count()
+    test = toks.where(~F.col("is_train"))
+    scored = (
+        test.crossJoin(F.broadcast(prior))
+        .join(F.broadcast(wl), ["tok", "c"], "left")
+        .groupBy(F.col("doc_id"), F.col("lang").alias("true_lang"),
+                 F.col("c").alias("cand"))
+        .agg(F.round(
+            F.first("lp")
+            + F.sum(F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                          / (F.col("n_tok") + F.lit(float(v))))),
+            6).alias("score")))
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand")))
+    pred = (scored.withColumn("rk", rk).where(F.col("rk") == 1)
+            .select("true_lang", F.col("cand").alias("pred_lang")))
+    return (pred.groupBy("true_lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("true_lang", "pred_lang"))
+
+
+@query(
+    "feature_hashing_trick",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id < 8
+    ), hashed AS (
+      SELECT doc_id,
+             {_H60_TP.format(e='tok')} % 256 AS bucket,
+             CASE WHEN ({_H60_TP.format(e="tok || ':sgn'")}) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks)
+    SELECT doc_id, bucket,
+           CAST(sum(sgn) AS BIGINT) AS feature_val,
+           count(*) AS n_tokens
+    FROM hashed GROUP BY doc_id, bucket
+    HAVING sum(sgn) <> 0
+    ORDER BY doc_id, bucket
+    """,
+)
+def feature_hashing_trick(spark, sf_dir):
+    """The hashing trick (Weinberger et al.): words → 256 feature
+    buckets via hash, with a second hash choosing the sign (the
+    signed variant that makes collisions cancel in expectation) — the
+    standard way to featurize unbounded vocabularies with a FIXED
+    schema and zero vocabulary state.  Sparse long-form output (one
+    row per non-zero bucket).  At 100 TB this is exactly why the
+    trick exists: no vocab table to build, broadcast, or version —
+    featurization is one stateless map pass."""
+    from sidecar_spark.functions.dedup import hash60
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 8)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    hashed = toks.select(
+        "doc_id",
+        (hash60(F.col("tok")) % 256).alias("bucket"),
+        F.when(hash60(F.concat(F.col("tok"), F.lit(":sgn"))) % 2 == 0, 1)
+        .otherwise(-1).alias("sgn"))
+    return (hashed.groupBy("doc_id", "bucket")
+            .agg(F.sum("sgn").cast("bigint").alias("feature_val"),
+                 F.count(F.lit(1)).alias("n_tokens"))
+            .where(F.col("feature_val") != 0)
+            .orderBy("doc_id", "bucket"))
