@@ -1908,3 +1908,82 @@ def feature_hashing_trick(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_tokens"))
             .where(F.col("feature_val") != 0)
             .orderBy("doc_id", "bucket"))
+
+
+@query(
+    "bpe_encode_corpus",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest({_SQL_WORDS.format(e='lower(text)')}) AS w
+        FROM documents) WHERE w <> ''
+      GROUP BY w ORDER BY cnt DESC, w LIMIT {_BPE_VOCAB}
+    ), bw0 AS (
+      SELECT w, cnt,
+             regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS seq
+      FROM vocab
+    ),
+    {','.join(_sql_bpe_step(i) for i in range(1, _BPE_ITERS + 1))},
+    encoded AS (
+      SELECT d.lang,
+             length(regexp_replace(lower(d.text), '\\s', '', 'g'))
+               AS n_chars,
+             replace(replace(replace(
+               regexp_replace(lower(d.text), '([^\\s])',
+                              chr(1) || '\\1' || chr(2), 'g'),
+               chr(1) || b1.a || chr(2) || chr(1) || b1.b || chr(2),
+               chr(1) || b1.a || b1.b || chr(2)),
+               chr(1) || b2.a || chr(2) || chr(1) || b2.b || chr(2),
+               chr(1) || b2.a || b2.b || chr(2)),
+               chr(1) || b3.a || chr(2) || chr(1) || b3.b || chr(2),
+               chr(1) || b3.a || b3.b || chr(2)) AS seq
+      FROM documents d CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(length(seq) - length(replace(seq, chr(1), '')))
+                AS BIGINT) AS total_tokens,
+           round(sum(n_chars) * 1.0
+                 / sum(length(seq) - length(replace(seq, chr(1), ''))), 6)
+             AS chars_per_token
+    FROM encoded GROUP BY lang ORDER BY lang
+    """,
+)
+def bpe_encode_corpus(spark, sf_dir):
+    """TOKENIZER APPLICATION at corpus scale — the other half of the
+    BPE story (``bpe_merge_iterations`` trains; this encodes): apply
+    the 3 learned merges IN TRAINING ORDER to every document and
+    report per-language token counts and chars-per-token compression.
+    Spark shape: training happens on the vocab aggregate, the learned
+    merge table is collected (driver-size, like a tokenizer file) and
+    applied as a chain of ``replace`` map expressions — encoding at
+    100 TB is a pure stateless map pass, which is exactly why
+    production tokenizers are shippable artifacts.  Spaces are never
+    wrapped, so merges cannot cross word boundaries; token count =
+    count of symbol-open markers."""
+    c1, c2 = "\x01", "\x02"
+    d = t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                 .alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "w").limit(_BPE_VOCAB))
+    merges = X.bpe_train(vocab, iters=_BPE_ITERS) \
+        .orderBy("merge_rank").collect()
+    seq = F.regexp_replace(F.lower("text"), r"([^\s])", f"{c1}$1{c2}")
+    for m in merges:
+        seq = F.replace(
+            seq, F.lit(f"{c1}{m['sym_a']}{c2}{c1}{m['sym_b']}{c2}"),
+            F.lit(f"{c1}{m['sym_a']}{m['sym_b']}{c2}"))
+    n_chars = F.length(F.regexp_replace(F.lower("text"), r"\s", ""))
+    n_tokens = F.length(seq) - F.length(F.replace(seq, F.lit(c1), F.lit("")))
+    enc = d.select("lang", n_chars.alias("n_chars"),
+                   n_tokens.alias("n_tokens"))
+    return (enc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                 F.round(F.sum("n_chars") / F.sum("n_tokens"), 6)
+                 .alias("chars_per_token"))
+            .orderBy("lang"))
