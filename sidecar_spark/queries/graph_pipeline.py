@@ -530,3 +530,122 @@ def graph_two_hop_reach(spark, sf_dir):
         .agg(F.count_distinct(F.col("e2.dst")).alias("n_two_hop"))
         .orderBy("nation")
     )
+
+
+_ALS_LAMBDA = 0.1
+
+# deterministic rank-2 item-factor init: q(p) = [1, (p%97)/97 - 0.5]
+_SQL_ALS_Q0 = "[1.0, (p % 97) / 97.0 - 0.5]"
+
+# closed-form rank-2 ridge solve from the 5 accumulated moments:
+# A = [[a11+l, a12], [a12, a22+l]], b = [b1, b2]  ->  x = A^-1 b
+_SQL_ALS_SOLVE = """
+      SELECT {key},
+             ((a22 + {l}) * b1 - a12 * b2)
+               / ((a11 + {l}) * (a22 + {l}) - a12 * a12) AS f1,
+             ((a11 + {l}) * b2 - a12 * b1)
+               / ((a11 + {l}) * (a22 + {l}) - a12 * a12) AS f2
+      FROM (
+        SELECT {key},
+               sum(q1 * q1) AS a11, sum(q1 * q2) AS a12,
+               sum(q2 * q2) AS a22,
+               sum(r * q1) AS b1, sum(r * q2) AS b2
+        FROM {src} GROUP BY {key})
+"""
+
+
+@query(
+    "als_rank2_iteration",
+    oracle=f"""
+    WITH ratings AS (
+      SELECT o_custkey AS c, l_partkey AS p,
+             CAST(sum(l_quantity) AS DOUBLE) AS r
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY c, p
+    ), q0 AS (
+      SELECT DISTINCT p, {_SQL_ALS_Q0}[1] AS q1, {_SQL_ALS_Q0}[2] AS q2
+      FROM ratings
+    ), joined0 AS (
+      SELECT ratings.c, ratings.r, q0.q1, q0.q2
+      FROM ratings JOIN q0 ON ratings.p = q0.p
+    ), users AS (
+      {_SQL_ALS_SOLVE.format(key='c', src='joined0', l=_ALS_LAMBDA)}
+    ), joinedu AS (
+      SELECT ratings.p, ratings.r, users.f1 AS q1, users.f2 AS q2
+      FROM ratings JOIN users ON ratings.c = users.c
+    ), items AS (
+      {_SQL_ALS_SOLVE.format(key='p', src='joinedu', l=_ALS_LAMBDA)}
+    ), pred AS (
+      SELECT ratings.r,
+             users.f1 * items.f1 + users.f2 * items.f2 AS yhat
+      FROM ratings
+      JOIN users ON ratings.c = users.c
+      JOIN items ON ratings.p = items.p
+    )
+    SELECT count(*) AS n_ratings,
+           (SELECT count(*) FROM users) AS n_users,
+           (SELECT count(*) FROM items) AS n_items,
+           round(sqrt(avg((r - yhat) * (r - yhat))), 6) AS rmse
+    FROM pred
+    """,
+)
+def als_rank2_iteration(spark, sf_dir):
+    """One full ALS iteration (rank 2, ridge λ=0.1) on the
+    customer × part quantity matrix — the distributed recommender
+    trainer: with rank 2 the per-entity normal equations are 2×2, so
+    each half-step is ONE aggregation accumulating the 5 Gram/moment
+    sums per key followed by a closed-form solve in column math (no
+    per-key matrix library, no driver loop).  User solve against the
+    deterministic item init, then item solve against the new user
+    factors, then train RMSE.  The 100 TB story is MLlib's own ALS
+    layout: each half-step shuffles the ratings once on the solved
+    key; factors live in the dataflow, never on the driver."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey",
+                                             "l_quantity")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"),
+                 F.col("l_partkey").alias("p"))
+        .agg(F.sum("l_quantity").cast("double").alias("r"))
+        .localCheckpoint(eager=True))
+    q0 = ratings.select("p").distinct().select(
+        "p", F.lit(1.0).alias("q1"),
+        ((F.col("p") % 97) / 97.0 - 0.5).alias("q2"))
+
+    def solve(src, key):
+        lam = _ALS_LAMBDA
+        m = (src.groupBy(key)
+             .agg(F.sum(F.col("q1") * F.col("q1")).alias("a11"),
+                  F.sum(F.col("q1") * F.col("q2")).alias("a12"),
+                  F.sum(F.col("q2") * F.col("q2")).alias("a22"),
+                  F.sum(F.col("r") * F.col("q1")).alias("b1"),
+                  F.sum(F.col("r") * F.col("q2")).alias("b2")))
+        det = ((F.col("a11") + lam) * (F.col("a22") + lam)
+               - F.col("a12") * F.col("a12"))
+        return m.select(
+            key,
+            (((F.col("a22") + lam) * F.col("b1")
+              - F.col("a12") * F.col("b2")) / det).alias("f1"),
+            (((F.col("a11") + lam) * F.col("b2")
+              - F.col("a12") * F.col("b1")) / det).alias("f2"))
+
+    users = solve(ratings.join(q0, "p"), "c")
+    items = solve(
+        ratings.join(users, "c")
+        .select("p", "r", F.col("f1").alias("q1"),
+                F.col("f2").alias("q2")),
+        "p")
+    n_users = users.count()
+    n_items = items.count()
+    pred = (ratings.join(users, "c").join(items.withColumnRenamed(
+                "f1", "g1").withColumnRenamed("f2", "g2"), "p")
+            .select("r", (F.col("f1") * F.col("g1")
+                          + F.col("f2") * F.col("g2")).alias("yhat")))
+    return (pred.agg(
+        F.count(F.lit(1)).alias("n_ratings"),
+        F.round(F.sqrt(F.avg((F.col("r") - F.col("yhat"))
+                             * (F.col("r") - F.col("yhat")))), 6)
+        .alias("rmse"))
+        .select("n_ratings", F.lit(n_users).alias("n_users"),
+                F.lit(n_items).alias("n_items"), "rmse"))
