@@ -1117,3 +1117,140 @@ def ann_radius_search(spark, sf_dir):
              .alias("mean_within"))
         .orderBy("query_id")
     )
+
+
+# Rademacher ±1 sign for JL projection plane p, dim i (md5-derived,
+# identical on both engines)
+_SQL_JL_SIGN = ("CASE WHEN ('0x' || substr(md5('jl' || CAST({p} AS VARCHAR)"
+                " || ':' || CAST({i} AS VARCHAR)), 1, 15))::BIGINT % 2 = 0"
+                " THEN 1.0 ELSE -1.0 END")
+
+
+def _jl_sign(p: int, i: int) -> float:
+    """Driver-side twin of _SQL_JL_SIGN (plan literal, no per-row md5)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"jl{p}:{i}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+@query(
+    "jl_random_projection",
+    oracle=f"""
+    WITH proj AS (
+      SELECT vec_id,
+             list_transform(range(0, 8), p ->
+               list_sum(list_transform(range(1, {_DIM + 1}), i ->
+                 (embedding[i]::DOUBLE) *
+                 {_SQL_JL_SIGN.format(p='p', i='i - 1')}))
+               / sqrt(8.0)) AS pv,
+             embedding
+      FROM embeddings WHERE vec_id < 40
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             sqrt(list_sum(list_transform(range(1, {_DIM + 1}), i ->
+               (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+               * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE))))
+               AS d_full,
+             sqrt(list_sum(list_transform(range(1, 9), j ->
+               (a.pv[j] - b.pv[j]) * (a.pv[j] - b.pv[j])))) AS d_proj
+      FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+    )
+    SELECT count(*) AS n_pairs,
+           round(avg(d_proj / d_full), 6) AS mean_ratio,
+           round(min(d_proj / d_full), 6) AS min_ratio,
+           round(max(d_proj / d_full), 6) AS max_ratio
+    FROM pairs WHERE d_full > 0
+    """,
+)
+def jl_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss sketching: project 64-dim embeddings to
+    8 dims with a deterministic Rademacher ±1/√8 matrix and measure
+    pairwise-distance distortion over all pairs of a 40-vector sample
+    — the dimensionality-reduction step that makes downstream
+    clustering/dedup cheaper at 100 TB (projection is a stateless map
+    pass; the matrix is 8×64 plan literals, the same
+    constant-folding trick as the LSH hyperplanes — no per-row
+    hashing)."""
+    emb = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 40)
+    v = S.as_double(F.col("embedding"))
+    proj = F.array(*[
+        (F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(_jl_sign(p, i))
+                                    for i in range(_DIM)]),
+                       lambda x, s: x * s),
+            F.lit(0.0), lambda acc, x: acc + x)
+         / F.lit(8.0 ** 0.5))
+        for p in range(8)])
+    base = emb.select("vec_id", v.alias("vv"), proj.alias("pv"))
+    a, b = base.alias("a"), base.alias("b")
+
+    def sqdist(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda u, w: (u - w) * (u - w)),
+                           F.lit(0.0), lambda acc, e: acc + e)
+
+    pairs = (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+             .select(F.sqrt(sqdist(F.col("a.vv"), F.col("b.vv")))
+                     .alias("d_full"),
+                     F.sqrt(sqdist(F.col("a.pv"), F.col("b.pv")))
+                     .alias("d_proj")))
+    ratio = F.col("d_proj") / F.col("d_full")
+    return (pairs.where(F.col("d_full") > 0)
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.round(F.avg(ratio), 6).alias("mean_ratio"),
+                 F.round(F.min(ratio), 6).alias("min_ratio"),
+                 F.round(F.max(ratio), 6).alias("max_ratio")))
+
+
+@query(
+    "embedding_int8_quantization",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_min(embedding::DOUBLE[]) AS lo,
+             list_max(embedding::DOUBLE[]) AS hi,
+             embedding
+      FROM embeddings
+    ), rt AS (
+      SELECT vec_id, label,
+             list_sum(list_transform(range(1, {_DIM + 1}), i ->
+               CASE WHEN hi = lo THEN 0.0 ELSE
+                 ((lo + round((embedding[i]::DOUBLE - lo)
+                              / (hi - lo) * 255.0)
+                         * (hi - lo) / 255.0)
+                  - embedding[i]::DOUBLE)
+                 * ((lo + round((embedding[i]::DOUBLE - lo)
+                                / (hi - lo) * 255.0)
+                           * (hi - lo) / 255.0)
+                    - embedding[i]::DOUBLE) END)) / {_DIM} AS mse
+      FROM q
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(avg(mse) * 1e6, 6) AS mean_mse_ppm,
+           round(max(mse) * 1e6, 6) AS max_mse_ppm
+    FROM rt GROUP BY label ORDER BY label
+    """,
+)
+def embedding_int8_quantization(spark, sf_dir):
+    """Int8 scalar quantization round-trip (per-vector min/max scale,
+    the FAISS SQ8 layout that cuts embedding storage 4×): quantize →
+    dequantize → per-vector reconstruction MSE, summarized per label
+    in parts-per-million.  Everything is row-local column math — the
+    100 TB story IS the point: quantization needs no corpus pass, no
+    codebook state, and composes with any ANN index upstream."""
+    emb = t(spark, sf_dir, "embeddings")
+    v = S.as_double(F.col("embedding"))
+    lo, hi = F.array_min(v), F.array_max(v)
+    scale = (hi - lo) / 255.0
+    dq = F.transform(v, lambda x: lo + F.round((x - lo) / (hi - lo) * 255.0)
+                     * scale)
+    err2 = F.when(hi == lo, F.lit(0.0)).otherwise(
+        F.aggregate(F.zip_with(dq, v, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, e: acc + e))
+    mse = (err2 / _DIM).alias("mse")
+    return (emb.select("label", mse)
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.avg("mse") * 1e6, 6).alias("mean_mse_ppm"),
+                 F.round(F.max("mse") * 1e6, 6).alias("max_mse_ppm"))
+            .orderBy("label"))
