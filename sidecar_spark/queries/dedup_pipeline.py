@@ -557,3 +557,113 @@ def dedup_simhash_hamming(spark, sf_dir):
             .where(F.col("hamming") <= 3)
             .groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
             .orderBy("hamming"))
+
+
+def _sql_quality(tbl: str = "documents") -> str:
+    """DuckDB twin of functions/text.py::quality_score (same weights,
+    same rounding) — inlined here for the canonical-selection query."""
+    from sidecar_spark.functions import text as X
+
+    stops = "['" + "','".join(X.ALL_STOPWORDS) + "']"
+    ws = ("CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[] "
+          "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END")
+    return f"""
+      SELECT doc_id,
+             round(0.4 * (CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          * 1.0 / length(text) END)
+                 + 0.3 * least(length(text) / 500.0, 1.0)
+                 + 0.2 * least((CASE WHEN len({ws}) = 0 THEN 0.0
+                     ELSE len(list_filter({ws},
+                              x -> list_contains({stops}, x)))
+                          * 1.0 / len({ws}) END) * 5, 1.0)
+                 + 0.1 * (1 - least((CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE length(regexp_replace(text,
+                              '[^.,;:!?''"()\\-]', '', 'g'))
+                          * 1.0 / length(text) END) * 10, 1.0)),
+               6) AS q
+      FROM {tbl}"""
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM documents
+    ), hashed AS (
+      SELECT doc_id, {_HS} AS hs FROM base
+    ), sigs AS (
+      SELECT doc_id, hs, {_sig16_sql()} AS sig FROM hashed
+    ), banded AS (
+      SELECT doc_id, b AS band_idx,
+             md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_hash
+      FROM sigs CROSS JOIN generate_series(0, 3) AS g(b)
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cands c
+      JOIN sigs a ON a.doc_id = c.doc_a
+      JOIN sigs b ON b.doc_id = c.doc_b
+      WHERE {_JACCARD} >= 0.1
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r
+    ), clusters AS (
+      SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    ), sized AS (
+      SELECT cluster_id, count(*) AS n_members
+      FROM clusters GROUP BY cluster_id HAVING count(*) > 1
+    ), quality AS ({_sql_quality()})
+    SELECT s.cluster_id, c.doc_id AS canonical_doc, s.n_members,
+           c.q AS best_quality
+    FROM sized s
+    JOIN (
+      SELECT cl.cluster_id, q.doc_id, q.q,
+             row_number() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY q.q DESC, q.doc_id) AS rk
+      FROM clusters cl JOIN quality q USING (doc_id)) c
+      ON c.cluster_id = s.cluster_id AND c.rk = 1
+    ORDER BY s.cluster_id
+    """,
+)
+def dedup_cluster_canonical(spark, sf_dir):
+    """Canonical-document selection — the step AFTER clustering that
+    actually curates: within every multi-member duplicate cluster,
+    keep the highest-quality member (quality_score desc, doc_id
+    tie-break).  This composes three battery primitives (MinHash-LSH
+    pairs → connected components → quality scoring) into the
+    keep-best pass every dedup pipeline ends with; one window rank
+    per cluster on top of the cluster assignment, no new data-scale
+    stage."""
+    from pyspark.sql import Window as W
+
+    from sidecar_spark.functions import text as X
+
+    d = t(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(
+        d, num_hashes=16, bands=4, shingle_k=3, jaccard_threshold=0.1)
+    clusters = D.connected_components(pairs, d.select("doc_id"))
+    quality = spread(d).select(
+        "doc_id", X.quality_score(F.col("text")).alias("q"))
+    sized = (clusters.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("n_members"))
+             .where(F.col("n_members") > 1))
+    ranked = (
+        clusters.join(quality, "doc_id")
+        .join(F.broadcast(sized), "cluster_id")
+        .withColumn("rk", F.row_number().over(
+            W.partitionBy("cluster_id").orderBy(F.desc("q"), "doc_id")))
+        .where(F.col("rk") == 1))
+    return (ranked.select("cluster_id",
+                          F.col("doc_id").alias("canonical_doc"),
+                          "n_members",
+                          F.col("q").alias("best_quality"))
+            .orderBy("cluster_id"))

@@ -1830,3 +1830,73 @@ def arrow_interchange_roundtrip(spark, sf_dir):
     return (agg.join(back, agg.st == back.st_rt)
             .select("st", "n", "rev", "n_rt", "rev_rt")
             .orderBy("st"))
+
+
+@query(
+    "dq_constraint_suite",
+    oracle="""
+    WITH m AS (
+      SELECT count(*) AS n_rows,
+             count(o_custkey) AS n_custkey,
+             count(DISTINCT o_orderkey) AS n_distinct_keys,
+             CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_price_pos,
+             CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_status_ok,
+             CAST(sum(CASE WHEN regexp_matches(o_orderpriority,
+                                               '^[1-5]-')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_prio_ok
+      FROM orders)
+    SELECT c.constraint_name, c.metric,
+           c.metric >= c.threshold AS passed
+    FROM m, LATERAL (VALUES
+      ('completeness:o_custkey',
+       round(n_custkey * 1.0 / n_rows, 6), 1.0),
+      ('uniqueness:o_orderkey',
+       round(n_distinct_keys * 1.0 / n_rows, 6), 1.0),
+      ('range:o_totalprice>0',
+       round(n_price_pos * 1.0 / n_rows, 6), 1.0),
+      ('set:o_orderstatus',
+       round(n_status_ok * 1.0 / n_rows, 6), 1.0),
+      ('pattern:o_orderpriority',
+       round(n_prio_ok * 1.0 / n_rows, 6), 1.0)
+    ) AS c(constraint_name, metric, threshold)
+    ORDER BY constraint_name
+    """,
+)
+def dq_constraint_suite(spark, sf_dir):
+    """Deequ-style declarative data-quality verification: five
+    constraint classes (completeness, key uniqueness, numeric range,
+    value-set membership, regex pattern) evaluated in ONE aggregation
+    pass and reported as a long-form (constraint, metric, passed)
+    result — the contract-check stage every ingestion pipeline runs
+    before accepting a batch.  At 100 TB: all constraints share a
+    single scan with map-side partial aggregation; adding a
+    constraint adds a column expression, never a pass."""
+    o = t(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("n_custkey"),
+        F.count_distinct("o_orderkey").alias("n_distinct_keys"),
+        F.sum(F.when(F.col("o_totalprice") > 0, 1).otherwise(0))
+        .cast("bigint").alias("n_price_pos"),
+        F.sum(F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1)
+              .otherwise(0)).cast("bigint").alias("n_status_ok"),
+        F.sum(F.when(F.col("o_orderpriority").rlike("^[1-5]-"), 1)
+              .otherwise(0)).cast("bigint").alias("n_prio_ok"))
+    checks = [
+        ("completeness:o_custkey", F.col("n_custkey")),
+        ("uniqueness:o_orderkey", F.col("n_distinct_keys")),
+        ("range:o_totalprice>0", F.col("n_price_pos")),
+        ("set:o_orderstatus", F.col("n_status_ok")),
+        ("pattern:o_orderpriority", F.col("n_prio_ok")),
+    ]
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(name).alias("constraint_name"),
+                 F.round(num / F.col("n_rows"), 6).alias("metric"))
+        for name, num in checks])).alias("c")
+    return (m.select(rows)
+            .select(F.col("c.constraint_name").alias("constraint_name"),
+                    F.col("c.metric").alias("metric"),
+                    (F.col("c.metric") >= 1.0).alias("passed"))
+            .orderBy("constraint_name"))
