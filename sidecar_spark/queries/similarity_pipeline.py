@@ -1254,3 +1254,80 @@ def embedding_int8_quantization(spark, sf_dir):
                  F.round(F.avg("mse") * 1e6, 6).alias("mean_mse_ppm"),
                  F.round(F.max("mse") * 1e6, 6).alias("max_mse_ppm"))
             .orderBy("label"))
+
+
+@query(
+    "ann_recall_audit",
+    oracle=f"""
+    WITH planes AS (
+      SELECT v.vec_id, v.embedding,
+             array_to_string(list_transform(range(0, 8), p ->
+               CASE WHEN list_sum(list_transform(range(1, {_DIM + 1}), i ->
+                     (v.embedding[i]::DOUBLE) *
+                     ((('0x' || substr(md5('hp' || p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 15))::BIGINT
+                       % 2001 - 1000) / 1000.0))) >= 0
+                    THEN '1' ELSE '0' END), '') AS bucket
+      FROM embeddings v),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket
+          FROM planes WHERE vec_id < 30),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, v.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_sql_cos('q.q_vec', 'v.embedding')} DESC,
+                          v.vec_id) AS rk
+        FROM embeddings v CROSS JOIN q
+        WHERE v.vec_id <> q.query_id) WHERE rk <= 10
+    ), approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, v.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_sql_cos('q.q_vec', 'v.embedding')} DESC,
+                          v.vec_id) AS rk
+        FROM planes v JOIN q ON v.bucket = q.bucket
+        WHERE v.vec_id <> q.query_id) WHERE rk <= 10
+    ), per_q AS (
+      SELECT t.query_id,
+             count(a.vec_id) AS n_hit,
+             count(*) AS n_truth
+      FROM truth t
+      LEFT JOIN approx a ON a.query_id = t.query_id
+                        AND a.vec_id = t.vec_id
+      GROUP BY t.query_id)
+    SELECT count(*) AS n_queries,
+           CAST(sum(n_hit) AS BIGINT) AS total_hits,
+           CAST(sum(n_truth) AS BIGINT) AS total_truth,
+           round(sum(n_hit) * 1.0 / sum(n_truth), 6) AS recall_at_10
+    FROM per_q
+    """,
+)
+def ann_recall_audit(spark, sf_dir):
+    """Recall@10 of the hyperplane-LSH index against brute-force
+    ground truth, for 30 queries — the eval loop every ANN deployment
+    runs before trusting an index (the number that justifies the
+    bucket join's speedup).  Composes the battery's two ANN operators
+    and joins their result sets; at 100 TB the ground-truth side runs
+    on a fixed query SAMPLE (here all 30), which is exactly how
+    production recall audits bound the brute-force cost."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    truth = S.brute_force_topk(emb, queries, k=10,
+                               query_id_col="query_id") \
+        .select("query_id", "vec_id")
+    approx = S.lsh_topk(emb, queries, dim=_DIM, k=10, num_planes=8,
+                        query_id_col="query_id") \
+        .select("query_id", F.col("vec_id").alias("a_vec"))
+    per_q = (
+        truth.join(approx,
+                   (truth.query_id == approx.query_id)
+                   & (truth.vec_id == approx.a_vec), "left")
+        .groupBy(truth.query_id)
+        .agg(F.count("a_vec").alias("n_hit"),
+             F.count(F.lit(1)).alias("n_truth")))
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("n_hit").cast("bigint").alias("total_hits"),
+        F.sum("n_truth").cast("bigint").alias("total_truth"),
+        F.round(F.sum("n_hit") / F.sum("n_truth"), 6)
+        .alias("recall_at_10"))

@@ -1987,3 +1987,117 @@ def bpe_encode_corpus(spark, sf_dir):
                  F.round(F.sum("n_chars") / F.sum("n_tokens"), 6)
                  .alias("chars_per_token"))
             .orderBy("lang"))
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(CASE WHEN len(ws) < 3
+               THEN [array_to_string(ws, ' ')]
+               ELSE list_transform(range(1, len(ws) - 1),
+                    i -> array_to_string(ws[i:i+2], ' ')) END)) AS g
+      FROM (SELECT doc_id,
+                   {_SQL_WORDS.format(e='lower(text)')} AS ws
+            FROM documents)
+    ), first_seen AS (
+      SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+    ), per_doc AS (
+      SELECT gr.doc_id,
+             count(*) AS n_grams,
+             CAST(sum(CASE WHEN fs.first_doc = gr.doc_id
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      FROM grams gr JOIN first_seen fs ON fs.g = gr.g
+      GROUP BY gr.doc_id
+    )
+    SELECT CAST(doc_id / 1000 AS BIGINT) AS doc_bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_grams) AS BIGINT) AS total_grams,
+           round(sum(n_novel) * 1.0 / sum(n_grams), 6) AS novelty_rate
+    FROM per_doc GROUP BY doc_bucket ORDER BY doc_bucket
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Corpus novelty curve: per ingestion bucket (doc_id / 1000),
+    the fraction of a document's distinct word 3-grams whose FIRST
+    corpus occurrence is that document — the diminishing-returns
+    signal crawls monitor to decide when a source is mined out.
+    Two shuffles at any scale: gram → min(doc_id) (map-side
+    combined), then the per-doc novelty join against that
+    vocabulary-sized table; the bucket rollup is free."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.when(F.trim(F.lower("text")) == "",
+                F.array().cast("array<string>")) \
+        .otherwise(F.split(F.trim(F.lower("text")), r"\s+"))
+    grams3 = F.when(
+        F.size(ws) < 3, F.array(F.array_join(ws, " "))).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size(ws) - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(ws, i),
+                        F.element_at(ws, i + 1),
+                        F.element_at(ws, i + 2))))
+    grams = d.select("doc_id",
+                     F.explode(F.array_distinct(grams3)).alias("g"))
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                   .otherwise(0)).cast("bigint").alias("n_novel")))
+    return (per_doc
+            .groupBy(F.floor(F.col("doc_id") / 1000).cast("bigint")
+                     .alias("doc_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_grams").cast("bigint").alias("total_grams"),
+                 F.round(F.sum("n_novel") / F.sum("n_grams"), 6)
+                 .alias("novelty_rate"))
+            .orderBy("doc_bucket"))
+
+
+@query(
+    "dup_quality_interaction",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS h
+      FROM documents
+    ), dup AS (
+      SELECT doc_id,
+             count(*) OVER (PARTITION BY h) > 1 AS is_dup
+      FROM hashed
+    ), quality AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 100 THEN 'long' ELSE 'short' END
+               AS len_bucket
+      FROM documents
+    )
+    SELECT q.len_bucket, d.is_dup, count(*) AS n_docs
+    FROM dup d JOIN quality q USING (doc_id)
+    GROUP BY q.len_bucket, d.is_dup
+    ORDER BY q.len_bucket, d.is_dup
+    """,
+)
+def dup_quality_interaction(spark, sf_dir):
+    """Duplication × quality cross-tab: are exact duplicates
+    concentrated in short (low-effort) documents?  The audit that
+    tells a curation team whether dedup and quality filtering are
+    redundant or complementary passes.  One content-hash window +
+    one join + one tiny rollup."""
+    d = t(spark, sf_dir, "documents")
+    from sidecar_spark.functions import text as X
+    h = F.md5(X.normalized_text(F.col("text")))
+    dup = d.select(
+        "doc_id",
+        (F.count(F.lit(1)).over(
+            W.partitionBy(h)) > 1).alias("is_dup"))
+    quality = d.select(
+        "doc_id",
+        F.when(F.length("text") >= 100, "long").otherwise("short")
+        .alias("len_bucket"))
+    return (dup.join(quality, "doc_id")
+            .groupBy("len_bucket", "is_dup")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("len_bucket", "is_dup"))
