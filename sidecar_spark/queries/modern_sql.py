@@ -4009,7 +4009,7 @@ _H60_MS = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
 def count_min_sketch_estimate(spark, sf_dir):
     """Hand-rolled count-min sketch (depth 3 × width 64, salted-hash
     rows) with its estimates checked against exact counts: the sketch
-    build is GROUP BY (row, bucket) — 192 cells regardless of key
+    build folds to 192 cells regardless of key
     cardinality, the mergeable fixed-size summary that makes heavy-
     hitter tracking feasible in one pass at 100 TB — and every
     estimate provably ≥ the exact count (the CM overestimate
@@ -4020,19 +4020,23 @@ def count_min_sketch_estimate(spark, sf_dir):
 
     li = t(spark, sf_dir, "lineitem").select(
         (F.col("l_partkey") % 1000).alias("k"))
-    exact = li.groupBy("k").agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
-    keyed_r = li.select(
-        "k", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("r"))
+    exact = (li.groupBy("k")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+             .localCheckpoint(eager=True))
     bucket = hash60(F.concat(F.col("k").cast("string"), F.lit(":cm"),
                              F.col("r").cast("string"))) % 64
-    cells = (keyed_r.select("r", bucket.alias("b"))
-             .groupBy("r", "b")
-             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
-    probes = exact.select(
+    # cell counts fold over the per-key aggregate, not raw rows: the
+    # bucket is a function of k alone, so summing exact_cnt per
+    # (row, bucket) is the identical sketch while hashing |keys|×3
+    # values instead of |rows|×3 (the per-row md5 formulation cost
+    # 4 s at sf0.1; the audit needs the exact table anyway)
+    keyed_r = exact.select(
         "k", "exact_cnt",
-        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("r")) \
-        .withColumn("b", bucket)
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("r"))
+    cells = (keyed_r.select("r", bucket.alias("b"), "exact_cnt")
+             .groupBy("r", "b")
+             .agg(F.sum("exact_cnt").cast("bigint").alias("c")))
+    probes = keyed_r.withColumn("b", bucket)
     est = (probes.join(F.broadcast(cells), ["r", "b"])
            .groupBy("k", "exact_cnt")
            .agg(F.min("c").alias("est_cnt")))
