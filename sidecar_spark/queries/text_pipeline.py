@@ -1654,7 +1654,7 @@ def text_bigram_logprob(spark, sf_dir):
     one scoring pass, the same 100 TB shape as every n-gram LM
     build."""
     sep = "\x1f"
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     toks = d.select("doc_id", "lang", F.split("text", " ").alias("ws"))
     uni = toks.select("doc_id", "lang", F.explode("ws").alias("tok"))
     ufreq = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
@@ -1669,7 +1669,11 @@ def text_bigram_logprob(spark, sf_dir):
     ctx = F.split_part(F.col("bg"), F.lit(sep), F.lit(1))
     cur = F.split_part(F.col("bg"), F.lit(sep), F.lit(2))
     doc_lp = (
-        bgs.join(F.broadcast(bfreq), "bg")
+        # NO broadcast hint on bfreq: the bigram vocabulary grows with
+        # the corpus (unlike the unigram vocab) — at sf0.1 it is
+        # already ~1M rows and forcing the broadcast cost 8s of
+        # driver collect; the sort-merge/AQE choice is the 100 TB plan
+        bgs.join(bfreq, "bg")
         .join(F.broadcast(ufreq.select(F.col("tok").alias("__ctx"),
                                        F.col("c1").alias("c_ctx"))),
               ctx == F.col("__ctx"))
