@@ -667,3 +667,118 @@ def dedup_cluster_canonical(spark, sf_dir):
                           "n_members",
                           F.col("q").alias("best_quality"))
             .orderBy("cluster_id"))
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM documents
+    ), hashed AS (
+      SELECT doc_id, {_HS} AS hs FROM base
+    ), sigs AS (
+      SELECT doc_id, hs, {_sig16_sql()} AS sig FROM hashed
+    ), banded AS (
+      SELECT doc_id, b AS band_idx,
+             md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_hash
+      FROM sigs CROSS JOIN generate_series(0, 3) AS g(b)
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cands c
+      JOIN sigs a ON a.doc_id = c.doc_a
+      JOIN sigs b ON b.doc_id = c.doc_b
+      WHERE {_JACCARD} >= 0.1
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r
+    ), clusters AS (
+      SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    ), assigned AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':naive'),
+                             1, 15))::BIGINT % 100 < 80 AS naive_train,
+             ('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || ':grp'),
+                             1, 15))::BIGINT % 100 < 80 AS grouped_train
+      FROM clusters
+    ), audit AS (
+      SELECT 'naive' AS scheme,
+             CAST(sum(CASE WHEN naive_train THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_train,
+             CAST(sum(CASE WHEN naive_train THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_test,
+             CAST((SELECT count(*) FROM pairs p
+                   JOIN assigned x ON x.doc_id = p.doc_a
+                   JOIN assigned y ON y.doc_id = p.doc_b
+                   WHERE x.naive_train <> y.naive_train)
+                  AS BIGINT) AS n_leaked_pairs
+      FROM assigned
+      UNION ALL
+      SELECT 'grouped',
+             CAST(sum(CASE WHEN grouped_train THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(sum(CASE WHEN grouped_train THEN 0 ELSE 1 END)
+                  AS BIGINT),
+             CAST((SELECT count(*) FROM pairs p
+                   JOIN assigned x ON x.doc_id = p.doc_a
+                   JOIN assigned y ON y.doc_id = p.doc_b
+                   WHERE x.grouped_train <> y.grouped_train)
+                  AS BIGINT)
+      FROM assigned
+    )
+    SELECT scheme, n_train, n_test, n_leaked_pairs
+    FROM audit ORDER BY scheme
+    """,
+)
+def leakage_safe_split(spark, sf_dir):
+    """GROUP-AWARE train/test splitting — the leakage-safe split every
+    careful eval needs: hashing the doc_id sends near-duplicate pair
+    members to opposite splits (train/test contamination), while
+    hashing the duplicate-CLUSTER id keeps whole clusters on one side
+    by construction.  Reports both schemes' sizes and their leaked
+    (cross-split near-dup) pair counts — grouped is provably 0.
+    Composes LSH pairs → connected components → salted-hash split;
+    the audit join touches only the pairs table."""
+    from sidecar_spark.functions.dedup import hash60
+
+    d = t(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(
+        d, num_hashes=16, bands=4, shingle_k=3, jaccard_threshold=0.1) \
+        .select("doc_a", "doc_b").localCheckpoint(eager=True)
+    clusters = D.connected_components(pairs.select(
+        "doc_a", "doc_b", F.lit(0.0).alias("jaccard")), d.select("doc_id"))
+    assigned = clusters.select(
+        "doc_id",
+        (hash60(F.concat(F.col("doc_id").cast("string"),
+                         F.lit(":naive"))) % 100 < 80).alias("naive_train"),
+        (hash60(F.concat(F.col("cluster_id").cast("string"),
+                         F.lit(":grp"))) % 100 < 80).alias("grouped_train"),
+    ).localCheckpoint(eager=True)
+
+    def audit(flag: str):
+        x = assigned.select(F.col("doc_id").alias("doc_a"),
+                            F.col(flag).alias("fa"))
+        y = assigned.select(F.col("doc_id").alias("doc_b"),
+                            F.col(flag).alias("fb"))
+        leaked = (pairs.join(x, "doc_a").join(y, "doc_b")
+                  .where(F.col("fa") != F.col("fb")).count())
+        sizes = assigned.agg(
+            F.sum(F.when(F.col(flag), 1).otherwise(0)).cast("bigint")
+            .alias("n_train"),
+            F.sum(F.when(F.col(flag), 0).otherwise(1)).cast("bigint")
+            .alias("n_test")).first()
+        return (sizes["n_train"], sizes["n_test"], leaked)
+
+    rows = [("grouped", *audit("grouped_train")),
+            ("naive", *audit("naive_train"))]
+    return spark.createDataFrame(
+        rows, "scheme string, n_train bigint, n_test bigint,"
+              " n_leaked_pairs bigint").orderBy("scheme")
