@@ -1324,3 +1324,57 @@ def revenue_decile_concentration(spark, sf_dir):
                     F.round(F.sum("rev").over(W.orderBy("decile"))
                             / F.col("total"), 6).alias("cum_share"))
             .orderBy("decile"))
+
+
+@query(
+    "winsorize_outliers",
+    oracle="""
+    WITH bounds AS (
+      SELECT quantile_disc(o_totalprice, 0.01) AS lo,
+             quantile_disc(o_totalprice, 0.99) AS hi
+      FROM orders
+    ), clipped AS (
+      SELECT o_orderpriority,
+             o_totalprice AS x,
+             least(greatest(o_totalprice, lo), hi) AS xw
+      FROM orders CROSS JOIN bounds
+    )
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CASE WHEN x <> xw THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped,
+           round(avg(x), 2) AS mean_raw,
+           round(avg(xw), 2) AS mean_winsorized,
+           round(stddev_pop(x), 2) AS sd_raw,
+           round(stddev_pop(xw), 2) AS sd_winsorized
+    FROM clipped GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def winsorize_outliers(spark, sf_dir):
+    """Winsorization — clip a numeric feature at its exact p1/p99 and
+    report the moment shift per group, the standard outlier treatment
+    before fitting anything scale-sensitive.  The bounds come from
+    ONE exact-percentile aggregate (discrete quantile, so both
+    engines pick an actual data value — no interpolation drift) and
+    enter the clip as a broadcast scalar; the clip itself is pure map
+    math.  At 100 TB swap the exact percentile for approx_percentile
+    and nothing else changes."""
+    o = t(spark, sf_dir, "orders")
+    b = o.agg(
+        F.expr("percentile_disc(0.01) WITHIN GROUP (ORDER BY o_totalprice)")
+        .alias("lo"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)")
+        .alias("hi")).first()
+    lo, hi = float(b["lo"]), float(b["hi"])
+    xw = F.least(F.greatest(F.col("o_totalprice"), F.lit(lo)), F.lit(hi))
+    return (o.select("o_orderpriority",
+                     F.col("o_totalprice").alias("x"), xw.alias("xw"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("x") != F.col("xw"), 1).otherwise(0))
+                 .cast("bigint").alias("n_clipped"),
+                 F.round(F.avg("x"), 2).alias("mean_raw"),
+                 F.round(F.avg("xw"), 2).alias("mean_winsorized"),
+                 F.round(F.stddev_pop("x"), 2).alias("sd_raw"),
+                 F.round(F.stddev_pop("xw"), 2).alias("sd_winsorized"))
+            .orderBy("o_orderpriority"))
