@@ -720,3 +720,45 @@ def stream_timeout_sessionize(spark, sf_dir):
     # size the stateful shuffle to the dispatch cost, not the floor
     return run_to_memory_sink(s, "stream_timeout_sessionize", "append",
                               state_partitions=16)
+
+
+@query(
+    "stream_curation_gate",
+    oracle="""
+    SELECT lang,
+           count(DISTINCT md5(trim(regexp_replace(lower(text),
+                                                  '\\s+', ' ', 'g'))))
+             AS n_unique_docs
+    FROM documents
+    WHERE length(text) >= 100
+      AND length(regexp_replace(text, '[^0-9]', '', 'g'))
+            <= 0.2 * length(text)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def stream_curation_gate(spark, sf_dir):
+    """STREAMING ingest curation — the quality-gate + exact-dedup
+    funnel run as documents arrive rather than in a batch sweep:
+    quality predicates filter the stream, ``dropDuplicates`` on
+    (lang, content-hash) keeps first-seen documents only, and a
+    running per-language unique-document count is maintained in
+    complete mode.  Keying the dedup by (lang, hash) makes the emitted
+    counts deterministic (which physical duplicate survives is
+    timing-dependent; the key set is not).  A live deployment bounds
+    the dedup state with dropDuplicatesWithinWatermark on ingest
+    time; the bounded backlog here exercises the identical state-store
+    machinery."""
+    from sidecar_spark.streaming import run_to_memory_sink, table_stream
+
+    s = table_stream(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    digits = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    gated = (
+        s.where((F.length("text") >= 100)
+                & (digits <= 0.2 * F.length("text")))
+        .select("lang", F.md5(norm).alias("h"))
+        .dropDuplicates(["lang", "h"])
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_unique_docs")))
+    return (run_to_memory_sink(gated, "stream_curation_gate", "complete")
+            .orderBy("lang"))

@@ -2116,3 +2116,62 @@ def dup_quality_interaction(spark, sf_dir):
             .groupBy("len_bucket", "is_dup")
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy("len_bucket", "is_dup"))
+
+
+@query(
+    "grouped_ols_fit",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(regr_slope(n_chars, n_tokens), 6) AS slope,
+           round(regr_intercept(n_chars, n_tokens), 6) AS intercept,
+           round(regr_r2(n_chars, n_tokens), 6) AS r2
+    FROM (
+      SELECT lang, n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n_tokens
+      FROM documents)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def grouped_ols_fit(spark, sf_dir):
+    """Per-group model fitting via ``applyInPandas`` — one OLS fit
+    (chars ~ tokens) PER LANGUAGE with numpy inside the grouped UDF,
+    cross-checked against DuckDB's closed-form ``regr_*`` aggregates:
+    the two paradigms (imperative per-group solver vs SQL moment
+    aggregates) must agree to 6 decimals, which pins both the group
+    routing and the math.  This is the canonical grouped-training
+    shape (per-entity forecasting models, per-domain calibration) —
+    each group fits on one executor, groups run in parallel, and the
+    shuffle carries only the fit inputs."""
+    import numpy as np
+    import pandas as pd
+
+    d = spread(t(spark, sf_dir, "documents"))
+    ws = F.when(F.trim("text") == "", 0).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+")))
+    inputs = d.select("lang", "n_chars", ws.alias("n_tokens"))
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["n_tokens"].to_numpy(dtype=float)
+        y = pdf["n_chars"].to_numpy(dtype=float)
+        xm, ym = x.mean(), y.mean()
+        sxx = ((x - xm) ** 2).sum()
+        sxy = ((x - xm) * (y - ym)).sum()
+        slope = sxy / sxx
+        intercept = ym - slope * xm
+        ss_res = ((y - (intercept + slope * x)) ** 2).sum()
+        ss_tot = ((y - ym) ** 2).sum()
+        return pd.DataFrame({
+            "lang": [pdf["lang"].iloc[0]],
+            "n_docs": [len(pdf)],
+            "slope": [round(slope, 6)],
+            "intercept": [round(intercept, 6)],
+            "r2": [round(1 - ss_res / ss_tot, 6)],
+        })
+
+    return (inputs.groupBy("lang")
+            .applyInPandas(fit, "lang string, n_docs long, slope double,"
+                                " intercept double, r2 double")
+            .orderBy("lang"))

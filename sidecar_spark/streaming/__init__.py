@@ -18,6 +18,7 @@ from sidecar_spark.streaming.ops import (
     sessionized_stream,
     stateful_user_stats,
     stream_distinct_keys,
+    table_stream,
     windowed_counts,
 )
 
@@ -33,5 +34,6 @@ __all__ = [
     "sessionized_stream",
     "stateful_user_stats",
     "stream_distinct_keys",
+    "table_stream",
     "windowed_counts",
 ]

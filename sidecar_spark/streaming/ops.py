@@ -47,6 +47,26 @@ def scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
+def table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """``readStream`` over any testdata table (the file stream source
+    requires a DIRECTORY; expose the single table file through a
+    symlinked stream dir — testdata is read-only)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = spark.read.parquet(path).schema
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        "sidecar-streamsrc-" + path.strip("/").replace("/", "_"))
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(stream_dir)
+    )
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events table.
 
@@ -55,22 +75,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TIMESTAMP_NTZ) — normalize either to session-zone TIMESTAMP,
     matching the batch loader (queries/registry.py:t)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    # the file stream source requires a DIRECTORY; expose the single
-    # table file through a symlinked stream dir (testdata is read-only)
-    stream_dir = os.path.join(
-        tempfile.gettempdir(),
-        "sidecar-streamsrc-" + path.strip("/").replace("/", "_"))
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .load(stream_dir)
-    )
+    stream = table_stream(spark, sf_dir, "events")
+    schema = stream.schema
     ts_type = schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         stream = stream.withColumn(
