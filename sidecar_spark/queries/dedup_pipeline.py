@@ -782,3 +782,82 @@ def leakage_safe_split(spark, sf_dir):
     return spark.createDataFrame(
         rows, "scheme string, n_train bigint, n_test bigint,"
               " n_leaked_pairs bigint").orderBy("scheme")
+
+
+@query(
+    "incremental_dedup_batch",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SHINGLES} AS sh,
+             doc_id % 10 < 8 AS is_existing
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, is_existing, {_HS} AS hs FROM base
+    ), sigs AS (
+      SELECT doc_id, is_existing, hs, {_sig16_sql()} AS sig FROM hashed
+    ), banded AS (
+      SELECT doc_id, is_existing, b AS band_idx,
+             md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_hash
+      FROM sigs CROSS JOIN generate_series(0, 3) AS g(b)
+    ), cands AS (
+      SELECT DISTINCT n.doc_id AS new_doc, e.doc_id AS old_doc
+      FROM banded n JOIN banded e
+        ON n.band_idx = e.band_idx AND n.band_hash = e.band_hash
+      WHERE NOT n.is_existing AND e.is_existing
+    ), verified AS (
+      SELECT c.new_doc, count(*) AS n_matches
+      FROM cands c
+      JOIN sigs a ON a.doc_id = c.new_doc
+      JOIN sigs b ON b.doc_id = c.old_doc
+      WHERE {_JACCARD} >= 0.1
+      GROUP BY c.new_doc
+    )
+    SELECT (SELECT count(*) FROM base WHERE NOT is_existing)
+             AS n_incoming,
+           (SELECT count(*) FROM verified) AS n_rejected,
+           (SELECT count(*) FROM base WHERE NOT is_existing)
+             - (SELECT count(*) FROM verified) AS n_admitted
+    """,
+)
+def incremental_dedup_batch(spark, sf_dir):
+    """INCREMENTAL dedup — the nightly-crawl shape: near-dup-check an
+    incoming batch (20% of docs by id-hash) against the EXISTING
+    corpus only, never incoming-vs-incoming or existing-vs-existing.
+    The band equi-join is restricted to cross-side candidates, so the
+    per-ingest cost is |incoming| × collision rate, independent of
+    corpus history size beyond the (precomputable, persisted)
+    signature table — the property that makes LSH dedup sustainable
+    when the corpus grows forever.  Reports admitted/rejected
+    counts."""
+    d = t(spark, sf_dir, "documents")
+    base = spread(d).selectExpr(
+        "doc_id", "doc_id % 10 < 8 AS is_existing",
+        f"{D.shingle_hashes_sql(D.shingles_sql('text', 3))} AS hs")
+    sigs = base.selectExpr(
+        "doc_id", "is_existing", "hs",
+        f"{D.minhash_signature_sql('hs', 16)} AS sig").persist()
+    banded = sigs.selectExpr(
+        "doc_id", "is_existing",
+        f"posexplode({D.band_hashes_sql('sig', 4, 4)}) "
+        "AS (band_idx, band_hash)")
+    n = banded.where(~F.col("is_existing")).alias("n")
+    e = banded.where("is_existing").alias("e")
+    cands = (
+        n.join(e, (F.col("n.band_idx") == F.col("e.band_idx"))
+               & (F.col("n.band_hash") == F.col("e.band_hash")))
+        .select(F.col("n.doc_id").alias("new_doc"),
+                F.col("e.doc_id").alias("old_doc"))
+        .distinct())
+    sh = sigs.select("doc_id", "hs")
+    verified = (
+        cands.join(sh.select(F.col("doc_id").alias("new_doc"),
+                             F.col("hs").alias("hs_a")), "new_doc")
+        .join(sh.select(F.col("doc_id").alias("old_doc"),
+                        F.col("hs").alias("hs_b")), "old_doc")
+        .where(D.jaccard(F.col("hs_a"), F.col("hs_b")) >= 0.1)
+        .select("new_doc").distinct())
+    n_incoming = base.where(~F.col("is_existing")).count()
+    n_rejected = verified.count()
+    return spark.createDataFrame(
+        [(n_incoming, n_rejected, n_incoming - n_rejected)],
+        "n_incoming bigint, n_rejected bigint, n_admitted bigint")
