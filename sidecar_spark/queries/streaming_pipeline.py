@@ -762,3 +762,85 @@ def stream_curation_gate(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_unique_docs")))
     return (run_to_memory_sink(gated, "stream_curation_gate", "complete")
             .orderBy("lang"))
+
+
+from sidecar_spark.functions import dedup as D
+from sidecar_spark.functions.common import spread
+from sidecar_spark.queries import dedup_pipeline as _DP
+
+
+@query(
+    "stream_near_dup_flag",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_DP._SHINGLES} AS sh,
+             doc_id % 10 < 8 AS is_existing
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, is_existing, {_DP._HS} AS hs FROM base
+    ), sigs AS (
+      SELECT doc_id, is_existing, {_DP._sig16_sql()} AS sig FROM hashed
+    ), banded AS (
+      SELECT doc_id, is_existing, b AS band_idx,
+             md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_hash
+      FROM sigs CROSS JOIN generate_series(0, 3) AS g(b)
+    ), flagged AS (
+      SELECT DISTINCT n.doc_id
+      FROM banded n JOIN banded e
+        ON n.band_idx = e.band_idx AND n.band_hash = e.band_hash
+      WHERE NOT n.is_existing AND e.is_existing
+    )
+    SELECT (SELECT count(*) FROM base WHERE NOT is_existing)
+             AS n_incoming,
+           (SELECT count(*) FROM flagged) AS n_flagged,
+           (SELECT count(*) FROM base WHERE NOT is_existing)
+             - (SELECT count(*) FROM flagged) AS n_novel
+    """,
+)
+def stream_near_dup_flag(spark, sf_dir):
+    """Streaming NEAR-dup screening against a static corpus — the
+    online half of ``incremental_dedup_batch``: incoming documents
+    (20% by id) stream through MinHash banding; a stream-static
+    broadcast join against the existing corpus's persisted band table
+    flags every arrival sharing ≥1 LSH band (candidate near-dups —
+    the exact-Jaccard verify belongs to the batch pass, as in any
+    two-tier online/offline dedup).  dropDuplicates collapses
+    multi-band matches per doc before the complete-mode count, the
+    same state machinery as every streaming dedup here."""
+    from sidecar_spark.queries.registry import t as _t
+    from sidecar_spark.streaming import run_to_memory_sink, table_stream
+
+    d = _t(spark, sf_dir, "documents")
+
+    def bands(df):
+        return df.selectExpr(
+            "doc_id",
+            f"posexplode({D.band_hashes_sql('sig', 4, 4)}) "
+            "AS (band_idx, band_hash)")
+
+    def sigs(df):
+        return df.selectExpr(
+            "doc_id",
+            f"{D.shingle_hashes_sql(D.shingles_sql('text', 3))} AS hs",
+        ).selectExpr("doc_id",
+                     f"{D.minhash_signature_sql('hs', 16)} AS sig")
+
+    existing = bands(sigs(spread(d).where(F.col("doc_id") % 10 < 8))) \
+        .select(F.col("band_idx").alias("e_idx"),
+                F.col("band_hash").alias("e_hash")).distinct()
+    n_incoming = d.where(~(F.col("doc_id") % 10 < 8)).count()
+    s = (table_stream(spark, sf_dir, "documents")
+         .where(~(F.col("doc_id") % 10 < 8)))
+    flagged = (
+        bands(sigs(s))
+        .join(F.broadcast(existing),
+              (F.col("band_idx") == F.col("e_idx"))
+              & (F.col("band_hash") == F.col("e_hash")), "left_semi")
+        .dropDuplicates(["doc_id"])
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_flagged")))
+    out = run_to_memory_sink(flagged, "stream_near_dup_flag", "complete")
+    return out.select(
+        F.lit(n_incoming).alias("n_incoming"),
+        "n_flagged",
+        (F.lit(n_incoming) - F.col("n_flagged")).alias("n_novel"))
