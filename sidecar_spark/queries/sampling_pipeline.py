@@ -559,3 +559,154 @@ def decision_stump_split(spark, sf_dir):
     rk = F.row_number().over(Window.orderBy(F.desc("info_gain"), "thr"))
     return gains.select("thr", "nl", "pl", "info_gain", rk.alias("rk")) \
         .orderBy("thr")
+
+
+@query(
+    "target_encoding_loo",
+    oracle="""
+    WITH lab AS (
+      SELECT o_orderpriority AS cat,
+             CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+      FROM orders
+    ), agg AS (
+      SELECT cat, count(*) AS n_cat, sum(y) AS sum_y FROM lab GROUP BY cat
+    ), prior AS (SELECT avg(y) AS mu FROM lab),
+    enc AS (
+      SELECT l.cat, l.y,
+             ((a.sum_y - l.y) + 20 * p.mu)
+               / ((a.n_cat - 1) + 20) AS loo_enc
+      FROM lab l JOIN agg a USING (cat) CROSS JOIN prior p
+    )
+    SELECT cat,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(avg(y), 6) AS cat_rate,
+           round(avg(loo_enc), 6) AS mean_encoding,
+           round(min(loo_enc), 6) AS min_encoding,
+           round(max(loo_enc), 6) AS max_encoding
+    FROM enc GROUP BY cat ORDER BY cat
+    """,
+)
+def target_encoding_loo(spark, sf_dir):
+    """Leave-one-out target encoding with additive smoothing (the
+    leakage-safe categorical feature every tabular pipeline needs):
+    each row's encoding excludes ITS OWN label —
+    (Σy − yᵢ + m·μ)/(n − 1 + m), m=20 — so the feature never leaks
+    the row's target.  One category aggregate (broadcast back) + one
+    map pass; the per-category summary proves every row's exclusion
+    arithmetic."""
+    o = t(spark, sf_dir, "orders")
+    lab = o.select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+        .alias("y"))
+    agg = lab.groupBy("cat").agg(F.count(F.lit(1)).alias("n_cat"),
+                                 F.sum("y").alias("sum_y"))
+    mu = lab.agg(F.avg("y")).first()[0]
+    enc = (lab.join(F.broadcast(agg), "cat")
+           .select("cat", "y",
+                   ((F.col("sum_y") - F.col("y") + 20 * F.lit(mu))
+                    / (F.col("n_cat") - 1 + 20)).alias("loo_enc")))
+    return (enc.groupBy("cat")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.round(F.avg("y"), 6).alias("cat_rate"),
+                 F.round(F.avg("loo_enc"), 6).alias("mean_encoding"),
+                 F.round(F.min("loo_enc"), 6).alias("min_encoding"),
+                 F.round(F.max("loo_enc"), 6).alias("max_encoding"))
+            .orderBy("cat"))
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH qid AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS INT) AS bal_bucket
+      FROM customer
+    ), classes AS (
+      SELECT c_nationkey, c_mktsegment, bal_bucket,
+             count(*) AS class_size
+      FROM qid GROUP BY ALL
+    )
+    SELECT count(*) AS n_classes,
+           CAST(sum(class_size) AS BIGINT) AS n_rows,
+           min(class_size) AS min_class_size,
+           CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS n_rows_below_k5,
+           round(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                 * 1.0 / sum(class_size), 6) AS frac_below_k5
+    FROM classes
+    """,
+)
+def k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit over quasi-identifiers (nation, market
+    segment, coarse balance bucket): equivalence-class sizes, the
+    smallest class, and the re-identifiable fraction below k=5 — the
+    privacy gate run before releasing curated data.  One GROUP BY on
+    the quasi-identifier tuple + one summary pass; generalization
+    (coarser buckets) is the knob when the audit fails."""
+    c = t(spark, sf_dir, "customer")
+    qid = c.select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_bucket"))
+    classes = qid.groupBy("c_nationkey", "c_mktsegment", "bal_bucket") \
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    below = F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0)
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+        F.min("class_size").alias("min_class_size"),
+        F.sum(below).cast("bigint").alias("n_rows_below_k5"),
+        F.round(F.sum(below) / F.sum("class_size"), 6)
+        .alias("frac_below_k5"))
+
+
+@query(
+    "dp_noisy_counts",
+    oracle=f"""
+    WITH true_counts AS (
+      SELECT o_orderpriority AS cat, count(*) AS true_n
+      FROM orders GROUP BY cat
+    ), noised AS (
+      SELECT cat, true_n,
+             -- seeded Laplace(b=1/eps, eps=0.5): inverse-CDF transform
+             -- of a hash-uniform u in (0,1)
+             true_n + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                      * 2.0 * ln(2 * least(u, 1 - u)) * -1.0 AS noisy_n
+      FROM (
+        SELECT cat, true_n,
+               (({_H60.format(e="cat || ':dp'")}) % 999983 + 0.5)
+                 / 999983.0 AS u
+        FROM true_counts)
+    )
+    SELECT cat, true_n,
+           round(noisy_n, 6) AS noisy_n,
+           round(abs(noisy_n - true_n), 6) AS abs_error
+    FROM noised ORDER BY cat
+    """,
+)
+def dp_noisy_counts(spark, sf_dir):
+    """The Laplace mechanism for ε-differentially-private counts
+    (ε=0.5, sensitivity 1 → b=2): noise drawn by inverse-CDF
+    transform of a uniform — SEEDED from a salted hash so the release
+    is reproducible and oracle-checkable (a production release uses a
+    secret seed or true randomness; the mechanism math is
+    identical).  Per-category noisy counts with their realized error;
+    noise addition is per-GROUP, i.e. O(|categories|) work after the
+    count."""
+    from sidecar_spark.functions.dedup import hash60
+
+    o = t(spark, sf_dir, "orders")
+    tc = o.groupBy(F.col("o_orderpriority").alias("cat")) \
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    u = ((hash60(F.concat(F.col("cat"), F.lit(":dp"))) % 999983 + 0.5)
+         / 999983.0)
+    noise = (F.when(u < 0.5, 1.0).otherwise(-1.0)
+             * 2.0 * F.log(2 * F.least(u, 1 - u)) * -1.0)
+    noisy = tc.select("cat", "true_n",
+                      (F.col("true_n") + noise).alias("noisy_n"))
+    return (noisy.select(
+        "cat", "true_n",
+        F.round("noisy_n", 6).alias("noisy_n"),
+        F.round(F.abs(F.col("noisy_n") - F.col("true_n")), 6)
+        .alias("abs_error"))
+        .orderBy("cat"))
