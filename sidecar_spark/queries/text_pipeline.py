@@ -2175,3 +2175,173 @@ def grouped_ols_fit(spark, sf_dir):
             .applyInPandas(fit, "lang string, n_docs long, slope double,"
                                 " intercept double, r2 double")
             .orderBy("lang"))
+
+
+@query(
+    "eval_exact_match_f1",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT doc_id, lang, text AS ref,
+             CASE doc_id % 4
+               WHEN 0 THEN text
+               WHEN 1 THEN array_to_string(
+                 ({_SQL_WORDS.format(e='text')})[
+                   1 : greatest(len({_SQL_WORDS.format(e='text')}) * 4 // 5,
+                                1)], ' ')
+               WHEN 2 THEN array_to_string(
+                 list_reverse({_SQL_WORDS.format(e='text')}), ' ')
+               ELSE 'no answer' END AS hyp
+      FROM documents
+    ), rtok AS (
+      SELECT doc_id, unnest({_SQL_WORDS.format(e='ref')}) AS tok FROM pairs
+    ), htok AS (
+      SELECT doc_id, unnest({_SQL_WORDS.format(e='hyp')}) AS tok FROM pairs
+    ), rcnt AS (
+      SELECT doc_id, tok, count(*) AS cr FROM rtok GROUP BY doc_id, tok
+    ), hcnt AS (
+      SELECT doc_id, tok, count(*) AS ch FROM htok GROUP BY doc_id, tok
+    ), ov AS (
+      SELECT r.doc_id, CAST(sum(least(r.cr, h.ch)) AS BIGINT) AS n_overlap
+      FROM rcnt r JOIN hcnt h ON r.doc_id = h.doc_id AND r.tok = h.tok
+      GROUP BY r.doc_id
+    ), scored AS (
+      SELECT p.doc_id, p.lang,
+             CASE WHEN p.ref = p.hyp THEN 1 ELSE 0 END AS em,
+             CASE WHEN len({_SQL_WORDS.format(e='p.ref')})
+                       + len({_SQL_WORDS.format(e='p.hyp')}) = 0 THEN 0.0
+                  ELSE 2.0 * coalesce(o.n_overlap, 0)
+                       / (len({_SQL_WORDS.format(e='p.ref')})
+                          + len({_SQL_WORDS.format(e='p.hyp')})) END AS f1
+      FROM pairs p LEFT JOIN ov o ON o.doc_id = p.doc_id
+    )
+    SELECT lang, count(*) AS n_examples,
+           round(avg(em), 6) AS exact_match,
+           round(avg(f1), 6) AS token_f1
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def eval_exact_match_f1(spark, sf_dir):
+    """SQuAD-style eval scoring at corpus scale: exact-match and
+    token-multiset F1 between references and (deterministically
+    mutated) hypotheses — identity, truncation, reordering (F1=1 but
+    EM=0: the multiset metric is order-blind by design), and total
+    miss.  The multiset overlap is the per-(doc, token) min-count
+    join — grouped count tables, never a quadratic token pairing.
+    This is the scoring half of every eval harness, runnable where
+    the predictions live instead of collecting them to a driver."""
+    d = spread(t(spark, sf_dir, "documents"))
+    ws = lambda c: F.when(  # noqa: E731
+        F.trim(c) == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(F.trim(c), r"\s+"))
+    w = ws(F.col("text"))
+    hyp = (F.when(F.col("doc_id") % 4 == 0, F.col("text"))
+           .when(F.col("doc_id") % 4 == 1,
+                 F.array_join(F.slice(
+                     w, 1, F.greatest(F.floor(F.size(w) * 4 / 5),
+                                      F.lit(1)).cast("int")), " "))
+           .when(F.col("doc_id") % 4 == 2,
+                 F.array_join(F.reverse(w), " "))
+           .otherwise(F.lit("no answer")))
+    pairs = d.select("doc_id", "lang", F.col("text").alias("ref"),
+                     hyp.alias("hyp")).localCheckpoint(eager=True)
+    rcnt = (pairs.select("doc_id", F.explode(ws(F.col("ref"))).alias("tok"))
+            .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cr")))
+    hcnt = (pairs.select("doc_id", F.explode(ws(F.col("hyp"))).alias("tok"))
+            .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("ch")))
+    ov = (rcnt.join(hcnt, ["doc_id", "tok"])
+          .groupBy("doc_id")
+          .agg(F.sum(F.least("cr", "ch")).cast("bigint")
+               .alias("n_overlap")))
+    denom = F.size(ws(F.col("ref"))) + F.size(ws(F.col("hyp")))
+    scored = (
+        pairs.join(ov, "doc_id", "left")
+        .select("lang",
+                F.when(F.col("ref") == F.col("hyp"), 1).otherwise(0)
+                .alias("em"),
+                F.when(denom == 0, 0.0)
+                .otherwise(2.0 * F.coalesce("n_overlap", F.lit(0)) / denom)
+                .alias("f1")))
+    return (scored.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_examples"),
+                 F.round(F.avg("em"), 6).alias("exact_match"),
+                 F.round(F.avg("f1"), 6).alias("token_f1"))
+            .orderBy("lang"))
+
+
+@query(
+    "pass_at_k_estimator",
+    oracle=f"""
+    WITH tasks AS (
+      SELECT o_orderkey AS task_id,
+             o_orderkey % 4 AS difficulty
+      FROM orders WHERE o_orderkey < 4000
+    ), attempts AS (
+      SELECT task_id, difficulty, g.i AS attempt,
+             ({_H60_TP.format(
+                 e="CAST(task_id AS VARCHAR) || ':att' || CAST(g.i AS VARCHAR)")}
+              % 100) < (80 - difficulty * 20) AS ok
+      FROM tasks CROSS JOIN generate_series(0, 9) g(i)
+    ), per_task AS (
+      SELECT task_id, difficulty,
+             CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM attempts GROUP BY task_id, difficulty
+    ), est AS (
+      SELECT task_id, difficulty, c,
+             1.0 - list_product(list_transform(range(0, 1),
+                     j -> (10 - c - j) * 1.0 / (10 - j))) AS pass1,
+             1.0 - list_product(list_transform(range(0, 5),
+                     j -> greatest(10 - c - j, 0) * 1.0 / (10 - j))) AS pass5,
+             CASE WHEN c > 0 THEN 1.0 ELSE 0.0 END AS pass10
+      FROM per_task
+    )
+    SELECT difficulty,
+           count(*) AS n_tasks,
+           round(avg(c) / 10, 6) AS mean_attempt_rate,
+           round(avg(pass1), 6) AS pass_at_1,
+           round(avg(pass5), 6) AS pass_at_5,
+           round(avg(pass10), 6) AS pass_at_10
+    FROM est GROUP BY difficulty ORDER BY difficulty
+    """,
+)
+def pass_at_k_estimator(spark, sf_dir):
+    """The unbiased pass@k estimator (Chen et al., Codex):
+    1 − C(n−c, k)/C(n, k) computed as the stable telescoping product
+    ∏ⱼ (n−c−j)/(n−j) — over n=10 deterministic hash-seeded attempts
+    per task, with success rates varying by task difficulty bucket.
+    Per bucket: mean attempt rate vs pass@1/5/10 — the eval-harness
+    aggregation that runs where the attempt logs live.  One explode
+    (tasks × attempts), one per-task count, one bucket rollup."""
+    from sidecar_spark.functions.dedup import hash60
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 4000)
+    tasks = o.select(F.col("o_orderkey").alias("task_id"),
+                     (F.col("o_orderkey") % 4).alias("difficulty"))
+    att = tasks.select(
+        "task_id", "difficulty",
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("i"))
+    ok = ((hash60(F.concat(F.col("task_id").cast("string"), F.lit(":att"),
+                           F.col("i").cast("string"))) % 100)
+          < (80 - F.col("difficulty") * 20))
+    per_task = (att.select("task_id", "difficulty",
+                           F.when(ok, 1).otherwise(0).alias("s"))
+                .groupBy("task_id", "difficulty")
+                .agg(F.sum("s").cast("bigint").alias("c")))
+
+    def pass_k(k: int):
+        prod = F.lit(1.0)
+        for j in range(k):
+            prod = prod * (F.greatest(F.lit(10) - F.col("c") - j, F.lit(0))
+                           / F.lit(10 - j))
+        return 1.0 - prod
+
+    est = per_task.select(
+        "difficulty", "c",
+        pass_k(1).alias("pass1"), pass_k(5).alias("pass5"),
+        F.when(F.col("c") > 0, 1.0).otherwise(0.0).alias("pass10"))
+    return (est.groupBy("difficulty")
+            .agg(F.count(F.lit(1)).alias("n_tasks"),
+                 F.round(F.avg("c") / 10, 6).alias("mean_attempt_rate"),
+                 F.round(F.avg("pass1"), 6).alias("pass_at_1"),
+                 F.round(F.avg("pass5"), 6).alias("pass_at_5"),
+                 F.round(F.avg("pass10"), 6).alias("pass_at_10"))
+            .orderBy("difficulty"))
