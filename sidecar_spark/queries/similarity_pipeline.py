@@ -1331,3 +1331,95 @@ def ann_recall_audit(spark, sf_dir):
         F.sum("n_truth").cast("bigint").alias("total_truth"),
         F.round(F.sum("n_hit") / F.sum("n_truth"), 6)
         .alias("recall_at_10"))
+
+
+@query(
+    "multimodal_perceptual_hash_dedup",
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id, doc_id % 16 AS base FROM documents
+      WHERE doc_id % 7 = 0
+    ), bits AS (
+      -- pixel(x,y) = (base*7 + x*13 + y*31) % 256 on the 8x8 grid;
+      -- aHash bit p (p = y*8+x) = pixel > mean(pixels)
+      SELECT i.doc_id, i.base, g.p,
+             CASE WHEN (i.base * 7 + (g.p % 8) * 13 + (g.p // 8) * 31)
+                       % 256 >
+                  (SELECT avg((i.base * 7 + (h.q % 8) * 13
+                               + (h.q // 8) * 31) % 256)
+                   FROM generate_series(0, 63) h(q))
+                  THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      FROM imgs i CROSS JOIN generate_series(0, 62) g(p)
+    ), hashes AS (
+      SELECT doc_id, CAST(sum(bit << p) AS BIGINT) AS ahash
+      FROM bits GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, ahash, g.b AS band_idx,
+             (ahash >> (16 * g.b)) & 65535 AS bv
+      FROM hashes CROSS JOIN generate_series(0, 3) g(b)
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.ahash AS ha, b.ahash AS hb
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.bv = b.bv
+       AND a.doc_id < b.doc_id
+    )
+    SELECT bit_count(xor(ha, hb)) AS hamming, count(*) AS n_pairs
+    FROM cands WHERE bit_count(xor(ha, hb)) <= 6
+    GROUP BY hamming ORDER BY hamming
+    """,
+)
+def multimodal_perceptual_hash_dedup(spark, sf_dir):
+    """IMAGE near-dup detection by perceptual hash over the REAL
+    decode path: 8×8 PNGs (pixel = (base·7 + x·13 + y·31) mod 256)
+    are encoded with the stdlib PNG writer, decoded back to pixels
+    inside mapInPandas, aHashed (bit = pixel > image mean), and
+    paired via 4×16-bit pigeonhole bands + ``bit_count(xor)`` ≤ 6
+    verify — the image-dedup pipeline (pHash family) end to end.
+    The oracle computes every aHash bit arithmetically from the
+    synthesis formula, so a hash match PROVES the decoder returned
+    the exact pixels.  Scale shape identical to simhash banding:
+    map-side hash, band equi-join, integer verify."""
+    import numpy as np
+    import pandas as pd
+
+    d = (spread(t(spark, sf_dir, "documents"))
+         .where(F.col("doc_id") % 7 == 0)
+         .select("doc_id", (F.col("doc_id") % 16).cast("int").alias("base")))
+
+    def synth_hash(it):
+        for pdf in it:
+            hashes = []
+            for b in pdf["base"]:
+                x = np.arange(8)
+                px = ((int(b) * 7 + x[None, :] * 13 + x[:, None] * 31)
+                      % 256).astype(np.uint8)
+                payload = M.encode_png_gray(px)          # real encode
+                a = M.decode_image_array(payload)        # real decode
+                bits = (a.astype("float64") > a.mean()).flatten()
+                # 63-bit aHash: bit 63 would overflow signed int64
+                hashes.append(int(sum(1 << p for p, v in
+                                      enumerate(bits[:63]) if v)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                "ahash": pd.array(hashes, dtype="int64")})
+
+    hashes = d.mapInPandas(synth_hash, "doc_id long, ahash long")
+    banded = hashes.select(
+        "doc_id", "ahash",
+        F.posexplode(F.array(*[
+            F.shiftright("ahash", 16 * b).bitwiseAND(F.lit(65535))
+            for b in range(4)])).alias("band_idx", "bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.bv") == F.col("b.bv"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.ahash").alias("ha"), F.col("b.ahash").alias("hb"))
+        .distinct())
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cands.select(ham.alias("hamming"))
+            .where(F.col("hamming") <= 6)
+            .groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("hamming"))
