@@ -630,12 +630,15 @@ def als_rank2_iteration(spark, sf_dir):
             (((F.col("a11") + lam) * F.col("b2")
               - F.col("a12") * F.col("b1")) / det).alias("f2"))
 
-    users = solve(ratings.join(q0, "p"), "c")
+    # users feeds the item solve, the count, AND the RMSE join;
+    # items feeds the count and the join — checkpoint both so each
+    # half-step executes exactly once
+    users = solve(ratings.join(q0, "p"), "c").localCheckpoint(eager=True)
     items = solve(
         ratings.join(users, "c")
         .select("p", "r", F.col("f1").alias("q1"),
                 F.col("f2").alias("q2")),
-        "p")
+        "p").localCheckpoint(eager=True)
     n_users = users.count()
     n_items = items.count()
     pred = (ratings.join(users, "c").join(items.withColumnRenamed(
