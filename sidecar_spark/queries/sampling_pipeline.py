@@ -710,3 +710,120 @@ def dp_noisy_counts(spark, sf_dir):
         F.round(F.abs(F.col("noisy_n") - F.col("true_n")), 6)
         .alias("abs_error"))
         .orderBy("cat"))
+
+
+# weighted stump search over the 9-threshold grid: returns (thr, err)
+# of the minimum WEIGHTED error stump h(x) = sign(x <= thr ? +1 : -1)
+# against labels y in {-1, +1}, from weight table {src}(x, y, w)
+def _sql_ada_stump(src: str, name: str) -> str:
+    return f"""
+    {name} AS (
+      SELECT thr, err, pol FROM (
+        SELECT 50000.0 * g.i AS thr,
+               least(
+                 sum(CASE WHEN (CASE WHEN x <= 50000.0 * g.i THEN 1
+                                ELSE -1 END) <> y THEN w ELSE 0 END),
+                 sum(CASE WHEN (CASE WHEN x <= 50000.0 * g.i THEN -1
+                                ELSE 1 END) <> y THEN w ELSE 0 END))
+                 AS err,
+               CASE WHEN
+                 sum(CASE WHEN (CASE WHEN x <= 50000.0 * g.i THEN 1
+                                ELSE -1 END) <> y THEN w ELSE 0 END)
+                 <= sum(CASE WHEN (CASE WHEN x <= 50000.0 * g.i THEN -1
+                                   ELSE 1 END) <> y THEN w ELSE 0 END)
+                 THEN 1 ELSE -1 END AS pol
+        FROM {src} CROSS JOIN generate_series(1, 9) g(i)
+        GROUP BY thr)
+      ORDER BY round(err, 10), thr LIMIT 1
+    )"""
+
+
+@query(
+    "adaboost_stumps",
+    oracle=f"""
+    WITH lab AS (
+      SELECT o_totalprice AS x,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE -1 END AS y,
+             1.0 / (SELECT count(*) FROM orders) AS w
+      FROM orders
+    ),
+    {_sql_ada_stump('lab', 's1')},
+    a1 AS (SELECT thr, pol, err,
+                  0.5 * ln((1 - err) / err) AS alpha FROM s1),
+    w2 AS (
+      SELECT l.x, l.y,
+             l.w * exp(-a1.alpha * l.y
+                       * (CASE WHEN l.x <= a1.thr THEN a1.pol
+                          ELSE -a1.pol END))
+               / (SELECT sum(l2.w * exp(-a.alpha * l2.y
+                       * (CASE WHEN l2.x <= a.thr THEN a.pol
+                          ELSE -a.pol END)))
+                  FROM lab l2 CROSS JOIN a1 a) AS w
+      FROM lab l CROSS JOIN a1
+    ),
+    {_sql_ada_stump('w2', 's2')},
+    a2 AS (SELECT thr, pol, err,
+                  0.5 * ln((1 - err) / err) AS alpha FROM s2)
+    SELECT 1 AS round_idx, thr, pol, round(err, 6) AS weighted_err,
+           round(alpha, 6) AS alpha
+    FROM a1
+    UNION ALL
+    SELECT 2, thr, pol, round(err, 6), round(alpha, 6) FROM a2
+    ORDER BY round_idx
+    """,
+)
+def adaboost_stumps(spark, sf_dir):
+    """AdaBoost (2 rounds of polarity-aware decision stumps on order
+    price predicting fulfillment): per round, ONE aggregation pass
+    computes every candidate stump's WEIGHTED error in both
+    polarities, the driver takes the argmin (tie → smallest
+    threshold, on error rounded to 10 dp so the argmin is portable)
+    and its α = ½ln((1−ε)/ε), and the re-weighting
+    w·exp(−α·y·h(x))/Z is a map expression + one normalization
+    aggregate.  The boosting loop is the gradient-descent shape with
+    DATA-dependent state (weights) instead of model state — weights
+    live in the dataflow, never on the driver; the oracle replays
+    both rounds including the weight renormalization."""
+    o = t(spark, sf_dir, "orders")
+    n = o.count()
+    lab = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(-1).alias("y"),
+        F.lit(1.0 / n).alias("w")).localCheckpoint(eager=True)
+
+    def stump(df):
+        g = df.select(
+            "x", "y", "w",
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("i")) \
+            .withColumn("thr", F.col("i") * 50000.0)
+        h_pos = F.when(F.col("x") <= F.col("thr"), 1).otherwise(-1)
+        errs = (g.groupBy("thr")
+                .agg(F.sum(F.when(h_pos != F.col("y"), F.col("w"))
+                           .otherwise(0.0)).alias("err_pos"),
+                     F.sum(F.when(-h_pos != F.col("y"), F.col("w"))
+                           .otherwise(0.0)).alias("err_neg")))
+        best = (errs.select(
+            "thr",
+            F.least("err_pos", "err_neg").alias("err"),
+            F.when(F.col("err_pos") <= F.col("err_neg"), 1).otherwise(-1)
+            .alias("pol"))
+            .orderBy(F.round("err", 10), "thr").limit(1).first())
+        import math
+        return (float(best["thr"]), int(best["pol"]), float(best["err"]),
+                0.5 * math.log((1 - best["err"]) / best["err"]))
+
+    rows = []
+    cur = lab
+    for r in (1, 2):
+        thr, pol, err, alpha = stump(cur)
+        rows.append((r, thr, pol, round(err, 6), round(alpha, 6)))
+        h = F.when(F.col("x") <= thr, pol).otherwise(-pol)
+        unnorm = cur.withColumn(
+            "wu", F.col("w") * F.exp(-alpha * F.col("y") * h))
+        z = unnorm.agg(F.sum("wu")).first()[0]
+        cur = unnorm.select("x", "y",
+                            (F.col("wu") / z).alias("w")) \
+            .localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rows, "round_idx int, thr double, pol int, weighted_err double,"
+              " alpha double").orderBy("round_idx")
