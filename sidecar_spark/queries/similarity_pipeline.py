@@ -1423,3 +1423,77 @@ def multimodal_perceptual_hash_dedup(spark, sf_dir):
             .where(F.col("hamming") <= 6)
             .groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
             .orderBy("hamming"))
+
+
+@query(
+    "knn_classifier_eval",
+    oracle=f"""
+    WITH test AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE vec_id % 25 = 0
+    ), train AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE vec_id % 25 <> 0
+    ), nn AS (
+      SELECT vec_id, true_label, n_label FROM (
+        SELECT t.vec_id, t.label AS true_label,
+               r.label AS n_label,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY {_sql_cos('t.embedding', 'r.embedding')} DESC,
+                          r.vec_id) AS rk
+        FROM test t CROSS JOIN train r) WHERE rk <= 5
+    ), votes AS (
+      SELECT vec_id, true_label, n_label, count(*) AS n_votes
+      FROM nn GROUP BY vec_id, true_label, n_label
+    ), pred AS (
+      SELECT vec_id, true_label, n_label AS pred_label FROM (
+        SELECT vec_id, true_label, n_label,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY n_votes DESC, n_label) AS rk
+        FROM votes) WHERE rk = 1
+    )
+    SELECT true_label,
+           count(*) AS n_test,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(avg(CASE WHEN pred_label = true_label
+                     THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+    FROM pred GROUP BY true_label ORDER BY true_label
+    """,
+)
+def knn_classifier_eval(spark, sf_dir):
+    """k-NN classification eval (k=5, cosine) on the labeled
+    embeddings: a held-out sample (1 in 25) is classified by
+    majority vote of its 5 nearest training vectors (vote ties →
+    smallest label; neighbor ties → smallest id), reported as
+    per-label accuracy — the standard embedding-quality probe
+    (label-coherence of the vector space).  Same broadcast one-pass
+    scoring shape as the ANN baseline: the small test side
+    broadcasts, train never shuffles, top-5 is a per-query window
+    rank."""
+    from pyspark.sql import Window as W
+
+    emb = t(spark, sf_dir, "embeddings")
+    test = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("true_label"),
+        S.as_double(F.col("embedding")).alias("q_vec"))
+    train = spread(emb.where(F.col("vec_id") % 25 != 0)).select(
+        F.col("vec_id").alias("rid"), F.col("label").alias("n_label"),
+        S.as_double(F.col("embedding")).alias("r_vec"))
+    cos = S.cosine(F.col("q_vec"), F.col("r_vec"))
+    nn = (train.crossJoin(F.broadcast(test))
+          .withColumn("rk", F.row_number().over(
+              W.partitionBy("qid").orderBy(F.desc(cos), F.asc("rid"))))
+          .where(F.col("rk") <= 5)
+          .select("qid", "true_label", "n_label"))
+    votes = nn.groupBy("qid", "true_label", "n_label") \
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    pred = (votes.withColumn("rk", F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("n_votes"), F.asc("n_label"))))
+        .where(F.col("rk") == 1))
+    correct = F.when(F.col("n_label") == F.col("true_label"), 1).otherwise(0)
+    return (pred.groupBy("true_label")
+            .agg(F.count(F.lit(1)).alias("n_test"),
+                 F.sum(correct).cast("bigint").alias("n_correct"),
+                 F.round(F.avg(correct), 6).alias("accuracy"))
+            .orderBy("true_label"))
