@@ -652,3 +652,88 @@ def als_rank2_iteration(spark, sf_dir):
         .alias("rmse"))
         .select("n_ratings", F.lit(n_users).alias("n_users"),
                 F.lit(n_items).alias("n_items"), "rmse"))
+
+
+_BF_ROUNDS = 3
+
+# one Bellman-Ford relaxation: dist'(v) = min(dist(v),
+#   min over edges (u,v) of dist(u) + cost(u,v))
+def _sql_bf_step(prev: str, nxt: str) -> str:
+    return f"""
+    {nxt} AS (
+      SELECT n.node,
+             least(n.d, coalesce((
+               SELECT min(p.d + e.cost)
+               FROM cedges e JOIN {prev} p ON p.node = e.src
+               WHERE e.dst = n.node), n.d)) AS d
+      FROM {prev} n)
+    """
+
+
+@query(
+    "shortest_path_bellman_ford",
+    oracle=f"""
+    WITH dedges AS (
+      SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE s_nationkey <> c_nationkey
+      GROUP BY src, dst
+    ), maxw AS (SELECT max(w) AS mw FROM dedges),
+    cedges AS (
+      -- cost = -ln(w / max_w): high-volume routes are cheap; costs
+      -- are non-negative so Bellman-Ford converges monotonically
+      SELECT src, dst, -ln(w * 1.0 / mw) AS cost
+      FROM dedges CROSS JOIN maxw
+    ), d0 AS (
+      SELECT DISTINCT node,
+             CASE WHEN node = 0 THEN 0.0 ELSE 1e18 END AS d
+      FROM (SELECT src AS node FROM cedges
+            UNION SELECT dst FROM cedges)
+    ),
+    {','.join(_sql_bf_step(f'd{i}', f'd{i + 1}')
+              for i in range(_BF_ROUNDS))}
+    SELECT n_name AS nation,
+           round(d, 6) AS dist_from_0
+    FROM d{_BF_ROUNDS} JOIN nation ON node = n_nationkey
+    WHERE d < 1e17
+    ORDER BY nation
+    """,
+)
+def shortest_path_bellman_ford(spark, sf_dir):
+    """Single-source shortest paths (3 unrolled Bellman–Ford rounds)
+    from nation 0 over the trade graph with cost −ln(w/max_w) — the
+    'strongest trade route' metric (minimizing summed cost maximizes
+    the product of normalized volumes).  Per round: one join of the
+    |V|-sized distance vector against the edge list + a min-combine —
+    the Pregel message-passing shape; the fact-scale edge build runs
+    once.  Distances reported after round 3 (paths of ≤3 hops —
+    unreached nodes filtered identically on both sides)."""
+    edges = (_trade_edges(spark, sf_dir)
+             .where(F.col("src") != F.col("dst"))
+             .localCheckpoint(eager=True))
+    mw = edges.agg(F.max("w")).first()[0]
+    cedges = edges.select(
+        "src", "dst", (-F.log(F.col("w") / F.lit(float(mw)))).alias("cost"))
+    nodes = (cedges.select(F.col("src").alias("node"))
+             .union(cedges.select(F.col("dst").alias("node"))).distinct())
+    dist = nodes.withColumn(
+        "d", F.when(F.col("node") == 0, 0.0).otherwise(F.lit(1e18)))
+    for _ in range(_BF_ROUNDS):
+        relaxed = (
+            cedges.join(F.broadcast(dist.withColumnRenamed("node", "src")
+                                    .withColumnRenamed("d", "du")), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("du") + F.col("cost")).alias("cand")))
+        dist = (dist.join(F.broadcast(relaxed), "node", "left")
+                .select("node",
+                        F.least("d", F.coalesce("cand", F.col("d")))
+                        .alias("d")))
+    nation = t(spark, sf_dir, "nation")
+    return (dist.where(F.col("d") < 1e17)
+            .join(F.broadcast(nation), dist.node == nation.n_nationkey)
+            .select(F.col("n_name").alias("nation"),
+                    F.round("d", 6).alias("dist_from_0"))
+            .orderBy("nation"))
