@@ -2345,3 +2345,63 @@ def pass_at_k_estimator(spark, sf_dir):
                  F.round(F.avg("pass5"), 6).alias("pass_at_5"),
                  F.round(F.avg("pass10"), 6).alias("pass_at_10"))
             .orderBy("difficulty"))
+
+
+@query(
+    "corpus_datasheet",
+    oracle=f"""
+    WITH flags AS (
+      SELECT lang, source, n_chars,
+             {_SQL_NWORDS.format(e='text')} AS n_tokens,
+             CASE WHEN count(*) OVER (PARTITION BY
+                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+                  > 1 THEN 1 ELSE 0 END AS is_dup,
+             CASE WHEN n_chars >= 100
+                   AND length(regexp_replace(text, '[^0-9]', '', 'g'))
+                       <= 0.2 * length(text) THEN 1 ELSE 0 END AS passes_gate
+      FROM documents
+    )
+    SELECT coalesce(lang, 'ALL') AS lang,
+           coalesce(source, 'ALL') AS source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(is_dup), 6) AS dup_rate,
+           round(avg(passes_gate), 6) AS gate_pass_rate
+    FROM flags
+    GROUP BY GROUPING SETS ((lang, source), (lang), ())
+    ORDER BY lang, source
+    """,
+)
+def corpus_datasheet(spark, sf_dir):
+    """The 'datasheet for the dataset' rollup — the one-page corpus
+    report every dataset release ships: per (language, source), per
+    language, and overall totals of document/char/token counts,
+    exact-duplicate rate, and quality-gate pass rate, in a SINGLE
+    scan via GROUPING SETS (the flags are window/column expressions
+    computed once; ROLLUP(lang, source) IS those three grouping
+    sets and all levels share the pass).
+    At 100 TB this replaces three separate report jobs with one."""
+    d = t(spark, sf_dir, "documents")
+    ws_n = F.when(F.trim("text") == "", 0).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+")))
+    h = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    digits = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    flags = d.select(
+        "lang", "source", "n_chars", ws_n.alias("n_tokens"),
+        F.when(F.count(F.lit(1)).over(W.partitionBy(h)) > 1, 1)
+        .otherwise(0).alias("is_dup"),
+        F.when((F.col("n_chars") >= 100)
+               & (digits <= 0.2 * F.length("text")), 1)
+        .otherwise(0).alias("passes_gate"))
+    return (flags.rollup("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                 F.round(F.avg("is_dup"), 6).alias("dup_rate"),
+                 F.round(F.avg("passes_gate"), 6).alias("gate_pass_rate"))
+            .select(F.coalesce("lang", F.lit("ALL")).alias("lang"),
+                    F.coalesce("source", F.lit("ALL")).alias("source"),
+                    "n_docs", "total_chars", "total_tokens",
+                    "dup_rate", "gate_pass_rate")
+            .orderBy("lang", "source"))
