@@ -1497,3 +1497,111 @@ def knn_classifier_eval(spark, sf_dir):
                  F.sum(correct).cast("bigint").alias("n_correct"),
                  F.round(F.avg(correct), 6).alias("accuracy"))
             .orderBy("true_label"))
+
+
+_DB_EPS = 0.25   # cosine radius
+_DB_MINPTS = 8   # neighbors (excluding self) to be a core point
+
+
+@query(
+    "dbscan_density_clusters",
+    oracle=f"""
+    WITH RECURSIVE buckets AS (
+      SELECT v.vec_id, v.embedding,
+             array_to_string(list_transform(range(0, 4), p ->
+               CASE WHEN list_sum(list_transform(range(1, {_DIM + 1}), i ->
+                     (v.embedding[i]::DOUBLE) *
+                     ((('0x' || substr(md5('hp' || p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 15))::BIGINT
+                       % 2001 - 1000) / 1000.0))) >= 0
+                    THEN '1' ELSE '0' END), '') AS bucket
+      FROM embeddings v
+    ), pairs AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb
+      FROM buckets a JOIN buckets b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_sql_cos('a.embedding', 'b.embedding')} >= {_DB_EPS}
+    ), sym AS (
+      SELECT ida AS x, idb AS y FROM pairs
+      UNION ALL SELECT idb, ida FROM pairs
+    ), degree AS (
+      SELECT x AS vec_id, count(*) AS n_nbr FROM sym GROUP BY x
+    ), core AS (
+      SELECT vec_id FROM degree WHERE n_nbr >= {_DB_MINPTS}
+    ), core_edges AS (
+      SELECT p.ida AS a, p.idb AS b FROM pairs p
+      JOIN core ca ON ca.vec_id = p.ida
+      JOIN core cb ON cb.vec_id = p.idb
+    ), cs AS (
+      SELECT a, b FROM core_edges UNION SELECT b, a FROM core_edges
+    ), reach(id, r) AS (
+      SELECT vec_id, vec_id FROM core
+      UNION
+      SELECT re.id, e.b FROM reach re JOIN cs e ON e.a = re.r
+    ), clusters AS (
+      SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id
+    ), sizes AS (
+      SELECT cluster_id, count(*) AS n_core FROM clusters
+      GROUP BY cluster_id
+    )
+    SELECT (SELECT count(*) FROM embeddings) AS n_points,
+           (SELECT count(*) FROM core) AS n_core,
+           (SELECT count(*) FROM sizes) AS n_clusters,
+           (SELECT coalesce(max(n_core), 0) FROM sizes)
+             AS largest_cluster,
+           (SELECT count(*) FROM embeddings)
+             - (SELECT count(*) FROM core) AS n_non_core
+    """,
+)
+def dbscan_density_clusters(spark, sf_dir):
+    """DBSCAN's core machinery over the embedding space: radius
+    neighbors (cosine ≥ {_DB_EPS}) → core points (≥ {_DB_MINPTS}
+    neighbors) → density-connected clusters as connected components
+    of the core-core graph — the density clustering that finds
+    variable-shape structure k-means can't, used in curation to
+    discover content pockets and outliers (non-core points).
+    Candidate pairs come from a 4-plane hyperplane-LSH bucket join
+    (the quadratic all-pairs scan is infeasible at scale; bucketing
+    makes this the standard approximate DBSCAN — neighbors missed by
+    bucketing lower the observed density identically on both
+    sides), then a degree count and the battery's min-label
+    component machinery.  Summary: core/cluster/noise census."""
+    from sidecar_spark.functions.dedup import connected_components
+
+    emb = t(spark, sf_dir, "embeddings")
+    v = spread(emb).select(
+        "vec_id", S.as_double(F.col("embedding")).alias("vv"),
+        S.hyperplane_signature(F.col("embedding"), _DIM, num_planes=4)
+        .alias("bucket"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = S.cosine(F.col("a.vv"), F.col("b.vv"))
+    pairs = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .where(cos >= _DB_EPS)
+             .select(F.col("a.vec_id").alias("ida"),
+                     F.col("b.vec_id").alias("idb"))
+             .localCheckpoint(eager=True))
+    sym = (pairs.select(F.col("ida").alias("x"))
+           .union(pairs.select("idb")))
+    core = (sym.groupBy("x").agg(F.count(F.lit(1)).alias("n_nbr"))
+            .where(F.col("n_nbr") >= _DB_MINPTS)
+            .select(F.col("x").alias("vec_id")))
+    core_edges = (pairs
+                  .join(core.withColumnRenamed("vec_id", "ida"), "ida")
+                  .join(core.withColumnRenamed("vec_id", "idb"), "idb")
+                  .select(F.col("ida").alias("doc_a"),
+                          F.col("idb").alias("doc_b"),
+                          F.lit(0.0).alias("jaccard")))
+    clusters = connected_components(
+        core_edges, core.withColumnRenamed("vec_id", "doc_id"))
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_core"))
+    n_points = emb.count()
+    n_core = core.count()
+    stats = sizes.agg(F.count(F.lit(1)).alias("n_clusters"),
+                      F.coalesce(F.max("n_core"), F.lit(0))
+                      .alias("largest_cluster")).first()
+    return spark.createDataFrame(
+        [(n_points, n_core, stats["n_clusters"],
+          stats["largest_cluster"], n_points - n_core)],
+        "n_points bigint, n_core bigint, n_clusters bigint,"
+        " largest_cluster bigint, n_non_core bigint")
