@@ -737,3 +737,111 @@ def shortest_path_bellman_ford(spark, sf_dir):
             .select(F.col("n_name").alias("nation"),
                     F.round("d", 6).alias("dist_from_0"))
             .orderBy("nation"))
+
+
+_AP_FRAC = 0.0008  # min support as a fraction of baskets
+
+
+@query(
+    "apriori_frequent_triples",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 50 AS item FROM lineitem
+    ), msup AS (
+      SELECT CAST(floor({_AP_FRAC} * count(DISTINCT l_orderkey))
+                  AS BIGINT) AS ms
+      FROM items
+    ), f1 AS (
+      SELECT item FROM items GROUP BY item
+      HAVING count(*) >= (SELECT ms FROM msup)
+    ), fitems AS (
+      SELECT i.l_orderkey, i.item FROM items i
+      JOIN f1 ON f1.item = i.item
+    ), f2 AS (
+      SELECT a.item AS pa, b.item AS pb, count(*) AS sup
+      FROM fitems a JOIN fitems b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY pa, pb HAVING count(*) >= (SELECT ms FROM msup)
+    ), cand3 AS (
+      -- Apriori join step: two frequent pairs sharing the first item
+      -- propose a triple; the prune step demands the third side
+      SELECT x.pa AS pa, x.pb AS pb, y.pb AS pc
+      FROM f2 x JOIN f2 y ON x.pa = y.pa AND x.pb < y.pb
+      JOIN f2 z ON z.pa = x.pb AND z.pb = y.pb
+    ), f3 AS (
+      SELECT c.pa, c.pb, c.pc, count(*) AS support
+      FROM cand3 c
+      JOIN fitems a ON a.item = c.pa
+      JOIN fitems b ON b.l_orderkey = a.l_orderkey AND b.item = c.pb
+      JOIN fitems d ON d.l_orderkey = a.l_orderkey AND d.item = c.pc
+      GROUP BY c.pa, c.pb, c.pc
+      HAVING count(*) >= (SELECT ms FROM msup)
+    )
+    SELECT (SELECT count(*) FROM f1) AS n_frequent_items,
+           (SELECT count(*) FROM f2) AS n_frequent_pairs,
+           (SELECT count(*) FROM f3) AS n_frequent_triples,
+           (SELECT coalesce(CAST(max(sup) AS BIGINT), 0) FROM f2)
+             AS max_pair_support
+    """,
+)
+def apriori_frequent_triples(spark, sf_dir):
+    """Apriori frequent-itemset mining to level 3 (min-support =
+    0.08% of baskets, scale-relative) on order baskets over 50 part
+    categories (uniform TPC-H baskets make every category pair
+    frequent — the prune bites at level 3, where only ~4% of
+    candidate triples survive)
+    (part-granular baskets are too sparse to co-occur): the
+    monotonicity ladder — only
+    frequent items feed the pair count, only frequent-pair joins
+    (sharing a prefix, with the third edge required: the classic
+    join + prune) propose triples, and only proposed triples are
+    counted.  Each level is one self-join co-partitioned on the
+    basket key; the candidate tables are tiny and broadcast.  At
+    100 TB this pruning IS the algorithm — counting all triples
+    blindly is cubically infeasible."""
+    import math
+
+    li = (t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", (F.col("l_partkey") % 50).alias("item"))
+          .distinct())
+    ms = int(math.floor(
+        _AP_FRAC * li.select("l_orderkey").distinct().count()))
+    f1 = (li.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+          .where(F.col("n") >= ms).select("item"))
+    fitems = li.join(F.broadcast(f1), "item") \
+        .localCheckpoint(eager=True)
+    a, b = fitems.alias("a"), fitems.alias("b")
+    f2 = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                 & (F.col("a.item") < F.col("b.item")))
+          .groupBy(F.col("a.item").alias("pa"),
+                   F.col("b.item").alias("pb"))
+          .agg(F.count(F.lit(1)).alias("sup"))
+          .where(F.col("sup") >= ms)
+          .localCheckpoint(eager=True))
+    x = f2.select(F.col("pa"), F.col("pb"))
+    y = f2.select(F.col("pa").alias("ya"), F.col("pb").alias("yb"))
+    z = f2.select(F.col("pa").alias("za"), F.col("pb").alias("zb"))
+    cand3 = (x.join(y, (F.col("pa") == F.col("ya"))
+                    & (F.col("pb") < F.col("yb")))
+             .join(z, (F.col("za") == F.col("pb"))
+                   & (F.col("zb") == F.col("yb")))
+             .select("pa", "pb", F.col("yb").alias("pc")))
+    ta = fitems.select(F.col("l_orderkey").alias("ok"),
+                       F.col("item").alias("pa"))
+    tb = fitems.select(F.col("l_orderkey").alias("ok"),
+                       F.col("item").alias("pb"))
+    td = fitems.select(F.col("l_orderkey").alias("ok"),
+                       F.col("item").alias("pc"))
+    f3 = (F.broadcast(cand3).join(ta, "pa").join(tb, ["ok", "pb"])
+          .join(td, ["ok", "pc"])
+          .groupBy("pa", "pb", "pc")
+          .agg(F.count(F.lit(1)).alias("support"))
+          .where(F.col("support") >= ms))
+    n1, n2 = f1.count(), f2.count()
+    n3 = f3.count()
+    mx = f2.agg(F.coalesce(F.max("sup"), F.lit(0))
+                .cast("bigint")).first()[0]
+    return spark.createDataFrame(
+        [(n1, n2, n3, mx)],
+        "n_frequent_items bigint, n_frequent_pairs bigint,"
+        " n_frequent_triples bigint, max_pair_support bigint")
