@@ -769,12 +769,17 @@ _AP_FRAC = 0.0008  # min support as a fraction of baskets
       FROM f2 x JOIN f2 y ON x.pa = y.pa AND x.pb < y.pb
       JOIN f2 z ON z.pa = x.pb AND z.pb = y.pb
     ), f3 AS (
-      SELECT c.pa, c.pb, c.pc, count(*) AS support
-      FROM cand3 c
-      JOIN fitems a ON a.item = c.pa
-      JOIN fitems b ON b.l_orderkey = a.l_orderkey AND b.item = c.pb
-      JOIN fitems d ON d.l_orderkey = a.l_orderkey AND d.item = c.pc
-      GROUP BY c.pa, c.pb, c.pc
+      -- basket-local triple enumeration (baskets are tiny, so this
+      -- is O(|rows| * basket^2)), then equi-join on the FULL triple
+      -- key against the pruned candidates — never candidate x item
+      SELECT t.pa, t.pb, t.pc, count(*) AS support FROM (
+        SELECT a.l_orderkey, a.item AS pa, b.item AS pb, d.item AS pc
+        FROM fitems a
+        JOIN fitems b ON b.l_orderkey = a.l_orderkey AND b.item > a.item
+        JOIN fitems d ON d.l_orderkey = a.l_orderkey AND d.item > b.item
+      ) t
+      JOIN cand3 c ON c.pa = t.pa AND c.pb = t.pb AND c.pc = t.pc
+      GROUP BY t.pa, t.pb, t.pc
       HAVING count(*) >= (SELECT ms FROM msup)
     )
     SELECT (SELECT count(*) FROM f1) AS n_frequent_items,
@@ -832,8 +837,12 @@ def apriori_frequent_triples(spark, sf_dir):
                        F.col("item").alias("pb"))
     td = fitems.select(F.col("l_orderkey").alias("ok"),
                        F.col("item").alias("pc"))
-    f3 = (F.broadcast(cand3).join(ta, "pa").join(tb, ["ok", "pb"])
-          .join(td, ["ok", "pc"])
+    # basket-local triples first (tiny baskets bound the blowup), then
+    # the pruned candidate set joins on the FULL triple key — joining
+    # candidates to single items first explodes candidate x category
+    tri = (ta.join(tb, "ok").where(F.col("pb") > F.col("pa"))
+           .join(td, "ok").where(F.col("pc") > F.col("pb")))
+    f3 = (tri.join(F.broadcast(cand3), ["pa", "pb", "pc"])
           .groupBy("pa", "pb", "pc")
           .agg(F.count(F.lit(1)).alias("support"))
           .where(F.col("support") >= ms))
