@@ -2405,3 +2405,99 @@ def corpus_datasheet(spark, sf_dir):
                     "n_docs", "total_chars", "total_tokens",
                     "dup_rate", "gate_pass_rate")
             .orderBy("lang", "source"))
+
+
+@query(
+    "rake_keyphrases",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, u.w AS w, u.i AS i,
+             list_contains({_SQL_STOPS}, u.w) AS is_stop
+      FROM (SELECT doc_id,
+                   {_SQL_WORDS.format(e='lower(text)')} AS ws
+            FROM documents WHERE doc_id < 200) d,
+      LATERAL (SELECT unnest(d.ws) AS w,
+                      generate_subscripts(d.ws, 1) AS i) u
+    ), islands AS (
+      SELECT doc_id, w, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+               AS island
+      FROM toks WHERE NOT is_stop AND w <> ''
+    ), phrases AS (
+      SELECT doc_id, island,
+             string_agg(w, ' ' ORDER BY i) AS phrase,
+             count(*) AS plen
+      FROM islands GROUP BY doc_id, island
+      HAVING count(*) BETWEEN 1 AND 3
+    ), pwords AS (
+      SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM phrases
+    ), wscore AS (
+      SELECT w, sum(plen) * 1.0 / count(*) AS score FROM pwords GROUP BY w
+    ), pscore AS (
+      SELECT p.phrase,
+             count(*) AS n_occur,
+             round(any_value(sc.s), 6) AS score
+      FROM phrases p
+      JOIN (SELECT phrase AS ph, sum(ws.score) AS s FROM (
+              SELECT DISTINCT phrase FROM phrases) q,
+            LATERAL (SELECT unnest(string_split(q.phrase, ' ')) AS w) t
+            JOIN wscore ws ON ws.w = t.w
+            GROUP BY ph) sc ON sc.ph = p.phrase
+      GROUP BY p.phrase
+    )
+    SELECT phrase, n_occur, score, rk FROM (
+      SELECT phrase, n_occur, score,
+             row_number() OVER (ORDER BY score DESC, phrase) AS rk
+      FROM pscore)
+    WHERE rk <= 15
+    """,
+)
+def rake_keyphrases(spark, sf_dir):
+    """RAKE keyphrase extraction (Rose et al.): candidate phrases are
+    maximal stopword-free word runs (gaps-and-islands over token
+    positions — island id = pos − row_number), scored by the summed
+    word degree/frequency ratio, top-15 corpus-wide.  Every stage is
+    relational: one explode with positions, one window, two
+    vocabulary-sized aggregates — the keyword extractor that needs no
+    model artifact, over a 200-doc sample (RAKE is per-corpus; the
+    sample bounds the oracle).  Tie-breaks (score rounded, then
+    phrase) make the top-k portable."""
+    from pyspark.sql import Window as W
+
+    d = (t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+         .select("doc_id",
+                 F.when(F.trim(F.lower("text")) == "",
+                        F.array().cast("array<string>"))
+                 .otherwise(F.split(F.trim(F.lower("text")), r"\s+"))
+                 .alias("ws")))
+    stops = F.array(*[F.lit(w) for w in X.ALL_STOPWORDS])
+    toks = d.select(
+        "doc_id", F.posexplode("ws").alias("i", "w")) \
+        .withColumn("is_stop", F.array_contains(stops, F.col("w")))
+    islands = (toks.where(~F.col("is_stop") & (F.col("w") != ""))
+               .withColumn("island",
+                           F.col("i") - F.row_number().over(
+                               W.partitionBy("doc_id").orderBy("i"))))
+    phrases = (islands.groupBy("doc_id", "island")
+               .agg(F.array_join(F.transform(F.array_sort(F.collect_list(
+                   F.struct("i", "w"))), lambda s: s["w"]), " ")
+                   .alias("phrase"),
+                    F.count(F.lit(1)).alias("plen"))
+               .where(F.col("plen").between(1, 3))
+               .localCheckpoint(eager=True))
+    pwords = phrases.select(F.explode(F.split("phrase", " ")).alias("w"),
+                            "plen")
+    wscore = pwords.groupBy("w").agg(
+        (F.sum("plen") / F.count(F.lit(1))).alias("score"))
+    uniq = phrases.select("phrase").distinct()
+    ph_score = (uniq.select("phrase",
+                            F.explode(F.split("phrase", " ")).alias("w"))
+                .join(F.broadcast(wscore), "w")
+                .groupBy("phrase").agg(F.sum("score").alias("s")))
+    pscore = (phrases.groupBy("phrase")
+              .agg(F.count(F.lit(1)).alias("n_occur"))
+              .join(F.broadcast(ph_score), "phrase")
+              .select("phrase", "n_occur", F.round("s", 6).alias("score")))
+    rk = F.row_number().over(W.orderBy(F.desc("score"), "phrase"))
+    return (pscore.withColumn("rk", rk).where(F.col("rk") <= 15)
+            .select("phrase", "n_occur", "score", "rk"))
