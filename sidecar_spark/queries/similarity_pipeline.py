@@ -1605,3 +1605,270 @@ def dbscan_density_clusters(spark, sf_dir):
           stats["largest_cluster"], n_points - n_core)],
         "n_points bigint, n_core bigint, n_clusters bigint,"
         " largest_cluster bigint, n_non_core bigint")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic deduplication
+
+
+@query(
+    "semdedup_prune",
+    oracle=f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             embedding AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT 8)
+    ), dist AS (
+      SELECT v.vec_id, c.cid, v.embedding,
+             list_sum(list_transform(range(1, {_DIM + 1}),
+                 i -> (v.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)
+                      * (v.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE))) AS d
+      FROM embeddings v CROSS JOIN cent c
+    ), assign AS (
+      SELECT vec_id, cid, embedding FROM (
+        SELECT vec_id, cid, embedding,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cid) AS rk
+        FROM dist) WHERE rk = 1
+    ), pairs AS (
+      SELECT a.cid, a.vec_id AS keeper, b.vec_id AS pruned,
+             {_sql_cos('a.embedding', 'b.embedding')} AS cos_sim
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.35)
+    SELECT cid AS cluster_id, pruned AS vec_id,
+           min(keeper) AS keeper_id,
+           round(max(cos_sim), 6) AS max_cos,
+           count(*) AS n_closer
+    FROM pairs
+    GROUP BY cid, pruned
+    """,
+)
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-style bucketing makes
+    semantic dedup sub-quadratic — pairwise cosine is computed ONLY
+    inside a cluster, never across the corpus.  A vector is pruned
+    when a lower-id cluster-mate is >= 0.35 cosine-similar.
+
+    100 TB plan: the k x dim centroid matrix is driver-size and
+    broadcast (assignment = pure map argmin, zero shuffle of the big
+    table); the self-join shuffles on cluster id, so the quadratic
+    term is bounded by the largest cluster, not the corpus — the
+    whole point of SemDeDup.  Deterministic centroids (8 lowest
+    vec_ids) keep the oracle replayable."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = [(r["vec_id"], r["v"])
+             for r in e.orderBy("vec_id").limit(8).collect()]
+
+    def sqdist(c_vals):
+        lit_c = F.array(*[F.lit(float(x)) for x in c_vals])
+        return F.aggregate(
+            F.zip_with("v", lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    dists = F.array(*[sqdist(c) for _, c in cents])
+    assigned = e.select(
+        "vec_id",
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("bigint").alias("cluster_id"),
+        "v")
+    a = assigned.select("cluster_id",
+                        F.col("vec_id").alias("keeper"),
+                        F.col("v").alias("va"))
+    b = assigned.select("cluster_id",
+                        F.col("vec_id").alias("pruned"),
+                        F.col("v").alias("vb"))
+    cos = S.cosine(F.col("va"), F.col("vb"))
+    pairs = (a.join(b, "cluster_id")
+             .where(F.col("keeper") < F.col("pruned"))
+             .select("cluster_id", "keeper", "pruned",
+                     cos.alias("cos_sim"))
+             .where(F.col("cos_sim") >= 0.35))
+    return pairs.groupBy("cluster_id", F.col("pruned").alias("vec_id")).agg(
+        F.min("keeper").alias("keeper_id"),
+        F.round(F.max("cos_sim"), 6).alias("max_cos"),
+        F.count(F.lit(1)).alias("n_closer"))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: Reciprocal Rank Fusion of BM25 and dense cosine
+
+
+def _rrf_oracle() -> str:
+    # Compose the registered BM25 oracle as a CTE (single source of
+    # truth for the lexical ranking) and fuse with a dense cosine
+    # ranking for the query vector (= embedding of vec 0).
+    from sidecar_spark.queries import text_pipeline  # registers bm25
+    from sidecar_spark.queries.registry import ORACLES
+
+    bm25 = ORACLES["bm25_doc_search"]
+    return f"""
+    WITH lex0 AS ({bm25}),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+      FROM lex0),
+    qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+    dense AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS dense_rank
+      FROM (
+        SELECT v.vec_id,
+               round({_sql_cos('q.q_vec', 'v.embedding')}, 6) AS cos_sim
+        FROM embeddings v CROSS JOIN qv q
+        WHERE v.vec_id <> 0)
+      QUALIFY dense_rank <= 20),
+    fused AS (
+      SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+             coalesce(l.lex_rank, 0) AS lex_rank,
+             coalesce(d.dense_rank, 0) AS dense_rank,
+             coalesce(1.0 / (60 + l.lex_rank), 0.0)
+             + coalesce(1.0 / (60 + d.dense_rank), 0.0) AS s
+      FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+    SELECT doc_id, lex_rank, dense_rank, round(s, 6) AS rrf_score,
+           row_number() OVER (ORDER BY s DESC, doc_id) AS rk
+    FROM fused
+    QUALIFY rk <= 10
+    """
+
+
+@query("hybrid_search_rrf", oracle=_rrf_oracle())
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009): fuse the BM25 lexical top-20 with the dense cosine top-20
+    (query vector = embedding of vec 0, standing in for the encoded
+    query) by s = sum 1/(60+rank), keep the fused top-10.
+
+    100 TB plan: each leg is a TakeOrdered top-k (no global sort);
+    the fusion join touches only 2k candidate rows — driver-size —
+    while ranking stays distributed.  Absent-from-list ranks surface
+    as 0 (contribution 0), keeping the output schema null-free for
+    the strict hash."""
+    from pyspark.sql import Window as W
+
+    from sidecar_spark.queries.text_pipeline import bm25_doc_search
+
+    lex = bm25_doc_search(spark, sf_dir).select(
+        "doc_id",
+        F.row_number().over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("bigint").alias("lex_rank"))
+
+    emb = t(spark, sf_dir, "embeddings")
+    q_vec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    lit_q = F.array(*[F.lit(float(x)) for x in q_vec])
+    cos = S.cosine(F.col("embedding").cast("array<double>"), lit_q)
+    dense = (emb.where(F.col("vec_id") != 0)
+             .select(F.col("vec_id").alias("doc_id"),
+                     F.round(cos, 6).alias("cos_sim"))
+             .orderBy(F.desc("cos_sim"), F.asc("doc_id")).limit(20)
+             .select("doc_id",
+                     F.row_number().over(
+                         W.orderBy(F.desc("cos_sim"), F.asc("doc_id")))
+                     .cast("bigint").alias("dense_rank")))
+
+    fused = (lex.join(dense, "doc_id", "full_outer")
+             .select("doc_id",
+                     F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+                     F.coalesce("dense_rank", F.lit(0)).alias("dense_rank"))
+             .withColumn(
+                 "s",
+                 F.when(F.col("lex_rank") > 0,
+                        1.0 / (60 + F.col("lex_rank"))).otherwise(0.0)
+                 + F.when(F.col("dense_rank") > 0,
+                          1.0 / (60 + F.col("dense_rank"))).otherwise(0.0)))
+    return (fused
+            .orderBy(F.desc("s"), F.asc("doc_id")).limit(10)
+            .select("doc_id", "lex_rank", "dense_rank",
+                    F.round("s", 6).alias("rrf_score"),
+                    F.row_number().over(
+                        W.orderBy(F.desc("s"), F.asc("doc_id")))
+                    .cast("bigint").alias("rk")))
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via hashed-n-gram importance resampling
+
+
+@query(
+    "dsir_importance_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                    END) AS w
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % 256 AS bucket
+      FROM toks
+    ), counts AS (
+      SELECT bucket,
+             count(*) FILTER (WHERE source = 'src0') AS n_t,
+             count(*) FILTER (WHERE source <> 'src0') AS n_r
+      FROM feats GROUP BY bucket
+    ), totals AS (
+      SELECT sum(n_t) AS tot_t, sum(n_r) AS tot_r FROM counts
+    ), ratios AS (
+      SELECT bucket,
+             ln(((n_t + 1.0) / (tot_t + 256.0))
+                / ((n_r + 1.0) / (tot_r + 256.0))) AS lr
+      FROM counts CROSS JOIN totals
+    ), scored AS (
+      SELECT f.doc_id, count(*) AS n_tokens,
+             round(sum(r.lr), 5) AS log_weight
+      FROM feats f JOIN ratios r ON f.bucket = r.bucket
+      WHERE f.source <> 'src0'
+      GROUP BY f.doc_id)
+    SELECT doc_id, n_tokens, log_weight,
+           row_number() OVER (ORDER BY log_weight DESC, doc_id) AS rk
+    FROM scored
+    QUALIFY rk <= 20
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR (Xie et al. 2023): select raw-corpus documents that look
+    like a target domain by importance weights over hashed unigram
+    features.  Target = source 'src0'; raw = everything else; per-
+    bucket log-ratio of Laplace-smoothed (+1 over 256 buckets)
+    unigram probabilities; a doc's log-weight is the sum over its
+    tokens; keep the top-20 raw docs.
+
+    100 TB plan: the feature table is one explode pass; the 256-row
+    bucket-ratio table is a broadcast join back onto the token
+    stream (never a shuffle of the corpus); top-k is TakeOrdered.
+    Ranking on the ROUNDED weight keeps the frontier stable across
+    engines."""
+    from pyspark.sql import Window as W
+
+    d = spread(t(spark, sf_dir, "documents"))
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = (d.where(F.trim(F.col("text")) != "")
+            .select("doc_id", "source", F.explode(words).alias("w")))
+    feats = toks.select(
+        "doc_id", "source",
+        (F.conv(F.substring(F.md5("w"), 1, 15), 16, 10)
+         .cast("bigint") % 256).alias("bucket"))
+    counts = feats.groupBy("bucket").agg(
+        F.count_if(F.col("source") == "src0").alias("n_t"),
+        F.count_if(F.col("source") != "src0").alias("n_r"))
+    totals = counts.agg(F.sum("n_t").alias("tot_t"),
+                        F.sum("n_r").alias("tot_r"))
+    ratios = counts.join(F.broadcast(totals)).select(
+        "bucket",
+        F.log(((F.col("n_t") + 1.0) / (F.col("tot_t") + 256.0))
+              / ((F.col("n_r") + 1.0) / (F.col("tot_r") + 256.0)))
+        .alias("lr"))
+    scored = (feats.where(F.col("source") != "src0")
+              .join(F.broadcast(ratios), "bucket")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.round(F.sum("lr"), 5).alias("log_weight")))
+    return (scored
+            .orderBy(F.desc("log_weight"), F.asc("doc_id")).limit(20)
+            .select("doc_id", "n_tokens", "log_weight",
+                    F.row_number().over(
+                        W.orderBy(F.desc("log_weight"), F.asc("doc_id")))
+                    .cast("bigint").alias("rk")))
