@@ -827,3 +827,225 @@ def adaboost_stumps(spark, sf_dir):
     return spark.createDataFrame(
         rows, "round_idx int, thr double, pol int, weighted_err double,"
               " alpha double").orderBy("round_idx")
+
+
+# --- 1-D Gaussian-mixture EM -------------------------------------------------
+_GMM_ITERS = 2
+
+_SQL_GMM_FEAT = """
+    gx AS (SELECT ln(value) AS x FROM events),
+    gi AS (SELECT avg(x) - stddev_samp(x) AS mu_a,
+                  avg(x) + stddev_samp(x) AS mu_b,
+                  stddev_samp(x) * stddev_samp(x) AS s2_a,
+                  stddev_samp(x) * stddev_samp(x) AS s2_b,
+                  0.5 AS w_b
+           FROM gx)"""
+
+
+def _sql_gmm_step(i: int) -> str:
+    prev = "gi" if i == 1 else f"gp{i - 1}"
+    return f"""
+    gr{i} AS (
+      SELECT x, pb / (pa + pb) AS rb,
+             ln(pa + pb) AS ll
+      FROM (
+        SELECT x,
+               (1 - w_b) * exp(-(x - mu_a) * (x - mu_a) / (2 * s2_a))
+                   / sqrt(2 * pi() * s2_a) AS pa,
+               w_b * exp(-(x - mu_b) * (x - mu_b) / (2 * s2_b))
+                   / sqrt(2 * pi() * s2_b) AS pb
+        FROM gx CROSS JOIN {prev})
+    ), gp{i} AS (
+      SELECT sum(rb) / count(*) AS w_b,
+             sum((1 - rb) * x) / sum(1 - rb) AS mu_a,
+             sum(rb * x) / sum(rb) AS mu_b,
+             sum((1 - rb) * x * x) / sum(1 - rb)
+               - (sum((1 - rb) * x) / sum(1 - rb))
+                 * (sum((1 - rb) * x) / sum(1 - rb)) AS s2_a,
+             sum(rb * x * x) / sum(rb)
+               - (sum(rb * x) / sum(rb)) * (sum(rb * x) / sum(rb)) AS s2_b,
+             sum(ll) AS loglik
+      FROM gr{i}
+    )"""
+
+
+@query(
+    "gmm_em_iterations",
+    oracle=f"""
+    WITH {_SQL_GMM_FEAT},
+    {','.join(_sql_gmm_step(i) for i in range(1, _GMM_ITERS + 1))}
+    SELECT * FROM (
+      {' UNION ALL '.join(
+          f"SELECT {i} AS iteration, round(w_b, 5) AS w_b,"
+          f" round(mu_a, 5) AS mu_a, round(mu_b, 5) AS mu_b,"
+          f" round(s2_a, 5) AS s2_a, round(s2_b, 5) AS s2_b,"
+          f" round(loglik, 4) AS loglik FROM gp{i}"
+          for i in range(1, _GMM_ITERS + 1))})
+    ORDER BY iteration
+    """,
+)
+def gmm_em_iterations(spark, sf_dir):
+    """2-component 1-D Gaussian-mixture EM on ln(event value), two
+    full EM iterations from a moment-based deterministic init
+    (mu = mean -/+ std, shared variance, weight 0.5).
+
+    The 100 TB EM template: the E-step is a PURE MAP expression
+    (current parameters are a 1-row broadcast), and the M-step
+    collapses to ONE aggregate pass producing 6 numbers — per
+    iteration the only cluster cost is map + combine-collapsed
+    aggregate; driver state is O(k).  The oracle replays both
+    iterations in chained CTEs; matching weights/means/variances to
+    5 decimals and the pre-update log-likelihood to 4 proves every
+    responsibility matched."""
+    ev = t(spark, sf_dir, "events").select(F.log("value").alias("x"))
+    init = ev.agg(
+        (F.avg("x") - F.stddev_samp("x")).alias("mu_a"),
+        (F.avg("x") + F.stddev_samp("x")).alias("mu_b"),
+        (F.stddev_samp("x") * F.stddev_samp("x")).alias("s2_a"),
+        (F.stddev_samp("x") * F.stddev_samp("x")).alias("s2_b"),
+        F.lit(0.5).alias("w_b")).first()
+
+    import math
+
+    params = dict(init.asDict())
+    out = []
+    for it in range(1, _GMM_ITERS + 1):
+        mu_a, mu_b = F.lit(params["mu_a"]), F.lit(params["mu_b"])
+        s2_a, s2_b = F.lit(params["s2_a"]), F.lit(params["s2_b"])
+        w_b = F.lit(params["w_b"])
+        x = F.col("x")
+        pa = ((1 - w_b) * F.exp(-(x - mu_a) * (x - mu_a) / (2 * s2_a))
+              / F.sqrt(2 * math.pi * s2_a))
+        pb = (w_b * F.exp(-(x - mu_b) * (x - mu_b) / (2 * s2_b))
+              / F.sqrt(2 * math.pi * s2_b))
+        r = ev.select(x.alias("x"), (pb / (pa + pb)).alias("rb"),
+                      F.log(pa + pb).alias("ll"))
+        agg = r.agg(
+            (F.sum("rb") / F.count(F.lit(1))).alias("w_b"),
+            (F.sum((1 - F.col("rb")) * F.col("x"))
+             / F.sum(1 - F.col("rb"))).alias("mu_a"),
+            (F.sum(F.col("rb") * F.col("x")) / F.sum("rb")).alias("mu_b"),
+            (F.sum((1 - F.col("rb")) * F.col("x") * F.col("x"))
+             / F.sum(1 - F.col("rb"))).alias("ex2_a"),
+            (F.sum(F.col("rb") * F.col("x") * F.col("x"))
+             / F.sum("rb")).alias("ex2_b"),
+            F.sum("ll").alias("loglik")).first()
+        params = {
+            "w_b": agg["w_b"], "mu_a": agg["mu_a"], "mu_b": agg["mu_b"],
+            "s2_a": agg["ex2_a"] - agg["mu_a"] * agg["mu_a"],
+            "s2_b": agg["ex2_b"] - agg["mu_b"] * agg["mu_b"],
+        }
+        out.append((it, round(params["w_b"], 5), round(params["mu_a"], 5),
+                    round(params["mu_b"], 5), round(params["s2_a"], 5),
+                    round(params["s2_b"], 5), round(agg["loglik"], 4)))
+    return spark.createDataFrame(
+        out, "iteration int, w_b double, mu_a double, mu_b double,"
+             " s2_a double, s2_b double, loglik double").orderBy("iteration")
+
+
+# --- off-policy evaluation (IPS / SNIPS) -------------------------------------
+
+
+@query(
+    "ips_policy_eval",
+    oracle="""
+    WITH logged AS (
+      SELECT event_id, user_id, value AS reward,
+             CASE WHEN h < 1 THEN 0 WHEN h < 3 THEN 1 ELSE 2 END AS a,
+             CASE WHEN h < 1 THEN 1.0 / 6 WHEN h < 3 THEN 2.0 / 6
+                  ELSE 3.0 / 6 END AS propensity
+      FROM (SELECT *, ('0x' || substr(md5('act:' || event_id::VARCHAR),
+                                      1, 15))::BIGINT % 6 AS h
+            FROM events WHERE event_type = 'purchase')
+    ), weighted AS (
+      SELECT reward,
+             CASE WHEN a = user_id % 3 THEN 1.0 / propensity
+                  ELSE 0.0 END AS w
+      FROM logged)
+    SELECT count(*) AS n,
+           count(*) FILTER (WHERE w > 0) AS n_matched,
+           round(avg(w * reward), 5) AS ips,
+           round(sum(w * reward) / sum(w), 5) AS snips,
+           round(sum(w) * sum(w) / sum(w * w), 4) AS ess
+    FROM weighted
+    """,
+)
+def ips_policy_eval(spark, sf_dir):
+    """Off-policy evaluation of a target policy from logged bandit
+    feedback: purchases are re-read as (context=user, action=hash-
+    drawn discount level with propensities 1/6, 2/6, 3/6, reward=
+    value); the target policy picks user_id % 3.  Reports the IPS
+    estimate, the self-normalized SNIPS estimate, and the effective
+    sample size (sum w)^2 / sum w^2.
+
+    100 TB plan: the importance weight is a pure map expression on
+    the scan (the hash replays the logged action — no action log
+    join), and everything collapses into ONE aggregate pass."""
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    h = hash60(F.concat(F.lit("act:"), F.col("event_id"))) % 6
+    a = (F.when(h < 1, 0).when(h < 3, 1).otherwise(2))
+    prop = (F.when(h < 1, 1.0 / 6).when(h < 3, 2.0 / 6)
+            .otherwise(3.0 / 6))
+    logged = ev.select(
+        F.col("value").alias("reward"),
+        F.when(a == F.col("user_id") % 3, 1.0 / prop)
+        .otherwise(0.0).alias("w"))
+    return logged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("w") > 0).alias("n_matched"),
+        F.round(F.avg(F.col("w") * F.col("reward")), 5).alias("ips"),
+        F.round(F.sum(F.col("w") * F.col("reward")) / F.sum("w"), 5)
+        .alias("snips"),
+        F.round(F.sum("w") * F.sum("w") / F.sum(F.col("w") * F.col("w")), 4)
+        .alias("ess"))
+
+
+# --- inter-annotator agreement ----------------------------------------------
+
+
+@query(
+    "cohens_kappa_agreement",
+    oracle="""
+    WITH rated AS (
+      SELECT CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                           ELSE regexp_split_to_array(trim(text), '\\s+')
+                           END) >= 40 THEN 1 ELSE 0 END AS r2
+      FROM documents
+    ), m AS (
+      SELECT count(*) AS n,
+             avg(CASE WHEN r1 = r2 THEN 1.0 ELSE 0.0 END) AS po,
+             avg(r1) AS p1, avg(r2) AS p2
+      FROM rated)
+    SELECT n, round(po, 6) AS po,
+           round(p1 * p2 + (1 - p1) * (1 - p2), 6) AS pe,
+           round((po - (p1 * p2 + (1 - p1) * (1 - p2)))
+                 / (1 - (p1 * p2 + (1 - p1) * (1 - p2))), 6) AS kappa
+    FROM m
+    """,
+)
+def cohens_kappa_agreement(spark, sf_dir):
+    """Cohen's kappa between two deterministic raters of document
+    quality (rater 1: >= 250 chars; rater 2: >= 40 whitespace
+    tokens) — the chance-corrected agreement statistic every
+    labeling pipeline reports before trusting annotations.
+
+    One aggregate pass: observed agreement and both marginals come
+    out of the same map-side-combined scan; kappa is driver-side
+    arithmetic on 3 numbers."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    ntok = F.when(F.trim(F.col("text")) == "", 0).otherwise(F.size(words))
+    rated = d.select(
+        F.when(F.col("n_chars") >= 250, 1).otherwise(0).alias("r1"),
+        F.when(ntok >= 40, 1).otherwise(0).alias("r2"))
+    m = rated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.when(F.col("r1") == F.col("r2"), 1.0).otherwise(0.0))
+        .alias("po"),
+        F.avg("r1").alias("p1"), F.avg("r2").alias("p2"))
+    pe = (F.col("p1") * F.col("p2")
+          + (1 - F.col("p1")) * (1 - F.col("p2")))
+    return m.select(
+        "n", F.round("po", 6).alias("po"), F.round(pe, 6).alias("pe"),
+        F.round((F.col("po") - pe) / (1 - pe), 6).alias("kappa"))
