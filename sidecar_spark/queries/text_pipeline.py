@@ -2501,3 +2501,100 @@ def rake_keyphrases(spark, sf_dir):
     rk = F.row_number().over(W.orderBy(F.desc("score"), "phrase"))
     return (pscore.withColumn("rk", rk).where(F.col("rk") <= 15)
             .select("phrase", "n_occur", "score", "rk"))
+
+
+@query(
+    "text_unicode_normalize",
+    oracle="""
+    WITH decomp AS (
+      SELECT doc_id,
+             regexp_replace(text, 'e', 'e' || chr(769), 'g') AS raw
+      FROM documents WHERE doc_id < 200
+    ), norm AS (
+      SELECT doc_id, length(raw) AS n_raw,
+             length(nfc_normalize(raw)) AS n_nfc
+      FROM decomp)
+    SELECT doc_id, n_raw, n_nfc,
+           n_raw - n_nfc AS n_composed,
+           CASE WHEN n_raw <> n_nfc THEN 1 ELSE 0 END AS changed
+    FROM norm
+    """,
+)
+def text_unicode_normalize(spark, sf_dir):
+    """Unicode NFC normalization — the canonicalization step every
+    text-dedup pipeline runs first (decomposed e+U+0301 and composed
+    U+00E9 must hash identically).  Inputs are made adversarial by
+    decomposing every 'e'; the engine then NFC-composes them back.
+
+    Spark has no normalization builtin, so this is the sanctioned
+    Python seam: an Arrow-batched pandas UDF over
+    ``unicodedata.normalize`` (vectorized transfer, never per-row
+    Python).  The oracle cross-checks against DuckDB's independent
+    ``nfc_normalize`` implementation — cross-library agreement on
+    the Unicode tables, not a replayed formula."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_batch(s):
+        import unicodedata
+        return s.map(lambda v: None if v is None
+                     else unicodedata.normalize("NFC", v))
+
+    # lambda-style registration: the module uses postponed annotation
+    # evaluation, under which hint-style pandas UDFs can't resolve
+    # the stringified pd.Series signature.
+    nfc = pandas_udf(_nfc_batch, "string")
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    raw = F.regexp_replace("text", "e", "é")
+    n = d.select("doc_id", F.length(raw).alias("n_raw"),
+                 F.length(nfc(raw)).alias("n_nfc"))
+    return n.select(
+        "doc_id", "n_raw", "n_nfc",
+        (F.col("n_raw") - F.col("n_nfc")).alias("n_composed"),
+        F.when(F.col("n_raw") != F.col("n_nfc"), 1).otherwise(0)
+        .alias("changed"))
+
+
+@query(
+    "html_boilerplate_strip",
+    oracle="""
+    WITH page AS (
+      SELECT doc_id,
+             '<html><head><title>' || source || '</title></head>'
+             || '<body><nav>home | about | contact</nav><p>' || text
+             || '</p><footer>&copy; corp</footer></body></html>' AS html
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id, length(html) AS n_html,
+             trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                                 '\\s+', ' ', 'g')) AS clean
+      FROM page)
+    SELECT doc_id, n_html, length(clean) AS n_clean,
+           round(length(clean) * 1.0 / n_html, 6) AS text_density,
+           CASE WHEN length(clean) * 1.0 / n_html >= 0.5
+                THEN 1 ELSE 0 END AS keep
+    FROM stripped
+    """,
+)
+def html_boilerplate_strip(spark, sf_dir):
+    """Boilerplate removal for web-crawl curation: strip markup,
+    collapse whitespace, and score text density (clean/raw chars) —
+    the jusText/trafilatura-style keep signal (density >= 0.5).
+    Pages are synthesized by wrapping each document in a fixed
+    nav/footer chrome so the expected density is data-dependent.
+
+    Pure map-side regexp column math — scales with the scan, no
+    shuffle, no Python."""
+    d = spread(t(spark, sf_dir, "documents"))
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("source"),
+        F.lit("</title></head><body><nav>home | about | contact</nav><p>"),
+        F.col("text"), F.lit("</p><footer>&copy; corp</footer></body></html>"))
+    clean = F.trim(F.regexp_replace(
+        F.regexp_replace(html, "<[^>]*>", " "), r"\s+", " "))
+    dens = F.length(clean) * 1.0 / F.length(html)
+    return d.select(
+        "doc_id", F.length(html).alias("n_html"),
+        F.length(clean).alias("n_clean"),
+        F.round(dens, 6).alias("text_density"),
+        F.when(dens >= 0.5, 1).otherwise(0).alias("keep"))
