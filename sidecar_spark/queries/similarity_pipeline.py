@@ -1872,3 +1872,103 @@ def dsir_importance_weights(spark, sf_dir):
                     F.row_number().over(
                         W.orderBy(F.desc("log_weight"), F.asc("doc_id")))
                     .cast("bigint").alias("rk")))
+
+
+# ---------------------------------------------------------------------------
+# MMR: maximal-marginal-relevance diversification
+
+_MMR_LAMBDA = 0.7
+_MMR_K = 5
+
+
+def _mmr_oracle() -> str:
+    lam = _MMR_LAMBDA
+    steps, final = [], ["SELECT rk, vec_id, round(mmr, 6) AS mmr FROM s1"]
+    for i in range(2, _MMR_K + 1):
+        p = i - 1
+        steps.append(f"""
+    s{i} AS (
+      SELECT c.vec_id, c.rel, {i} AS rk,
+             {lam} * c.rel - {1 - lam:.1f} * max(s.s) AS mmr
+      FROM cand c JOIN sim s
+        ON s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM sel{p})
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{p})
+      GROUP BY c.vec_id, c.rel
+      ORDER BY mmr DESC, c.vec_id LIMIT 1
+    ), sel{i} AS (
+      SELECT vec_id FROM sel{p} UNION ALL SELECT vec_id FROM s{i})""")
+        final.append(f"SELECT rk, vec_id, round(mmr, 6) AS mmr FROM s{i}")
+    return f"""
+    WITH qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id, embedding, rel FROM (
+        SELECT v.vec_id, v.embedding,
+               round({_sql_cos('q.q_vec', 'v.embedding')}, 6) AS rel,
+               row_number() OVER (
+                 ORDER BY round({_sql_cos('q.q_vec', 'v.embedding')}, 6)
+                          DESC, v.vec_id) AS rk
+        FROM embeddings v CROSS JOIN qv q WHERE v.vec_id <> 0)
+      WHERE rk <= 20),
+    sim AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round({_sql_cos('a.embedding', 'b.embedding')}, 6) AS s
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+    s1 AS (SELECT vec_id, rel, 1 AS rk, rel AS mmr
+           FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+    sel1 AS (SELECT vec_id FROM s1),{','.join(steps)}
+    {' UNION ALL '.join(final)}
+    ORDER BY rk
+    """
+
+
+@query("mmr_diversification", oracle=_mmr_oracle())
+def mmr_diversification(spark, sf_dir):
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998):
+    re-rank the dense top-20 for query vec 0 into a diverse top-5,
+    greedily maximizing lambda*rel - (1-lambda)*max-sim-to-selected
+    (lambda=0.7).
+
+    100 TB plan: relevance ranking and the candidate pairwise-cosine
+    matrix are computed DISTRIBUTED (TakeOrdered top-k + a self-join
+    of the 20-row candidate set); only the greedy selection over the
+    collected k x k rounded-similarity matrix runs driver-side —
+    O(k^2) state, exactly like collecting k-means centroids.  Both
+    engines make every greedy decision on 6-decimal-rounded
+    similarities, so tie-breaks (by vec_id) agree exactly."""
+    emb = t(spark, sf_dir, "embeddings")
+    q_vec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    lit_q = F.array(*[F.lit(float(x)) for x in q_vec])
+    cos_q = S.cosine(F.col("embedding").cast("array<double>"), lit_q)
+    cand = (emb.where(F.col("vec_id") != 0)
+            .select("vec_id", "embedding", F.round(cos_q, 6).alias("rel"))
+            .orderBy(F.desc("rel"), F.asc("vec_id")).limit(20)
+            .localCheckpoint(eager=True))
+    a = cand.select(F.col("vec_id").alias("ia"),
+                    F.col("embedding").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("ib"),
+                    F.col("embedding").alias("eb"))
+    sims = (a.join(b, F.col("ia") != F.col("ib"))
+            .select("ia", "ib",
+                    F.round(S.cosine(F.col("ea").cast("array<double>"),
+                                     F.col("eb").cast("array<double>")),
+                            6).alias("s")))
+    rel = {r["vec_id"]: r["rel"] for r in cand.select("vec_id", "rel").collect()}
+    sim = {(r["ia"], r["ib"]): r["s"] for r in sims.collect()}
+    selected, out = [], []
+    for rk in range(1, _MMR_K + 1):
+        best = None
+        for v in sorted(rel):
+            if v in selected:
+                continue
+            if not selected:
+                score = rel[v]
+            else:
+                score = (_MMR_LAMBDA * rel[v]
+                         - (1 - _MMR_LAMBDA)
+                         * max(sim[(v, s)] for s in selected))
+            if best is None or score > best[1]:
+                best = (v, score)
+        selected.append(best[0])
+        out.append((rk, best[0], round(best[1], 6)))
+    return spark.createDataFrame(
+        out, "rk int, vec_id bigint, mmr double").orderBy("rk")

@@ -2598,3 +2598,94 @@ def html_boilerplate_strip(spark, sf_dir):
         F.length(clean).alias("n_clean"),
         F.round(dens, 6).alias("text_density"),
         F.when(dens >= 0.5, 1).otherwise(0).alias("keep"))
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+    uni AS (
+      SELECT doc_id, lang, unnest(ws) AS tok FROM toks),
+    ufreq AS (SELECT tok, count(*) AS c1 FROM uni GROUP BY tok),
+    total AS (SELECT sum(c1) AS n FROM ufreq),
+    bgs AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(2, len(ws) + 1),
+                    i -> ws[i-1] || chr(31) || ws[i])) AS bg
+      FROM toks),
+    bfreq AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY bg),
+    doc_lp AS (
+      SELECT b.doc_id, b.lang,
+             -sum(ln(0.75 * f2.c2 / f_ctx.c1
+                     + 0.25 * f_cur.c1 / (SELECT n FROM total)))
+               / count(*) AS ppx
+      FROM bgs b
+      JOIN bfreq f2 ON f2.bg = b.bg
+      JOIN ufreq f_ctx ON f_ctx.tok = split_part(b.bg, chr(31), 1)
+      JOIN ufreq f_cur ON f_cur.tok = split_part(b.bg, chr(31), 2)
+      GROUP BY b.doc_id, b.lang),
+    thr AS (
+      SELECT quantile_cont(ppx, 0.25) AS q1,
+             quantile_cont(ppx, 0.75) AS q3
+      FROM doc_lp)
+    SELECT lang,
+           CASE WHEN ppx <= q1 THEN 'head'
+                WHEN ppx <= q3 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           round(avg(ppx), 6) AS avg_ppx
+    FROM doc_lp CROSS JOIN thr
+    GROUP BY lang, bucket
+    """,
+)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: score every document with
+    the interpolated bigram LM (mean negative log-prob per bigram as
+    the perplexity proxy), cut the corpus at the exact 25th/75th
+    percentiles, and report head/middle/tail counts per language —
+    the standard head-only / head+middle selection gate for web
+    crawl curation.
+
+    100 TB plan: identical to ``text_bigram_logprob`` (two count
+    passes + one broadcast-scored pass); the quantile thresholds are
+    a ONE-ROW aggregate broadcast back over the per-doc scores, so
+    bucketing adds zero extra shuffles of the corpus."""
+    sep = "\x1f"
+    d = spread(t(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("ws"))
+    uni = toks.select(F.explode("ws").alias("tok"))
+    ufreq = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    total = ufreq.agg(F.sum("c1").alias("n"))
+    bg_list = F.transform(
+        F.sequence(F.lit(2), F.size("ws")),
+        lambda i: F.concat(F.element_at("ws", i - 1), F.lit(sep),
+                           F.element_at("ws", i)))
+    bgs = (toks.where(F.size("ws") >= 2)
+           .select("doc_id", "lang", F.explode(bg_list).alias("bg")))
+    bfreq = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = F.split_part(F.col("bg"), F.lit(sep), F.lit(1))
+    cur = F.split_part(F.col("bg"), F.lit(sep), F.lit(2))
+    doc_lp = (
+        bgs.join(bfreq, "bg")
+        .join(F.broadcast(ufreq.select(F.col("tok").alias("__ctx"),
+                                       F.col("c1").alias("c_ctx"))),
+              ctx == F.col("__ctx"))
+        .join(F.broadcast(ufreq.select(F.col("tok").alias("__cur"),
+                                       F.col("c1").alias("c_cur"))),
+              cur == F.col("__cur"))
+        .join(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg((-F.sum(F.log(0.75 * F.col("c2") / F.col("c_ctx")
+                           + 0.25 * F.col("c_cur") / F.col("n")))
+              / F.count(F.lit(1))).alias("ppx")))
+    thr = doc_lp.agg(
+        F.expr("percentile(ppx, 0.25)").alias("q1"),
+        F.expr("percentile(ppx, 0.75)").alias("q3"))
+    bucket = (F.when(F.col("ppx") <= F.col("q1"), "head")
+              .when(F.col("ppx") <= F.col("q3"), "middle")
+              .otherwise("tail"))
+    return (doc_lp.join(F.broadcast(thr))
+            .groupBy("lang", bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("ppx"), 6).alias("avg_ppx")))
