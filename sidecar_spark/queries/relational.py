@@ -1900,3 +1900,60 @@ def dq_constraint_suite(spark, sf_dir):
                     F.col("c.metric").alias("metric"),
                     (F.col("c.metric") >= 1.0).alias("passed"))
             .orderBy("constraint_name"))
+
+
+@query(
+    "last_touch_attribution",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lt_ts,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lt_type
+      FROM events)
+    SELECT CASE WHEN lt_ts IS NOT NULL
+                     AND lt_ts >= ts - INTERVAL 7 DAY
+                THEN lt_type ELSE 'direct' END AS channel,
+           count(*) AS n_purchases,
+           round(sum(value), 2) AS revenue
+    FROM ordered
+    WHERE event_type = 'purchase'
+    GROUP BY channel
+    """,
+)
+def last_touch_attribution(spark, sf_dir):
+    """Marketing-style last-touch attribution: credit each purchase
+    to the user's most recent preceding non-purchase event within 7
+    days (else 'direct') and roll revenue up by channel.
+
+    100 TB plan: ONE window pass partitioned by user (the shuffle
+    key every sessionization query already uses) carries the last
+    touch forward — no self-join of the event stream against itself;
+    the channel rollup is a combine-collapsed aggregate.  Window
+    order is (ts, event_id) so same-timestamp events resolve
+    identically in both engines."""
+    ev = t(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    not_purchase = F.col("event_type") != "purchase"
+    touched = ev.select(
+        "event_type", "ts", "value",
+        F.last(F.when(not_purchase, F.col("ts")), ignorenulls=True)
+        .over(w).alias("lt_ts"),
+        F.last(F.when(not_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w).alias("lt_type"))
+    channel = (F.when(
+        F.col("lt_ts").isNotNull()
+        & (F.col("lt_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+        F.col("lt_type")).otherwise("direct"))
+    return (touched.where(F.col("event_type") == "purchase")
+            .groupBy(channel.alias("channel"))
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.round(F.sum("value"), 2).alias("revenue")))

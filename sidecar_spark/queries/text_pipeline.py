@@ -2689,3 +2689,48 @@ def ccnet_perplexity_buckets(spark, sf_dir):
             .groupBy("lang", bucket.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.round(F.avg("ppx"), 6).alias("avg_ppx")))
+
+
+@query(
+    "zipf_law_fit",
+    oracle="""
+    WITH uni AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    freq AS (SELECT w, count(*) AS c FROM uni WHERE w <> '' GROUP BY w),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rnk
+      FROM freq QUALIFY rnk <= 200)
+    SELECT (SELECT count(*) FROM freq) AS n_vocab,
+           round(regr_slope(ln(c), ln(rnk)), 6) AS zipf_slope,
+           round(regr_intercept(ln(c), ln(rnk)), 6) AS zipf_intercept,
+           round(regr_r2(ln(c), ln(rnk)), 6) AS r2
+    FROM ranked
+    """,
+)
+def zipf_law_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus vocabulary: log-log OLS of
+    frequency on rank for the top-200 words (slope ~ -1 on natural
+    text) — the standard sanity check that a scraped corpus has
+    natural token statistics rather than boilerplate spam.
+
+    100 TB plan: one explode + count shuffle builds the frequency
+    table; the rank window runs on the vocabulary (already tiny
+    after the top-k cut), and the regression is Spark's built-in
+    ``regr_*`` aggregate family — a one-row result with no second
+    corpus pass."""
+    from pyspark.sql import Window as W
+
+    d = spread(t(spark, sf_dir, "documents"))
+    uni = d.select(F.explode(F.split("text", " ")).alias("w"))
+    freq = (uni.where(F.col("w") != "")
+            .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    n_vocab = freq.count()
+    ranked = (freq.select(
+        "c", F.row_number().over(W.orderBy(F.desc("c"), F.asc("w")))
+        .alias("rnk")).where(F.col("rnk") <= 200))
+    lc, lr = F.log("c"), F.log("rnk")
+    return ranked.agg(
+        F.lit(n_vocab).cast("bigint").alias("n_vocab"),
+        F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lc, lr), 6).alias("r2"))

@@ -2111,3 +2111,56 @@ def freq_items_verified(spark, sf_dir):
                 .select("item", "n_docs")
                 .orderBy("item"))
     return verified
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             sum(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, frequency, monetary,
+             ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM rfm)
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           round(avg(monetary), 2) AS avg_monetary,
+           CAST(sum(frequency) AS BIGINT) AS total_orders
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+)
+def rfm_segmentation(spark, sf_dir):
+    """RFM (recency/frequency/monetary) customer segmentation — the
+    classic retention-analytics rollup: quintile-score each customer
+    on all three axes and profile the 5x5x5 segments.
+
+    100 TB plan: one groupBy(custkey) collapses orders to one row
+    per customer; the ntile windows then run on the CUSTOMER table
+    (orders of magnitude smaller than the fact table), and the
+    final segment rollup is a combine-collapsed aggregate.  Window
+    order includes custkey so quintile boundaries are deterministic
+    under ties."""
+    o = t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"))
+    scored = rfm.select(
+        "o_custkey", "frequency", "monetary",
+        F.ntile(5).over(W.orderBy("last_order", "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5).over(W.orderBy("frequency", "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5).over(W.orderBy("monetary", "o_custkey"))
+        .alias("m_score"))
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+        F.sum("frequency").cast("bigint").alias("total_orders"))
