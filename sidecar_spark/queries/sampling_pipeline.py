@@ -1049,3 +1049,150 @@ def cohens_kappa_agreement(spark, sf_dir):
     return m.select(
         "n", F.round("po", 6).alias("po"), F.round(pe, 6).alias("pe"),
         F.round((F.col("po") - pe) / (1 - pe), 6).alias("kappa"))
+
+
+# --- rejection sampling to a target distribution -----------------------------
+
+
+@query(
+    "rejection_sample_distribution_match",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             least(3, n_chars // 150) AS bucket,
+             (('0x' || substr(md5('rej:' || doc_id::VARCHAR), 1, 15))
+              ::BIGINT % 1000000) / 1000000.0 AS u
+      FROM documents
+    ), shares AS (
+      SELECT bucket, count(*) AS n_orig,
+             count(*) * 1.0 / (SELECT count(*) FROM base) AS share
+      FROM base GROUP BY bucket
+    ), ratio AS (
+      SELECT bucket, n_orig, share, 0.25 / share AS r FROM shares
+    ), big_m AS (SELECT max(r) AS m FROM ratio),
+    kept AS (
+      SELECT b.bucket, r.n_orig, r.share,
+             count(*) FILTER (WHERE b.u < r.r / g.m) AS n_kept
+      FROM base b JOIN ratio r ON b.bucket = r.bucket CROSS JOIN big_m g
+      GROUP BY b.bucket, r.n_orig, r.share)
+    SELECT bucket, n_orig, round(share, 6) AS share_orig, n_kept,
+           round(n_kept * 1.0 / (SELECT sum(n_kept) FROM kept), 6)
+             AS share_kept
+    FROM kept
+    """,
+)
+def rejection_sample_distribution_match(spark, sf_dir):
+    """Deterministic rejection sampling that reshapes a skewed
+    length-bucket distribution into the uniform target (0.25 per
+    bucket): accept doc with probability (target/empirical)/M where
+    M is the max ratio — the standard distribution-matching resample
+    for over-represented domains, made replayable by a hash-uniform
+    instead of rand().
+
+    100 TB plan: bucket shares are ONE tiny aggregate broadcast back
+    over the scan; the accept test is pure map math — one pass, no
+    resampling shuffle."""
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.least(F.lit(3), (F.col("n_chars") / 150).cast("bigint"))
+        .alias("bucket"),
+        ((hash60(F.concat(F.lit("rej:"), F.col("doc_id"))) % 1000000)
+         / 1000000.0).alias("u"))
+    n_total = base.count()
+    shares = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orig"),
+        (F.count(F.lit(1)) * 1.0 / n_total).alias("share"))
+    ratio = shares.withColumn("r", 0.25 / F.col("share"))
+    big_m = ratio.agg(F.max("r").alias("m"))
+    kept = (base.join(F.broadcast(ratio), "bucket")
+            .join(F.broadcast(big_m))
+            .groupBy("bucket", "n_orig", "share")
+            .agg(F.count_if(F.col("u") < F.col("r") / F.col("m"))
+                 .alias("n_kept")))
+    tot_kept = kept.agg(F.sum("n_kept").alias("tk"))
+    return (kept.join(F.broadcast(tot_kept))
+            .select("bucket", "n_orig",
+                    F.round("share", 6).alias("share_orig"), "n_kept",
+                    F.round(F.col("n_kept") * 1.0 / F.col("tk"), 6)
+                    .alias("share_kept")))
+
+
+# --- split-conformal prediction ----------------------------------------------
+
+
+@query(
+    "conformal_prediction_interval",
+    oracle="""
+    WITH split AS (
+      SELECT event_id, event_type, value,
+             ('0x' || substr(md5('cp:' || event_id::VARCHAR), 1, 15))
+               ::BIGINT % 10 AS s
+      FROM events
+    ), model AS (
+      SELECT event_type, avg(value) AS pred
+      FROM split WHERE s <= 5 GROUP BY event_type
+    ), calib AS (
+      SELECT abs(value - pred) AS score,
+             row_number() OVER (ORDER BY abs(value - pred), event_id)
+               AS rnk,
+             count(*) OVER () AS n_cal
+      FROM split JOIN model USING (event_type) WHERE s IN (6, 7)
+    ), qhat AS (
+      SELECT score AS q, n_cal,
+             CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT) AS k
+      FROM calib WHERE rnk = CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT)
+    )
+    SELECT n_cal, k, round(q, 6) AS qhat,
+           count(*) AS n_test,
+           round(avg(CASE WHEN abs(value - pred) <= q
+                          THEN 1.0 ELSE 0.0 END), 6) AS coverage
+    FROM split JOIN model USING (event_type) CROSS JOIN qhat
+    WHERE s >= 8
+    GROUP BY n_cal, k, q
+    """,
+)
+def conformal_prediction_interval(spark, sf_dir):
+    """Split-conformal prediction: fit a per-event-type mean
+    predictor on the train split (hash 0-5), take the
+    ceil(0.9*(n+1))-th smallest absolute residual on the calibration
+    split (6-7) as the interval half-width, and verify ~90% coverage
+    on the test split (8-9) — the distribution-free uncertainty
+    wrapper a model-serving pipeline ships with its predictions.
+
+    100 TB plan: the model and the one-row q-hat are broadcast; the
+    calibration order statistic is a window over the calibration
+    SUBSET only (never the full table); coverage is one aggregate
+    pass.  The order statistic ranks on (score, event_id) so both
+    engines pick the identical row."""
+    ev = t(spark, sf_dir, "events")
+    split = ev.select(
+        "event_id", "event_type", "value",
+        (hash60(F.concat(F.lit("cp:"), F.col("event_id"))) % 10)
+        .alias("s"))
+    model = (split.where(F.col("s") <= 5)
+             .groupBy("event_type").agg(F.avg("value").alias("pred")))
+    calib = (split.where(F.col("s").isin(6, 7))
+             .join(F.broadcast(model), "event_type")
+             .select(F.abs(F.col("value") - F.col("pred")).alias("score"),
+                     "event_id"))
+    wn = Window.orderBy("score", "event_id")
+    ranked = calib.select(
+        "score", F.row_number().over(wn).alias("rnk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)).alias("n_cal"))
+    qhat = (ranked
+            .withColumn("k", F.ceil(0.9 * (F.col("n_cal") + 1))
+                        .cast("bigint"))
+            .where(F.col("rnk") == F.col("k"))
+            .select(F.col("score").alias("q"), "n_cal", "k"))
+    test = (split.where(F.col("s") >= 8)
+            .join(F.broadcast(model), "event_type")
+            .join(F.broadcast(qhat)))
+    return test.groupBy("n_cal", "k", F.col("q")).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(F.avg(F.when(F.abs(F.col("value") - F.col("pred"))
+                             <= F.col("q"), 1.0).otherwise(0.0)), 6)
+        .alias("coverage")).select(
+        "n_cal", "k", F.round("q", 6).alias("qhat"), "n_test", "coverage")

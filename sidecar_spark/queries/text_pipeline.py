@@ -2734,3 +2734,46 @@ def zipf_law_fit(spark, sf_dir):
         F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
         F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(lc, lr), 6).alias("r2"))
+
+
+@query(
+    "tokenizer_fertility_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT lang,
+             {_SQL_NWORDS.format(e='text')} AS n_ws,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+             strlen(text) AS n_bytes
+      FROM documents)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+           round(sum(n_bpe) * 1.0 / sum(n_ws), 6) AS fertility,
+           round(sum(n_bytes) * 1.0 / sum(n_bpe), 6) AS bytes_per_token
+    FROM base GROUP BY lang ORDER BY lang
+    """,
+)
+def tokenizer_fertility_audit(spark, sf_dir):
+    """Tokenizer fertility per language: subword(BPE-ish regex)
+    tokens per whitespace word and bytes per subword token — the
+    audit that decides whether a tokenizer under-serves a language
+    (high fertility = more compute per content) when mixing a
+    multilingual corpus.
+
+    Pure map-side column math + one tiny per-lang aggregate; scales
+    with the scan."""
+    d = spread(t(spark, sf_dir, "documents"))
+    ws = X.token_count(F.col("text"))
+    bpe = X.bpe_token_count(F.col("text"))
+    base = d.select("lang", ws.alias("n_ws"), bpe.alias("n_bpe"),
+                    F.octet_length("text").alias("n_bytes"))
+    return (base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").cast("bigint").alias("ws_tokens"),
+        F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
+        F.round(F.sum("n_bpe") * 1.0 / F.sum("n_ws"), 6)
+        .alias("fertility"),
+        F.round(F.sum("n_bytes") * 1.0 / F.sum("n_bpe"), 6)
+        .alias("bytes_per_token"))
+        .orderBy("lang"))
