@@ -1196,3 +1196,259 @@ def conformal_prediction_interval(spark, sf_dir):
                              <= F.col("q"), 1.0).otherwise(0.0)), 6)
         .alias("coverage")).select(
         "n_cal", "k", F.round("q", 6).alias("qhat"), "n_test", "coverage")
+
+
+# --- ridge regression via normal equations -----------------------------------
+
+
+@query(
+    "ridge_regression_normal_equations",
+    oracle="""
+    WITH feat AS (
+      SELECT 1.0 AS x0, l_quantity AS x1, l_discount * 10 AS x2,
+             l_extendedprice / 1000 AS y
+      FROM lineitem
+    ), m AS (
+      SELECT count(*)::DOUBLE + 1.0 AS a00,
+             sum(x1) AS a01, sum(x2) AS a02,
+             sum(x1 * x1) + 1.0 AS a11, sum(x1 * x2) AS a12,
+             sum(x2 * x2) + 1.0 AS a22,
+             sum(y) AS b0, sum(x1 * y) AS b1, sum(x2 * y) AS b2,
+             sum(y * y) AS syy, count(*) AS n
+      FROM feat
+    ), det AS (
+      SELECT *,
+             a00 * (a11 * a22 - a12 * a12)
+             - a01 * (a01 * a22 - a12 * a02)
+             + a02 * (a01 * a12 - a11 * a02) AS d
+      FROM m
+    ), w AS (
+      SELECT n, b0, b1, b2, syy,
+             ((a11 * a22 - a12 * a12) * b0
+              + (a02 * a12 - a01 * a22) * b1
+              + (a01 * a12 - a02 * a11) * b2) / d AS w0,
+             ((a12 * a02 - a01 * a22) * b0
+              + (a00 * a22 - a02 * a02) * b1
+              + (a01 * a02 - a00 * a12) * b2) / d AS w1,
+             ((a01 * a12 - a02 * a11) * b0
+              + (a02 * a01 - a00 * a12) * b1
+              + (a00 * a11 - a01 * a01) * b2) / d AS w2
+      FROM det)
+    SELECT n, round(w0, 6) AS w0, round(w1, 6) AS w1,
+           round(w2, 6) AS w2,
+           round(1 - (SELECT sum((y - (w0 + w1 * x1 + w2 * x2))
+                                 * (y - (w0 + w1 * x1 + w2 * x2)))
+                      FROM feat CROSS JOIN w)
+                     / (syy - b0 * b0 / n), 6) AS r2
+    FROM w
+    """,
+)
+def ridge_regression_normal_equations(spark, sf_dir):
+    """Closed-form ridge regression (lambda=1) of scaled line-item
+    price on quantity and discount: accumulate the 3x3 Gram matrix
+    and moment vector in ONE aggregate pass, solve by adjugate
+    driver-side, then one more pass scores R^2.
+
+    This is the exact-solve counterpart of the iterative trainers
+    (logreg GD, ALS): at 100 TB the Gram matrix is still 9 numbers —
+    map-side partial sums collapse the whole fit into two scans.
+    Both engines evaluate the identical cofactor expressions, so the
+    solve agrees to 6 decimals."""
+    li = t(spark, sf_dir, "lineitem")
+    feat = li.select(
+        F.col("l_quantity").alias("x1"),
+        (F.col("l_discount") * 10).alias("x2"),
+        (F.col("l_extendedprice") / 1000).alias("y"))
+    m = feat.agg(
+        (F.count(F.lit(1)).cast("double") + 1.0).alias("a00"),
+        F.sum("x1").alias("a01"), F.sum("x2").alias("a02"),
+        (F.sum(F.col("x1") * F.col("x1")) + 1.0).alias("a11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("a12"),
+        (F.sum(F.col("x2") * F.col("x2")) + 1.0).alias("a22"),
+        F.sum("y").alias("b0"),
+        F.sum(F.col("x1") * F.col("y")).alias("b1"),
+        F.sum(F.col("x2") * F.col("y")).alias("b2"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.count(F.lit(1)).alias("n")).first()
+    a00, a01, a02 = m["a00"], m["a01"], m["a02"]
+    a11, a12, a22 = m["a11"], m["a12"], m["a22"]
+    b0, b1, b2 = m["b0"], m["b1"], m["b2"]
+    d = (a00 * (a11 * a22 - a12 * a12)
+         - a01 * (a01 * a22 - a12 * a02)
+         + a02 * (a01 * a12 - a11 * a02))
+    w0 = ((a11 * a22 - a12 * a12) * b0
+          + (a02 * a12 - a01 * a22) * b1
+          + (a01 * a12 - a02 * a11) * b2) / d
+    w1 = ((a12 * a02 - a01 * a22) * b0
+          + (a00 * a22 - a02 * a02) * b1
+          + (a01 * a02 - a00 * a12) * b2) / d
+    w2 = ((a01 * a12 - a02 * a11) * b0
+          + (a02 * a01 - a00 * a12) * b1
+          + (a00 * a11 - a01 * a01) * b2) / d
+    resid = (F.col("y")
+             - (F.lit(w0) + F.lit(w1) * F.col("x1")
+                + F.lit(w2) * F.col("x2")))
+    sse = feat.agg(F.sum(resid * resid).alias("sse")).first()["sse"]
+    r2 = 1 - sse / (m["syy"] - b0 * b0 / m["n"])
+    return spark.createDataFrame(
+        [(m["n"], round(w0, 6), round(w1, 6), round(w2, 6),
+          round(r2, 6))],
+        "n bigint, w0 double, w1 double, w2 double, r2 double")
+
+
+# --- Kaplan-Meier survival ---------------------------------------------------
+
+
+@query(
+    "kaplan_meier_survival",
+    oracle="""
+    WITH horizon AS (SELECT max(ts) AS mx FROM events),
+    users AS (
+      SELECT user_id,
+             CAST(floor((floor(epoch(max(ts))) - floor(epoch(min(ts))))
+                        / 86400) AS BIGINT) AS dur,
+             CASE WHEN max(ts) >= (SELECT mx FROM horizon)
+                                  - INTERVAL 12 HOUR
+                  THEN 0 ELSE 1 END AS died
+      FROM events GROUP BY user_id
+    ), per_t AS (
+      SELECT dur AS t_days, count(*) AS n_at_t,
+             CAST(sum(died) AS BIGINT) AS n_deaths
+      FROM users GROUP BY dur
+    ), risk AS (
+      SELECT t_days, n_deaths,
+             CAST(sum(n_at_t) OVER (ORDER BY t_days DESC) AS BIGINT)
+               AS n_risk
+      FROM per_t)
+    SELECT t_days, n_risk, n_deaths,
+           round(exp(sum(ln(1 - n_deaths * 1.0 / n_risk))
+                     OVER (ORDER BY t_days)), 6) AS survival
+    FROM risk
+    WHERE n_deaths > 0
+    """,
+)
+def kaplan_meier_survival(spark, sf_dir):
+    """Kaplan-Meier survival estimate of user lifetime (days between
+    first and last event), right-censoring users still active in the
+    final 3 days of the window — the product-limit estimator every
+    retention team runs, with the cumulative product expressed as
+    exp of a windowed ln-sum so it stays a single window pass.
+
+    100 TB plan: one groupBy(user) collapses the event stream; the
+    per-duration table is ~max-lifetime rows (tiny), so the two
+    ordered windows cost nothing; no self-joins."""
+    ev = t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx")).first()["mx"]
+    users = ev.groupBy("user_id").agg(
+        F.floor((F.unix_timestamp(F.max("ts"))
+                 - F.unix_timestamp(F.min("ts"))) / 86400)
+        .cast("bigint").alias("dur"),
+        F.when(F.max("ts") >= F.lit(mx) - F.expr("INTERVAL 12 HOURS"), 0)
+        .otherwise(1).alias("died"))
+    per_t = users.groupBy(F.col("dur").alias("t_days")).agg(
+        F.count(F.lit(1)).alias("n_at_t"),
+        F.sum("died").cast("bigint").alias("n_deaths"))
+    w_desc = Window.orderBy(F.desc("t_days")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    risk = per_t.select(
+        "t_days", "n_deaths",
+        F.sum("n_at_t").over(w_desc).cast("bigint").alias("n_risk"))
+    w_asc = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    surv = F.exp(F.sum(
+        F.log(1 - F.col("n_deaths") * 1.0 / F.col("n_risk"))).over(w_asc))
+    return (risk.withColumn("survival", F.round(surv, 6))
+            .where(F.col("n_deaths") > 0)
+            .select("t_days", "n_risk", "n_deaths", "survival"))
+
+
+# --- gradient-boosted residual stumps ----------------------------------------
+_GBRT_THRS = list(range(5, 50, 5))
+
+
+def _sql_gbrt_round(i: int) -> str:
+    # residual after previous rounds is carried in resid{i-1}.r
+    return f"""
+    st{i} AS (
+      SELECT t.thr,
+             sum(CASE WHEN x <= t.thr THEN r ELSE 0 END) AS sl,
+             count(*) FILTER (WHERE x <= t.thr) AS nl,
+             sum(CASE WHEN x > t.thr THEN r ELSE 0 END) AS sr,
+             count(*) FILTER (WHERE x > t.thr) AS nr,
+             sum(r * r) AS srr
+      FROM resid{i - 1} CROSS JOIN
+           (SELECT unnest([{', '.join(str(v) for v in _GBRT_THRS)}]) AS thr) t
+      GROUP BY t.thr
+    ), pick{i} AS (
+      SELECT thr, sl / nl AS lm, sr / nr AS rm,
+             srr - (sl * sl / nl + sr * sr / nr) AS sse
+      FROM st{i} ORDER BY sse, thr LIMIT 1
+    ), resid{i} AS (
+      SELECT x, r - CASE WHEN x <= p.thr THEN p.lm ELSE p.rm END AS r
+      FROM resid{i - 1} CROSS JOIN pick{i} p
+    )"""
+
+
+@query(
+    "gbrt_residual_stumps",
+    oracle=f"""
+    WITH feat AS (
+      SELECT l_quantity AS x, l_extendedprice / 1000 AS y FROM lineitem),
+    f0 AS (SELECT avg(y) AS f FROM feat),
+    resid0 AS (SELECT x, y - f AS r FROM feat CROSS JOIN f0),
+    {','.join(_sql_gbrt_round(i) for i in range(1, 3))}
+    SELECT * FROM (
+      {' UNION ALL '.join(
+          f"SELECT {i} AS round_idx, thr, round(lm, 6) AS left_mean,"
+          f" round(rm, 6) AS right_mean, round(sse, 2) AS sse"
+          f" FROM pick{i}" for i in range(1, 3))})
+    ORDER BY round_idx
+    """,
+)
+def gbrt_residual_stumps(spark, sf_dir):
+    """Gradient boosting with depth-1 trees (squared loss, rate 1):
+    start from the global mean, then twice fit the best threshold
+    stump on the CURRENT residuals over a fixed quantity grid
+    (5..45) and subtract its prediction — the core GBM loop.
+
+    100 TB plan: one aggregate pass per round evaluates ALL 9
+    candidate splits at once (conditional partial sums — the
+    histogram trick of every distributed GBDT); driver state is one
+    (threshold, two means) triple per round.  The oracle replays
+    both rounds in chained CTEs."""
+    li = t(spark, sf_dir, "lineitem")
+    feat = li.select(F.col("l_quantity").alias("x"),
+                     (F.col("l_extendedprice") / 1000).alias("y"))
+    f0 = feat.agg(F.avg("y")).first()[0]
+    resid = feat.select("x", (F.col("y") - f0).alias("r"))
+    out = []
+    for rnd in (1, 2):
+        aggs = []
+        for thr in _GBRT_THRS:
+            le = F.col("x") <= thr
+            aggs += [
+                F.sum(F.when(le, F.col("r")).otherwise(0.0))
+                .alias(f"sl_{thr}"),
+                F.count_if(le).alias(f"nl_{thr}"),
+                F.sum(F.when(~le, F.col("r")).otherwise(0.0))
+                .alias(f"sr_{thr}"),
+                F.count_if(~le).alias(f"nr_{thr}"),
+            ]
+        aggs.append(F.sum(F.col("r") * F.col("r")).alias("srr"))
+        st = resid.agg(*aggs).first()
+        best = None
+        for thr in _GBRT_THRS:
+            sl, nl = st[f"sl_{thr}"], st[f"nl_{thr}"]
+            sr, nr = st[f"sr_{thr}"], st[f"nr_{thr}"]
+            sse = st["srr"] - (sl * sl / nl + sr * sr / nr)
+            if best is None or sse < best[3]:
+                best = (thr, sl / nl, sr / nr, sse)
+        thr, lm, rm, sse = best
+        out.append((rnd, thr, round(lm, 6), round(rm, 6), round(sse, 2)))
+        resid = resid.select(
+            "x",
+            (F.col("r") - F.when(F.col("x") <= thr, lm).otherwise(rm))
+            .alias("r")).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out, "round_idx int, thr int, left_mean double,"
+             " right_mean double, sse double").orderBy("round_idx")
