@@ -1378,3 +1378,202 @@ def winsorize_outliers(spark, sf_dir):
                  F.round(F.stddev_pop("x"), 2).alias("sd_raw"),
                  F.round(F.stddev_pop("xw"), 2).alias("sd_winsorized"))
             .orderBy("o_orderpriority"))
+
+
+# --- CUPED variance reduction ------------------------------------------------
+
+
+@query(
+    "cuped_variance_reduction",
+    oracle="""
+    WITH horizon AS (
+      SELECT (floor(epoch(min(ts)))::BIGINT
+              + floor(epoch(max(ts)))::BIGINT) // 2 AS cut FROM events),
+    per_user AS (
+      SELECT user_id, user_id % 2 AS treated,
+             sum(CASE WHEN floor(epoch(ts))::BIGINT < cut
+                      THEN value ELSE 0 END) AS pre,
+             sum(CASE WHEN floor(epoch(ts))::BIGINT >= cut
+                      THEN value ELSE 0 END) AS post
+      FROM events CROSS JOIN horizon GROUP BY user_id
+    ), theta AS (
+      SELECT covar_samp(pre, post) / var_samp(pre) AS th,
+             avg(pre) AS pre_mean
+      FROM per_user
+    ), adj AS (
+      SELECT treated, post, post - th * (pre - pre_mean) AS cuped
+      FROM per_user CROSS JOIN theta)
+    SELECT round((SELECT th FROM theta), 6) AS theta,
+           round(avg(post) FILTER (WHERE treated = 1)
+                 - avg(post) FILTER (WHERE treated = 0), 5) AS raw_diff,
+           round(avg(cuped) FILTER (WHERE treated = 1)
+                 - avg(cuped) FILTER (WHERE treated = 0), 5) AS cuped_diff,
+           round(1 - var_samp(cuped) / var_samp(post), 6)
+             AS var_reduction
+    FROM adj
+    """,
+)
+def cuped_variance_reduction(spark, sf_dir):
+    """CUPED (Deng et al. 2013) — the industry-standard experiment
+    variance-reduction: regress each user's post-period metric on
+    their PRE-period metric (theta = cov/var), subtract the
+    predictable part, and compare the treatment/control difference
+    on the adjusted metric.  Treatment is user_id parity; the
+    pre/post cut is the window midpoint.
+
+    100 TB plan: one groupBy(user) collapses the event stream to a
+    (pre, post) pair per user; theta is a ONE-ROW aggregate of the
+    user table broadcast back; everything after runs on users, not
+    events."""
+    ev = t(spark, sf_dir, "events")
+    cut = ev.agg(((F.unix_timestamp(F.min("ts"))
+                   + F.unix_timestamp(F.max("ts"))) / 2)
+                 .cast("bigint").alias("cut")).first()["cut"]
+    sec = F.unix_timestamp("ts")
+    per_user = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("treated"),
+        F.sum(F.when(sec < cut, F.col("value"))
+              .otherwise(0.0)).alias("pre"),
+        F.sum(F.when(sec >= cut, F.col("value"))
+              .otherwise(0.0)).alias("post"))
+    th = per_user.agg(
+        (F.covar_samp("pre", "post") / F.var_samp("pre")).alias("th"),
+        F.avg("pre").alias("pre_mean"))
+    adj = per_user.join(F.broadcast(th)).select(
+        "treated", "post",
+        (F.col("post") - F.col("th") * (F.col("pre") - F.col("pre_mean")))
+        .alias("cuped"), "th")
+    t1, t0 = F.col("treated") == 1, F.col("treated") == 0
+    return adj.agg(
+        F.round(F.first("th"), 6).alias("theta"),
+        F.round(F.avg(F.when(t1, F.col("post")))
+                - F.avg(F.when(t0, F.col("post"))), 5).alias("raw_diff"),
+        F.round(F.avg(F.when(t1, F.col("cuped")))
+                - F.avg(F.when(t0, F.col("cuped"))), 5).alias("cuped_diff"),
+        F.round(1 - F.var_samp("cuped") / F.var_samp("post"), 6)
+        .alias("var_reduction"))
+
+
+# --- difference-in-differences -----------------------------------------------
+
+
+@query(
+    "difference_in_differences",
+    oracle="""
+    WITH horizon AS (
+      SELECT (floor(epoch(min(ts)))::BIGINT
+              + floor(epoch(max(ts)))::BIGINT) // 2 AS cut FROM events),
+    cells AS (
+      SELECT user_id % 2 AS treated,
+             CASE WHEN floor(epoch(ts))::BIGINT >= cut
+                  THEN 1 ELSE 0 END AS post,
+             value
+      FROM events CROSS JOIN horizon)
+    SELECT count(*) AS n_events,
+           round(avg(value) FILTER (WHERE treated = 1 AND post = 1), 5)
+             AS t_post,
+           round(avg(value) FILTER (WHERE treated = 1 AND post = 0), 5)
+             AS t_pre,
+           round(avg(value) FILTER (WHERE treated = 0 AND post = 1), 5)
+             AS c_post,
+           round(avg(value) FILTER (WHERE treated = 0 AND post = 0), 5)
+             AS c_pre,
+           round((avg(value) FILTER (WHERE treated = 1 AND post = 1)
+                  - avg(value) FILTER (WHERE treated = 1 AND post = 0))
+                 - (avg(value) FILTER (WHERE treated = 0 AND post = 1)
+                    - avg(value) FILTER (WHERE treated = 0 AND post = 0)),
+                 5) AS did
+    FROM cells
+    """,
+)
+def difference_in_differences(spark, sf_dir):
+    """Difference-in-differences: the 2x2 (treated x pre/post) panel
+    estimate (T_post - T_pre) - (C_post - C_pre) — the workhorse
+    causal readout when treatment wasn't randomized.  Treatment is
+    user parity, the period cut is the window midpoint.
+
+    ONE aggregate pass with conditional averages — all four cells
+    come out of the same map-side-combined scan."""
+    ev = t(spark, sf_dir, "events")
+    cut = ev.agg(((F.unix_timestamp(F.min("ts"))
+                   + F.unix_timestamp(F.max("ts"))) / 2)
+                 .cast("bigint").alias("cut")).first()["cut"]
+    cells = ev.select(
+        (F.col("user_id") % 2).alias("treated"),
+        F.when(F.unix_timestamp("ts") >= cut, 1).otherwise(0)
+        .alias("post"),
+        "value")
+
+    def cell(tr, po):
+        return F.avg(F.when((F.col("treated") == tr)
+                            & (F.col("post") == po), F.col("value")))
+
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(cell(1, 1), 5).alias("t_post"),
+        F.round(cell(1, 0), 5).alias("t_pre"),
+        F.round(cell(0, 1), 5).alias("c_post"),
+        F.round(cell(0, 0), 5).alias("c_pre"),
+        F.round((cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0)), 5)
+        .alias("did"))
+
+
+# --- Holt linear-trend forecast ----------------------------------------------
+
+
+@query(
+    "holt_linear_forecast",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT row_number() OVER (ORDER BY d) AS i, cnt FROM (
+        SELECT date_trunc('day', ts) AS d, count(*)::DOUBLE AS cnt
+        FROM events GROUP BY 1)
+    ), n AS (SELECT max(i) AS mx FROM daily),
+    holt AS (
+      SELECT 1 AS i,
+             (SELECT cnt FROM daily WHERE i = 1) AS l,
+             (SELECT cnt FROM daily WHERE i = 2)
+               - (SELECT cnt FROM daily WHERE i = 1) AS b
+      UNION ALL
+      SELECT h.i + 1,
+             0.5 * d.cnt + 0.5 * (h.l + h.b),
+             0.3 * ((0.5 * d.cnt + 0.5 * (h.l + h.b)) - h.l)
+               + 0.7 * h.b
+      FROM holt h JOIN daily d ON d.i = h.i + 1
+      WHERE h.i < (SELECT mx FROM n)
+    ), fit AS (
+      SELECT l, b FROM holt WHERE i = (SELECT mx FROM n))
+    SELECT h.h AS horizon,
+           round(l + h.h * b, 6) AS yhat,
+           round(l, 6) AS level, round(b, 6) AS trend
+    FROM fit CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) h
+    ORDER BY horizon
+    """,
+)
+def holt_linear_forecast(spark, sf_dir):
+    """Holt double-exponential smoothing (alpha=0.5, beta=0.3) of the
+    daily event-arrival series, forecasting 3 days ahead — the
+    level+trend capacity forecast one step up from the windowed EWMA
+    (`events_ewma`).
+
+    The recursion is inherently sequential, but only over the DAILY
+    axis: the cluster-side work is one groupBy(day) that collapses
+    the raw stream to ~30 rows; the smoothing loop then runs on the
+    collected day vector (bounded, driver-size — the same contract
+    as the dense time axis elsewhere in this module).  The oracle
+    replays the identical recursion as a recursive CTE."""
+    ev = t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+             .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+             .orderBy("d").collect())
+    y = [r["cnt"] for r in daily]
+    lev, tr = y[0], y[1] - y[0]
+    for v in y[1:]:
+        new_l = 0.5 * v + 0.5 * (lev + tr)
+        tr = 0.3 * (new_l - lev) + 0.7 * tr
+        lev = new_l
+    rows = [(h, round(lev + h * tr, 6), round(lev, 6), round(tr, 6))
+            for h in (1, 2, 3)]
+    return spark.createDataFrame(
+        rows, "horizon int, yhat double, level double, trend double"
+    ).orderBy("horizon")
