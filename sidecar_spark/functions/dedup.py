@@ -511,3 +511,52 @@ def connected_components_star(edges: DataFrame, nodes: DataFrame,
             .join(members, "id", "left")
             .select(F.col("id").alias(id_col),
                     F.coalesce("label", "id").alias("cluster_id")))
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs: C(A in B) = |A∩B|/|A|.
+
+    Containment catches doc-inside-doc duplication (quotes, mirrors,
+    prefix crawls) that symmetric Jaccard dilutes away — a short doc
+    fully embedded in a long one has Jaccard ~ |A|/|B| but
+    containment 1.0.  Same count-join plan as
+    :func:`ngram_jaccard_pairs` (only (doc_id, hash) pairs shuffle;
+    |A∩B| falls out of the grouped shared-shingle join), with the
+    max of both direction-containments thresholded."""
+    df = spread(df)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(shingles(F.col(text_col), shingle_k), hash60).alias("sh_h"),
+    ).select("doc_id", "sh_h", F.size("sh_h").alias("n_sh")).persist()
+    sizes = base.select("doc_id", "n_sh")
+    exploded = base.select("doc_id", F.explode("sh_h").alias("sh_hash"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh_hash") == F.col("b.sh_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    both = (
+        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+                               .withColumnRenamed("n_sh", "n_a")), "doc_a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+                          .withColumnRenamed("n_sh", "n_b")), "doc_b"))
+    c_ab = F.col("n_inter") / F.col("n_a")
+    c_ba = F.col("n_inter") / F.col("n_b")
+    return (both
+            .select("doc_a", "doc_b",
+                    F.round(c_ab, 6).alias("contain_a_in_b"),
+                    F.round(c_ba, 6).alias("contain_b_in_a"),
+                    F.round(F.col("n_inter")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_inter")), 6).alias("jaccard"))
+            .where(F.greatest(F.col("contain_a_in_b"),
+                              F.col("contain_b_in_a")) >= threshold))

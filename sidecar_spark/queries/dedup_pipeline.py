@@ -861,3 +861,41 @@ def incremental_dedup_batch(spark, sf_dir):
     return spark.createDataFrame(
         [(n_incoming, n_rejected, n_incoming - n_rejected)],
         "n_incoming bigint, n_rejected bigint, n_admitted bigint")
+
+
+@query(
+    "dedup_shingle_containment",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM documents
+    ), sized AS (
+      SELECT doc_id, len(sh) AS n_sh FROM base
+    ), exploded AS (
+      SELECT doc_id, unnest(list_transform(sh, s -> {_h60('s')})) AS sh_hash
+      FROM base
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM exploded a JOIN exploded b
+        ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(n_inter * 1.0 / sa.n_sh, 6) AS contain_a_in_b,
+           round(n_inter * 1.0 / sb.n_sh, 6) AS contain_b_in_a,
+           round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6)
+             AS jaccard
+    FROM inter
+    JOIN sized sa ON sa.doc_id = doc_a
+    JOIN sized sb ON sb.doc_id = doc_b
+    WHERE greatest(round(n_inter * 1.0 / sa.n_sh, 6),
+                   round(n_inter * 1.0 / sb.n_sh, 6)) >= 0.7
+    """,
+)
+def dedup_shingle_containment(spark, sf_dir):
+    """Asymmetric containment dedup — catches doc-inside-doc
+    subsumption (C = |A∩B|/|A| ~ 1 while Jaccard stays low) that the
+    symmetric `dedup_ngram_jaccard` threshold misses.  Same
+    scale-safe count-join plan; see functions/dedup.py
+    ::containment_pairs."""
+    return D.containment_pairs(
+        t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.7)

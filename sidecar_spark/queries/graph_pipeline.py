@@ -15,6 +15,7 @@ only last-bit noise, far below the round-6 contract.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sidecar_spark.functions import graph as G
@@ -854,3 +855,138 @@ def apriori_frequent_triples(spark, sf_dir):
         [(n1, n2, n3, mx)],
         "n_frequent_items bigint, n_frequent_pairs bigint,"
         " n_frequent_triples bigint, max_pair_support bigint")
+
+
+# --- HITS hubs & authorities -------------------------------------------------
+
+
+def _sql_hits_step(i: int) -> str:
+    pa = f"a{i - 1}"
+    return f"""
+    hu{i} AS (
+      SELECT e.src AS node, sum(e.w * p.a) AS h
+      FROM edges e JOIN {pa} p ON p.node = e.dst
+      GROUP BY e.src
+    ), h{i} AS (
+      SELECT node, h / sqrt(sum(h * h) OVER ()) AS h
+      FROM hu{i}
+    ), au{i} AS (
+      SELECT e.dst AS node, sum(e.w * p.h) AS a
+      FROM edges e JOIN h{i} p ON p.node = e.src
+      GROUP BY e.dst
+    ), a{i} AS (
+      SELECT node, a / sqrt(sum(a * a) OVER ()) AS a
+      FROM au{i}
+    )"""
+
+
+@query(
+    "hits_hubs_authorities",
+    oracle=f"""
+    WITH {_SQL_EDGES.strip().rstrip(',')},
+    a0 AS (SELECT node, 1.0 AS a FROM nodes),
+    {','.join(_sql_hits_step(i) for i in range(1, 3))}
+    SELECT h.node AS nationkey,
+           round(h.h, 6) AS hub, round(a.a, 6) AS authority
+    FROM h2 h JOIN a2 a ON a.node = h.node
+    """,
+)
+def hits_hubs_authorities(spark, sf_dir):
+    """HITS (Kleinberg 1999) on the weighted nation trade graph: two
+    hub/authority iterations with L2 normalization — exporter hubs
+    vs importer authorities, the directed complement of
+    `nation_pagerank`.
+
+    100 TB plan: identical to PageRank's — the fact joins collapse
+    to a 25x25 edge aggregate first; every HITS step is then a join
+    + aggregate on that tiny edge list; the L2 normalizer is an
+    unbounded window over the |V|-sized score table (tiny), and a
+    per-iteration localCheckpoint truncates lineage so iteration k
+    never re-evaluates k-1."""
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst")))
+             .distinct())
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    a = nodes.select("node", F.lit(1.0).alias("a"))
+    h = None
+    for _ in range(2):
+        hu = (edges.join(F.broadcast(a.withColumnRenamed("node", "dst")),
+                         "dst")
+              .groupBy(F.col("src").alias("node"))
+              .agg(F.sum(F.col("w") * F.col("a")).alias("h")))
+        h = (hu.select(
+                "node",
+                (F.col("h")
+                 / F.sqrt(F.sum(F.col("h") * F.col("h")).over(wall)))
+                .alias("h"))
+             .localCheckpoint(eager=True))
+        au = (edges.join(F.broadcast(h.withColumnRenamed("node", "src")),
+                         "src")
+              .groupBy(F.col("dst").alias("node"))
+              .agg(F.sum(F.col("w") * F.col("h")).alias("a")))
+        a = (au.select(
+                "node",
+                (F.col("a")
+                 / F.sqrt(F.sum(F.col("a") * F.col("a")).over(wall)))
+                .alias("a"))
+             .localCheckpoint(eager=True))
+    return (h.join(a, "node")
+            .select(F.col("node").alias("nationkey"),
+                    F.round("h", 6).alias("hub"),
+                    F.round("a", 6).alias("authority")))
+
+
+# --- k-core decomposition (bounded peeling) ----------------------------------
+
+
+def _sql_kcore_peel(i: int) -> str:
+    prev = f"alive{i - 1}"
+    return f"""
+    deg{i} AS (
+      SELECT s.x AS node, count(*) AS d
+      FROM symm s
+      JOIN {prev} pa ON pa.node = s.x
+      JOIN {prev} pb ON pb.node = s.y
+      GROUP BY s.x
+    ), alive{i} AS (
+      SELECT node FROM deg{i} WHERE d >= 3
+    )"""
+
+
+@query(
+    "k_core_decomposition",
+    oracle=f"""
+    WITH {_SQL_UEDGES},
+    symm AS MATERIALIZED (SELECT x, y FROM sym),
+    alive0 AS (SELECT DISTINCT x AS node FROM symm),
+    {','.join(_sql_kcore_peel(i) for i in range(1, 4))}
+    SELECT a.node AS nationkey, d.d AS core_degree
+    FROM alive3 a JOIN deg3 d ON d.node = a.node
+    """,
+)
+def k_core_decomposition(spark, sf_dir):
+    """3-core of the sparsified undirected trade graph by iterative
+    peeling: drop nodes with induced degree < 3, recompute degrees
+    on the survivors, three rounds (the peel provably stabilizes on
+    this 25-node graph; production runs peel to fixpoint with the
+    same step).  k-core is the standard dense-subgraph screen before
+    community detection.
+
+    Each peel is one join + aggregate on the |V|-scale sparsified
+    edge list — the fact-table joins ran ONCE up front (see
+    `_undirected_edges`)."""
+    sym = G.symmetrize(_undirected_edges(spark, sf_dir))
+    alive = sym.select(F.col("x").alias("node")).distinct()
+    deg = None
+    for _ in range(3):
+        deg = (sym
+               .join(F.broadcast(alive.withColumnRenamed("node", "x")), "x")
+               .join(F.broadcast(alive.withColumnRenamed("node", "y")), "y")
+               .groupBy(F.col("x").alias("node"))
+               .agg(F.count(F.lit(1)).alias("d"))
+               .localCheckpoint(eager=True))
+        alive = deg.where(F.col("d") >= 3).select("node")
+    return (alive.join(deg, "node")
+            .select(F.col("node").alias("nationkey"),
+                    F.col("d").alias("core_degree")))
