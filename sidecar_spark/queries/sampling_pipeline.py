@@ -1452,3 +1452,83 @@ def gbrt_residual_stumps(spark, sf_dir):
     return spark.createDataFrame(
         out, "round_idx int, thr int, left_mean double,"
              " right_mean double, sse double").orderBy("round_idx")
+
+
+# --- Neyman allocation -------------------------------------------------------
+
+
+@query(
+    "neyman_allocation",
+    oracle="""
+    WITH strata AS (
+      SELECT event_type, count(*) AS n_h,
+             stddev_samp(value) AS s_h
+      FROM events GROUP BY event_type
+    ), tot AS (SELECT sum(n_h * s_h) AS z FROM strata)
+    SELECT event_type, n_h, round(s_h, 6) AS s_h,
+           CAST(round(1000 * n_h * s_h / z) AS BIGINT) AS alloc,
+           round((1000 * n_h * s_h / z) / n_h, 6) AS sampling_rate
+    FROM strata CROSS JOIN tot
+    ORDER BY event_type
+    """,
+)
+def neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified sample allocation: given a budget of
+    1000 rows, allocate to each event-type stratum proportionally to
+    N_h * S_h (stratum size x stddev) — the variance-minimizing
+    design every survey/eval-set sampler should use instead of
+    proportional allocation.
+
+    One aggregate pass computes all stratum moments; the normalizer
+    is a one-row broadcast. The allocation itself is column math."""
+    ev = t(spark, sf_dir, "events")
+    strata = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.stddev_samp("value").alias("s_h"))
+    tot = strata.agg(F.sum(F.col("n_h") * F.col("s_h")).alias("z"))
+    alloc = 1000 * F.col("n_h") * F.col("s_h") / F.col("z")
+    return (strata.join(F.broadcast(tot))
+            .select("event_type", "n_h",
+                    F.round("s_h", 6).alias("s_h"),
+                    F.round(alloc, 0).cast("bigint").alias("alloc"),
+                    F.round(alloc / F.col("n_h"), 6)
+                    .alias("sampling_rate"))
+            .orderBy("event_type"))
+
+
+# --- two-sample power analysis -----------------------------------------------
+
+
+@query(
+    "power_analysis_mde",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, count(*) AS n, avg(value) AS mean,
+             stddev_samp(value) AS sd
+      FROM events GROUP BY event_type)
+    SELECT event_type, n, round(mean, 5) AS mean, round(sd, 5) AS sd,
+           round((1.959964 + 0.841621) * sqrt(2 * sd * sd / (n / 2)), 5)
+             AS mde_abs,
+           round((1.959964 + 0.841621) * sqrt(2 * sd * sd / (n / 2))
+                 / mean, 6) AS mde_rel
+    FROM g ORDER BY event_type
+    """,
+)
+def power_analysis_mde(spark, sf_dir):
+    """Experiment power analysis: the minimum detectable effect at
+    alpha=0.05 / power=0.8 for a 50/50 split of each event-type's
+    traffic — MDE = (z_0.975 + z_0.8) * sqrt(2*s^2/(n/2)), the
+    pre-experiment sizing check run before every A/B test.
+
+    One aggregate pass; the z-quantiles are constants."""
+    ev = t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("value").alias("mean"),
+        F.stddev_samp("value").alias("sd"))
+    z = 1.959964 + 0.841621
+    mde = z * F.sqrt(2 * F.col("sd") * F.col("sd") / (F.col("n") / 2))
+    return g.select(
+        "event_type", "n", F.round("mean", 5).alias("mean"),
+        F.round("sd", 5).alias("sd"),
+        F.round(mde, 5).alias("mde_abs"),
+        F.round(mde / F.col("mean"), 6).alias("mde_rel")).orderBy("event_type")

@@ -2164,3 +2164,55 @@ def rfm_segmentation(spark, sf_dir):
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.avg("monetary"), 2).alias("avg_monetary"),
         F.sum("frequency").cast("bigint").alias("total_orders"))
+
+
+@query(
+    "hhi_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT r_name AS region, n_name AS nation,
+             sum(l_extendedprice * (1 - l_discount)) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    ), shares AS (
+      SELECT region, nation,
+             revenue / sum(revenue) OVER (PARTITION BY region) AS share
+      FROM rev)
+    SELECT region, count(*) AS n_nations,
+           round(sum(share * share), 6) AS hhi,
+           round(max(share), 6) AS top_share
+    FROM shares GROUP BY region ORDER BY region
+    """,
+)
+def hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman market-concentration index per region:
+    squared revenue shares of each supplier nation — the antitrust /
+    portfolio-concentration rollup (1/n = perfectly even, 1.0 =
+    monopoly).
+
+    100 TB plan: the fact scan collapses to a (region, nation)
+    aggregate first (dims broadcast); shares are a window over that
+    25-row table; no second fact pass."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    rev = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .groupBy(F.col("r_name").alias("region"),
+                    F.col("n_name").alias("nation"))
+           .agg(F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))).alias("revenue")))
+    share = (F.col("revenue")
+             / F.sum("revenue").over(W.partitionBy("region")))
+    return (rev.select("region", share.alias("share"))
+            .groupBy("region")
+            .agg(F.count(F.lit(1)).alias("n_nations"),
+                 F.round(F.sum(F.col("share") * F.col("share")), 6)
+                 .alias("hhi"),
+                 F.round(F.max("share"), 6).alias("top_share"))
+            .orderBy("region"))
