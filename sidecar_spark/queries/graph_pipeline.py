@@ -814,13 +814,23 @@ def apriori_frequent_triples(spark, sf_dir):
         _AP_FRAC * li.select("l_orderkey").distinct().count()))
     f1 = (li.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
           .where(F.col("n") >= ms).select("item"))
-    fitems = li.join(F.broadcast(f1), "item") \
-        .localCheckpoint(eager=True)
-    a, b = fitems.alias("a"), fitems.alias("b")
-    f2 = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                 & (F.col("a.item") < F.col("b.item")))
-          .groupBy(F.col("a.item").alias("pa"),
-                   F.col("b.item").alias("pb"))
+    # ONE basket-grouping shuffle replaces every level's self-join:
+    # each basket becomes a sorted item array, and pair/triple
+    # enumeration is pure map-side combination math on that array
+    # (baskets are tiny, so b^2 / b^3 per row is bounded); the
+    # aggregate shuffles then carry only (itemset, partial-count)
+    # pairs thanks to map-side combine — never expanded row sets.
+    baskets = (li.join(F.broadcast(f1), "item")
+               .groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("item")).alias("its"))
+               .localCheckpoint(eager=True))
+    its = F.col("its")
+    pair_list = F.flatten(F.transform(
+        its, lambda x: F.transform(
+            F.filter(its, lambda y: y > x),
+            lambda y: F.struct(x.alias("pa"), y.alias("pb")))))
+    f2 = (baskets.select(F.explode(pair_list).alias("p"))
+          .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
           .agg(F.count(F.lit(1)).alias("sup"))
           .where(F.col("sup") >= ms)
           .localCheckpoint(eager=True))
@@ -832,17 +842,16 @@ def apriori_frequent_triples(spark, sf_dir):
              .join(z, (F.col("za") == F.col("pb"))
                    & (F.col("zb") == F.col("yb")))
              .select("pa", "pb", F.col("yb").alias("pc")))
-    ta = fitems.select(F.col("l_orderkey").alias("ok"),
-                       F.col("item").alias("pa"))
-    tb = fitems.select(F.col("l_orderkey").alias("ok"),
-                       F.col("item").alias("pb"))
-    td = fitems.select(F.col("l_orderkey").alias("ok"),
-                       F.col("item").alias("pc"))
-    # basket-local triples first (tiny baskets bound the blowup), then
-    # the pruned candidate set joins on the FULL triple key — joining
-    # candidates to single items first explodes candidate x category
-    tri = (ta.join(tb, "ok").where(F.col("pb") > F.col("pa"))
-           .join(td, "ok").where(F.col("pc") > F.col("pb")))
+    triple_list = F.flatten(F.flatten(F.transform(
+        its, lambda x: F.transform(
+            F.filter(its, lambda y: y > x),
+            lambda y: F.transform(
+                F.filter(its, lambda z2: z2 > y),
+                lambda z2: F.struct(x.alias("pa"), y.alias("pb"),
+                                    z2.alias("pc")))))))
+    tri = baskets.select(F.explode(triple_list).alias("p")).select(
+        F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"),
+        F.col("p.pc").alias("pc"))
     f3 = (tri.join(F.broadcast(cand3), ["pa", "pb", "pc"])
           .groupBy("pa", "pb", "pc")
           .agg(F.count(F.lit(1)).alias("support"))
