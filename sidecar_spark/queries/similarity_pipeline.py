@@ -1572,13 +1572,26 @@ def dbscan_density_clusters(spark, sf_dir):
         "vec_id", S.as_double(F.col("embedding")).alias("vv"),
         S.hyperplane_signature(F.col("embedding"), _DIM, num_planes=4)
         .alias("bucket"))
-    a, b = v.alias("a"), v.alias("b")
-    cos = S.cosine(F.col("a.vv"), F.col("b.vv"))
-    pairs = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                    & (F.col("a.vec_id") < F.col("b.vec_id")))
-             .where(cos >= _DB_EPS)
-             .select(F.col("a.vec_id").alias("ida"),
-                     F.col("b.vec_id").alias("idb"))
+
+    # per-bucket pairwise cosine as a BLAS GEMM (Arrow-batched, one
+    # group per LSH bucket) — the bucket bound keeps each GEMM
+    # quadratic-in-bucket, never in the corpus, and replaces ~250k
+    # fold-expression cosines with one matrix multiply per bucket
+    def bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(pdf["vv"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms[:, None]) @ (mat / norms[:, None]).T
+        iu, ju = np.triu_indices(len(ids), 1)
+        keep = sims[iu, ju] >= _DB_EPS
+        return pd.DataFrame({"ida": ids[iu[keep]], "idb": ids[ju[keep]]})
+
+    pairs = (v.groupBy("bucket")
+             .applyInPandas(bucket_pairs, "ida bigint, idb bigint")
              .localCheckpoint(eager=True))
     sym = (pairs.select(F.col("ida").alias("x"))
            .union(pairs.select("idb")))
@@ -1653,10 +1666,14 @@ def semdedup_prune(spark, sf_dir):
 
     100 TB plan: the k x dim centroid matrix is driver-size and
     broadcast (assignment = pure map argmin, zero shuffle of the big
-    table); the self-join shuffles on cluster id, so the quadratic
-    term is bounded by the largest cluster, not the corpus — the
-    whole point of SemDeDup.  Deterministic centroids (8 lowest
-    vec_ids) keep the oracle replayable."""
+    table); ONE shuffle groups each cluster, and the intra-cluster
+    pairwise cosine runs as a BLAS GEMM inside applyInPandas (the
+    same Arrow-batched shape as the blocked near-dup GEMM in
+    functions/similarity.py) — the quadratic term is bounded by the
+    largest cluster, not the corpus, which is the whole point of
+    SemDeDup; at larger corpora k grows to hold cluster sizes flat.
+    Deterministic centroids (8 lowest vec_ids) keep the oracle
+    replayable."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     cents = [(r["vec_id"], r["v"])
@@ -1674,22 +1691,31 @@ def semdedup_prune(spark, sf_dir):
         (F.array_position(dists, F.array_min(dists)) - 1)
         .cast("bigint").alias("cluster_id"),
         "v")
-    a = assigned.select("cluster_id",
-                        F.col("vec_id").alias("keeper"),
-                        F.col("v").alias("va"))
-    b = assigned.select("cluster_id",
-                        F.col("vec_id").alias("pruned"),
-                        F.col("v").alias("vb"))
-    cos = S.cosine(F.col("va"), F.col("vb"))
-    pairs = (a.join(b, "cluster_id")
-             .where(F.col("keeper") < F.col("pruned"))
-             .select("cluster_id", "keeper", "pruned",
-                     cos.alias("cos_sim"))
-             .where(F.col("cos_sim") >= 0.35))
-    return pairs.groupBy("cluster_id", F.col("pruned").alias("vec_id")).agg(
-        F.min("keeper").alias("keeper_id"),
-        F.round(F.max("cos_sim"), 6).alias("max_cos"),
-        F.count(F.lit(1)).alias("n_closer"))
+
+    def prune(pdf):
+        import numpy as np
+        import pandas as pd
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms[:, None]) @ (mat / norms[:, None]).T
+        rows = []
+        for j in range(1, len(ids)):
+            close = np.where(sims[:j, j] >= 0.35)[0]
+            if len(close):
+                rows.append((int(pdf["cluster_id"].iloc[0]), int(ids[j]),
+                             int(ids[close[0]]),
+                             round(float(sims[close, j].max()), 6),
+                             int(len(close))))
+        return pd.DataFrame(
+            rows, columns=["cluster_id", "vec_id", "keeper_id",
+                           "max_cos", "n_closer"])
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        prune, "cluster_id bigint, vec_id bigint, keeper_id bigint,"
+               " max_cos double, n_closer bigint")
 
 
 # ---------------------------------------------------------------------------
