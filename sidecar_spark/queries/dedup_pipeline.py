@@ -899,3 +899,77 @@ def dedup_shingle_containment(spark, sf_dir):
     ::containment_pairs."""
     return D.containment_pairs(
         t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.7)
+
+
+@query(
+    "dedup_jaccard_prefix_filter",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM documents
+    ), sized AS (
+      SELECT doc_id, len(sh) AS n_sh FROM base
+    ), exploded AS (
+      SELECT doc_id, unnest(list_transform(sh, s -> {_h60('s')})) AS sh_hash
+      FROM base
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM exploded a JOIN exploded b
+        ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sized sa ON sa.doc_id = doc_a
+    JOIN sized sb ON sb.doc_id = doc_b
+    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+)
+def dedup_jaccard_prefix_filter(spark, sf_dir):
+    """Prefix-filtered exact Jaccard join (PPJoin/AllPairs family,
+    Xiao et al. 2008): sort each doc's shingle hashes into the
+    global canonical order and index ONLY the first
+    |A| - ceil(t*|A|) + 1 of them — any pair with Jaccard >= t MUST
+    share a prefix token, so the filter is LOSSLESS.  Candidates
+    from the tiny prefix join are then verified with the exact
+    Jaccard over the full sets.
+
+    The oracle runs the EXHAUSTIVE shared-shingle join at the same
+    threshold (t=0.5): an exact hash match proves the pruning lost
+    nothing — the correctness claim of the prefix filter itself.
+
+    100 TB plan: the candidate join explodes ~(1-t)|A|+1 tokens per
+    doc instead of |A| (at t=0.5, half the index), and the full
+    arrays travel only for surviving candidate pairs."""
+    from sidecar_spark.functions.dedup import hash60, shingles
+
+    d = spread(t(spark, sf_dir, "documents"))
+    base = (d.select(
+        "doc_id",
+        F.array_sort(F.transform(shingles(F.col("text"), 3), hash60))
+        .alias("sh"))
+        .select("doc_id", "sh", F.size("sh").alias("n_sh"))
+        .persist())
+    p_len = (F.col("n_sh") - F.ceil(0.5 * F.col("n_sh")) + 1).cast("int")
+    prefix = base.select(
+        "doc_id", F.explode(F.slice("sh", 1, p_len)).alias("tok"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    sa = base.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sh").alias("sh_a"),
+                     F.col("n_sh").alias("n_a"))
+    sb = base.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sh").alias("sh_b"),
+                     F.col("n_sh").alias("n_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (cands.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard",
+                        F.round(n_inter
+                                / (F.col("n_a") + F.col("n_b") - n_inter),
+                                6))
+            .where(F.col("jaccard") >= 0.5)
+            .select("doc_a", "doc_b", "jaccard"))

@@ -2216,3 +2216,57 @@ def hhi_concentration(spark, sf_dir):
                  .alias("hhi"),
                  F.round(F.max("share"), 6).alias("top_share"))
             .orderBy("region"))
+
+
+@query(
+    "skyline_pareto_frontier",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey, count(*) AS f, sum(o_totalprice) AS m
+      FROM orders GROUP BY o_custkey
+    ), per_f AS (
+      SELECT f, max(m) AS max_m FROM cust GROUP BY f
+    ), pref AS (
+      SELECT f, max_m,
+             max(max_m) OVER (ORDER BY f DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS better_m
+      FROM per_f
+    ), corners AS (
+      SELECT f, max_m FROM pref
+      WHERE better_m IS NULL OR max_m > better_m)
+    SELECT c.o_custkey, c.f AS frequency, round(c.m, 2) AS monetary
+    FROM cust c JOIN corners k ON c.f = k.f AND c.m = k.max_m
+    """,
+)
+def skyline_pareto_frontier(spark, sf_dir):
+    """Skyline (Pareto-frontier) query: customers not dominated on
+    (order frequency, total spend) — the classic multi-criteria
+    operator (Borzsony et al., ICDE'01).  A customer is dominated if
+    another is >= on both axes and > on one.
+
+    100 TB plan: the sort-based 2-D skyline, not the quadratic
+    NOT-EXISTS: one groupBy collapses orders to customers, a second
+    collapses customers to DISTINCT-frequency corners (max spend per
+    frequency), and one ordered window (running max over higher
+    frequencies) marks the frontier corners; frontier membership is
+    then an equi-join back.  Nothing quadratic ever materializes,
+    and both engines evaluate the identical formulation."""
+    o = t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("f"), F.sum("o_totalprice").alias("m"))
+    per_f = cust.groupBy("f").agg(F.max("m").alias("max_m"))
+    wp = (W.orderBy(F.desc("f"))
+          .rowsBetween(W.unboundedPreceding, -1))
+    corners = (per_f
+               .withColumn("better_m", F.max("max_m").over(wp))
+               .where(F.col("better_m").isNull()
+                      | (F.col("max_m") > F.col("better_m")))
+               .select("f", "max_m"))
+    corners = corners.select(F.col("f").alias("kf"),
+                             F.col("max_m").alias("km"))
+    return (cust.join(F.broadcast(corners),
+                      (F.col("f") == F.col("kf"))
+                      & (F.col("m") == F.col("km")))
+            .select("o_custkey", F.col("f").alias("frequency"),
+                    F.round("m", 2).alias("monetary")))
