@@ -973,3 +973,91 @@ def dedup_jaccard_prefix_filter(spark, sf_dir):
                                 6))
             .where(F.col("jaccard") >= 0.5)
             .select("doc_a", "doc_b", "jaccard"))
+
+
+@query(
+    "minhash_jaccard_error_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM documents
+    ), hashed AS (
+      SELECT doc_id, {_HS} AS hs FROM base
+    ), sigs AS (
+      SELECT doc_id, len(hs) AS n_sh, {_sig16_sql()} AS sig FROM hashed
+    ), exploded AS (
+      SELECT doc_id, unnest(hs) AS h FROM hashed
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM exploded a JOIN exploded b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ), pairs AS (
+      SELECT n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) AS exact_j,
+             len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))
+               / 16.0 AS est_j
+      FROM inter
+      JOIN sigs sa ON sa.doc_id = doc_a
+      JOIN sigs sb ON sb.doc_id = doc_b
+    )
+    SELECT least(4, CAST(floor(exact_j * 5) AS BIGINT)) AS bucket,
+           count(*) AS n_pairs,
+           round(avg(exact_j), 6) AS mean_exact,
+           round(avg(est_j), 6) AS mean_est,
+           round(avg(abs(est_j - exact_j)), 6) AS mean_abs_err,
+           round(max(abs(est_j - exact_j)), 6) AS max_abs_err
+    FROM pairs GROUP BY bucket
+    """,
+)
+def minhash_jaccard_error_audit(spark, sf_dir):
+    """Sketch-accuracy audit for the 16-permutation MinHash: for
+    every pair sharing at least one shingle (the same count-join
+    that powers `dedup_ngram_jaccard` — disjoint pairs have exact
+    Jaccard 0 and carry no signal), compare the signature-agreement
+    estimate (matching coordinates / 16) against exact Jaccard,
+    bucketed by true similarity — the calibration check that
+    justifies the LSH band thresholds of `dedup_minhash_lsh`
+    (expected |err| ~ 1/sqrt(16)).
+
+    100 TB plan: candidate generation is the linear shared-shingle
+    equi-join (never all-pairs); the 16-slot signatures join back on
+    the pair's two ids; the rest is one aggregate."""
+    d = spread(t(spark, sf_dir, "documents"))
+    hashed = (d.select(
+        "doc_id",
+        F.transform(D.shingles(F.col("text"), 3),
+                    lambda s: D.hash60(s) % 2_147_483_647).alias("hs"))
+        .persist())
+    sigs = hashed.select(
+        "doc_id", F.size("hs").alias("n_sh"),
+        D.minhash_signature_from_hashes(F.col("hs")).alias("sig"))
+    exploded = hashed.select("doc_id", F.explode("hs").alias("h"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (a.join(b, (F.col("a.h") == F.col("b.h"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("n_sh").alias("n_a"),
+                     F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("n_sh").alias("n_b"),
+                     F.col("sig").alias("sig_b"))
+    exact = (F.col("n_inter")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda x, y: x == y),
+                           lambda v: v)) / F.lit(16.0))
+    scored = (inter.join(F.broadcast(sa), "doc_a")
+              .join(F.broadcast(sb), "doc_b")
+              .select(exact.alias("exact_j"), est.alias("est_j")))
+    bucket = F.least(F.lit(4),
+                     F.floor(F.col("exact_j") * 5)).cast("bigint")
+    return scored.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("exact_j"), 6).alias("mean_exact"),
+        F.round(F.avg("est_j"), 6).alias("mean_est"),
+        F.round(F.avg(F.abs(F.col("est_j") - F.col("exact_j"))), 6)
+        .alias("mean_abs_err"),
+        F.round(F.max(F.abs(F.col("est_j") - F.col("exact_j"))), 6)
+        .alias("max_abs_err"))

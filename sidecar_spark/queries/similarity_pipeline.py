@@ -1998,3 +1998,80 @@ def mmr_diversification(spark, sf_dir):
         out.append((rk, best[0], round(best[1], 6)))
     return spark.createDataFrame(
         out, "rk int, vec_id bigint, mmr double").orderBy("rk")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization audit
+
+
+@query(
+    "pq_quantization_audit",
+    oracle=f"""
+    WITH cb AS (
+      SELECT vec_id AS code, embedding AS cv FROM embeddings
+      WHERE vec_id < 4
+    ), sub AS (
+      SELECT v.vec_id, g.s AS subspace, c.code,
+             list_sum(list_transform(range(1, 9), i ->
+               (v.embedding[g.s * 8 + i]::DOUBLE
+                - c.cv[g.s * 8 + i]::DOUBLE)
+               * (v.embedding[g.s * 8 + i]::DOUBLE
+                  - c.cv[g.s * 8 + i]::DOUBLE))) AS sqd
+      FROM embeddings v
+      CROSS JOIN generate_series(0, 7) g(s)
+      CROSS JOIN cb c
+    ), assigned AS (
+      SELECT vec_id, subspace, code, sqd FROM (
+        SELECT vec_id, subspace, code, sqd,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY sqd, code) AS rk
+        FROM sub) WHERE rk = 1
+    )
+    SELECT subspace, code,
+           count(*) AS n_assigned,
+           round(avg(sqd), 6) AS mean_sqdist
+    FROM assigned GROUP BY subspace, code
+    """,
+)
+def pq_quantization_audit(spark, sf_dir):
+    """Product quantization (Jegou et al. 2011), the workhorse ANN
+    compression: split the 64-dim embedding into 8 subspaces of 8
+    dims, quantize each subvector to its nearest of 4 codebook
+    entries (deterministic codebook: subvectors of vecs 0-3), and
+    audit code usage + mean squared reconstruction error per
+    (subspace, code) cell — 64 doubles compress to 8 code bytes.
+
+    100 TB plan: the codebook is driver-size and inlined (assignment
+    is a PURE MAP argmin per subspace — zero joins of the corpus);
+    the only shuffle is the final 32-cell aggregate."""
+    emb = t(spark, sf_dir, "embeddings")
+    cb = [(r["vec_id"], [float(x) for x in r["embedding"]])
+          for r in emb.where(F.col("vec_id") < 4)
+          .select("vec_id", "embedding").collect()]
+    v = emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v"))
+
+    def cell(s):
+        sub = F.slice("v", s * 8 + 1, 8)
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(sub,
+                           F.array(*[F.lit(c[1][s * 8 + i])
+                                     for i in range(8)]),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            for c in cb])
+        code = (F.array_position(dists, F.array_min(dists)) - 1)
+        return F.struct(F.lit(s).alias("subspace"),
+                        code.cast("bigint").alias("code"),
+                        F.element_at(dists, code.cast("int") + 1)
+                        .alias("sqd"))
+
+    cells = v.select(
+        "vec_id", F.explode(F.array(*[cell(s) for s in range(8)]))
+        .alias("c"))
+    return (cells
+            .groupBy(F.col("c.subspace").alias("subspace"),
+                     F.col("c.code").alias("code"))
+            .agg(F.count(F.lit(1)).alias("n_assigned"),
+                 F.round(F.avg("c.sqd"), 6).alias("mean_sqdist")))

@@ -2777,3 +2777,85 @@ def tokenizer_fertility_audit(spark, sf_dir):
         F.round(F.sum("n_bytes") * 1.0 / F.sum("n_bpe"), 6)
         .alias("bytes_per_token"))
         .orderBy("lang"))
+
+
+@query(
+    "tfidf_cosine_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_WORDS.format(e='lower(text)')}) AS w
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w
+    ), df AS (
+      SELECT w, count(*) AS df FROM tf GROUP BY w
+    ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    wgt AS (
+      SELECT tf.doc_id, tf.w, tf.tf * ln(n_docs * 1.0 / df.df) AS wt
+      FROM tf JOIN df ON df.w = tf.w CROSS JOIN n
+      WHERE df.df <= 50 AND df.df > 1
+    ), nrm AS (
+      SELECT doc_id, sqrt(sum(wt * wt)) AS nm FROM wgt GROUP BY doc_id
+    ), dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             sum(a.wt * b.wt) AS dot
+      FROM wgt a JOIN wgt b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ), scored AS (
+      SELECT doc_a, doc_b,
+             round(dot / (na.nm * nb.nm), 6) AS cosine
+      FROM dots JOIN nrm na ON na.doc_id = doc_a
+                JOIN nrm nb ON nb.doc_id = doc_b)
+    SELECT doc_a, doc_b, cosine,
+           row_number() OVER (ORDER BY cosine DESC, doc_a, doc_b) AS rk
+    FROM scored
+    QUALIFY rk <= 20
+    """,
+)
+def tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse TF-IDF cosine similarity join through an inverted
+    index: per-term postings (df-pruned: drop hapax terms and terms
+    in > 50 docs — the posting-list cap that kills the quadratic
+    head of the index) join on the term, partial dot-products
+    aggregate per pair, and norms divide at the end — the sparse
+    complement of the dense-embedding similarity family, and the
+    textbook document-similarity plan at scale (term join, never
+    doc x doc).
+
+    Cosine is defined in the pruned term space on BOTH engines, so
+    the rounded scores agree exactly; top-k is TakeOrdered."""
+    from pyspark.sql import Window as W
+
+    d = spread(t(spark, sf_dir, "documents"))
+    toks = (d.where(F.trim(F.col("text")) != "")
+            .select("doc_id",
+                    F.explode(X.words(F.lower(F.col("text")))).alias("w")))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()
+    wgt = (tf.join(F.broadcast(df.where((F.col("df") <= 50)
+                                        & (F.col("df") > 1))), "w")
+           .select("doc_id", "w",
+                   (F.col("tf") * F.log(n_docs / F.col("df")))
+                   .alias("wt")))
+    nrm = wgt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nm"))
+    a = wgt.select(F.col("doc_id").alias("doc_a"), "w",
+                   F.col("wt").alias("wa"))
+    b = wgt.select(F.col("doc_id").alias("doc_b"), "w",
+                   F.col("wt").alias("wb"))
+    dots = (a.join(b, "w").where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nm").alias("nb"))
+    scored = (dots.join(F.broadcast(na), "doc_a")
+              .join(F.broadcast(nb), "doc_b")
+              .select("doc_a", "doc_b",
+                      F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+                      .alias("cosine")))
+    return (scored.orderBy(F.desc("cosine"), "doc_a", "doc_b").limit(20)
+            .select("doc_a", "doc_b", "cosine",
+                    F.row_number().over(
+                        W.orderBy(F.desc("cosine"), "doc_a", "doc_b"))
+                    .cast("bigint").alias("rk")))
