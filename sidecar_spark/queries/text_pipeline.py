@@ -2859,3 +2859,77 @@ def tfidf_cosine_pairs(spark, sf_dir):
                     F.row_number().over(
                         W.orderBy(F.desc("cosine"), "doc_a", "doc_b"))
                     .cast("bigint").alias("rk")))
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+    WITH inc AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id,
+               unnest({_SQL_WORDS.format(e='lower(text)')}) AS w
+        FROM documents)
+      WHERE length(w) >= 4
+    ), df AS (
+      SELECT w, count(*) AS df FROM inc GROUP BY w
+      HAVING count(*) >= 50
+    ), finc AS (
+      SELECT i.doc_id, i.w, d.df FROM inc i JOIN df d ON d.w = i.w
+    ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    co AS (
+      SELECT a.w AS w1, b.w AS w2, a.df AS df1, b.df AS df2,
+             count(*) AS c12
+      FROM finc a JOIN finc b
+        ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY w1, w2, df1, df2
+      HAVING count(*) >= 20
+    )
+    SELECT w1, w2, c12,
+           round(ln(c12 * 1.0 * n_docs / (df1 * df2)), 6) AS pmi,
+           row_number() OVER (
+             ORDER BY round(ln(c12 * 1.0 * n_docs / (df1 * df2)), 6)
+                      DESC, w1, w2) AS rk
+    FROM co CROSS JOIN n
+    QUALIFY rk <= 20
+    """,
+)
+def pmi_collocations(spark, sf_dir):
+    """Collocation mining by document-level pointwise mutual
+    information: PMI(x,y) = ln(P(x,y)/(P(x)P(y))) over doc-incidence
+    counts for terms with df >= 50 and length >= 4 (the synthetic
+    vocabulary is small and saturated, so the support floor replaces
+    the usual mid-frequency band), co-occurrence count >= 20; top-20
+    collocations.
+
+    100 TB plan: the co-occurrence self-join is per-document over
+    the df-BANDED vocabulary (the band bounds per-doc fan-out), the
+    df table is a broadcast, and ranking on the ROUNDED score keeps
+    the frontier identical across engines."""
+    from pyspark.sql import Window as W
+
+    d = spread(t(spark, sf_dir, "documents"))
+    inc = (d.where(F.trim(F.col("text")) != "")
+           .select("doc_id",
+                   F.explode(X.words(F.lower(F.col("text")))).alias("w"))
+           .where(F.length("w") >= 4)
+           .distinct())
+    df = (inc.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+          .where(F.col("df") >= 50))
+    finc = inc.join(F.broadcast(df), "w")
+    n_docs = t(spark, sf_dir, "documents").count()
+    a = finc.select("doc_id", F.col("w").alias("w1"),
+                    F.col("df").alias("df1"))
+    b = finc.select("doc_id", F.col("w").alias("w2"),
+                    F.col("df").alias("df2"))
+    co = (a.join(b, "doc_id").where(F.col("w1") < F.col("w2"))
+          .groupBy("w1", "w2", "df1", "df2")
+          .agg(F.count(F.lit(1)).alias("c12"))
+          .where(F.col("c12") >= 20))
+    pmi = F.round(F.log(F.col("c12") * float(n_docs)
+                        / (F.col("df1") * F.col("df2"))), 6)
+    return (co.select("w1", "w2", "c12", pmi.alias("pmi"))
+            .orderBy(F.desc("pmi"), "w1", "w2").limit(20)
+            .select("w1", "w2", "c12", "pmi",
+                    F.row_number().over(
+                        W.orderBy(F.desc("pmi"), "w1", "w2"))
+                    .cast("bigint").alias("rk")))

@@ -1577,3 +1577,71 @@ def holt_linear_forecast(spark, sf_dir):
     return spark.createDataFrame(
         rows, "horizon int, yhat double, level double, trend double"
     ).orderBy("horizon")
+
+
+# --- 1-D Wasserstein distance ------------------------------------------------
+
+
+@query(
+    "wasserstein_distance_1d",
+    oracle="""
+    WITH a AS (SELECT value FROM events WHERE event_type = 'click'),
+    b AS (SELECT value FROM events WHERE event_type = 'view'),
+    na AS (SELECT count(*) AS n FROM a),
+    nb AS (SELECT count(*) AS n FROM b),
+    merged AS (
+      SELECT value, sum(ca) AS ca, sum(cb) AS cb FROM (
+        SELECT value, count(*) AS ca, 0 AS cb FROM a GROUP BY value
+        UNION ALL
+        SELECT value, 0, count(*) FROM b GROUP BY value)
+      GROUP BY value
+    ), cdf AS (
+      SELECT value,
+             sum(ca) OVER (ORDER BY value) * 1.0 / (SELECT n FROM na)
+               AS fa,
+             sum(cb) OVER (ORDER BY value) * 1.0 / (SELECT n FROM nb)
+               AS fb,
+             lead(value) OVER (ORDER BY value) AS nxt
+      FROM merged)
+    SELECT (SELECT n FROM na) AS n_a, (SELECT n FROM nb) AS n_b,
+           round(sum(abs(fa - fb) * (nxt - value)), 6) AS w1,
+           round(max(abs(fa - fb)), 6) AS ks
+    FROM cdf WHERE nxt IS NOT NULL
+    """,
+)
+def wasserstein_distance_1d(spark, sf_dir):
+    """Exact 1-D Wasserstein (earth-mover) distance between the
+    click and view value distributions — the integral of |CDF_a -
+    CDF_b| over the merged support, the distribution-shift metric
+    that (unlike KS, also reported) weighs HOW FAR mass moved, not
+    just the largest gap.  The standard drift gate between a
+    training snapshot and fresh data.
+
+    100 TB plan: one groupBy(value) collapses both sides to the
+    distinct-value support; the CDFs and the trapezoid sum are one
+    ordered window over that support (bounded by value cardinality,
+    not row count); totals are 1-row broadcasts."""
+    ev = t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("value")
+    b = ev.where(F.col("event_type") == "view").select("value")
+    n_a, n_b = a.count(), b.count()
+    merged = (a.groupBy("value").agg(F.count(F.lit(1)).alias("ca"),
+                                     F.lit(0).alias("cb"))
+              .unionByName(
+                  b.groupBy("value").agg(F.lit(0).alias("ca"),
+                                         F.count(F.lit(1)).alias("cb")))
+              .groupBy("value").agg(F.sum("ca").alias("ca"),
+                                    F.sum("cb").alias("cb")))
+    wc = W.orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+    cdf = merged.select(
+        "value",
+        (F.sum("ca").over(wc) * 1.0 / n_a).alias("fa"),
+        (F.sum("cb").over(wc) * 1.0 / n_b).alias("fb"),
+        F.lead("value").over(W.orderBy("value")).alias("nxt"))
+    gap = F.abs(F.col("fa") - F.col("fb"))
+    return (cdf.where(F.col("nxt").isNotNull())
+            .agg(F.lit(n_a).cast("bigint").alias("n_a"),
+                 F.lit(n_b).cast("bigint").alias("n_b"),
+                 F.round(F.sum(gap * (F.col("nxt") - F.col("value"))), 6)
+                 .alias("w1"),
+                 F.round(F.max(gap), 6).alias("ks")))
