@@ -393,3 +393,35 @@ class TestEngineOverObjectStore:
             finally:
                 os.environ.pop("SIDECAR_S3_ENDPOINT", None)
                 shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestContainmentPairs:
+    def test_subset_doc_has_containment_one(self, spark):
+        """A document fully embedded in a longer one must surface with
+        containment 1.0 even though its Jaccard is diluted below any
+        symmetric threshold."""
+        from sidecar_spark.functions.dedup import containment_pairs
+
+        small = "alpha beta gamma delta epsilon"
+        big = small + " " + " ".join(f"filler{i} word{i} tok{i}"
+                                     for i in range(30))
+        other = "totally unrelated content about nothing shared here"
+        df = spark.createDataFrame(
+            [(1, small), (2, big), (3, other)], "doc_id long, text string")
+        rows = {(r["doc_a"], r["doc_b"]): r
+                for r in containment_pairs(df, threshold=0.7).collect()}
+        assert (1, 2) in rows
+        r = rows[(1, 2)]
+        assert r["contain_a_in_b"] == 1.0       # small fully inside big
+        assert r["jaccard"] < 0.7               # symmetric metric misses it
+        assert len(rows) == 1                   # no pair with doc 3
+
+    def test_identical_docs_both_directions_one(self, spark):
+        from sidecar_spark.functions.dedup import containment_pairs
+
+        txt = "one two three four five six seven eight"
+        df = spark.createDataFrame(
+            [(1, txt), (2, txt)], "doc_id long, text string")
+        [r] = containment_pairs(df, threshold=0.7).collect()
+        assert r["contain_a_in_b"] == r["contain_b_in_a"] == 1.0
+        assert r["jaccard"] == 1.0
