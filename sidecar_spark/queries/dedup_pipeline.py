@@ -536,8 +536,13 @@ def dedup_simhash_hamming(spark, sf_dir):
     width tunes the candidate volume exactly like MinHash-LSH band
     count."""
     d = spread(t(spark, sf_dir, "documents"))
+    # persist the signature projection: the 32-bit simhash expression
+    # (tokenize + 32 bit-vote aggregates per row) is the dominant cost
+    # and feeds BOTH sides of the band self-join — materialize it once
+    # (16 bytes/doc; at 100 TB this is the ~100×-smaller signature
+    # table you'd checkpoint before any LSH self-join).
     sigs = d.select(
-        "doc_id", D.simhash(F.col("text"), bits=32).alias("sh"))
+        "doc_id", D.simhash(F.col("text"), bits=32).alias("sh")).persist()
     banded = sigs.select(
         "doc_id", "sh",
         F.posexplode(F.array(*[
