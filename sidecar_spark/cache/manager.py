@@ -495,6 +495,17 @@ class CacheManager:
         fs, src = self._resolve(src_uri)
         _, dst = self._resolve(dst_uri)
         meta = self.meta.get(src)
+        # capture the overwritten destination's cache identity BEFORE the
+        # move: POSIX rename preserves the source inode's mtime, so the
+        # new (dst, mtime) page key can collide with the old dst file's
+        # (two creates in the same mtime-ms tick) and stale dst pages
+        # would be served — purge them explicitly, like delete does
+        dst_meta = self.meta.get(dst)
+        if dst_meta is None and src != dst:
+            dst_st = fs.stat(dst)
+            if dst_st is not None and not dst_st.is_dir:
+                dst_meta = FileMeta(dst_st.mtime, dst_st.length,
+                                    dst_st.is_dir)
         ok = fs.rename(src, dst)
         if not ok:
             return False
@@ -505,7 +516,15 @@ class CacheManager:
             self.meta.put_stat(st)
         if meta is not None:
             self._invalidate_async(src, meta)
+        if dst_meta is not None and src != dst:
+            self._invalidate_async(dst, dst_meta)
         if self.write_cache is not None:
+            if src != dst:
+                # drop the old dst mirror first: write_cache.rename
+                # would otherwise leave it (src unmirrored) or leak its
+                # file-list accounting (shutil.move overwrites the file
+                # but not the dst list entry)
+                self.write_cache.delete_file(dst)
             self.write_cache.rename(src, dst)
         return True
 

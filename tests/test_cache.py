@@ -381,6 +381,42 @@ class TestCacheManager:
         assert mgr.meta.get(path) is not None
         mgr.close(save=False)
 
+    def test_rename_onto_existing_purges_dst_cache(self, cache_dir,
+                                                   remote_dir):
+        """Rename onto an EXISTING destination must purge the old
+        destination's cache identity (hypothesis-found via the
+        mutation-verb model): POSIX rename preserves the source
+        inode's mtime, so when src and old-dst were created within the
+        same mtime-ms tick the (dst, mtime) page key does not change
+        across the rename and stale dst pages / the stale dst
+        write-cache mirror would serve the overwritten content."""
+        import time as _time
+
+        mgr = CacheManager(self._conf(cache_dir))
+        a = os.path.join(remote_dir, "ren_src")
+        b = os.path.join(remote_dir, "ren_dst")
+        pa = bytes((3 + i) % 251 for i in range(3 * PAGE))
+        pb = bytes((4 + i) % 251 for i in range(3 * PAGE))
+        for path, payload in ((a, pa), (b, pb)):
+            out = mgr.create(path)
+            out.write(payload)
+            out.close()
+        mgr.drain()
+        # force the mtime collision that same-ms creates produce
+        now = _time.time()
+        os.utime(a, (now, now))
+        os.utime(b, (now, now))
+        # prime the dst's page cache under the collided mtime
+        s = mgr.open(b)
+        assert s.read_at(0, 3 * PAGE) == pb
+        assert mgr.rename(a, b)
+        mgr.drain()
+        # all tiers (pages, mirror, write cache) must now serve src's
+        # bytes — a stale-tier hit returns pb here
+        s2 = mgr.open(b)
+        assert s2.read_at(0, 3 * PAGE) == pa
+        mgr.close(save=False)
+
     def test_hint_detector_spi(self, cache_dir, remote_dir):
         """Caching-hint SPI (CachingHintDetector port): a hint denying
         'read' stops page admission; denying 'write' stops mirroring.
