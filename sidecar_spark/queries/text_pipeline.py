@@ -2933,3 +2933,266 @@ def pmi_collocations(spark, sf_dir):
                     F.row_number().over(
                         W.orderBy(F.desc("pmi"), "w1", "w2"))
                     .cast("bigint").alias("rk")))
+
+
+@query(
+    "text_kneser_ney_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+    bgs AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(2, len(ws) + 1),
+                    i -> ws[i-1] || chr(31) || ws[i])) AS bg
+      FROM toks),
+    bfreq AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY bg),
+    ctxagg AS (
+      SELECT split_part(bg, chr(31), 1) AS ctx,
+             CAST(sum(c2) AS BIGINT) AS c_ctx,
+             count(*) AS n_follow
+      FROM bfreq GROUP BY ctx),
+    contagg AS (
+      SELECT split_part(bg, chr(31), 2) AS cur, count(*) AS n_prec
+      FROM bfreq GROUP BY cur),
+    types AS (SELECT count(*) AS n_types FROM bfreq),
+    doc_lp AS (
+      SELECT b.doc_id, b.lang,
+             sum(ln((f2.c2 - 0.75) / cx.c_ctx
+                    + 0.75 * cx.n_follow / cx.c_ctx
+                      * cn.n_prec / (SELECT n_types FROM types)))
+               AS logprob,
+             count(*) AS n_bg
+      FROM bgs b
+      JOIN bfreq f2 ON f2.bg = b.bg
+      JOIN ctxagg cx ON cx.ctx = split_part(b.bg, chr(31), 1)
+      JOIN contagg cn ON cn.cur = split_part(b.bg, chr(31), 2)
+      GROUP BY b.doc_id, b.lang)
+    SELECT lang, count(*) AS n_docs,
+           round(avg(logprob / n_bg), 6) AS avg_kn_lp,
+           round(min(logprob / n_bg), 6) AS min_kn_lp,
+           round(max(logprob / n_bg), 6) AS max_kn_lp
+    FROM doc_lp GROUP BY lang ORDER BY lang
+    """,
+)
+def text_kneser_ney_logprob(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (D=0.75) — the standard
+    smoothing for n-gram LM quality filters, one notch above the
+    plain interpolated model in ``text_bigram_logprob``.  The KN twist
+    is the CONTINUATION distribution: p_cont(w) = N1+(.w)/N1+(..)
+    (distinct-context counts), so low-frequency-but-promiscuous words
+    score higher than burstily repeated ones:
+
+        p(w|ctx) = (c(ctx,w)-D)/c(ctx) + D*N1+(ctx.)/c(ctx) * p_cont(w)
+
+    (observed bigrams only, so the discounted term stays positive).
+
+    100 TB plan: every model table (bigram counts, per-context
+    totals + fan-out, per-word continuation counts) derives from ONE
+    bigram aggregate — three shuffles over bigram-vocab-sized data,
+    none over the corpus; the scoring pass joins the exploded corpus
+    against those tables (bigram-vocab side too big to broadcast, so
+    the AQE sort-merge/shuffle-hash choice is the right cluster
+    plan), and the 1-row type count broadcasts."""
+    sep = "\x1f"
+    d = spread(t(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("ws"))
+    bg_list = F.transform(
+        F.sequence(F.lit(2), F.size("ws")),
+        lambda i: F.concat(F.element_at("ws", i - 1), F.lit(sep),
+                           F.element_at("ws", i)))
+    bgs = (toks.where(F.size("ws") >= 2)
+           .select("doc_id", "lang", F.explode(bg_list).alias("bg")))
+    bfreq = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    ctx_of = F.split_part(F.col("bg"), F.lit(sep), F.lit(1))
+    cur_of = F.split_part(F.col("bg"), F.lit(sep), F.lit(2))
+    ctxagg = (bfreq.groupBy(ctx_of.alias("ctx"))
+              .agg(F.sum("c2").alias("c_ctx"),
+                   F.count(F.lit(1)).alias("n_follow")))
+    contagg = (bfreq.groupBy(cur_of.alias("cur"))
+               .agg(F.count(F.lit(1)).alias("n_prec")))
+    types = bfreq.agg(F.count(F.lit(1)).alias("n_types"))
+    p_kn = ((F.col("c2") - 0.75) / F.col("c_ctx")
+            + 0.75 * F.col("n_follow") / F.col("c_ctx")
+            * F.col("n_prec") / F.col("n_types"))
+    doc_lp = (
+        bgs.join(bfreq, "bg")
+        .join(ctxagg, ctx_of == F.col("ctx"))
+        .join(contagg, cur_of == F.col("cur"))
+        .join(F.broadcast(types))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.log(p_kn)).alias("logprob"),
+             F.count(F.lit(1)).alias("n_bg")))
+    per_bg = F.col("logprob") / F.col("n_bg")
+    return (
+        doc_lp.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg(per_bg), 6).alias("avg_kn_lp"),
+             F.round(F.min(per_bg), 6).alias("min_kn_lp"),
+             F.round(F.max(per_bg), 6).alias("max_kn_lp"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "calibration_reliability_audit",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN length(text) >= 400 THEN 1 ELSE 0 END AS y,
+             1.0 / (1.0 + exp(-((len(string_split_regex(trim(text), '\\s+'))
+                                 - 70.0) / 25.0))) AS p
+      FROM documents WHERE trim(text) <> '')
+    SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin_id,
+           count(*) AS n,
+           round(avg(p), 6) AS avg_pred,
+           round(avg(y), 6) AS frac_pos,
+           round(avg((p - y) * (p - y)), 6) AS bin_brier,
+           round(abs(avg(p) - avg(y)), 6) AS bin_gap
+    FROM scored GROUP BY bin_id ORDER BY bin_id
+    """,
+)
+def calibration_reliability_audit(spark, sf_dir):
+    """Calibration / reliability-diagram audit — the eval-side staple
+    for any learned filter (quality classifiers, toxicity gates,
+    dedup scorers): bucket a probability into 10 equal-width bins and
+    compare predicted confidence against empirical frequency, with
+    the per-bin Brier term and |avg_pred - frac_pos| gap (the ECE
+    summand).  The "model" is a deterministic logistic of token
+    count predicting the long-document label (length >= 400 chars),
+    so both engines score identical (p, y) pairs.
+
+    100 TB plan: one map pass computes (p, y) per row, one 10-group
+    aggregate folds the corpus — map-side partial aggregation makes
+    this scan-bound at any scale."""
+    d = spread(t(spark, sf_dir, "documents"))
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    scored = (d.where(F.trim(F.col("text")) != "")
+              .select(
+                  F.when(F.length("text") >= 400, 1).otherwise(0)
+                  .alias("y"),
+                  (F.lit(1.0) /
+                   (F.lit(1.0) + F.exp(-((n_tok - F.lit(70.0))
+                                         / F.lit(25.0))))).alias("p")))
+    bin_id = F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("bigint")
+    return (
+        scored.groupBy(bin_id.alias("bin_id"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("p"), 6).alias("avg_pred"),
+             F.round(F.avg("y"), 6).alias("frac_pos"),
+             F.round(F.avg((F.col("p") - F.col("y"))
+                           * (F.col("p") - F.col("y"))), 6)
+             .alias("bin_brier"),
+             F.round(F.abs(F.avg("p") - F.avg("y")), 6).alias("bin_gap"))
+        .orderBy("bin_id")
+    )
+
+
+@query(
+    "eval_rouge_ngram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws
+      FROM documents WHERE trim(text) <> ''),
+    pairs AS (
+      SELECT c.doc_id AS cand_id, r.doc_id AS ref_id, c.lang
+      FROM toks c JOIN toks r
+        ON r.doc_id = c.doc_id + 1 AND r.lang = c.lang),
+    grams AS (
+      SELECT doc_id, g, n, count(*) AS c FROM (
+        SELECT doc_id, unnest(ws) AS g, 1 AS n FROM toks
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(range(2, len(ws) + 1),
+                      i -> ws[i-1] || chr(31) || ws[i])) AS g, 2 AS n
+        FROM toks)
+      GROUP BY doc_id, g, n),
+    overlap AS (
+      SELECT p.cand_id, p.lang, gc.n,
+             CAST(sum(least(gc.c, gr.c)) AS BIGINT) AS hit,
+             (SELECT CAST(sum(c) AS BIGINT) FROM grams
+              WHERE doc_id = p.cand_id AND n = gc.n) AS cand_total,
+             (SELECT CAST(sum(c) AS BIGINT) FROM grams
+              WHERE doc_id = p.ref_id AND n = gc.n) AS ref_total
+      FROM pairs p
+      JOIN grams gc ON gc.doc_id = p.cand_id
+      JOIN grams gr ON gr.doc_id = p.ref_id
+                   AND gr.g = gc.g AND gr.n = gc.n
+      GROUP BY p.cand_id, p.ref_id, p.lang, gc.n),
+    f1s AS (
+      SELECT cand_id, lang, n,
+             2.0 * (hit * 1.0 / cand_total) * (hit * 1.0 / ref_total)
+               / ((hit * 1.0 / cand_total) + (hit * 1.0 / ref_total))
+               AS f1
+      FROM overlap WHERE hit > 0)
+    SELECT lang, n AS gram_n, count(*) AS n_pairs,
+           round(avg(f1), 6) AS avg_f1,
+           round(max(f1), 6) AS max_f1
+    FROM f1s GROUP BY lang, gram_n ORDER BY lang, gram_n
+    """,
+)
+def eval_rouge_ngram(spark, sf_dir):
+    """ROUGE-1/ROUGE-2 F1 scoring over candidate/reference pairs —
+    the n-gram-overlap eval used for summarization/generation QA on
+    training pipelines.  Clipped bag overlap: hit = sum over shared
+    grams of min(count_cand, count_ref); F1 from bag precision
+    (hit/|cand|) and recall (hit/|ref|).  Pairing is deterministic
+    (each doc scored against doc_id+1 in the same language) so both
+    engines grade identical pairs; pairs with zero overlap drop (F1
+    undefined at 0/0 — the WHERE hit > 0 contract is explicit on
+    both sides).
+
+    100 TB plan: per-doc n-gram bags are one explode + aggregate
+    (corpus-linear); the overlap join is per (pair, gram) — an
+    equi-join on doc-adjacent pairs, never all-pairs; per-doc totals
+    re-join from the same bag table rather than rescanning text."""
+    sep = "\x1f"
+    d = spread(t(spark, sf_dir, "documents"))
+    toks = (d.where(F.trim(F.col("text")) != "")
+            .select("doc_id", "lang", F.split("text", " ").alias("ws")))
+    bg_list = F.transform(
+        F.sequence(F.lit(2), F.size("ws")),
+        lambda i: F.concat(F.element_at("ws", i - 1), F.lit(sep),
+                           F.element_at("ws", i)))
+    grams = (
+        toks.select("doc_id", F.explode("ws").alias("g"),
+                    F.lit(1).alias("n"))
+        .unionAll(
+            toks.where(F.size("ws") >= 2)
+            .select("doc_id", F.explode(bg_list).alias("g"),
+                    F.lit(2).alias("n")))
+        .groupBy("doc_id", "g", "n")
+        .agg(F.count(F.lit(1)).alias("c")))
+    totals = grams.groupBy("doc_id", "n").agg(F.sum("c").alias("total"))
+    pairs = (toks.alias("c").join(
+        toks.alias("r"),
+        (F.col("r.doc_id") == F.col("c.doc_id") + 1)
+        & (F.col("r.lang") == F.col("c.lang")))
+        .select(F.col("c.doc_id").alias("cand_id"),
+                F.col("r.doc_id").alias("ref_id"), F.col("c.lang")))
+    gc = grams.select(F.col("doc_id").alias("cand_id"),
+                      "g", "n", F.col("c").alias("cc"))
+    gr = grams.select(F.col("doc_id").alias("ref_id"),
+                      "g", "n", F.col("c").alias("cr"))
+    overlap = (pairs.join(gc, "cand_id")
+               .join(gr, ["ref_id", "g", "n"])
+               .groupBy("cand_id", "ref_id", "lang", "n")
+               .agg(F.sum(F.least("cc", "cr")).alias("hit")))
+    withtot = (overlap
+               .join(totals.select(F.col("doc_id").alias("cand_id"),
+                                   "n", F.col("total").alias("cand_total")),
+                     ["cand_id", "n"])
+               .join(totals.select(F.col("doc_id").alias("ref_id"),
+                                   "n", F.col("total").alias("ref_total")),
+                     ["ref_id", "n"])
+               .where(F.col("hit") > 0))
+    prec = F.col("hit") / F.col("cand_total")
+    rec = F.col("hit") / F.col("ref_total")
+    f1 = 2.0 * prec * rec / (prec + rec)
+    return (
+        withtot.select("lang", F.col("n").alias("gram_n"),
+                       f1.alias("f1"))
+        .groupBy("lang", "gram_n")
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.round(F.avg("f1"), 6).alias("avg_f1"),
+             F.round(F.max("f1"), 6).alias("max_f1"))
+        .orderBy("lang", "gram_n")
+    )
