@@ -2029,15 +2029,15 @@ def text_ngram_novelty(spark, sf_dir):
     the fraction of a document's distinct word 3-grams whose FIRST
     corpus occurrence is that document — the diminishing-returns
     signal crawls monitor to decide when a source is mined out.
-    Two aggregations over one gram explode — per-gram min(doc_id)
-    and per-doc totals, both map-side combined — then a |docs|-sized
-    join of the two per-doc frames.  The novel count comes straight
-    from the first_seen aggregate (its first_doc column), so no
-    gram-keyed join of corpus-scale frames ever happens (the naive
-    grams⋈first_seen formulation cost 21 s at sf0.1; this shape is
-    ~2 s and stays linear at 100 TB).  The scan is spread: a
-    single-file corpus otherwise runs the whole explode on one
-    core."""
+    One gram explode feeds per-gram min(doc_id); per-doc gram totals
+    never explode at all (size(array_distinct(...)) is a map-side
+    column), and both sides roll up to bucket granularity BEFORE the
+    join, so the only join is |buckets|×|buckets| — no doc-keyed
+    shuffle, no per-doc frame ever materializes (the naive
+    grams⋈first_seen formulation cost 21 s at sf0.1; this shape
+    stays linear at 100 TB with exactly one corpus-scale shuffle,
+    the groupBy-gram).  The scan is spread: a single-file corpus
+    otherwise runs the whole explode on one core."""
     d = spread(t(spark, sf_dir, "documents"))
     ws = F.when(F.trim(F.lower("text")) == "",
                 F.array().cast("array<string>")) \
@@ -2049,25 +2049,24 @@ def text_ngram_novelty(spark, sf_dir):
                         " ", F.element_at(ws, i),
                         F.element_at(ws, i + 1),
                         F.element_at(ws, i + 2))))
-    grams = d.select("doc_id",
-                     F.explode(F.array_distinct(grams3)).alias("g"))
-    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    totals = grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams"))
-    novel = first_seen.groupBy(F.col("first_doc").alias("doc_id")).agg(
-        F.count(F.lit(1)).alias("nn"))
-    per_doc = (
-        totals.join(novel, "doc_id", "left")
-        .select("doc_id", "n_grams",
-                F.coalesce("nn", F.lit(0)).cast("bigint")
-                .alias("n_novel")))
-    return (per_doc
-            .groupBy(F.floor(F.col("doc_id") / 1000).cast("bigint")
-                     .alias("doc_bucket"))
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_grams").cast("bigint").alias("total_grams"),
-                 F.round(F.sum("n_novel") / F.sum("n_grams"), 6)
-                 .alias("novelty_rate"))
+    bucket = F.floor(F.col("doc_id") / 1000).cast("bigint") \
+        .alias("doc_bucket")
+    totals_b = (d.select("doc_id",
+                         F.size(F.array_distinct(grams3)).alias("ng"))
+                .groupBy(bucket)
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("ng").cast("bigint").alias("total_grams")))
+    novel_b = (d.select("doc_id",
+                        F.explode(F.array_distinct(grams3)).alias("g"))
+               .groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+               .groupBy(F.floor(F.col("first_doc") / 1000).cast("bigint")
+                        .alias("doc_bucket"))
+               .agg(F.count(F.lit(1)).alias("n_novel")))
+    return (totals_b.join(novel_b, "doc_bucket", "left")
+            .select("doc_bucket", "n_docs", "total_grams",
+                    F.round(F.coalesce("n_novel", F.lit(0))
+                            / F.col("total_grams"), 6)
+                    .alias("novelty_rate"))
             .orderBy("doc_bucket"))
 
 
