@@ -768,22 +768,32 @@ def leakage_safe_split(spark, sf_dir):
                          F.lit(":grp"))) % 100 < 80).alias("grouped_train"),
     ).localCheckpoint(eager=True)
 
-    def audit(flag: str):
-        x = assigned.select(F.col("doc_id").alias("doc_a"),
-                            F.col(flag).alias("fa"))
-        y = assigned.select(F.col("doc_id").alias("doc_b"),
-                            F.col(flag).alias("fb"))
-        leaked = (pairs.join(x, "doc_a").join(y, "doc_b")
-                  .where(F.col("fa") != F.col("fb")).count())
-        sizes = assigned.agg(
-            F.sum(F.when(F.col(flag), 1).otherwise(0)).cast("bigint")
-            .alias("n_train"),
-            F.sum(F.when(F.col(flag), 0).otherwise(1)).cast("bigint")
-            .alias("n_test")).first()
-        return (sizes["n_train"], sizes["n_test"], leaked)
+    # one join pass and two actions audit BOTH schemes: the pair
+    # table is decorated with each endpoint's two flags once, then a
+    # single aggregate counts cross-split pairs per scheme
+    x = assigned.select(F.col("doc_id").alias("doc_a"),
+                        F.col("naive_train").alias("na"),
+                        F.col("grouped_train").alias("ga"))
+    y = assigned.select(F.col("doc_id").alias("doc_b"),
+                        F.col("naive_train").alias("nb"),
+                        F.col("grouped_train").alias("gb"))
+    leak = (pairs.join(x, "doc_a").join(y, "doc_b")
+            .agg(F.coalesce(F.sum((F.col("na") != F.col("nb"))
+                                  .cast("bigint")), F.lit(0))
+                 .alias("naive_leak"),
+                 F.coalesce(F.sum((F.col("ga") != F.col("gb"))
+                                  .cast("bigint")), F.lit(0))
+                 .alias("grouped_leak")).first())
+    sizes = assigned.agg(
+        *[F.sum(F.when(F.col(flag), tr).otherwise(1 - tr)).cast("bigint")
+          .alias(f"{flag}_{'train' if tr else 'test'}")
+          for flag in ("naive_train", "grouped_train") for tr in (1, 0)]
+    ).first()
 
-    rows = [("grouped", *audit("grouped_train")),
-            ("naive", *audit("naive_train"))]
+    rows = [("grouped", sizes["grouped_train_train"],
+             sizes["grouped_train_test"], leak["grouped_leak"]),
+            ("naive", sizes["naive_train_train"],
+             sizes["naive_train_test"], leak["naive_leak"])]
     return spark.createDataFrame(
         rows, "scheme string, n_train bigint, n_test bigint,"
               " n_leaked_pairs bigint").orderBy("scheme")
