@@ -292,7 +292,8 @@ def statestore_reader(spark, sf_dir):
     (``SidecarCachingFileSystem.java:931-968``) re-expressed for
     Spark's state store; at scale it reads state files directly,
     partition-parallel, without touching the running query."""
-    from sidecar_spark.streaming.ops import events_stream, scratch_dir
+    from sidecar_spark.streaming.ops import (await_bounded,
+        events_stream, scratch_dir)
 
     ckpt = scratch_dir("sidecar-ssr-ckpt-")
     try:
@@ -311,7 +312,7 @@ def statestore_reader(spark, sf_dir):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination()
+            await_bounded(q)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         state = spark.read.format("statestore").load(ckpt)
@@ -1956,7 +1957,8 @@ def state_metadata_reader(spark, sf_dir):
     the row reader sees.  At scale this is how you inventory a
     production checkpoint (which operators, how many stores, batch
     span) before surgery."""
-    from sidecar_spark.streaming.ops import events_stream, scratch_dir
+    from sidecar_spark.streaming.ops import (await_bounded,
+        events_stream, scratch_dir)
 
     ckpt = scratch_dir("sidecar-smr-ckpt-")
     try:
@@ -1970,7 +1972,7 @@ def state_metadata_reader(spark, sf_dir):
                  .outputMode("complete")
                  .option("checkpointLocation", ckpt)
                  .trigger(availableNow=True).start())
-            q.awaitTermination()
+            await_bounded(q)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         md = (spark.read.format("state-metadata").load(ckpt)
@@ -2005,7 +2007,8 @@ def statestore_change_feed(spark, sf_dir):
     carrying the final count — which is precisely what the oracle
     states.  At scale this reader is the basis for state audits and
     cross-checkpoint diffing without replaying the stream."""
-    from sidecar_spark.streaming.ops import events_stream, scratch_dir
+    from sidecar_spark.streaming.ops import (await_bounded,
+        events_stream, scratch_dir)
 
     ckpt = scratch_dir("sidecar-scf-ckpt-")
     try:
@@ -2019,7 +2022,7 @@ def statestore_change_feed(spark, sf_dir):
                  .outputMode("complete")
                  .option("checkpointLocation", ckpt)
                  .trigger(availableNow=True).start())
-            q.awaitTermination()
+            await_bounded(q)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         cf = (spark.read.format("statestore")

@@ -621,7 +621,7 @@ def stream_cdc_apply(spark, sf_dir):
     import shutil
 
     from sidecar_spark.streaming import events_stream
-    from sidecar_spark.streaming.ops import scratch_dir
+    from sidecar_spark.streaming.ops import await_bounded, scratch_dir
 
     work = scratch_dir("sidecar-cdc-")
     state_dir, ckpt = f"{work}/state", f"{work}/ckpt"
@@ -657,7 +657,7 @@ def stream_cdc_apply(spark, sf_dir):
              .outputMode("append")
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        q.awaitTermination()
+        await_bounded(q)
         out = (spark.read.parquet(state_dir)
                .where(F.col("op") != "D")
                .select("k", "value").orderBy("k"))

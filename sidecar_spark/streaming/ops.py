@@ -47,6 +47,36 @@ def scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
+#: Default upper bound for any bounded-backlog streaming run.  Every
+#: availableNow query in the battery finishes in seconds; a run that is
+#: still alive after this long is wedged (e.g. a py4j callback-server
+#: failure can leave a foreachBatch query permanently stuck), and an
+#: unbounded ``awaitTermination()`` would then hang the whole battery.
+STREAM_TIMEOUT_SEC = float(os.environ.get("SIDECAR_STREAM_TIMEOUT", "120"))
+
+
+def await_bounded(q, timeout_sec: float | None = None) -> None:
+    """``q.awaitTermination`` with a hard upper bound.
+
+    On timeout the query is stopped (itself bounded — ``stop()`` can
+    block on the same wedged callback) and a ``TimeoutError`` is
+    raised, so one stuck streaming query fails loudly instead of
+    freezing every query after it.  A query that terminated with an
+    error still raises its ``StreamingQueryException`` as usual."""
+    timeout = STREAM_TIMEOUT_SEC if timeout_sec is None else timeout_sec
+    finished = q.awaitTermination(timeout)
+    if finished:
+        return
+    import threading
+    stopper = threading.Thread(target=q.stop, daemon=True)
+    stopper.start()
+    stopper.join(15)
+    raise TimeoutError(
+        f"streaming query {q.name or q.id} did not terminate within "
+        f"{timeout}s; stopped (stop() "
+        f"{'completed' if not stopper.is_alive() else 'still pending'})")
+
+
 def table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """``readStream`` over any testdata table (the file stream source
     requires a DIRECTORY; expose the single table file through a
@@ -114,7 +144,7 @@ def run_to_memory_sink(stream_df: DataFrame, name: str,
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        await_bounded(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         # the memory sink owns the rows once the query terminates; the
@@ -339,7 +369,7 @@ def run_foreach_batch_parquet(stream_df: DataFrame, name: str,
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        await_bounded(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.option("basePath", out_dir).parquet(out_dir)
@@ -406,7 +436,7 @@ def run_append_two_pass(spark: SparkSession, build, name: str,
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination()
+            await_bounded(q)
         result = spark.read.parquet(out)
         # materialize before the tmp dirs are reclaimed
         return result.localCheckpoint(eager=True)
