@@ -47,7 +47,30 @@ class FileMirror:
     ``md5(path + '/' + mtime)`` — the file-granular tier backing
     ``resolve_for_spark``. Same self-invalidation property as page
     keys: a changed mtime yields a new key, stale copies age out via
-    LRC eviction."""
+    LRC eviction.
+
+    Multi-node design note: the reference's caches are JVM singletons
+    *per node* (``SidecarCachingFileSystem.java:96-119`` — every
+    worker that loads the class gets its own local tiers over the same
+    remote). The mirror reproduces that shape: one ``FileMirror``
+    per (cache_dir, process), no cross-instance state, and cache keys
+    derived purely from (remote path, remote mtime). Two managers on
+    two machines (or two cache roots in one process — see
+    ``tests/test_cache.py`` two-node test) therefore stay coherent by
+    construction: each materializes its own copy, and a remote
+    mutation flips the mtime so every node's stale copy simply stops
+    matching. On a real cluster the executor-side deployment is the
+    same class pointed at node-local NVMe (one cache root per host),
+    with ``resolve_for_spark`` run per-executor via a partition-local
+    resolve; no coordination protocol is required because keys are
+    content-addressed and the remote is the single source of truth.
+
+    Concurrency: cold fetches run OUTSIDE the instance lock with a
+    per-key in-flight guard, so N distinct cold files materialize in
+    parallel (the reference does invalidation/upload on an 8-thread
+    pool, ``SidecarCachingFileSystem.java:617-627``) while duplicate
+    requests for the SAME file block on one fetch instead of
+    double-copying."""
 
     def __init__(self, root: str, capacity: int, conf: SidecarConfig,
                  stats: Statistics) -> None:
@@ -59,6 +82,7 @@ class FileMirror:
         self.files = LRCQueue()
         self._size = 0
         self._lock = threading.RLock()
+        self._inflight: Dict[str, threading.Event] = {}
         self._rebuild()
 
     def _local(self, path: str, mtime: int) -> str:
@@ -80,12 +104,26 @@ class FileMirror:
         return None
 
     def materialize(self, fs: RemoteFS, st: FileStat) -> str:
-        """Copy the remote file into the mirror (tier-③ fill)."""
+        """Copy the remote file into the mirror (tier-③ fill).
+
+        The byte copy runs outside ``_lock`` — the lock covers only
+        bookkeeping, so concurrent cold fetches of *different* files
+        overlap. A per-key event dedups concurrent fetches of the
+        *same* file: late arrivals wait for the winner, then re-check
+        (and take over the fetch if the winner failed)."""
         lp = self._local(st.path, st.mtime)
-        with self._lock:
-            if self.files.exists(lp) and os.path.exists(lp):
-                return lp
-            tmp = lp + ".tmp"
+        while True:
+            with self._lock:
+                if self.files.exists(lp) and os.path.exists(lp):
+                    return lp
+                ev = self._inflight.get(lp)
+                if ev is None:
+                    ev = threading.Event()
+                    self._inflight[lp] = ev
+                    break  # this thread owns the fetch
+            ev.wait()
+        try:
+            tmp = f"{lp}.tmp-{os.getpid()}-{threading.get_ident()}"
             t0 = time.monotonic_ns()
             with fs.open_read(st.path) as src, open(tmp, "wb") as dst:
                 while True:
@@ -94,13 +132,19 @@ class FileMirror:
                         break
                     dst.write(chunk)
             os.replace(tmp, lp)
-            self.stats.add("total_read_requests_from_remote")
-            self.stats.add("total_bytes_read_remote", st.length)
-            self.stats.add("total_remote_fs_read_time_ns", time.monotonic_ns() - t0)
-            self.files.put(lp, st.length)
-            self._size += st.length
-            self._evict_if_needed()
+            with self._lock:
+                self.stats.add("total_read_requests_from_remote")
+                self.stats.add("total_bytes_read_remote", st.length)
+                self.stats.add("total_remote_fs_read_time_ns",
+                               time.monotonic_ns() - t0)
+                self.files.put(lp, st.length)
+                self._size += st.length
+                self._evict_if_needed()
             return lp
+        finally:
+            with self._lock:
+                self._inflight.pop(lp, None)
+            ev.set()
 
     def invalidate(self, path: str, mtime: int) -> bool:
         lp = self._local(path, mtime)
@@ -589,9 +633,19 @@ class CacheManager:
         but cold → materialize (counted as remote read) and return the
         local path; else → the original path (Spark reads remote
         directly). This is the read path of SURVEY.md §3.1 at file
-        granularity."""
+        granularity.
+
+        Cold files are fetched IN PARALLEL over the manager's pool
+        (the reference's 8-thread pool for async work,
+        ``SidecarCachingFileSystem.java:617-627``): a 1000-file cold
+        table warms at pool-width concurrency instead of one file per
+        loop iteration. A fetch failure self-heals to the remote path
+        (cache trouble must never fail the read — the
+        ``readFromWriteCacheFS`` error contract,
+        ``SidecarCachingInputStream.java:1008-1038``)."""
         fs, path = self._resolve(uri)
-        out: List[str] = []
+        out: List[Optional[str]] = []
+        cold: List[tuple] = []  # (index into out, FileStat)
         for st in self.list_files(path, suffix=""):
             self.stats.add("total_files_opened")
             self.meta.save(st.path, FileMeta(st.mtime, st.length, st.is_dir))
@@ -605,9 +659,29 @@ class CacheManager:
                 self.stats.add("total_bytes_read", st.length)
                 out.append(hit)
             else:
+                out.append(None)
+                cold.append((len(out) - 1, st))
+        if cold:
+            def fetch(st: FileStat) -> str:
                 lp = self.mirror.materialize(fs, st)
                 self.stats.add("total_bytes_read", st.length)
-                out.append(lp)
+                return lp
+
+            if len(cold) == 1:
+                idx, st = cold[0]
+                try:
+                    out[idx] = fetch(st)
+                except Exception:  # noqa: BLE001 - self-heal to remote
+                    out[idx] = st.path
+            else:
+                futs = {self.pool.submit(fetch, st): (idx, st)
+                        for idx, st in cold}
+                for fut in concurrent.futures.as_completed(futs):
+                    idx, st = futs[fut]
+                    try:
+                        out[idx] = fut.result()
+                    except Exception:  # noqa: BLE001 - self-heal to remote
+                        out[idx] = st.path
         return out
 
     # ---- persistence (save/load on shutdown, :779-842,931-968) -------------------

@@ -12,10 +12,12 @@
 import os
 import random
 import threading
+import time
 
 import pytest
 
 from sidecar_spark.cache import CacheManager, CachingInputStream, PageStore, WriteCache
+from sidecar_spark.cache.fs import RemoteFS
 from sidecar_spark.config import (
     DataCacheMode,
     SidecarConfig,
@@ -780,3 +782,157 @@ class TestCacheManager:
         s2 = mgr.open(path)
         assert s2.read_at(0, 4) == b"v2v2"
         mgr.close(save=False)
+
+
+class TestParallelMaterialization:
+    """Round-3 additions: the cold path of ``resolve_for_spark`` fans
+    fetches over the manager pool (reference analog: the 8-thread
+    async pool, SidecarCachingFileSystem.java:617-627), and the mirror
+    is per-node by construction (JVM-singleton-per-node shape,
+    SidecarCachingFileSystem.java:96-119)."""
+
+    DELAY = 0.3
+
+    def _conf(self, cache_dir, **kw):
+        base = dict(cache_dir=cache_dir, data_cache_type="file",
+                    cache_persistent=False)
+        base.update(kw)
+        return SidecarConfig.create(**base)
+
+    class _SlowFS:
+        """Delegating RemoteFS whose reads carry a fixed latency —
+        models a high-RTT object store so fetch overlap is observable."""
+
+        def __init__(self, inner, delay):
+            self._inner = inner
+            self._delay = delay
+            self.opens = []
+            self._olock = threading.Lock()
+
+        def open_read(self, path):
+            time.sleep(self._delay)
+            with self._olock:
+                self.opens.append(path)
+            return self._inner.open_read(path)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    def test_cold_resolve_overlaps_fetches(self, cache_dir, remote_dir):
+        """N-file cold warm must take ~max(fetch), not sum(fetch);
+        tier accounting identical to the serial path."""
+        n = 8
+        sizes = {}
+        for i in range(n):
+            p = os.path.join(remote_dir, f"f{i}.parquet")
+            with open(p, "wb") as f:
+                f.write(b"PAR1" + bytes([i]) * (1000 + i))
+            sizes[p] = os.path.getsize(p)
+        mgr = CacheManager(self._conf(cache_dir))
+        slow = self._SlowFS(RemoteFS.local(), self.DELAY)
+        mgr._fs_cache["file"] = slow
+        t0 = time.monotonic()
+        paths = mgr.resolve_for_spark(remote_dir)
+        wall = time.monotonic() - t0
+        assert len(paths) == n and all(p.startswith(cache_dir) for p in paths)
+        # overlap: serial would be >= n * DELAY
+        assert wall < (n * self.DELAY) * 0.7
+        assert mgr.stats.get("total_read_requests_from_remote") == n
+        assert mgr.stats.get("total_bytes_read_remote") == sum(sizes.values())
+        assert mgr.stats.get("total_bytes_read") == sum(sizes.values())
+        # order preserved: resolve output aligns with sorted listing
+        warm = mgr.resolve_for_spark(remote_dir)
+        assert warm == paths
+        assert mgr.stats.get("total_read_requests_from_remote") == n
+        mgr.close(save=False)
+
+    def test_same_file_concurrent_fetch_dedups(self, cache_dir, remote_dir):
+        """K threads materializing ONE cold file produce exactly one
+        remote fetch; the rest wait on the in-flight guard."""
+        p = os.path.join(remote_dir, "one.parquet")
+        with open(p, "wb") as f:
+            f.write(b"PAR1" + b"z" * 5000)
+        mgr = CacheManager(self._conf(cache_dir))
+        slow = self._SlowFS(RemoteFS.local(), self.DELAY)
+        st = RemoteFS.local().stat(os.path.abspath(p))
+        results = []
+        def go():
+            results.append(mgr.mirror.materialize(slow, st))
+        threads = [threading.Thread(target=go) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(set(results)) == 1
+        assert len(slow.opens) == 1
+        assert mgr.stats.get("total_read_requests_from_remote") == 1
+        mgr.close(save=False)
+
+    def test_fetch_failure_self_heals_to_remote(self, cache_dir, remote_dir):
+        """A cold fetch that dies mid-copy must NOT fail the resolve:
+        the file is served remote-direct (readFromWriteCacheFS error
+        contract, SidecarCachingInputStream.java:1008-1038)."""
+        good = os.path.join(remote_dir, "a.parquet")
+        bad = os.path.join(remote_dir, "b.parquet")
+        for p in (good, bad):
+            with open(p, "wb") as f:
+                f.write(b"PAR1" + b"q" * 800)
+        mgr = CacheManager(self._conf(cache_dir))
+
+        inner = RemoteFS.local()
+        class FailOne:
+            def open_read(self, path):
+                if path.endswith("b.parquet"):
+                    raise OSError("injected remote failure")
+                return inner.open_read(path)
+            def __getattr__(self, name):
+                return getattr(inner, name)
+        mgr._fs_cache["file"] = FailOne()
+        paths = mgr.resolve_for_spark(remote_dir)
+        assert len(paths) == 2
+        mirrored = [p for p in paths if p.startswith(cache_dir)]
+        direct = [p for p in paths if not p.startswith(cache_dir)]
+        assert len(mirrored) == 1 and mirrored[0].endswith("a.parquet")
+        assert direct == [os.path.abspath(bad)]        # b: remote-direct
+        mgr.close(save=False)
+
+    def test_two_node_mirror_coherence(self, cache_dir, remote_dir):
+        """Two 'nodes' = two CacheManagers with distinct cache roots
+        over one remote (the per-node singleton shape). Each warms its
+        own mirror; a remote mutation flips the mtime and both nodes
+        re-materialize independently — no cross-node protocol."""
+        import shutil as _sh
+        node_b_root = cache_dir + "-nodeB"
+        src = os.path.join(remote_dir, "t.parquet")
+        with open(src, "wb") as f:
+            f.write(b"PAR1" + b"v1" * 700)
+        a = CacheManager(self._conf(cache_dir))
+        b = CacheManager(self._conf(node_b_root))
+        try:
+            pa1 = a.resolve_for_spark(remote_dir)
+            pb1 = b.resolve_for_spark(remote_dir)
+            assert pa1[0].startswith(cache_dir)
+            assert pb1[0].startswith(node_b_root)
+            assert open(pa1[0], "rb").read() == open(pb1[0], "rb").read()
+            assert a.stats.get("total_read_requests_from_remote") == 1
+            assert b.stats.get("total_read_requests_from_remote") == 1
+            # warm on both nodes: no further remote traffic
+            assert a.resolve_for_spark(remote_dir) == pa1
+            assert b.resolve_for_spark(remote_dir) == pb1
+            assert a.stats.get("total_read_requests_from_remote") == 1
+            assert b.stats.get("total_read_requests_from_remote") == 1
+            # remote mutation (new mtime) → both nodes self-invalidate
+            time.sleep(1.1)  # mtime(ms) granularity guard
+            with open(src, "wb") as f:
+                f.write(b"PAR1" + b"v2" * 900)
+            pa2 = a.resolve_for_spark(remote_dir)
+            pb2 = b.resolve_for_spark(remote_dir)
+            assert pa2 != pa1 and pb2 != pb1
+            assert open(pa2[0], "rb").read() == open(pb2[0], "rb").read() \
+                == open(src, "rb").read()
+            assert a.stats.get("total_read_requests_from_remote") == 2
+            assert b.stats.get("total_read_requests_from_remote") == 2
+        finally:
+            a.close(save=False)
+            b.close(save=False)
+            _sh.rmtree(node_b_root, ignore_errors=True)
