@@ -578,17 +578,26 @@ def kmeans_iterations(spark, sf_dir):
       zero shuffle, zero join of the big table;
     * update — posexplode to (cid, pos, val) with map-side partial
       aggregation: the shuffle carries only partitions x k x dim
-      partial sums; re-pack with sort_array(collect_list(struct)).
+      partial sums; re-pack with sort_array(collect_list(struct)) —
+      and the SAME aggregation carries n_members (count per
+      (cid, pos) is the member count, positions are fixed-width), so
+      no separate counting pass or final join is needed.
 
     Per iteration the only data-sized cost is one map pass + one
     combine-collapsed shuffle; all driver state is O(k*dim).  The
+    vector table is persisted for the loop (the MLlib idiom for
+    iterative algorithms — re-decoding parquet per Lloyd pass is pure
+    waste; at cluster scale this is MEMORY_AND_DISK on executors) and
+    unpersisted once the final centroids are checkpointed.  The
     oracle replays the identical 3 iterations in chained CTEs;
     matching cluster SIZES and centroid stats to 4 decimals proves
     every assignment decision matched."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window as W
 
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
     first4 = e.orderBy("vec_id").limit(_KM_K)
     cents = first4.select(
         (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cid"),
@@ -611,29 +620,29 @@ def kmeans_iterations(spark, sf_dir):
         per_pos = (
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m")))
+            .agg(F.avg("val").alias("m"),
+                 F.count(F.lit(1)).alias("n")))
         return (
             per_pos.groupBy("cid")
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"]).alias("c"))
+                lambda s: s["m"]).alias("c"),
+                 F.max("n").alias("n_members"))
         )
 
-    a = None
     for _ in range(3):
-        rows = sorted((r["cid"], r["c"]) for r in cents.collect())
-        a = assign(rows)
-        cents = means(a)
+        rows = sorted((r["cid"], r["c"])
+                      for r in cents.select("cid", "c").collect())
+        cents = means(assign(rows))
     cents = cents.localCheckpoint(eager=True)
-    counts = a.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    e.unpersist()
     norm = F.sqrt(F.aggregate(
         F.transform("c", lambda x: x * x), F.lit(0.0),
         lambda acc, x: acc + x))
     return (
-        cents.join(F.broadcast(counts), "cid")
-        .select("cid", "n_members",
-                F.round(F.element_at("c", 1), 4).alias("c_first"),
-                F.round(norm, 4).alias("c_norm"))
+        cents.select("cid", "n_members",
+                     F.round(F.element_at("c", 1), 4).alias("c_first"),
+                     F.round(norm, 4).alias("c_norm"))
         .orderBy("cid")
     )
 
