@@ -129,6 +129,32 @@ class Engine:
                 r"current_date|now|monotonically_increasing_id|"
                 r"input_file_name|spark_partition_id)\b", text)
 
+    #: ordered results whose inputs total at most this are written
+    #: coalesce(1): the single-file entry then serves hits in file
+    #: order, skipping the re-sort entirely (small results only — a
+    #: single-partition sort of a big result would bottleneck the
+    #: store path)
+    _COALESCE_BYTES = 64 * 1024 * 1024
+
+    def _entry_single_split(self, data_dir: str) -> bool:
+        """True iff the entry is one parquet file small enough that
+        Spark will scan it as ONE partition (≤ maxPartitionBytes) —
+        the case where file row order IS the result order and a hit
+        can skip the order-column sort."""
+        try:
+            files = [f for f in os.listdir(data_dir)
+                     if f.endswith(".parquet")
+                     and not f.startswith(("_", "."))]
+            if len(files) != 1:
+                return False
+            raw = self.spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728")
+            max_pb = int(str(raw).lower().rstrip("b"))
+            return os.path.getsize(
+                os.path.join(data_dir, files[0])) <= max_pb
+        except (OSError, ValueError):
+            return False
+
     @staticmethod
     def _plan_ordered(df) -> bool:
         """True iff the analyzed plan's top node is a global Sort —
@@ -186,8 +212,13 @@ class Engine:
         if hit is not None:
             cached = self.spark.read.parquet(hit)
             if self._ORDER_COL in cached.columns:
-                cached = (cached.orderBy(self._ORDER_COL)
-                          .drop(self._ORDER_COL))
+                if self._entry_single_split(hit):
+                    # one file, one scan partition: file order IS the
+                    # materialized order — no re-sort needed
+                    cached = cached.drop(self._ORDER_COL)
+                else:
+                    cached = (cached.orderBy(self._ORDER_COL)
+                              .drop(self._ORDER_COL))
             return cached
         ordered = self._plan_ordered(df)
         to_write = df
@@ -195,6 +226,8 @@ class Engine:
             from pyspark.sql.functions import monotonically_increasing_id
             to_write = df.withColumn(
                 self._ORDER_COL, monotonically_increasing_id())
+            if sum(ln for _, _, ln in inputs) <= self._COALESCE_BYTES:
+                to_write = to_write.coalesce(1)
         data = rc.store(
             key,
             lambda d: to_write.write.mode("overwrite").parquet(d),

@@ -148,3 +148,63 @@ def test_capacity_eviction_oldest_first(tmp_path):
     assert rc.lookup("k1") is None          # evicted (oldest)
     assert rc.lookup("k2") is not None      # survives
     assert rc.evictions >= 1
+
+
+def test_ordered_single_file_hit_skips_sort(eng):
+    """Small ordered results are written coalesce(1); the warm hit
+    serves the single file in file order — the hit plan contains NO
+    Sort node (round-3 polish) yet returns the exact cold order."""
+    eng.register("t1")
+    q = "SELECT id, v FROM t1 ORDER BY v DESC, id"
+    cold = [tuple(r) for r in eng.sql_cached(q).collect()]
+    warm_df = eng.sql_cached(q)
+    warm = [tuple(r) for r in warm_df.collect()]
+    assert eng.result_cache_stats()["hits"] == 1
+    assert warm == cold
+    plan = warm_df._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan
+
+
+def test_mid_store_input_mutation_discards_entry(eng, spark, tmp_path):
+    """An input file mutated WHILE the entry is being materialized
+    (between keying and the post-write re-stat) must not register:
+    the caller gets correct data once, the next call re-misses and
+    caches the now-current result (validate_fn discard path)."""
+    from sidecar_spark.cache.results import ResultCache
+
+    eng.register("t1")
+    # force-create the cache, then wrap store so write_fn also mutates
+    # the input's mtime — simulating a concurrent writer mid-store
+    base_q = "SELECT k, count(*) AS n FROM t1 GROUP BY k"
+    _ = eng.sql_cached(base_q)
+    # the registered view reads through the cache mirror — the file the
+    # result key describes is the plan's actual input, not the base copy
+    uri = spark.sql(base_q).inputFiles()[0]
+    part = uri[len("file:"):] if uri.startswith("file:") else uri
+    real_store = ResultCache.store
+
+    def mutating_store(self, key, write_fn, sql_text, validate_fn=None,
+                       extra_meta=None):
+        def wrapped(d):
+            write_fn(d)
+            st = os.stat(part)
+            os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+        return real_store(self, key, wrapped, sql_text,
+                          validate_fn=validate_fn, extra_meta=extra_meta)
+
+    q = "SELECT k, round(sum(v), 2) AS s FROM t1 GROUP BY k"
+    ResultCache.store = mutating_store
+    try:
+        first = sorted(map(tuple, eng.sql_cached(q).collect()))
+    finally:
+        ResultCache.store = real_store
+    misses_after_first = eng.result_cache_stats()["misses"]
+    # entry was NOT registered: same query misses again...
+    second = sorted(map(tuple, eng.sql_cached(q).collect()))
+    assert second == first
+    assert eng.result_cache_stats()["misses"] == misses_after_first + 1
+    # ...and the clean store registers, so the third call hits
+    hits_before = eng.result_cache_stats()["hits"]
+    third = sorted(map(tuple, eng.sql_cached(q).collect()))
+    assert third == first
+    assert eng.result_cache_stats()["hits"] == hits_before + 1
