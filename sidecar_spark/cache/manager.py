@@ -101,6 +101,17 @@ class FileMirror:
         lp = self._local(path, mtime)
         if self.files.exists(lp) and os.path.exists(lp):
             return lp
+        if os.path.exists(lp):
+            # materialized out-of-band (an executor-side warm wrote the
+            # shared node-local cache root, CacheManager.warm_distributed)
+            # — adopt it: keys are content-addressed, so an existing
+            # file under this name IS the current bytes by construction
+            with self._lock:
+                if not self.files.exists(lp):
+                    sz = os.path.getsize(lp)
+                    self.files.put(lp, sz)
+                    self._size += sz
+            return lp
         return None
 
     def materialize(self, fs: RemoteFS, st: FileStat) -> str:
@@ -683,6 +694,64 @@ class CacheManager:
                     except Exception:  # noqa: BLE001 - self-heal to remote
                         out[idx] = st.path
         return out
+
+    def warm_distributed(self, spark, uri: str, suffix: str = "") -> int:
+        """Cluster-wide cache warm (the Alluxio ``distributedLoad``
+        shape): fan cold-file materialization over Spark TASKS, each of
+        which opens the node-local CacheManager for the same cache_dir
+        on whatever node it runs and fills THAT node's mirror — the
+        executor-side deployment of the per-node singleton design
+        (``SidecarCachingFileSystem.java:96-119``; see the FileMirror
+        multi-node note).
+
+        On local[k] every task lands on this machine, so the warmed
+        files appear in this manager's mirror root out-of-band;
+        ``FileMirror.lookup`` adopts them (content-addressed names make
+        adoption safe), and the next ``resolve_for_spark`` serves them
+        as data-cache hits with zero driver-side fetches. The remote
+        must be reachable from every node (file/S3/cloud schemes —
+        exactly the real-cluster constraint; a ``mem://`` store is
+        process-local and cannot warm remotely).
+
+        Returns the number of files fetched by tasks (cluster-wide;
+        already-local files are skipped driver-side)."""
+        fs_uri = uri if "://" in uri else os.path.abspath(uri)
+        work: List[tuple] = []
+        for st in self.list_files(fs_uri, suffix=suffix):
+            if self.mirror is None or not self.is_cacheable_file(
+                    st.path, st.length):
+                continue
+            if self.mirror.lookup(st.path, st.mtime) is None:
+                work.append((st.path, st.mtime, st.length))
+        if not work:
+            return 0
+        conf = self.conf
+        if conf.hint_detector is not None and callable(conf.hint_detector):
+            import dataclasses
+            conf = dataclasses.replace(conf, hint_detector=None)
+        endpoint = os.environ.get("SIDECAR_S3_ENDPOINT")
+
+        def fetch_slice(it):
+            import os as _os
+            if endpoint:  # propagate the S3 endpoint to worker procs
+                _os.environ.setdefault("SIDECAR_S3_ENDPOINT", endpoint)
+            from sidecar_spark.cache.fs import FileStat as FS
+            from sidecar_spark.cache.manager import CacheManager as CM
+            mgr = CM.get_or_create(conf)
+            n = 0
+            for path, mtime, length in it:
+                fs, p = mgr._resolve(path)
+                mgr.mirror.materialize(
+                    fs, FS(path=p, length=length, mtime=mtime,
+                           is_dir=False))
+                n += 1
+            yield n
+
+        sc = spark.sparkContext
+        slices = min(len(work), sc.defaultParallelism)
+        return int(sum(
+            sc.parallelize(work, slices).mapPartitions(fetch_slice)
+            .collect()))
 
     # ---- persistence (save/load on shutdown, :779-842,931-968) -------------------
 

@@ -79,6 +79,16 @@ class Engine:
         paths = self.resolve_paths(location)
         return self.spark.read.parquet(*paths)
 
+    def warm(self, name: str, sf_dir: Optional[str] = None) -> int:
+        """Cluster-wide pre-warm of a table's files into the (node-
+        local) mirrors via Spark tasks (CacheManager.warm_distributed —
+        the Alluxio distributedLoad shape). Returns files fetched."""
+        if self.cache is None:
+            return 0
+        location = (os.path.join(sf_dir, f"{name}.parquet")
+                    if sf_dir else self._location(name))
+        return self.cache.warm_distributed(self.spark, location)
+
     # ---- SQL ------------------------------------------------------------
 
     def register(self, name: str, sf_dir: Optional[str] = None) -> None:

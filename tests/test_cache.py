@@ -936,3 +936,56 @@ class TestParallelMaterialization:
             a.close(save=False)
             b.close(save=False)
             _sh.rmtree(node_b_root, ignore_errors=True)
+
+
+class TestDistributedWarm:
+    """warm_distributed: the Alluxio-distributedLoad shape — Spark
+    tasks fill the (node-local) mirror; the driver adopts the
+    out-of-band files via content-addressed lookup."""
+
+    def _conf(self, cache_dir, **kw):
+        base = dict(cache_dir=cache_dir, data_cache_type="file",
+                    cache_persistent=False)
+        base.update(kw)
+        return SidecarConfig.create(**base)
+
+    def test_warm_distributed_then_local_serve(self, cache_dir,
+                                               remote_dir, spark):
+        n = 6
+        for i in range(n):
+            with open(os.path.join(remote_dir, f"f{i}.parquet"), "wb") as f:
+                f.write(b"PAR1" + bytes([i]) * (900 + i))
+        mgr = CacheManager(self._conf(cache_dir))
+        try:
+            warmed = mgr.warm_distributed(spark, remote_dir)
+            assert warmed == n
+            # driver-side: all local, ZERO driver remote fetches
+            paths = mgr.resolve_for_spark(remote_dir)
+            assert len(paths) == n
+            assert all(p.startswith(cache_dir) for p in paths)
+            assert mgr.stats.get("total_read_requests_from_remote") == 0
+            assert mgr.stats.get(
+                "total_read_requests_from_data_cache") == n
+            # idempotent: nothing left to warm
+            assert mgr.warm_distributed(spark, remote_dir) == 0
+        finally:
+            mgr.close(save=False)
+
+    def test_warm_distributed_respects_admission(self, cache_dir,
+                                                 remote_dir, spark):
+        """Excluded paths are never warmed (read exclude regex)."""
+        for name in ("keep.parquet", "skip.tmp"):
+            with open(os.path.join(remote_dir, name), "wb") as f:
+                f.write(b"data" * 100)
+        mgr = CacheManager(self._conf(
+            cache_dir, read_exclude_paths=[r".*\.tmp$"]))
+        try:
+            assert mgr.warm_distributed(spark, remote_dir) == 1
+            paths = mgr.resolve_for_spark(remote_dir)
+            by_name = {os.path.basename(p).split("-")[-1]
+                       if p.startswith(cache_dir) else os.path.basename(p): p
+                       for p in paths}
+            assert by_name["keep.parquet"].startswith(cache_dir)
+            assert not by_name["skip.tmp"].startswith(cache_dir)
+        finally:
+            mgr.close(save=False)
