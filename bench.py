@@ -154,6 +154,7 @@ def main() -> None:
         # under noisy-neighbor CPU variance, which on this host shows
         # multi-second spikes on an otherwise-idle 32-core VM
         best = None
+        last_err = None
         for attempt in range(2):
             t0 = time.time()
             try:
@@ -164,12 +165,11 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001 — one bad query must
                 # never zero out the whole battery record (e.g. a
                 # TimeoutError from the streaming hang guard)
-                errors[name] = f"{type(e).__name__}: {e}"[:200]
+                last_err = f"{type(e).__name__}: {e}"[:200]
                 spark.catalog.clearCache()
                 continue
             el = time.time() - t0
             best = el if best is None else min(best, el)
-            errors.pop(name, None)  # a later attempt succeeded
             # drop DataFrames persisted inside operators (LSH signature
             # tables etc.) so storage-memory pressure from one query
             # never bleeds into the next
@@ -177,7 +177,12 @@ def main() -> None:
             if best < 1.0:
                 break
         if best is not None:
+            # a query that produced a timing is not an error, even if
+            # one of its attempts failed (errors and per_query are
+            # mutually exclusive in the record)
             per_query[name] = round(best, 3)
+        elif last_err is not None:
+            errors[name] = last_err
     # headline = sum of the timed (steady-state) runs; wall includes
     # the untimed sf0.001 warmups too
     total = round(sum(per_query.values()), 3)

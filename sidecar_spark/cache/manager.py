@@ -111,6 +111,10 @@ class FileMirror:
                     sz = os.path.getsize(lp)
                     self.files.put(lp, sz)
                     self._size += sz
+                    # adopted bytes count toward occupancy like any
+                    # other fill — without this a distributed warm
+                    # could overshoot capacity unbounded
+                    self._evict_if_needed()
             return lp
         return None
 
@@ -148,8 +152,13 @@ class FileMirror:
                 self.stats.add("total_bytes_read_remote", st.length)
                 self.stats.add("total_remote_fs_read_time_ns",
                                time.monotonic_ns() - t0)
-                self.files.put(lp, st.length)
-                self._size += st.length
+                # lookup()'s out-of-band adoption may have registered
+                # this key between os.replace and here — size must move
+                # only when the entry is NEW, or occupancy inflates
+                # permanently and eviction fires early
+                if not self.files.exists(lp):
+                    self.files.put(lp, st.length)
+                    self._size += st.length
                 self._evict_if_needed()
             return lp
         finally:
@@ -740,11 +749,19 @@ class CacheManager:
             mgr = CM.get_or_create(conf)
             n = 0
             for path, mtime, length in it:
-                fs, p = mgr._resolve(path)
-                mgr.mirror.materialize(
-                    fs, FS(path=p, length=length, mtime=mtime,
-                           is_dir=False))
-                n += 1
+                # per-file tolerance: one unreadable/mutated remote file
+                # must not fail the whole warm job (cache trouble never
+                # fails the caller — the resolve_for_spark self-heal
+                # contract applied to the warm path); the file simply
+                # stays cold and the next read self-heals to remote
+                try:
+                    fs, p = mgr._resolve(path)
+                    mgr.mirror.materialize(
+                        fs, FS(path=p, length=length, mtime=mtime,
+                               is_dir=False))
+                    n += 1
+                except Exception:  # noqa: BLE001
+                    pass
             yield n
 
         sc = spark.sparkContext
@@ -752,6 +769,102 @@ class CacheManager:
         return int(sum(
             sc.parallelize(work, slices).mapPartitions(fetch_slice)
             .collect()))
+
+    def mirror_writes_distributed(self, spark, uri: str,
+                                  suffix: str = "") -> int:
+        """Task-side write mirroring — the reference's on-the-writing-
+        node tee (``SidecarCachingOutputStream.java:181-223``) applied
+        post-commit at file granularity: after a Spark job commits
+        files at ``uri``, fan the mirror fill over Spark TASKS, each of
+        which opens the node-local CacheManager for the same cache_dir
+        on whatever node it runs and copies the committed bytes into
+        THAT node's write cache (tmp + atomic replace; synced, so no
+        ``.toupload`` moniker — the remote commit already happened).
+
+        The driver reads ZERO data bytes: it only adopts files that
+        landed on its own disk into its file list (size-verified
+        bookkeeping) and refreshes meta. On local[k] every task lands
+        on this machine so the driver adopts everything; on a real
+        cluster each node's cache ends up holding the files its own
+        tasks mirrored — the per-node singleton shape
+        (``SidecarCachingFileSystem.java:96-119``).
+
+        Per-file tolerant: a failed copy leaves that file un-mirrored
+        (remote stays authoritative; the next read self-heals), never
+        fails the write. Returns files mirrored by tasks."""
+        if self.write_cache is None:
+            return 0
+        fs_uri = uri if "://" in uri else os.path.abspath(uri)
+        work: List[tuple] = []
+        for st in self.list_files(fs_uri, suffix=suffix):
+            if self.conf.write_excluded(st.path):
+                continue
+            work.append((st.path, st.mtime, st.length))
+        if not work:
+            return 0
+        conf = self.conf
+        if conf.hint_detector is not None and callable(conf.hint_detector):
+            import dataclasses
+            conf = dataclasses.replace(conf, hint_detector=None)
+        endpoint = os.environ.get("SIDECAR_S3_ENDPOINT")
+
+        def mirror_slice(it):
+            import os as _os
+            import threading as _th
+            if endpoint:  # propagate the S3 endpoint to worker procs
+                _os.environ.setdefault("SIDECAR_S3_ENDPOINT", endpoint)
+            from sidecar_spark.cache.manager import CacheManager as CM
+            from sidecar_spark.cache.meta import FileMeta as FM
+            mgr = CM.get_or_create(conf)
+            wc = mgr.write_cache
+            if wc is None:
+                yield 0
+                return
+            n = 0
+            for path, mtime, length in it:
+                try:
+                    fs, p = mgr._resolve(path)
+                    cp = wc.caching_path(p)
+                    if _os.path.exists(cp) \
+                            and _os.path.getsize(cp) == length:
+                        continue  # already mirrored on this node
+                    _os.makedirs(_os.path.dirname(cp), exist_ok=True)
+                    tmp = f"{cp}.tmp-{_os.getpid()}-{_th.get_ident()}"
+                    with fs.open_read(p) as src, open(tmp, "wb") as dst:
+                        while True:
+                            chunk = src.read(8 * 1024 * 1024)
+                            if not chunk:
+                                break
+                            dst.write(chunk)
+                    _os.replace(tmp, cp)
+                    wc.register(cp, length)  # synced: no moniker
+                    mgr.meta.save(p, FM(mtime, length, False))
+                    wc.check_eviction()
+                    n += 1
+                except Exception:  # noqa: BLE001 — per-file tolerance
+                    pass
+            yield n
+
+        sc = spark.sparkContext
+        slices = min(len(work), sc.defaultParallelism)
+        fetched = int(sum(
+            sc.parallelize(work, slices).mapPartitions(mirror_slice)
+            .collect()))
+        # driver-side adoption: register whatever landed on THIS
+        # node's disk (size-verified) — pure bookkeeping, no data reads
+        for path, mtime, length in work:
+            _, p = self._resolve(path)
+            cp = self.write_cache.caching_path(p)
+            try:
+                ok = os.path.getsize(cp) == length
+            except OSError:
+                ok = False
+            if ok:
+                if not self.write_cache.file_list.exists(cp):
+                    self.write_cache.register(cp, length)
+                self.meta.save(p, FileMeta(mtime, length, False))
+        self.write_cache.check_eviction()
+        return fetched
 
     # ---- persistence (save/load on shutdown, :779-842,931-968) -------------------
 

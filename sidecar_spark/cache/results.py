@@ -26,6 +26,7 @@ import hashlib
 import json
 import os
 import shutil
+import threading
 import time
 from typing import List, Optional, Tuple
 
@@ -82,30 +83,55 @@ class ResultCache:
 
     def store(self, key: str, write_fn, sql_text: str,
               validate_fn=None, extra_meta: Optional[dict] = None) -> str:
-        """Materialize a result: ``write_fn(data_dir)`` writes the
-        parquet; the meta marker lands LAST (write → marker ordering,
-        the moniker idea inverted: an entry without its marker is
-        invisible and gets swept by ``_sweep_orphans`` rather than
-        served).  ``validate_fn()`` runs AFTER the write; returning
-        False (e.g. an input file changed between keying and
-        materialization) skips the marker, so the just-written data is
-        served once to this caller but never registered under a key
-        that no longer describes it."""
+        """Materialize a result: ``write_fn(tmp_dir/data)`` writes the
+        parquet into a PRIVATE staging dir, the meta marker lands
+        inside it, then one atomic ``os.rename`` publishes the whole
+        entry (build → marker → atomic publish: the tmp-then-replace
+        discipline of ``FileMirror.materialize``, applied to entry
+        directories, so two PROCESSES storing the same key never see
+        each other's half-written bytes — executors share one
+        node-local cache root).  A staging dir that never publishes
+        (crash, lost race, failed validation) has no marker and is
+        swept by ``_sweep_orphans``.
+
+        ``validate_fn()`` runs AFTER the write; returning False (an
+        input file changed between keying and materialization) skips
+        the publish, so the just-written data is served once to this
+        caller but never registered under a key that no longer
+        describes it."""
         d = self._entry_dir(key)
-        data = os.path.join(d, "data")
-        if os.path.exists(d):
-            shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(d, exist_ok=True)
+        tmpd = f"{d}.tmp-{os.getpid()}-{threading.get_ident()}"
+        shutil.rmtree(tmpd, ignore_errors=True)
+        os.makedirs(tmpd, exist_ok=True)
+        data = os.path.join(tmpd, "data")
         write_fn(data)
         if validate_fn is not None and not validate_fn():
-            return data
+            return data  # unpublished: swept as an orphan later
         size = sum(
             os.path.getsize(os.path.join(r, f))
             for r, _, fs in os.walk(data) for f in fs)
-        with open(os.path.join(d, self.META), "w", encoding="utf-8") as fh:
+        with open(os.path.join(tmpd, self.META), "w",
+                  encoding="utf-8") as fh:
             json.dump({"sql": sql_text, "bytes": size,
                        "created": time.time(), **(extra_meta or {})}, fh)
-        self._check_eviction()
+        for _attempt in (0, 1):
+            if os.path.exists(os.path.join(d, self.META)):
+                # a concurrent writer published first: theirs is
+                # complete (marker implies fully-written data) and
+                # describes the same key — serve it, drop ours
+                shutil.rmtree(tmpd, ignore_errors=True)
+                return os.path.join(d, "data")
+            if os.path.exists(d):
+                # marker-less leftover (crashed writer): clear it
+                shutil.rmtree(d, ignore_errors=True)
+            try:
+                os.rename(tmpd, d)
+                self._check_eviction()
+                return os.path.join(d, "data")
+            except OSError:
+                continue  # raced: re-check who won
+        # could not publish (persistent race/filesystem refusal): the
+        # staged result is still valid for THIS caller; orphan-swept
         return data
 
     # ---- maintenance ----------------------------------------------------

@@ -19,7 +19,6 @@ import os
 from typing import Dict, List, Optional
 
 from sidecar_spark.cache.manager import CacheManager
-from sidecar_spark.cache.meta import FileMeta
 from sidecar_spark.config import SidecarConfig
 
 TPCH_TABLES = (
@@ -146,23 +145,25 @@ class Engine:
     #: store path)
     _COALESCE_BYTES = 64 * 1024 * 1024
 
-    def _entry_single_split(self, data_dir: str) -> bool:
-        """True iff the entry is one parquet file small enough that
-        Spark will scan it as ONE partition (≤ maxPartitionBytes) —
-        the case where file row order IS the result order and a hit
-        can skip the order-column sort."""
+    def _entry_single_split(self, data_dir: str, cached) -> bool:
+        """True iff the entry is one parquet file that Spark will scan
+        as ONE partition — the case where file row order IS the result
+        order and a hit can skip the order-column sort.
+
+        The partition count is asked of the ACTUAL scan
+        (``rdd.getNumPartitions()``, no job launched) rather than
+        re-deriving Spark's split math (min(maxPartitionBytes,
+        max(openCostInBytes, totalBytes/defaultParallelism)) — on a
+        many-core session even a few-MB file splits), so the skip can
+        never disagree with what Spark will really do."""
         try:
             files = [f for f in os.listdir(data_dir)
                      if f.endswith(".parquet")
                      and not f.startswith(("_", "."))]
             if len(files) != 1:
                 return False
-            raw = self.spark.conf.get(
-                "spark.sql.files.maxPartitionBytes", "134217728")
-            max_pb = int(str(raw).lower().rstrip("b"))
-            return os.path.getsize(
-                os.path.join(data_dir, files[0])) <= max_pb
-        except (OSError, ValueError):
+            return cached.rdd.getNumPartitions() == 1
+        except Exception:  # noqa: BLE001 — fall back to the safe sort
             return False
 
     @staticmethod
@@ -222,7 +223,7 @@ class Engine:
         if hit is not None:
             cached = self.spark.read.parquet(hit)
             if self._ORDER_COL in cached.columns:
-                if self._entry_single_split(hit):
+                if self._entry_single_split(hit, cached):
                     # one file, one scan partition: file order IS the
                     # materialized order — no re-sort needed
                     cached = cached.drop(self._ORDER_COL)
@@ -261,22 +262,20 @@ class Engine:
               partition_by: Optional[List[str]] = None) -> None:
         """Write a DataFrame to the remote location and mirror the
         produced files into the write cache (the dual-destination write
-        of SURVEY.md §3.2 at file granularity: Spark writes remote, we
-        register + mirror after the commit)."""
+        of SURVEY.md §3.2 at file granularity: Spark writes remote,
+        then the mirror fill fans over Spark TASKS so each committed
+        file is copied on a worker node, never pulled through the
+        driver — the reference tees on the writing node
+        (``SidecarCachingOutputStream.java:181-223``); at 100 TB output
+        a driver-funnel mirror would serialize the whole job's bytes
+        through one process. The driver does bookkeeping only
+        (``CacheManager.mirror_writes_distributed``)."""
         writer = df.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(location)
         if self.cache is not None and self.cache.write_cache is not None:
-            for st in self.cache.list_files(location):
-                if self.conf.write_excluded(st.path):
-                    continue
-                fs, path = self.cache._resolve(st.path)
-                data = fs.read_all(path)
-                self.cache.write_cache.put_file(path, data, synced=True)
-                self.cache.meta.save(
-                    path, FileMeta(st.mtime, st.length, st.is_dir))
-                self.cache.write_cache.check_eviction()
+            self.cache.mirror_writes_distributed(self.spark, location)
 
     # ---- observability -------------------------------------------------------
 

@@ -989,3 +989,158 @@ class TestDistributedWarm:
             assert not by_name["skip.tmp"].startswith(cache_dir)
         finally:
             mgr.close(save=False)
+
+
+class TestDistributedWriteMirror:
+    """mirror_writes_distributed: the write-path tee runs in Spark
+    TASKS on the writing nodes (SidecarCachingOutputStream.java:
+    181-223 shape) — the driver does bookkeeping only, never bytes."""
+
+    def _engine(self, spark, cache_dir, remote_dir, **kw):
+        from sidecar_spark import Engine
+        conf = SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False, **kw)
+        return Engine(spark, base_dir=remote_dir, conf=conf)
+
+    def test_write_mirrors_with_zero_driver_byte_reads(
+            self, cache_dir, remote_dir, spark):
+        eng = self._engine(spark, cache_dir, remote_dir)
+        try:
+            df = spark.range(2000).selectExpr(
+                "id", "id % 7 AS k").repartition(4)
+            out = os.path.join(remote_dir, "out.parquet")
+            s0 = eng.cache.stats.snapshot()
+            eng.write(df, out)
+            s1 = eng.cache.stats.snapshot()
+            # the driver never pulled a data byte: all mirror fills ran
+            # in Spark tasks (worker processes with their own stats)
+            assert s1["total_bytes_read_remote"] == s0[
+                "total_bytes_read_remote"]
+            assert s1["total_read_requests_from_remote"] == s0[
+                "total_read_requests_from_remote"]
+            # yet every committed file IS mirrored + registered here
+            files = eng.cache.list_files(out)
+            assert len(files) >= 4
+            for st in files:
+                assert eng.cache.write_cache.contains(st.path), st.path
+                with open(st.path, "rb") as f:
+                    want = f.read()
+                got = eng.cache.write_cache.read_range(
+                    st.path, 0, st.length)
+                assert got == want
+                # synced: remote committed first, so no moniker
+                assert not eng.cache.write_cache.has_moniker(
+                    eng.cache.write_cache.caching_path(st.path))
+            # CRUD coherence intact: reading back through the engine
+            # serves write-cache'd bytes and matches the frame
+            assert eng.read_parquet(out).count() == 2000
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_write_mirror_respects_exclude_list(
+            self, cache_dir, remote_dir, spark):
+        eng = self._engine(spark, cache_dir, remote_dir,
+                           write_exclude_paths=[r".*excluded.*"])
+        try:
+            df = spark.range(100).coalesce(1)
+            kept = os.path.join(remote_dir, "kept.parquet")
+            skipped = os.path.join(remote_dir, "excluded.parquet")
+            eng.write(df, kept)
+            eng.write(df, skipped)
+            kept_files = eng.cache.list_files(kept)
+            assert all(eng.cache.write_cache.contains(st.path)
+                       for st in kept_files)
+            for st in eng.cache.list_files(skipped):
+                assert not eng.cache.write_cache.contains(st.path)
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_write_mirror_partial_failure_tolerated(
+            self, cache_dir, remote_dir, spark):
+        """One unreadable committed file must not fail the write
+        (per-file tolerance, the resolve_for_spark self-heal contract
+        applied to the write tee)."""
+        eng = self._engine(spark, cache_dir, remote_dir)
+        try:
+            out = os.path.join(remote_dir, "p.parquet")
+            eng.write(spark.range(50).coalesce(1), out)
+            # mutate one committed file to vanish mid-mirror next time
+            files = eng.cache.list_files(out)
+            assert files
+            # a second write over the same location re-mirrors; remove
+            # a file between list and task copy via a hostile rewrite
+            eng.write(spark.range(60).coalesce(1), out)
+            assert eng.read_parquet(out).count() == 60
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+
+class TestMirrorAccounting:
+    """FileMirror size accounting under the adoption race: an
+    out-of-band adoption (lookup) interleaving with materialize's
+    bookkeeping must not double-count _size, and adopted bytes must
+    participate in eviction."""
+
+    def test_adoption_then_materialize_single_count(
+            self, cache_dir, remote_dir, monkeypatch):
+        conf = SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False)
+        mgr = CacheManager(conf)
+        try:
+            rp = os.path.join(remote_dir, "a.bin")
+            with open(rp, "wb") as f:
+                f.write(b"x" * 10_000)
+            fs, p = mgr._resolve(rp)
+            st = fs.stat(p)
+            # interleave: right after materialize's os.replace lands,
+            # an adoption (executor-warm discovery) registers the file
+            # BEFORE materialize's own bookkeeping block runs
+            import sidecar_spark.cache.manager as mmod
+            real_replace = os.replace
+
+            def replace_then_adopt(src, dst):
+                real_replace(src, dst)
+                mgr.mirror.lookup(p, st.mtime)  # adopts: puts + sizes
+
+            monkeypatch.setattr(mmod.os, "replace", replace_then_adopt)
+            lp = mgr.mirror.materialize(fs, st)
+            assert os.path.exists(lp)
+            # exactly one accounting entry: size equals the file, not 2x
+            assert mgr.mirror.size_bytes() == st.length
+        finally:
+            mgr.close(save=False)
+
+    def test_adoption_triggers_eviction(self, cache_dir, remote_dir):
+        """Adopted warm files count toward capacity and can evict."""
+        conf = SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            data_cache_size=20_000, cache_persistent=False)
+        mgr = CacheManager(conf)
+        try:
+            fs = RemoteFS.local()
+            # fill near capacity through the normal path
+            for i in range(2):
+                rp = os.path.join(remote_dir, f"f{i}.bin")
+                with open(rp, "wb") as f:
+                    f.write(bytes([i]) * 9_000)
+                mgr.mirror.materialize(fs, fs.stat(rp))
+            assert mgr.mirror.size_bytes() == 18_000
+            # an out-of-band (executor-written) file appears: adoption
+            # must run the eviction loop, not grow unbounded
+            rp = os.path.join(remote_dir, "warm.bin")
+            with open(rp, "wb") as f:
+                f.write(b"w" * 9_000)
+            st = fs.stat(rp)
+            oob = mgr.mirror._local(st.path, st.mtime)
+            with open(oob, "wb") as f:
+                f.write(b"w" * 9_000)
+            assert mgr.mirror.lookup(st.path, st.mtime) == oob
+            lo = conf.eviction_stop_occupancy * 20_000
+            assert mgr.mirror.size_bytes() <= lo
+        finally:
+            mgr.close(save=False)
