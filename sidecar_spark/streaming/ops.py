@@ -55,6 +55,21 @@ def scratch_dir(prefix: str) -> str:
 STREAM_TIMEOUT_SEC = float(os.environ.get("SIDECAR_STREAM_TIMEOUT", "120"))
 
 
+def _load_factor() -> float:
+    """Timeout multiplier under CPU contention: a second Spark session
+    on the same box can slow a CORRECT bounded stream past the guard,
+    and a timeout that aborts a correct query is indistinguishable
+    from a wrong answer in the correctness record (round-3 finding:
+    3 load-induced transients).  Scale by 1-min loadavg per core,
+    clamped to [1, 4] so a genuinely wedged query still fails in
+    bounded time."""
+    try:
+        load = os.getloadavg()[0] / max(1, os.cpu_count() or 1)
+    except (OSError, AttributeError):
+        return 1.0
+    return min(4.0, max(1.0, load))
+
+
 def await_bounded(q, timeout_sec: float | None = None) -> None:
     """``q.awaitTermination`` with a hard upper bound.
 
@@ -62,8 +77,11 @@ def await_bounded(q, timeout_sec: float | None = None) -> None:
     block on the same wedged callback) and a ``TimeoutError`` is
     raised, so one stuck streaming query fails loudly instead of
     freezing every query after it.  A query that terminated with an
-    error still raises its ``StreamingQueryException`` as usual."""
-    timeout = STREAM_TIMEOUT_SEC if timeout_sec is None else timeout_sec
+    error still raises its ``StreamingQueryException`` as usual.
+    The bound stretches with measured CPU load (``_load_factor``) so
+    contention slows the guard before it aborts correct work."""
+    timeout = (STREAM_TIMEOUT_SEC if timeout_sec is None
+               else timeout_sec) * _load_factor()
     finished = q.awaitTermination(timeout)
     if finished:
         return
