@@ -188,3 +188,146 @@ class TestWorkloads:
         mgr.drain()
         mgr.close(save=False)
         assert not errors, errors
+
+
+class TestWarmEvictRace:
+    """§5-technique-5 race EXTENDED with the round-3 warm machinery
+    (VERDICT r3 item 8): while a writer cycles create/delete and
+    readers byte-verify, a resolve actor keeps materializing the
+    mutating files into a capacity-starved mirror (constant eviction)
+    and an out-of-band SUBPROCESS fills the same mirror root like an
+    executor-side warm would, so adoption (FileMirror.lookup), LRC
+    eviction and reads interleave for the whole run.  Invariant: zero
+    corrupt full-length reads from any actor."""
+
+    def test_writer_reader_warm_race(self, cache_dir, remote_dir):
+        import json
+        import subprocess
+        import sys
+
+        n_files, file_len = 8, 64 * 1024
+        mgr = CacheManager(SidecarConfig.create(
+            cache_dir=cache_dir, data_page_size=PAGE,
+            io_buffer_size=4 * PAGE, data_cache_type="file",
+            # mirror holds ~3 of 8 files: every warm evicts something
+            data_cache_size=3 * file_len,
+            write_cache_size=64 * MiB, cache_persistent=False))
+        stop = threading.Event()
+        errors: list = []
+
+        def payload(i: int) -> bytes:
+            return virtual_read(i * 1000, file_len)
+
+        soak_s = float(os.environ.get("SIDECAR_SOAK_SECONDS", "0"))
+        deadline = time.monotonic() + (soak_s if soak_s > 0 else 0)
+
+        def writer() -> None:
+            rng = random.Random(1)
+            try:
+                round_no = 0
+                while (round_no < 40 if soak_s <= 0
+                       else time.monotonic() < deadline):
+                    round_no += 1
+                    i = rng.randrange(n_files)
+                    path = os.path.join(remote_dir, f"f{i}")
+                    if os.path.exists(path):
+                        mgr.delete(path)
+                    else:
+                        out = mgr.create(path)
+                        out.write(payload(i))
+                        out.close()
+                    time.sleep(0.002)
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"writer: {e!r}")
+            finally:
+                stop.set()
+
+        def reader(seed: int) -> None:
+            rng = random.Random(seed)
+            while not stop.is_set():
+                i = rng.randrange(n_files)
+                path = os.path.join(remote_dir, f"f{i}")
+                try:
+                    s = mgr.open(path)
+                    data = s.read_at(0, file_len)
+                except (FileNotFoundError, OSError):
+                    continue  # deleted under us — allowed
+                except Exception as e:  # noqa: BLE001
+                    errors.append(f"reader {seed}: {e!r}")
+                    return
+                if len(data) == file_len and data != payload(i):
+                    errors.append(f"reader {seed}: corrupt read of f{i}")
+                    return
+
+        def resolver() -> None:
+            """Driver-side warm path: materialize + adopt + evict,
+            then byte-verify whatever resolve handed back."""
+            while not stop.is_set():
+                try:
+                    for p in mgr.resolve_for_spark(remote_dir, suffix=""):
+                        name = os.path.basename(p).rsplit("f", 1)[-1]
+                        try:
+                            i = int(name)
+                        except ValueError:
+                            continue
+                        try:
+                            with open(p, "rb") as f:
+                                data = f.read()
+                        except OSError:
+                            continue  # evicted/deleted under us
+                        if (len(data) == file_len
+                                and data != payload(i)):
+                            errors.append(f"resolver: corrupt f{i}")
+                            return
+                except Exception as e:  # noqa: BLE001
+                    errors.append(f"resolver: {e!r}")
+                    return
+
+        # out-of-band warm: a separate interpreter (executor stand-in)
+        # filling the SAME mirror root until told to stop
+        oob_code = (
+            "import os, sys, time\n"
+            "sys.path.insert(0, sys.argv[4])\n"
+            "from sidecar_spark.cache.manager import CacheManager\n"
+            "from sidecar_spark.config import SidecarConfig\n"
+            "mgr = CacheManager.get_or_create(SidecarConfig.create(\n"
+            "    cache_dir=sys.argv[1], data_cache_type='file',\n"
+            "    data_cache_size=3 * 64 * 1024, cache_persistent=False))\n"
+            "while not os.path.exists(sys.argv[3]):\n"
+            "    try:\n"
+            "        mgr.resolve_for_spark(sys.argv[2], suffix='')\n"
+            "    except Exception:\n"
+            "        pass\n"
+            "    time.sleep(0.01)\n"
+            "mgr.close(save=False)\n")
+        stop_file = os.path.join(cache_dir, "..", "stop-oob")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        oob = subprocess.Popen(
+            [sys.executable, "-c", oob_code, cache_dir, remote_dir,
+             stop_file, repo],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+
+        threads = [threading.Thread(target=reader, args=(s,))
+                   for s in (2, 3)]
+        threads.append(threading.Thread(target=resolver))
+        wt = threading.Thread(target=writer)
+        try:
+            for t in threads + [wt]:
+                t.start()
+            for t in threads + [wt]:
+                t.join(timeout=180 + soak_s)
+        finally:
+            with open(stop_file, "w"):
+                pass
+            try:
+                oob.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                oob.kill()
+        mgr.drain()
+        mgr.close(save=False)
+        assert not errors, errors
+        assert oob.returncode == 0, oob.stderr and oob.stderr
+        # no torn mirror files left behind by either process
+        mroot = os.path.join(cache_dir, "mirror")
+        if os.path.isdir(mroot):
+            assert not [n for n in os.listdir(mroot) if ".tmp-" in n]
