@@ -791,9 +791,27 @@ class CacheManager:
 
         Per-file tolerant: a failed copy leaves that file un-mirrored
         (remote stays authoritative; the next read self-heals), never
-        fails the write. Returns files mirrored by tasks."""
+        fails the write. Returns files mirrored by tasks.
+
+        A process-local scheme (``mem://``) is unreachable from worker
+        processes — the same constraint ``warm_distributed`` documents
+        — so it mirrors inline here instead (no scale concern: a
+        process-local store is by definition not the 100 TB path)."""
         if self.write_cache is None:
             return 0
+        if uri.startswith("mem://"):
+            n = 0
+            for st in self.list_files(uri):
+                if self.conf.write_excluded(st.path):
+                    continue
+                fs, path = self._resolve(st.path)
+                self.write_cache.put_file(path, fs.read_all(path),
+                                          synced=True)
+                self.meta.save(path, FileMeta(st.mtime, st.length,
+                                              st.is_dir))
+                self.write_cache.check_eviction()
+                n += 1
+            return n
         fs_uri = uri if "://" in uri else os.path.abspath(uri)
         work: List[tuple] = []
         for st in self.list_files(fs_uri, suffix=suffix):

@@ -31,6 +31,7 @@ Deterministic: seed 42 throughout. Output: <repo>/.testdata/sf1/.
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 
@@ -45,6 +46,9 @@ DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 REPLICAS = 10
 OFF = 10**9  # used as {k}::BIGINT * OFF in SQL  # bigint key offset per replica
 SEED = 42
+
+ALL_TABLES = ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings")
 
 
 def _union(con: duckdb.DuckDBPyConnection, per_replica_sql: str,
@@ -138,17 +142,34 @@ def gen_embeddings() -> None:
 
 
 def main() -> None:
+    # parameterized (VERDICT r3 item 7): --replicas 30 --dst .testdata/sf3
+    # --tables documents generates the 30x documents corpus the sf3
+    # scaling rows of the two data-bound pipelines are measured on,
+    # with the same structure-preserving perturbation scheme
+    global REPLICAS, DST
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=REPLICAS)
+    ap.add_argument("--dst", default=DST)
+    ap.add_argument("--tables", default=",".join(ALL_TABLES),
+                    help="comma-separated subset to generate")
+    args = ap.parse_args()
+    REPLICAS = args.replicas
+    DST = args.dst
+    tables = [t for t in args.tables.split(",") if t]
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
-    gen_relational(con)
-    gen_documents(con)
-    gen_embeddings()
-    for tbl in ("region", "nation", "customer", "supplier", "part",
-                "orders", "lineitem", "events", "documents", "embeddings"):
-        n = con.sql(
-            f"SELECT count(*) FROM '{DST}/{tbl}.parquet'").fetchone()[0]
-        print(f"{tbl}: {n}")
-    print(f"sf1 written to {DST}")
+    if any(t in tables for t in ALL_TABLES[:8]):
+        gen_relational(con)
+    if "documents" in tables:
+        gen_documents(con)
+    if "embeddings" in tables:
+        gen_embeddings()
+    for tbl in tables:
+        p = f"{DST}/{tbl}.parquet"
+        if os.path.exists(p):
+            n = con.sql(f"SELECT count(*) FROM '{p}'").fetchone()[0]
+            print(f"{tbl}: {n}")
+    print(f"{REPLICAS}x replica data written to {DST}")
 
 
 if __name__ == "__main__":
