@@ -704,6 +704,22 @@ class CacheManager:
                         out[idx] = st.path
         return out
 
+    def cold_admitted_bytes(self, uri: str, suffix: str = "") -> int:
+        """Total bytes of admitted-but-unmirrored files at ``uri`` —
+        what a cold resolve would have to pull. Metadata-only (one
+        listing + mirror lookups); used by ``Engine.read_parquet`` to
+        decide driver-pool fill vs cluster-wide warm."""
+        if self.mirror is None:
+            return 0
+        fs_uri = uri if "://" in uri else os.path.abspath(uri)
+        total = 0
+        for st in self.list_files(fs_uri, suffix=suffix):
+            if not self.is_cacheable_file(st.path, st.length):
+                continue
+            if self.mirror.lookup(st.path, st.mtime) is None:
+                total += st.length
+        return total
+
     def warm_distributed(self, spark, uri: str, suffix: str = "") -> int:
         """Cluster-wide cache warm (the Alluxio ``distributedLoad``
         shape): fan cold-file materialization over Spark TASKS, each of

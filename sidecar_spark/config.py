@@ -81,6 +81,7 @@ _KEYMAP = {
     "data.cache.size": "data_cache_size",
     # wires the reference's unwired SizeBasedPriorityQueue as an option
     "write.cache.eviction.policy": "write_cache_eviction_policy",
+    "auto.warm.bytes": "auto_warm_bytes",
 }
 
 _TRUE = {"true", "1", "yes", "on"}
@@ -133,6 +134,11 @@ class SidecarConfig:
     data_cache_mode: DataCacheMode = DataCacheMode.ALL
     data_cache_size: int = 0  # engine addition: page-store capacity (0 = unlimited)
     minsize_threshold: int = 100 * MiB  # sidecar.cache.minsize.threshold
+    # engine addition: a COLD table at/over this many admitted bytes is
+    # warmed via Spark tasks (warm_distributed) before resolve, so big
+    # cold reads never pull their bytes through the driver; below it
+    # the driver-pool fill is cheaper than a Spark job. 0 disables.
+    auto_warm_bytes: int = 256 * MiB
     read_exclude_paths: tuple = ()  # sidecar.read.exclude.path.list (regexes)
 
     # admission / hints
@@ -216,7 +222,8 @@ class SidecarConfig:
         for k, v in kwargs.items():
             if k in ("write_cache_size", "data_page_size", "io_buffer_size",
                      "io_pool_size", "thread_pool_size", "minsize_threshold",
-                     "scan_detector_threshold", "data_cache_size"):
+                     "scan_detector_threshold", "data_cache_size",
+                     "auto_warm_bytes"):
                 coerced[k] = _to_int(v)
             elif k in ("metrics_enabled", "test_mode", "cache_persistent",
                        "install_shutdown_hook", "remote_files_mutable",

@@ -75,6 +75,22 @@ class Engine:
         return self.read_parquet(location)
 
     def read_parquet(self, location: str):
+        # scale guard: a COLD table at/over auto_warm_bytes is warmed
+        # by Spark tasks first (each node fills its own mirror), so the
+        # subsequent resolve is all hits and the driver never funnels
+        # table bytes — the read-path analog of the task-side write
+        # mirror. Below the threshold the driver pool fill is cheaper
+        # than a Spark job; mem:// is process-local and cannot warm
+        # remotely (see warm_distributed).
+        if (self.cache is not None and self.cache.mirror is not None
+                and self.conf.auto_warm_bytes
+                and not location.startswith("mem://")):
+            try:
+                cold = self.cache.cold_admitted_bytes(location)
+                if cold >= self.conf.auto_warm_bytes:
+                    self.cache.warm_distributed(self.spark, location)
+            except Exception:  # noqa: BLE001 — warm trouble never
+                pass           # fails the read; resolve self-heals
         paths = self.resolve_paths(location)
         return self.spark.read.parquet(*paths)
 

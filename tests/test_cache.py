@@ -1144,3 +1144,77 @@ class TestMirrorAccounting:
             assert mgr.mirror.size_bytes() <= lo
         finally:
             mgr.close(save=False)
+
+
+class TestAutoWarm:
+    """Engine.read_parquet auto-warm: a cold table at/over
+    auto_warm_bytes is filled by Spark tasks (zero driver fetches);
+    below the threshold the driver pool fills as before."""
+
+    def test_cold_read_over_threshold_warms_distributed(
+            self, cache_dir, remote_dir, spark):
+        from sidecar_spark import Engine
+        for i in range(4):
+            with open(os.path.join(remote_dir, f"f{i}.parquet"), "wb") as f:
+                f.write(b"PAR1" + bytes([i]) * 2000)
+        conf = SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False, auto_warm_bytes=1)
+        eng = Engine(spark, base_dir=remote_dir, conf=conf)
+        try:
+            cold = eng.cache.cold_admitted_bytes(remote_dir)
+            assert cold == sum(
+                os.path.getsize(os.path.join(remote_dir, n))
+                for n in os.listdir(remote_dir))
+            eng.cache.warm_distributed(spark, remote_dir)
+            assert eng.cache.cold_admitted_bytes(remote_dir) == 0
+            paths = eng.cache.resolve_for_spark(remote_dir)
+            assert all(p.startswith(cache_dir) for p in paths)
+            assert eng.cache.stats.get(
+                "total_read_requests_from_remote") == 0
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_read_parquet_autowarm_end_to_end(self, cache_dir,
+                                              remote_dir, spark):
+        """Real parquet through Engine.read_parquet with a 1-byte
+        threshold: the cold read itself must do ZERO driver-side
+        remote fetches (tasks warmed it) and still return the rows."""
+        from sidecar_spark import Engine
+        src = os.path.join(remote_dir, "t.parquet")
+        spark.range(1000).selectExpr("id", "id % 3 AS k") \
+            .repartition(3).write.parquet(src)
+        conf = SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False, auto_warm_bytes=1)
+        eng = Engine(spark, base_dir=remote_dir, conf=conf)
+        try:
+            df = eng.read_parquet(src)
+            assert df.count() == 1000
+            assert eng.cache.stats.get(
+                "total_read_requests_from_remote") == 0
+            # and the scan really is local (mirror paths)
+            paths = eng.cache.resolve_for_spark(src)
+            assert all(p.startswith(cache_dir) for p in paths)
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_below_threshold_uses_driver_pool(self, cache_dir,
+                                              remote_dir, spark):
+        from sidecar_spark import Engine
+        src = os.path.join(remote_dir, "t.parquet")
+        spark.range(100).coalesce(1).write.parquet(src)
+        conf = SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False)  # default 256 MiB threshold
+        eng = Engine(spark, base_dir=remote_dir, conf=conf)
+        try:
+            assert eng.read_parquet(src).count() == 100
+            # small table: driver pool filled it (remote reqs > 0)
+            assert eng.cache.stats.get(
+                "total_read_requests_from_remote") > 0
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
