@@ -155,7 +155,13 @@ def main() -> None:
         # multi-second spikes on an otherwise-idle 32-core VM
         best = None
         last_err = None
-        for attempt in range(2):
+        times = []
+        # up to 3 attempts: the usual 2, plus a tie-breaker when the
+        # first two disagree by >2x — noisy-neighbor windows on this
+        # host last minutes, long enough to poison BOTH of two
+        # back-to-back runs of a single query; a third attempt after
+        # the pair caught inflations best-of-2 recorded as real
+        for attempt in range(3):
             t0 = time.time()
             try:
                 df = fn(spark, SF_DIR)
@@ -169,6 +175,7 @@ def main() -> None:
                 spark.catalog.clearCache()
                 continue
             el = time.time() - t0
+            times.append(el)
             best = el if best is None else min(best, el)
             # drop DataFrames persisted inside operators (LSH signature
             # tables etc.) so storage-memory pressure from one query
@@ -176,6 +183,9 @@ def main() -> None:
             spark.catalog.clearCache()
             if best < 1.0:
                 break
+            if len(times) >= 2 and (max(times[-2:]) <=
+                                    2.0 * min(times[-2:])):
+                break  # consecutive attempts agree: steady state
         if best is not None:
             # a query that produced a timing is not an error, even if
             # one of its attempts failed (errors and per_query are
