@@ -91,9 +91,18 @@ class FileMirror:
 
     def _rebuild(self) -> None:
         for name in sorted(os.listdir(self.root)):
+            if ".tmp-" in name:
+                # another process's in-flight copy (tmp + atomic
+                # replace): not an entry — counting it would leave a
+                # phantom in the file list and inflate _size forever
+                # once the tmp is renamed away
+                continue
             p = os.path.join(self.root, name)
             if os.path.isfile(p):
-                sz = os.path.getsize(p)
+                try:
+                    sz = os.path.getsize(p)
+                except OSError:
+                    continue  # vanished between list and stat
                 self.files.put(p, sz)
                 self._size += sz
 
@@ -662,11 +671,32 @@ class CacheManager:
         loop iteration. A fetch failure self-heals to the remote path
         (cache trouble must never fail the read — the
         ``readFromWriteCacheFS`` error contract,
-        ``SidecarCachingInputStream.java:1008-1038``)."""
+        ``SidecarCachingInputStream.java:1008-1038``).
+
+        File-level scan veto (the ``ScanDetector`` admission idea,
+        ``util/ScanDetector.java:43-69``, lifted from pages to
+        tables): when the resolve's total ADMITTED bytes exceed what
+        the mirror can hold below its eviction floor, cold files are
+        NOT materialized — filling would evict everything just
+        written (at 100 TB, a table bigger than the node cache must
+        stream from remote, not churn the cache). Existing hits are
+        still served locally, and ``total_scans_detected`` counts the
+        veto."""
         fs, path = self._resolve(uri)
         out: List[Optional[str]] = []
         cold: List[tuple] = []  # (index into out, FileStat)
-        for st in self.list_files(path, suffix=""):
+        files = self.list_files(path, suffix="")
+        fill_veto = False
+        if self.mirror is not None and self.mirror.capacity:
+            admitted_total = sum(
+                st.length for st in files
+                if self.is_cacheable_file(st.path, st.length))
+            floor = (self.mirror.capacity
+                     * self.conf.eviction_stop_occupancy)
+            if admitted_total > floor:
+                fill_veto = True
+                self.stats.add("total_scans_detected")
+        for st in files:
             self.stats.add("total_files_opened")
             self.meta.save(st.path, FileMeta(st.mtime, st.length, st.is_dir))
             if self.mirror is None or not self.is_cacheable_file(st.path, st.length):
@@ -678,6 +708,8 @@ class CacheManager:
                 self.stats.add("total_bytes_read_data_cache", st.length)
                 self.stats.add("total_bytes_read", st.length)
                 out.append(hit)
+            elif fill_veto:
+                out.append(st.path)  # stream from remote, no fill
             else:
                 out.append(None)
                 cold.append((len(out) - 1, st))
@@ -739,16 +771,27 @@ class CacheManager:
         process-local and cannot warm remotely).
 
         Returns the number of files fetched by tasks (cluster-wide;
-        already-local files are skipped driver-side)."""
+        already-local files are skipped driver-side).
+
+        Applies the same file-level scan veto as ``resolve_for_spark``:
+        a table whose admitted bytes exceed the mirror's eviction
+        floor is not warmed (filling it would only churn every node's
+        cache) — the warm is a no-op returning 0."""
         fs_uri = uri if "://" in uri else os.path.abspath(uri)
         work: List[tuple] = []
+        admitted_total = 0
         for st in self.list_files(fs_uri, suffix=suffix):
             if self.mirror is None or not self.is_cacheable_file(
                     st.path, st.length):
                 continue
+            admitted_total += st.length
             if self.mirror.lookup(st.path, st.mtime) is None:
                 work.append((st.path, st.mtime, st.length))
         if not work:
+            return 0
+        if self.mirror.capacity and admitted_total > (
+                self.mirror.capacity * self.conf.eviction_stop_occupancy):
+            self.stats.add("total_scans_detected")
             return 0
         conf = self.conf
         if conf.hint_detector is not None and callable(conf.hint_detector):

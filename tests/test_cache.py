@@ -1218,3 +1218,92 @@ class TestAutoWarm:
         finally:
             eng.close()
             CacheManager.clear_instances()
+
+
+class TestFileScanVeto:
+    """File-level scan resistance: a resolve/warm whose admitted bytes
+    exceed the mirror's eviction floor must NOT fill (it would evict
+    everything it just wrote — at 100 TB, a table bigger than the node
+    cache streams from remote). The ScanDetector admission idea
+    (util/ScanDetector.java:43-69) lifted from pages to tables."""
+
+    def _mgr(self, cache_dir, cap):
+        return CacheManager(SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            data_cache_size=cap, cache_persistent=False))
+
+    def test_over_capacity_resolve_streams_remote(self, cache_dir,
+                                                  remote_dir):
+        for i in range(8):
+            with open(os.path.join(remote_dir, f"f{i}.parquet"), "wb") as f:
+                f.write(bytes([i]) * 64 * 1024)
+        mgr = self._mgr(cache_dir, 3 * 64 * 1024)
+        try:
+            paths = mgr.resolve_for_spark(remote_dir)
+            # nothing filled, everything served remote — zero churn
+            assert all(p.startswith(remote_dir) for p in paths)
+            assert mgr.mirror.size_bytes() == 0
+            assert mgr.stats.get("total_scans_detected") == 1
+            assert mgr.stats.get("total_read_requests_from_remote") == 0
+        finally:
+            mgr.close(save=False)
+
+    def test_over_capacity_existing_hits_still_served(self, cache_dir,
+                                                      remote_dir):
+        """The veto blocks FILLS, not hits: files already mirrored
+        (e.g. from earlier smaller resolves) keep serving locally."""
+        for i in range(8):
+            with open(os.path.join(remote_dir, f"f{i}.parquet"), "wb") as f:
+                f.write(bytes([i]) * 64 * 1024)
+        mgr = self._mgr(cache_dir, 3 * 64 * 1024)
+        try:
+            fs = RemoteFS.local()
+            one = os.path.join(remote_dir, "f0.parquet")
+            mgr.mirror.materialize(fs, fs.stat(one))
+            paths = mgr.resolve_for_spark(remote_dir)
+            local = [p for p in paths if p.startswith(cache_dir)]
+            assert len(local) == 1
+            assert mgr.stats.get(
+                "total_read_requests_from_data_cache") == 1
+        finally:
+            mgr.close(save=False)
+
+    def test_fitting_table_still_fills(self, cache_dir, remote_dir):
+        for i in range(2):
+            with open(os.path.join(remote_dir, f"f{i}.parquet"), "wb") as f:
+                f.write(bytes([i]) * 8 * 1024)
+        mgr = self._mgr(cache_dir, 1024 * 1024)
+        try:
+            paths = mgr.resolve_for_spark(remote_dir)
+            assert all(p.startswith(cache_dir) for p in paths)
+            assert mgr.stats.get("total_scans_detected") == 0
+        finally:
+            mgr.close(save=False)
+
+    def test_over_capacity_warm_refuses(self, cache_dir, remote_dir,
+                                        spark):
+        for i in range(8):
+            with open(os.path.join(remote_dir, f"f{i}.parquet"), "wb") as f:
+                f.write(bytes([i]) * 64 * 1024)
+        mgr = self._mgr(cache_dir, 3 * 64 * 1024)
+        try:
+            assert mgr.warm_distributed(spark, remote_dir) == 0
+            assert mgr.mirror.size_bytes() == 0
+            assert mgr.stats.get("total_scans_detected") == 1
+        finally:
+            mgr.close(save=False)
+
+    def test_single_file_larger_than_cache_never_admitted(
+            self, cache_dir, remote_dir):
+        """Previously a file bigger than the whole mirror would
+        materialize then immediately evict — pure churn."""
+        big = os.path.join(remote_dir, "big.parquet")
+        with open(big, "wb") as f:
+            f.write(b"x" * 256 * 1024)
+        mgr = self._mgr(cache_dir, 64 * 1024)
+        try:
+            paths = mgr.resolve_for_spark(big)
+            assert paths == [big]
+            assert mgr.mirror.size_bytes() == 0
+        finally:
+            mgr.close(save=False)

@@ -71,8 +71,17 @@ conf = SidecarConfig.create(cache_dir=cache_dir, data_cache_type="file",
 mgr = CacheManager.get_or_create(conf)
 file_len = %d
 corrupt = 0
+# per-FILE resolves: a whole-dir resolve of an over-capacity table is
+# scan-vetoed (no fills); resolving file-by-file keeps each fill
+# admitted so the eviction-pressure variant really churns the mirror
+def resolve_all():
+    out = []
+    for name in sorted(os.listdir(remote_dir)):
+        out.extend(mgr.resolve_for_spark(os.path.join(remote_dir, name)))
+    return out
+
 for _ in range(int(rounds)):
-    for p in mgr.resolve_for_spark(remote_dir):
+    for p in resolve_all():
         i = int(os.path.basename(p).rsplit("f", 1)[-1].split(".")[0])
         try:
             with open(p, "rb") as f:

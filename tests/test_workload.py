@@ -261,10 +261,27 @@ class TestWarmEvictRace:
 
         def resolver() -> None:
             """Driver-side warm path: materialize + adopt + evict,
-            then byte-verify whatever resolve handed back."""
+            then byte-verify whatever resolve handed back.  Per-FILE
+            resolves: a whole-dir resolve over this capacity-starved
+            mirror is scan-vetoed; per-file keeps the fills (and the
+            eviction churn this test exists to exercise)."""
+            def resolve_all():
+                out = []
+                try:
+                    names = sorted(os.listdir(remote_dir))
+                except OSError:
+                    return out
+                for name in names:
+                    try:
+                        out.extend(mgr.resolve_for_spark(
+                            os.path.join(remote_dir, name), suffix=""))
+                    except FileNotFoundError:
+                        continue  # deleted between list and resolve
+                return out
+
             while not stop.is_set():
                 try:
-                    for p in mgr.resolve_for_spark(remote_dir, suffix=""):
+                    for p in resolve_all():
                         name = os.path.basename(p).rsplit("f", 1)[-1]
                         try:
                             i = int(name)
@@ -295,7 +312,9 @@ class TestWarmEvictRace:
             "    data_cache_size=3 * 64 * 1024, cache_persistent=False))\n"
             "while not os.path.exists(sys.argv[3]):\n"
             "    try:\n"
-            "        mgr.resolve_for_spark(sys.argv[2], suffix='')\n"
+            "        for n in sorted(os.listdir(sys.argv[2])):\n"
+            "            mgr.resolve_for_spark(\n"
+            "                os.path.join(sys.argv[2], n), suffix='')\n"
             "    except Exception:\n"
             "        pass\n"
             "    time.sleep(0.01)\n"
