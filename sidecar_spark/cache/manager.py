@@ -72,6 +72,13 @@ class FileMirror:
     requests for the SAME file block on one fetch instead of
     double-copying."""
 
+    #: soft eviction grace: a mirror file SERVED within this window is
+    #: likely referenced by a still-running Spark plan (resolve hands
+    #: out concrete local paths; evicting one mid-query would fail the
+    #: scan). Eviction prefers victims outside the window; the hard
+    #: capacity contract still wins when every victim is recent.
+    SERVED_GRACE_S = 300.0
+
     def __init__(self, root: str, capacity: int, conf: SidecarConfig,
                  stats: Statistics) -> None:
         self.root = root
@@ -83,6 +90,7 @@ class FileMirror:
         self._size = 0
         self._lock = threading.RLock()
         self._inflight: Dict[str, threading.Event] = {}
+        self._served: Dict[str, float] = {}
         self._rebuild()
 
     def _local(self, path: str, mtime: int) -> str:
@@ -109,6 +117,7 @@ class FileMirror:
     def lookup(self, path: str, mtime: int) -> Optional[str]:
         lp = self._local(path, mtime)
         if self.files.exists(lp) and os.path.exists(lp):
+            self._served[lp] = time.monotonic()
             return lp
         if os.path.exists(lp):
             # materialized out-of-band (an executor-side warm wrote the
@@ -120,10 +129,14 @@ class FileMirror:
                     sz = os.path.getsize(lp)
                     self.files.put(lp, sz)
                     self._size += sz
+                    # pin BEFORE evicting: the adopted file must not
+                    # be its own eviction's first victim
+                    self._served[lp] = time.monotonic()
                     # adopted bytes count toward occupancy like any
                     # other fill — without this a distributed warm
                     # could overshoot capacity unbounded
                     self._evict_if_needed()
+            self._served[lp] = time.monotonic()
             return lp
         return None
 
@@ -168,6 +181,10 @@ class FileMirror:
                 if not self.files.exists(lp):
                     self.files.put(lp, st.length)
                     self._size += st.length
+                # pin BEFORE evicting: the fresh fill must not be its
+                # own eviction's first victim (it has no served stamp
+                # yet, which would read as "stale")
+                self._served[lp] = time.monotonic()
                 self._evict_if_needed()
             return lp
         finally:
@@ -178,6 +195,7 @@ class FileMirror:
     def invalidate(self, path: str, mtime: int) -> bool:
         lp = self._local(path, mtime)
         ln = self.files.remove(lp)
+        self._served.pop(lp, None)
         if ln is not None:
             self._size -= ln
             try:
@@ -198,11 +216,27 @@ class FileMirror:
         if self._size <= hi:
             return
         while self._size > lo:
-            victim = self.files.eviction_candidate()
+            # LRC order, but PREFER victims not served within the
+            # grace window — a recently-served path is likely inside
+            # a running Spark plan. Hard capacity contract still wins:
+            # when every candidate is recent, the oldest goes anyway.
+            now = time.monotonic()
+            victim = None
+            oldest = None
+            for k, _ln in self.files.items():
+                if oldest is None:
+                    oldest = k
+                ts = self._served.get(k)
+                if ts is None or now - ts >= self.SERVED_GRACE_S:
+                    victim = k
+                    break
+            if victim is None:
+                victim = oldest
             if victim is None:
                 break
             ln = self.files.remove(victim) or 0
             self._size -= ln
+            self._served.pop(victim, None)
             try:
                 os.remove(victim)
             except OSError:

@@ -1307,3 +1307,62 @@ class TestFileScanVeto:
             assert mgr.mirror.size_bytes() == 0
         finally:
             mgr.close(save=False)
+
+
+class TestServedGraceEviction:
+    """Eviction prefers victims NOT served within SERVED_GRACE_S —
+    a recently-served mirror path is likely referenced by a running
+    Spark plan (resolve hands out concrete local paths). The hard
+    capacity contract still wins when every candidate is recent."""
+
+    def _mgr(self, cache_dir, cap):
+        return CacheManager(SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            data_cache_size=cap, cache_persistent=False))
+
+    def test_stale_victim_preferred_over_lrc_head(self, cache_dir,
+                                                  remote_dir):
+        mgr = self._mgr(cache_dir, 30_000)
+        try:
+            fs = RemoteFS.local()
+            lps = []
+            for i in range(3):
+                rp = os.path.join(remote_dir, f"f{i}.bin")
+                with open(rp, "wb") as f:
+                    f.write(bytes([i]) * 9_000)
+                lps.append(mgr.mirror.materialize(fs, fs.stat(rp)))
+            # age f1 out of the grace window; f0 (the LRC head) and f2
+            # stay recently-served
+            mgr.mirror._served[lps[1]] -= (
+                mgr.mirror.SERVED_GRACE_S + 1)
+            rp = os.path.join(remote_dir, "f3.bin")
+            with open(rp, "wb") as f:
+                f.write(b"3" * 9_000)
+            mgr.mirror.materialize(fs, fs.stat(rp))  # triggers eviction
+            # the stale f1 went, not the older-but-recent f0
+            assert not os.path.exists(lps[1])
+            assert os.path.exists(lps[0]) and os.path.exists(lps[2])
+        finally:
+            mgr.close(save=False)
+
+    def test_all_recent_falls_back_to_lrc_oldest(self, cache_dir,
+                                                 remote_dir):
+        mgr = self._mgr(cache_dir, 30_000)
+        try:
+            fs = RemoteFS.local()
+            lps = []
+            for i in range(3):
+                rp = os.path.join(remote_dir, f"f{i}.bin")
+                with open(rp, "wb") as f:
+                    f.write(bytes([i]) * 9_000)
+                lps.append(mgr.mirror.materialize(fs, fs.stat(rp)))
+            rp = os.path.join(remote_dir, "f3.bin")
+            with open(rp, "wb") as f:
+                f.write(b"3" * 9_000)
+            mgr.mirror.materialize(fs, fs.stat(rp))
+            # every candidate recent: capacity wins, LRC head evicted
+            assert not os.path.exists(lps[0])
+            lo = 30_000 * mgr.conf.eviction_stop_occupancy
+            assert mgr.mirror.size_bytes() <= lo
+        finally:
+            mgr.close(save=False)
