@@ -370,6 +370,15 @@ class CacheManager:
             # file changed: update meta, async-invalidate stale pages
             self._invalidate_async(path, cached)
             self.meta.update(path, FileMeta(st.mtime, st.length, st.is_dir))
+            if self.write_cache is not None:
+                # the write-cache mirror is the FIRST read tier
+                # (readFromWriteCacheFS order) — a stale synced mirror
+                # of the remotely-mutated file would keep serving old
+                # bytes forever. Safe to drop here: an UNSYNCED newer
+                # local version (pending ASYNC upload) has a moniker
+                # and returned from the local-first branch above,
+                # never reaching this mismatch path.
+                self.write_cache.delete_file(path)
         elif cached is None and not st.is_dir:
             self.meta.put_stat(st)
         return st

@@ -1366,3 +1366,53 @@ class TestServedGraceEviction:
             assert mgr.mirror.size_bytes() <= lo
         finally:
             mgr.close(save=False)
+
+
+class TestWriteCacheMutationCoherence:
+    """A remote out-of-band mutation must also drop the write-cache
+    mirror: it is the FIRST read tier, so a stale synced mirror would
+    serve old bytes forever (pages and the file mirror were already
+    invalidated on mtime change; this closes the third tier)."""
+
+    def test_remote_mutation_drops_stale_write_mirror(self, cache_dir,
+                                                      remote_dir):
+        mgr = CacheManager(SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False, remote_files_mutable=True))
+        try:
+            p = os.path.join(remote_dir, "f1")
+            out = mgr.create(p)
+            out.write(b"OLD" * 100)
+            out.close()
+            mgr.drain()
+            assert mgr.write_cache.contains(p)
+            with open(p, "wb") as f:
+                f.write(b"NEW" * 100)
+            os.utime(p, (1e9, 2e9))  # force a distinct mtime
+            mgr.get_file_status(p)
+            mgr.drain()
+            assert not mgr.write_cache.contains(p)
+            s = mgr.open(p)
+            assert s.read_at(0, 3) == b"NEW"
+        finally:
+            mgr.close(save=False)
+
+    def test_pending_async_upload_not_dropped(self, cache_dir,
+                                              remote_dir):
+        """The unsynced (moniker) case must NOT be dropped: with a
+        pending ASYNC_COPY upload the local mirror is AHEAD of the
+        remote, and the local-first branch serves it."""
+        mgr = CacheManager(SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            write_cache_mode="async_copy",
+            cache_persistent=False, remote_files_mutable=True))
+        try:
+            p = os.path.join(remote_dir, "f2")
+            out = mgr.create(p)
+            out.write(b"LOCALFIRST")
+            out.close()  # upload queued async; moniker still possible
+            st = mgr.get_file_status(p)
+            assert st is not None and st.length == 10
+            mgr.drain()
+        finally:
+            mgr.close(save=False)
