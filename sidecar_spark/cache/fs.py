@@ -206,16 +206,28 @@ class RemoteFS:
         self.fs.copy_file(src, dst)
 
     def concat(self, target: str, sources: List[str]) -> None:
-        """Concatenate source files into target (ADL Gen1 verb,
-        SidecarCachingFileSystem.java:1560-1586). Emulated by streaming
-        copy since generic stores lack server-side concat."""
-        with self.fs.open_output_stream(self._p(target)) as out:
-            for s in sources:
-                with self.fs.open_input_stream(self._p(s)) as f:
+        """Concatenate source files onto target (ADL Gen1 verb,
+        SidecarCachingFileSystem.java:1560-1586). Hadoop
+        ``FileSystem.concat`` semantics: the target KEEPS its existing
+        bytes and the sources are appended to it in order, then
+        deleted. Emulated by a staged streaming copy (target first,
+        then sources, atomic swap) since generic stores lack
+        server-side concat; a missing target starts empty."""
+        tmp = target + f".concat-tmp-{os.getpid()}"
+        with self.fs.open_output_stream(self._p(tmp)) as out:
+            for s in [target] + list(sources):
+                try:
+                    src = self.fs.open_input_stream(self._p(s))
+                except (OSError, FileNotFoundError):
+                    if s == target:
+                        continue  # fresh target: nothing to preserve
+                    raise
+                with src as f:
                     while True:
                         chunk = f.read(4 * 1024 * 1024)
                         if not chunk:
                             break
                         out.write(chunk)
+        self.fs.move(self._p(tmp), self._p(target))
         for s in sources:
             self.fs.delete_file(self._p(s))

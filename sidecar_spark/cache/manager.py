@@ -525,10 +525,15 @@ class CacheManager:
                                                 nst.is_dir))
                 if nst.mtime == old_mtime:
                     # append completed within the same mtime(ms) tick:
-                    # (path, mtime)-addressed pages would NOT
-                    # self-invalidate — evict the old span explicitly
-                    self.pages.delete_file_pages(path, old_mtime,
-                                                 old_length)
+                    # (path, mtime)-addressed pages AND the file
+                    # mirror would NOT self-invalidate — evict both
+                    # explicitly (the mirror copy is short by the
+                    # appended bytes)
+                    if self.pages is not None:
+                        self.pages.delete_file_pages(path, old_mtime,
+                                                     old_length)
+                    if self.mirror is not None:
+                        self.mirror.invalidate(path, old_mtime)
             if caching_path is not None and self.write_cache is not None:
                 self.write_cache.register_append(caching_path,
                                                  stream.bytes_written)
@@ -569,14 +574,18 @@ class CacheManager:
             if st is not None:
                 if old_meta is not None:
                     # overwrite of a known file: refresh the entry and
-                    # purge pages keyed by its previous (mtime, length)
-                    # identity — they would otherwise survive a
-                    # same-ms overwrite (metaUpdate + dataDeleteFile,
-                    # the delete/rename coherence applied to create)
+                    # purge pages AND the file mirror keyed by its
+                    # previous (mtime, length) identity — both would
+                    # otherwise survive a same-ms overwrite
+                    # (metaUpdate + dataDeleteFile, the delete/rename
+                    # coherence applied to create)
                     self.meta.update(
                         path, FileMeta(st.mtime, st.length, st.is_dir))
-                    self.pages.delete_file_pages(
-                        path, old_meta.mtime, old_meta.length)
+                    if self.pages is not None:
+                        self.pages.delete_file_pages(
+                            path, old_meta.mtime, old_meta.length)
+                    if self.mirror is not None:
+                        self.mirror.invalidate(path, old_meta.mtime)
                 else:
                     self.meta.save(
                         path, FileMeta(st.mtime, st.length, st.is_dir))
@@ -672,8 +681,20 @@ class CacheManager:
         fs.mkdirs(path)
 
     def concat(self, target_uri: str, source_uris: List[str]) -> None:
-        """concat (:1560-1586): purge sources from caches, delegate."""
+        """concat (:1560-1586): purge sources from caches, delegate.
+
+        The TARGET's content changes too — purge its every tier, not
+        just meta: its pre-concat write-cache mirror is the first read
+        tier and would keep serving the short pre-concat bytes, and a
+        same-ms concat would leave its (path, mtime) pages/mirror
+        reachable."""
         fs, target = self._resolve(target_uri)
+        tgt_meta = self.meta.get(target)
+        if tgt_meta is None:
+            tgt_st = fs.stat(target)
+            if tgt_st is not None and not tgt_st.is_dir:
+                tgt_meta = FileMeta(tgt_st.mtime, tgt_st.length,
+                                    tgt_st.is_dir)
         srcs = []
         for s in source_uris:
             _, sp = self._resolve(s)
@@ -686,6 +707,10 @@ class CacheManager:
                 self.write_cache.delete_file(sp)
         fs.concat(target, srcs)
         self.meta.delete(target)
+        if tgt_meta is not None:
+            self._invalidate_async(target, tgt_meta)
+        if self.write_cache is not None:
+            self.write_cache.delete_file(target)
 
     def list_files(self, uri: str, suffix: str = "") -> List[FileStat]:
         fs, path = self._resolve(uri)

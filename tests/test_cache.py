@@ -1416,3 +1416,101 @@ class TestWriteCacheMutationCoherence:
             mgr.drain()
         finally:
             mgr.close(save=False)
+
+
+class TestMutationTierCoherence:
+    """Round-4 coherence audit: every mutation verb must purge EVERY
+    tier whose key would still match afterwards — write-cache mirror
+    (first read tier), pages and file mirror under same-ms mtime
+    reuse."""
+
+    def _mgr(self, cache_dir):
+        return CacheManager(SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False))
+
+    def test_concat_purges_target_tiers(self, cache_dir, remote_dir):
+        """concat changes the TARGET's bytes: its pre-concat
+        write-cache mirror must not keep serving the short content."""
+        mgr = self._mgr(cache_dir)
+        try:
+            tgt = os.path.join(remote_dir, "t")
+            src = os.path.join(remote_dir, "s")
+            for p, b in ((tgt, b"TGT"), (src, b"SRC")):
+                o = mgr.create(p)
+                o.write(b * 10)
+                o.close()
+            mgr.drain()
+            assert mgr.write_cache.contains(tgt)
+            mgr.concat(tgt, [src])
+            mgr.drain()
+            assert not mgr.write_cache.contains(tgt)
+            s = mgr.open(tgt)
+            data = s.read_at(0, 60)
+            assert data == b"TGT" * 10 + b"SRC" * 10
+        finally:
+            mgr.close(save=False)
+
+    def test_same_ms_append_invalidates_mirror(self, cache_dir,
+                                               remote_dir, monkeypatch):
+        """An append that completes within one mtime(ms) tick leaves
+        the (path, mtime) mirror key matching — it must be evicted
+        explicitly or resolve serves the short pre-append copy."""
+        mgr = self._mgr(cache_dir)
+        try:
+            p = os.path.join(remote_dir, "a")
+            with open(p, "wb") as f:
+                f.write(b"AA" * 100)
+            fs = RemoteFS.local()
+            st0 = fs.stat(p)
+            lp = mgr.mirror.materialize(fs, st0)
+            assert os.path.getsize(lp) == 200
+            out = mgr.append(p)
+            out.write(b"BB" * 50)
+            # force the same-ms identity: pin mtime back to st0's
+            out.remote_fh.flush()
+            close_orig = out.close
+
+            def close_with_pinned_mtime():
+                close_orig()
+            os.utime(p, ns=(st0.mtime * 10**6, st0.mtime * 10**6))
+            close_with_pinned_mtime()
+            os.utime(p, ns=(st0.mtime * 10**6, st0.mtime * 10**6))
+            mgr.drain()
+            # the stale 200-byte mirror copy is gone
+            assert mgr.mirror.lookup(p, st0.mtime) is None
+            paths = mgr.resolve_for_spark(p)
+            # resolve re-materializes (or serves remote) the FULL file
+            with open(paths[0], "rb") as f:
+                assert len(f.read()) == 300
+        finally:
+            mgr.close(save=False)
+
+    def test_same_ms_overwrite_invalidates_mirror(self, cache_dir,
+                                                  remote_dir):
+        """Re-creating an existing path within one mtime(ms) tick must
+        purge the old mirror copy (pages already were)."""
+        mgr = self._mgr(cache_dir)
+        try:
+            p = os.path.join(remote_dir, "o")
+            o = mgr.create(p)
+            o.write(b"OLDBYTES")
+            o.close()
+            mgr.drain()
+            fs = RemoteFS.local()
+            st0 = fs.stat(p)
+            lp = mgr.mirror.materialize(fs, st0)
+            assert os.path.exists(lp)
+            o = mgr.create(p)  # overwrite through the manager
+            o.write(b"NEWCONTENT")
+            o.close()
+            os.utime(p, ns=(st0.mtime * 10**6, st0.mtime * 10**6))
+            mgr.drain()
+            # even if the new file landed on the SAME ms tick, the old
+            # mirror copy is unreachable
+            hit = mgr.mirror.lookup(p, st0.mtime)
+            if hit is not None:
+                with open(hit, "rb") as f:
+                    assert f.read() != b"OLDBYTES"
+        finally:
+            mgr.close(save=False)
