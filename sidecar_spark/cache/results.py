@@ -38,12 +38,18 @@ class ResultCache:
     #: concurrent writer — only older orphans are swept
     ORPHAN_AGE_S = 3600.0
 
+    #: soft eviction grace (same rationale as FileMirror.SERVED_GRACE_S):
+    #: a hit hands the caller a concrete parquet path a running plan
+    #: may still scan — prefer evicting entries not served recently
+    SERVED_GRACE_S = 300.0
+
     def __init__(self, root: str, capacity_bytes: Optional[int] = None):
         self.root = root
         self.capacity_bytes = capacity_bytes
         self.hits = 0
         self.misses = 0
         self.evictions = 0
+        self._served: dict = {}
         os.makedirs(root, exist_ok=True)
         self._sweep_orphans()
 
@@ -69,6 +75,7 @@ class ResultCache:
         d = self._entry_dir(key)
         if os.path.exists(os.path.join(d, self.META)):
             self.hits += 1
+            self._served[key] = time.monotonic()
             return os.path.join(d, "data")
         self.misses += 1
         return None
@@ -177,11 +184,22 @@ class ResultCache:
         total = sum(b for _, _, b in entries)
         # oldest-first (LRC) until under capacity; the newest entry is
         # never a victim — evicting what was just produced would turn
-        # an over-capacity store into a guaranteed re-miss loop
-        for _, key, b in entries[:-1]:
+        # an over-capacity store into a guaranteed re-miss loop.
+        # Entries served within the grace window are deferred (a
+        # running plan may still scan them) unless nothing else can
+        # make room — the capacity contract wins on the second pass.
+        now = time.monotonic()
+        victims = entries[:-1]
+        stale_first = (
+            [e for e in victims
+             if now - self._served.get(e[1], -1e9) >= self.SERVED_GRACE_S]
+            + [e for e in victims
+               if now - self._served.get(e[1], -1e9) < self.SERVED_GRACE_S])
+        for _, key, b in stale_first:
             if total <= self.capacity_bytes:
                 break
             shutil.rmtree(self._entry_dir(key), ignore_errors=True)
+            self._served.pop(key, None)
             total -= b
             self.evictions += 1
 

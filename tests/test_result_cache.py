@@ -208,3 +208,31 @@ def test_mid_store_input_mutation_discards_entry(eng, spark, tmp_path):
     third = sorted(map(tuple, eng.sql_cached(q).collect()))
     assert third == first
     assert eng.result_cache_stats()["hits"] == hits_before + 1
+
+
+def test_eviction_defers_recently_served(tmp_path):
+    """Capacity eviction prefers entries NOT served within the grace
+    window — a just-served entry's parquet path may still be inside a
+    running plan. Capacity still wins when only recent entries exist."""
+    rc = ResultCache(str(tmp_path / "rc"), capacity_bytes=3000)
+
+    def write(key, n):
+        def fn(d):
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "part-0"), "wb") as f:
+                f.write(b"x" * n)
+        rc.store(key, fn, f"SELECT {key}")
+
+    write("k1", 1500)
+    write("k2", 1500)
+    # serve k1 (oldest): it becomes grace-protected
+    assert rc.lookup(rc.key_for("x", [])) is None  # unrelated miss
+    assert rc.lookup("k1") is not None
+    write("k3", 1500)  # over capacity: k2 (stale) must go, not k1
+    entries = {k for _, k, _ in rc._entries()}
+    assert "k1" in entries and "k3" in entries
+    assert "k2" not in entries
+    # all remaining are recent: capacity contract still wins
+    rc.lookup("k3")
+    write("k4", 1500)
+    assert rc.total_bytes() <= 3000
