@@ -869,8 +869,12 @@ class CacheManager:
 
         def fetch_slice(it):
             import os as _os
-            if endpoint:  # propagate the S3 endpoint to worker procs
-                _os.environ.setdefault("SIDECAR_S3_ENDPOINT", endpoint)
+            if endpoint:
+                # propagate the CURRENT S3 endpoint to worker procs —
+                # assignment, not setdefault: Spark REUSES Python
+                # workers across jobs, and a stale endpoint from an
+                # earlier job must not shadow this one's
+                _os.environ["SIDECAR_S3_ENDPOINT"] = endpoint
             from sidecar_spark.cache.fs import FileStat as FS
             from sidecar_spark.cache.manager import CacheManager as CM
             mgr = CM.get_or_create(conf)
@@ -956,8 +960,12 @@ class CacheManager:
         def mirror_slice(it):
             import os as _os
             import threading as _th
-            if endpoint:  # propagate the S3 endpoint to worker procs
-                _os.environ.setdefault("SIDECAR_S3_ENDPOINT", endpoint)
+            if endpoint:
+                # propagate the CURRENT S3 endpoint to worker procs —
+                # assignment, not setdefault: Spark REUSES Python
+                # workers across jobs, and a stale endpoint from an
+                # earlier job must not shadow this one's
+                _os.environ["SIDECAR_S3_ENDPOINT"] = endpoint
             from sidecar_spark.cache.manager import CacheManager as CM
             from sidecar_spark.cache.meta import FileMeta as FM
             mgr = CM.get_or_create(conf)
