@@ -213,7 +213,15 @@ class RemoteFS:
         deleted. Emulated by a staged streaming copy (target first,
         then sources, atomic swap) since generic stores lack
         server-side concat; a missing target starts empty."""
-        tmp = target + f".concat-tmp-{os.getpid()}"
+        # hidden staging name: list_files/resolve_for_spark filter
+        # basenames starting with "." or "_", so a concurrent listing
+        # (or a crash leftover) never hands the half-built file to
+        # Spark; thread ident keeps same-pid threads from colliding
+        import threading as _th
+        base = posixpath.basename(target)
+        tmp = posixpath.join(
+            posixpath.dirname(target),
+            f".{base}.concat-tmp-{os.getpid()}-{_th.get_ident()}")
         with self.fs.open_output_stream(self._p(tmp)) as out:
             for s in [target] + list(sources):
                 try:

@@ -126,7 +126,13 @@ class FileMirror:
             # file under this name IS the current bytes by construction
             with self._lock:
                 if not self.files.exists(lp):
-                    sz = os.path.getsize(lp)
+                    try:
+                        sz = os.path.getsize(lp)
+                    except OSError:
+                        # evicted by another process between exists()
+                        # and stat — a miss, never an error (cache
+                        # trouble must not fail the read)
+                        return None
                     self.files.put(lp, sz)
                     self._size += sz
                     # pin BEFORE evicting: the adopted file must not
@@ -215,26 +221,25 @@ class FileMirror:
         lo = self.capacity * self.conf.eviction_stop_occupancy
         if self._size <= hi:
             return
-        while self._size > lo:
-            # LRC order, but PREFER victims not served within the
-            # grace window — a recently-served path is likely inside
-            # a running Spark plan. Hard capacity contract still wins:
-            # when every candidate is recent, the oldest goes anyway.
-            now = time.monotonic()
-            victim = None
-            oldest = None
-            for k, _ln in self.files.items():
-                if oldest is None:
-                    oldest = k
-                ts = self._served.get(k)
-                if ts is None or now - ts >= self.SERVED_GRACE_S:
-                    victim = k
-                    break
-            if victim is None:
-                victim = oldest
-            if victim is None:
+        # LRC order, but PREFER victims not served within the grace
+        # window — a recently-served path is likely inside a running
+        # Spark plan. Hard capacity contract still wins: when the
+        # stale candidates run out, recent ones go oldest-first. ONE
+        # snapshot + two ordered passes keeps an eviction burst O(n)
+        # (a per-victim rescan would be O(n²) on a 100k-file mirror).
+        now = time.monotonic()
+        snapshot = list(self.files.items())
+        stale_then_recent = (
+            [k for k, _ in snapshot
+             if now - self._served.get(k, -1e18) >= self.SERVED_GRACE_S]
+            + [k for k, _ in snapshot
+               if now - self._served.get(k, -1e18) < self.SERVED_GRACE_S])
+        for victim in stale_then_recent:
+            if self._size <= lo:
                 break
-            ln = self.files.remove(victim) or 0
+            ln = self.files.remove(victim)
+            if ln is None:
+                continue  # already gone (raced)
             self._size -= ln
             self._served.pop(victim, None)
             try:
@@ -374,11 +379,15 @@ class CacheManager:
                 # the write-cache mirror is the FIRST read tier
                 # (readFromWriteCacheFS order) — a stale synced mirror
                 # of the remotely-mutated file would keep serving old
-                # bytes forever. Safe to drop here: an UNSYNCED newer
-                # local version (pending ASYNC upload) has a moniker
-                # and returned from the local-first branch above,
-                # never reaching this mismatch path.
-                self.write_cache.delete_file(path)
+                # bytes forever. Only a SYNCED mirror may be dropped:
+                # a moniker marks either a pending ASYNC upload (the
+                # local-first branch above serves it) or a create()
+                # still mid-write (not yet in the file list) — in both
+                # cases the local bytes are the only copy of newer
+                # data and unlinking them would lose the write.
+                cp = self.write_cache.caching_path(path)
+                if not self.write_cache.has_moniker(cp):
+                    self.write_cache.delete_file(path)
         elif cached is None and not st.is_dir:
             self.meta.put_stat(st)
         return st
@@ -722,7 +731,8 @@ class CacheManager:
 
     # ---- Spark integration ------------------------------------------------------
 
-    def resolve_for_spark(self, uri: str, suffix: str = ".parquet") -> List[str]:
+    def resolve_for_spark(self, uri: str, suffix: str = ".parquet",
+                          files: Optional[List[FileStat]] = None) -> List[str]:
         """Resolve a table location to concrete local-or-remote file paths.
 
         For each data file: if admitted and already mirrored (current
@@ -753,7 +763,8 @@ class CacheManager:
         fs, path = self._resolve(uri)
         out: List[Optional[str]] = []
         cold: List[tuple] = []  # (index into out, FileStat)
-        files = self.list_files(path, suffix="")
+        if files is None:
+            files = self.list_files(path, suffix="")
         fill_veto = False
         if self.mirror is not None and self.mirror.capacity:
             admitted_total = sum(
@@ -804,23 +815,30 @@ class CacheManager:
                         out[idx] = st.path
         return out
 
-    def cold_admitted_bytes(self, uri: str, suffix: str = "") -> int:
+    def cold_admitted_bytes(self, uri: str, suffix: str = "",
+                            files: Optional[List[FileStat]] = None) -> int:
         """Total bytes of admitted-but-unmirrored files at ``uri`` —
         what a cold resolve would have to pull. Metadata-only (one
         listing + mirror lookups); used by ``Engine.read_parquet`` to
-        decide driver-pool fill vs cluster-wide warm."""
+        decide driver-pool fill vs cluster-wide warm. Pass ``files``
+        (a prior ``list_files`` result) to reuse one listing across
+        the check → warm → resolve sequence instead of re-listing the
+        remote three times per read."""
         if self.mirror is None:
             return 0
         fs_uri = uri if "://" in uri else os.path.abspath(uri)
         total = 0
-        for st in self.list_files(fs_uri, suffix=suffix):
+        if files is None:
+            files = self.list_files(fs_uri, suffix=suffix)
+        for st in files:
             if not self.is_cacheable_file(st.path, st.length):
                 continue
             if self.mirror.lookup(st.path, st.mtime) is None:
                 total += st.length
         return total
 
-    def warm_distributed(self, spark, uri: str, suffix: str = "") -> int:
+    def warm_distributed(self, spark, uri: str, suffix: str = "",
+                         files: Optional[List[FileStat]] = None) -> int:
         """Cluster-wide cache warm (the Alluxio ``distributedLoad``
         shape): fan cold-file materialization over Spark TASKS, each of
         which opens the node-local CacheManager for the same cache_dir
@@ -848,7 +866,9 @@ class CacheManager:
         fs_uri = uri if "://" in uri else os.path.abspath(uri)
         work: List[tuple] = []
         admitted_total = 0
-        for st in self.list_files(fs_uri, suffix=suffix):
+        if files is None:
+            files = self.list_files(fs_uri, suffix=suffix)
+        for st in files:
             if self.mirror is None or not self.is_cacheable_file(
                     st.path, st.length):
                 continue

@@ -127,12 +127,17 @@ class ResultCache:
                 # complete (marker implies fully-written data) and
                 # describes the same key — serve it, drop ours
                 shutil.rmtree(tmpd, ignore_errors=True)
+                self._served[key] = time.monotonic()
                 return os.path.join(d, "data")
             if os.path.exists(d):
                 # marker-less leftover (crashed writer): clear it
                 shutil.rmtree(d, ignore_errors=True)
             try:
                 os.rename(tmpd, d)
+                # pin BEFORE evicting: the just-published entry's path
+                # goes straight into the caller's (lazy) plan and must
+                # not be the eviction pass's first stale victim
+                self._served[key] = time.monotonic()
                 self._check_eviction()
                 return os.path.join(d, "data")
             except OSError:
@@ -146,10 +151,19 @@ class ResultCache:
     def _entries(self):
         out = []
         for key in os.listdir(self.root):
+            if ".tmp-" in key:
+                # a concurrent writer's staging dir (it may already
+                # hold its META, written just before the atomic
+                # publish) — NOT an entry: counting it would let the
+                # eviction loop rmtree a fully-staged publish
+                continue
             meta = os.path.join(self.root, key, self.META)
             if os.path.exists(meta):
-                with open(meta, encoding="utf-8") as fh:
-                    m = json.load(fh)
+                try:
+                    with open(meta, encoding="utf-8") as fh:
+                        m = json.load(fh)
+                except (OSError, ValueError):
+                    continue  # entry vanished / torn mid-read
                 out.append((m.get("created", 0), key, m.get("bytes", 0)))
         return sorted(out)
 
@@ -168,8 +182,13 @@ class ResultCache:
             return
         for key in keys:
             d = os.path.join(self.root, key)
-            if os.path.exists(os.path.join(d, self.META)):
-                continue
+            if ".tmp-" not in key and os.path.exists(
+                    os.path.join(d, self.META)):
+                continue  # a published entry — never an orphan
+            # marker-less dirs AND aged staging dirs (a crashed or
+            # twice-raced writer can leave a .tmp- dir that already
+            # holds its META — it is still an orphan: nothing serves
+            # from a staging name)
             try:
                 if now - os.path.getmtime(d) > self.ORPHAN_AGE_S:
                     shutil.rmtree(d, ignore_errors=True)

@@ -81,18 +81,28 @@ class Engine:
         # table bytes — the read-path analog of the task-side write
         # mirror. Below the threshold the driver pool fill is cheaper
         # than a Spark job; mem:// is process-local and cannot warm
-        # remotely (see warm_distributed).
-        if (self.cache is not None and self.cache.mirror is not None
-                and self.conf.auto_warm_bytes
+        # remotely (see warm_distributed). ONE remote listing feeds
+        # the coldness check, the warm and the resolve — on an object
+        # store, re-listing a 10k-file table three times per read
+        # would dominate the metadata path.
+        if self.cache is None:
+            return self.spark.read.parquet(location)
+        try:
+            files = self.cache.list_files(location)
+        except Exception:  # noqa: BLE001 — listing trouble: let Spark
+            return self.spark.read.parquet(location)  # read it raw
+        if (self.cache.mirror is not None and self.conf.auto_warm_bytes
                 and not location.startswith("mem://")):
             try:
-                cold = self.cache.cold_admitted_bytes(location)
+                cold = self.cache.cold_admitted_bytes(location,
+                                                      files=files)
                 if cold >= self.conf.auto_warm_bytes:
-                    self.cache.warm_distributed(self.spark, location)
+                    self.cache.warm_distributed(self.spark, location,
+                                                files=files)
             except Exception:  # noqa: BLE001 — warm trouble never
                 pass           # fails the read; resolve self-heals
-        paths = self.resolve_paths(location)
-        return self.spark.read.parquet(*paths)
+        paths = self.cache.resolve_for_spark(location, files=files)
+        return self.spark.read.parquet(*(paths or [location]))
 
     def warm(self, name: str, sf_dir: Optional[str] = None) -> int:
         """Cluster-wide pre-warm of a table's files into the (node-

@@ -1603,3 +1603,37 @@ class TestDistributedOverS3:
                 mgr.close(save=False)
             finally:
                 os.environ.pop("SIDECAR_S3_ENDPOINT", None)
+
+
+class TestMismatchDropGuards:
+    """Review findings: the mtime-mismatch write-cache drop must never
+    destroy monikered (in-flight / pending-upload) local bytes."""
+
+    def test_mismatch_drop_spares_monikered_file(self, cache_dir,
+                                                 remote_dir):
+        mgr = CacheManager(SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False, remote_files_mutable=True))
+        try:
+            p = os.path.join(remote_dir, "f")
+            # simulate a create() mid-write: mirror file + moniker on
+            # disk, NOT yet in the file list (registration happens at
+            # close) — the only copy of the new bytes
+            fh, cp = mgr.write_cache.open_write(p)
+            fh.write(b"HALFWRITTEN")
+            fh.flush()
+            # meanwhile the remote is created+mutated out-of-band
+            with open(p, "wb") as f:
+                f.write(b"R1")
+            mgr.get_file_status(p)
+            with open(p, "wb") as f:
+                f.write(b"R2" * 5)
+            os.utime(p, (1e9, 2e9))
+            mgr.get_file_status(p)  # mismatch path runs
+            mgr.drain()
+            # the monikered half-written mirror survived
+            assert os.path.exists(cp)
+            assert mgr.write_cache.has_moniker(cp)
+            fh.close()
+        finally:
+            mgr.close(save=False)

@@ -225,7 +225,9 @@ def test_eviction_defers_recently_served(tmp_path):
 
     write("k1", 1500)
     write("k2", 1500)
-    # serve k1 (oldest): it becomes grace-protected
+    # stores pin their entries; age k2 past the grace window, then
+    # serve k1 (oldest) so only k2 is a stale candidate
+    rc._served["k2"] -= rc.SERVED_GRACE_S + 1
     assert rc.lookup(rc.key_for("x", [])) is None  # unrelated miss
     assert rc.lookup("k1") is not None
     write("k3", 1500)  # over capacity: k2 (stale) must go, not k1
@@ -236,3 +238,52 @@ def test_eviction_defers_recently_served(tmp_path):
     rc.lookup("k3")
     write("k4", 1500)
     assert rc.total_bytes() <= 3000
+
+
+def test_just_stored_entry_is_grace_protected(tmp_path):
+    """Review finding: store() must pin the entry it publishes — the
+    caller's lazy plan holds its parquet path, and the store-triggered
+    eviction pass must not pick it as a stale victim."""
+    rc = ResultCache(str(tmp_path / "rc"), capacity_bytes=3000)
+
+    def write(key, n):
+        def fn(d):
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "part-0"), "wb") as f:
+                f.write(b"x" * n)
+        return rc.store(key, fn, f"SELECT {key}")
+
+    d1 = write("k1", 1500)
+    d2 = write("k2", 1500)
+    d3 = write("k3", 1500)  # triggers eviction over capacity
+    # k3 (just stored+pinned) and the most recently pinned survivor
+    # must still be readable; something older was evicted instead
+    assert os.path.exists(os.path.join(d3, "part-0"))
+    entries = {k for _, k, _ in rc._entries()}
+    assert "k3" in entries
+    assert len(entries) == 2  # capacity respected
+
+
+def test_staging_dirs_invisible_to_eviction_and_entries(tmp_path):
+    """A fully-staged concurrent publish (META present inside a
+    .tmp- staging dir) is not an entry: eviction must not rmtree it
+    and snapshot must not count it; aged staging dirs are swept even
+    though they carry META."""
+    import json as _json
+    import time as _time
+    root = tmp_path / "rc"
+    rc = ResultCache(str(root), capacity_bytes=None)
+    stage = root / ("deadbeef.tmp-999-888")
+    (stage / "data").mkdir(parents=True)
+    (stage / "data" / "part-0").write_bytes(b"x" * 100)
+    (stage / "entry.json").write_text(
+        _json.dumps({"sql": "SELECT 1", "bytes": 100,
+                     "created": _time.time()}))
+    assert rc._entries() == []  # invisible
+    rc._check_eviction()
+    assert stage.exists()  # young staging dir untouched
+    # age it past the orphan window: swept despite carrying META
+    old = _time.time() - rc.ORPHAN_AGE_S - 10
+    os.utime(stage, (old, old))
+    rc._sweep_orphans()
+    assert not stage.exists()

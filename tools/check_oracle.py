@@ -76,9 +76,14 @@ def compare(a: pd.DataFrame, b: pd.DataFrame):
     column and any int-vs-float dtype drift between the Spark frame
     and the oracle frame is a hash FAILURE even when the values are
     equal, because the driver's value hash sees them as different."""
+    schema_ok = sorted(a.columns) == sorted(b.columns)
     if len(a) != len(b):
-        return False, False, False, f"row count {len(a)} vs {len(b)}"
-    if sorted(a.columns) != sorted(b.columns):
+        # row-count failure says nothing about the schema — record
+        # the column comparison truthfully so the artifact
+        # distinguishes wrong-shape from wrong-cardinality results
+        return (False, schema_ok, False,
+                f"row count {len(a)} vs {len(b)}")
+    if not schema_ok:
         return (True, False, False,
                 f"columns {sorted(a.columns)} vs {sorted(b.columns)}")
     listy = sorted(set(_list_columns(a)) | set(_list_columns(b)))
@@ -149,18 +154,20 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = err = None
+        sdf = None
+        errs = []
         # retry once on a Spark-side failure: under CPU contention
         # (e.g. a concurrent pytest run) the bounded streaming guard
         # can abort a CORRECT query — a transient that must not be
-        # recorded as a wrong answer (round-3 finding)
+        # recorded as a wrong answer (round-3 finding). BOTH attempts'
+        # errors are kept: the first failure mode must stay visible.
         for attempt in (0, 1):
             try:
                 sdf = fn(spark, args.sf_dir).toPandas()
-                err = None
                 break
             except Exception as e:  # noqa: BLE001
-                err = f"spark error (attempt {attempt + 1}): {e}"
+                errs.append(f"attempt {attempt + 1}: {e}")
+        err = " | ".join(errs) if sdf is None and errs else None
         secs = round(time.time() - t0, 2)
         if sdf is None:
             failures.append(name)
