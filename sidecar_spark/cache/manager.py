@@ -971,6 +971,26 @@ class CacheManager:
             work.append((st.path, st.mtime, st.length))
         if not work:
             return 0
+        # symmetric with the read-side auto-warm threshold: a SMALL
+        # commit (a manifest, a summary table) tees through the driver
+        # directly — a Spark job costs more than the copy. Only at
+        # auto_warm_bytes and above does the driver-funnel matter, and
+        # there the task fan-out takes over.
+        total_bytes = sum(length for _, _, length in work)
+        if self.conf.auto_warm_bytes and total_bytes < \
+                self.conf.auto_warm_bytes:
+            n = 0
+            for path, mtime, length in work:
+                try:
+                    fs, p = self._resolve(path)
+                    self.write_cache.put_file(p, fs.read_all(p),
+                                              synced=True)
+                    self.meta.save(p, FileMeta(mtime, length, False))
+                    n += 1
+                except Exception:  # noqa: BLE001 — per-file tolerance
+                    pass
+            self.write_cache.check_eviction()
+            return n
         conf = self.conf
         if conf.hint_detector is not None and callable(conf.hint_detector):
             import dataclasses

@@ -998,6 +998,10 @@ class TestDistributedWriteMirror:
 
     def _engine(self, spark, cache_dir, remote_dir, **kw):
         from sidecar_spark import Engine
+        # auto_warm_bytes=1 forces the TASK fan-out path (the subject
+        # under test) even for these small fixtures; the default
+        # threshold tees small commits driver-side by design
+        kw.setdefault("auto_warm_bytes", 1)
         conf = SidecarConfig.create(
             cache_dir=cache_dir, data_cache_type="file",
             cache_persistent=False, **kw)
@@ -1523,9 +1527,11 @@ class TestDistributedOverS3:
     talks to object storage itself and the driver moves no data."""
 
     def _conf(self, cache_dir):
+        # auto_warm_bytes=1: these tests exercise the TASK paths
         return SidecarConfig.create(cache_dir=cache_dir,
                                     data_cache_type="file",
-                                    cache_persistent=False)
+                                    cache_persistent=False,
+                                    auto_warm_bytes=1)
 
     def test_warm_distributed_over_s3(self, cache_dir, spark):
         import io as _io
@@ -1637,3 +1643,38 @@ class TestMismatchDropGuards:
             fh.close()
         finally:
             mgr.close(save=False)
+
+
+class TestSmallWriteDriverTee:
+    """Below auto_warm_bytes the write tee goes through the driver
+    directly — a Spark job costs more than the copy for a manifest-
+    sized commit (symmetric with the read-side auto-warm policy)."""
+
+    def test_small_write_mirrors_without_spark_job(self, cache_dir,
+                                                   remote_dir, spark,
+                                                   monkeypatch):
+        from sidecar_spark import Engine
+        conf = SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False)  # default 256 MiB threshold
+        eng = Engine(spark, base_dir=remote_dir, conf=conf)
+        try:
+            out = os.path.join(remote_dir, "small.parquet")
+            df = spark.range(50).coalesce(1)
+            # the driver tee must never launch a mirror fan-out job:
+            # poison parallelize so any task-path use fails loudly
+            monkeypatch.setattr(
+                spark.sparkContext, "parallelize",
+                lambda *a, **k: (_ for _ in ()).throw(
+                    AssertionError("small write used the task path")))
+            eng.write(df, out)
+            files = eng.cache.list_files(out)
+            assert files
+            for st in files:
+                assert eng.cache.write_cache.contains(st.path)
+                with open(st.path, "rb") as f:
+                    assert eng.cache.write_cache.read_range(
+                        st.path, 0, st.length) == f.read()
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
