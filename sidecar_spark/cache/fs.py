@@ -104,7 +104,11 @@ class RemoteFS:
                 allow_bucket_deletion=True)
             return cls(fs, key_prefix="s3://"), uri
         fs, path = pafs.FileSystem.from_uri(uri)
-        prefix = f"{scheme}://"
+        # keep the AUTHORITY in the qualified key: hdfs://nn1/x and
+        # hdfs://nn2/x are different files on different clusters —
+        # a bare scheme prefix would give them one cache identity
+        netloc = uri.split("://", 1)[1].split("/", 1)[0]
+        prefix = f"{scheme}://{netloc}"
         return cls(fs, key_prefix=prefix), prefix + path
 
     @classmethod
@@ -178,12 +182,19 @@ class RemoteFS:
             self.fs.create_dir(path, recursive=True)
 
     def delete(self, path: str, recursive: bool = False) -> bool:
+        """Hadoop ``FileSystem.delete`` semantics: a directory with
+        ``recursive=False`` is deleted only when EMPTY — a non-empty
+        one raises (callers use recursive=False as a safety guard;
+        silently wiping the contents would defeat it)."""
         st = self.stat(path)
         if st is None:
             return False
         p = self._p(path)
         if st.is_dir:
-            self.fs.delete_dir(p) if recursive else self.fs.delete_dir_contents(p)
+            if not recursive and self.list(path, recursive=False):
+                raise OSError(
+                    f"directory not empty (recursive=False): {path}")
+            self.fs.delete_dir(p)
         else:
             self.fs.delete_file(p)
         return True

@@ -200,10 +200,12 @@ class FileMirror:
 
     def invalidate(self, path: str, mtime: int) -> bool:
         lp = self._local(path, mtime)
-        ln = self.files.remove(lp)
-        self._served.pop(lp, None)
+        with self._lock:  # _size is read-modify-written under _lock
+            ln = self.files.remove(lp)  # everywhere else — an async
+            self._served.pop(lp, None)  # invalidation must not race it
+            if ln is not None:
+                self._size -= ln
         if ln is not None:
-            self._size -= ln
             try:
                 os.remove(lp)
             except OSError:
@@ -309,21 +311,32 @@ class CacheManager:
 
     # ---- fs dispatch ------------------------------------------------------
 
-    def _fs(self, uri: str) -> RemoteFS:
-        scheme = uri.split("://", 1)[0] if "://" in uri else "file"
-        fs = self._fs_cache.get(scheme)
-        if fs is None:
-            fs, _ = RemoteFS.from_uri(uri)
-            self._fs_cache[scheme] = fs
-        return fs
-
     def _resolve(self, uri: str):
-        """(RemoteFS, in-fs path) for a uri or local path."""
+        """(RemoteFS, scheme-qualified path) for a uri or local path.
+
+        Cache key is scheme PLUS authority: ``hdfs://nn1`` and
+        ``hdfs://nn2`` are different filesystems and must not share an
+        instance (or cache identities). ``file://`` URIs normalize to
+        plain local paths so they share the one unprefixed local fs
+        instead of shadowing it with a prefixed twin (whose ``_p``
+        would then mis-strip plain paths)."""
         if "://" in uri:
+            scheme, rest = uri.split("://", 1)
+            if scheme == "file":
+                path = rest[rest.index("/"):] if "/" in rest else "/"
+                return (self._fs_cache.setdefault("file",
+                                                  RemoteFS.local()),
+                        os.path.abspath(path))
+            key = scheme + "://" + rest.split("/", 1)[0]
+            cached = self._fs_cache.get(key)
+            if cached is not None:
+                # qualified paths equal the uri for every non-file
+                # scheme (mem/s3 pass the uri through; generic pyarrow
+                # schemes reassemble scheme://netloc/path)
+                return cached, uri
             fs, path = RemoteFS.from_uri(uri)
-            scheme = uri.split("://", 1)[0]
-            cached = self._fs_cache.setdefault(scheme, fs)
-            return cached, path
+            self._fs_cache[key] = fs
+            return fs, path
         return self._fs_cache.setdefault("file", RemoteFS.local()), os.path.abspath(uri)
 
     # ---- admission (isCacheableFile, :739-748) ------------------------------
@@ -439,13 +452,21 @@ class CacheManager:
                 reader_box.append(fs.open_read(path))
             return reader_box[0].read_at(ln, off)
 
+        def release_remote() -> None:
+            # stream.close() releases the lazily-opened remote handle
+            # (otherwise the fd/connection lives until GC — a leak on
+            # long-lived drivers opening many cache-missing files)
+            if reader_box:
+                reader_box.pop().close()
+
         return CachingInputStream(
             path=path, mtime=st.mtime, length=st.length,
             page_store=self.pages if self.pages is not None else PageStore(
                 SidecarConfig(data_cache_type=SidecarDataCacheType.DISABLED)),
             remote_read=remote_read, write_cache_read=wc_read,
             stats=self.stats, io_buffer_size=self.conf.io_buffer_size,
-            scan_detector=detector, cache_on_read=cacheable)
+            scan_detector=detector, cache_on_read=cacheable,
+            on_close=release_remote)
 
     # ---- create (write path, :1635-1691) + closingRemote (:1268-1326) ---------
 
@@ -602,7 +623,12 @@ class CacheManager:
                 self.write_cache.delete_moniker(caching_path)
                 self.write_cache.check_eviction()
 
-        if caching_path is not None and self.write_cache is not None:
+        if caching_path is not None and self.write_cache is not None \
+                and os.path.exists(caching_path):
+            # a mid-write cache error already dropped and deleted the
+            # mirror (reportException) — registering it anyway would
+            # create a phantom file-list entry and inflate occupancy
+            # by the full bytes_written
             self.write_cache.register(caching_path, stream.bytes_written)
 
         if self.conf.write_cache_mode in (WriteCacheMode.ASYNC_CLOSE,
@@ -643,8 +669,11 @@ class CacheManager:
         ok = fs.rename(src, dst)
         if not ok:
             return False
-        # move meta entry: delete src, put dst (unless dst write-excluded)
+        # move meta entry: delete src AND the destination's old entry
+        # (put_stat below may be skipped for write-excluded paths, and
+        # a stale dst meta would keep serving the pre-rename identity)
         self.meta.delete(src)
+        self.meta.delete(dst)
         st = fs.stat(dst)
         if st is not None and not self.conf.write_excluded(dst):
             self.meta.put_stat(st)
@@ -731,7 +760,7 @@ class CacheManager:
 
     # ---- Spark integration ------------------------------------------------------
 
-    def resolve_for_spark(self, uri: str, suffix: str = ".parquet",
+    def resolve_for_spark(self, uri: str, suffix: str = "",
                           files: Optional[List[FileStat]] = None) -> List[str]:
         """Resolve a table location to concrete local-or-remote file paths.
 
@@ -764,7 +793,7 @@ class CacheManager:
         out: List[Optional[str]] = []
         cold: List[tuple] = []  # (index into out, FileStat)
         if files is None:
-            files = self.list_files(path, suffix="")
+            files = self.list_files(path, suffix=suffix)
         fill_veto = False
         if self.mirror is not None and self.mirror.capacity:
             admitted_total = sum(

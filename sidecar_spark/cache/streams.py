@@ -47,6 +47,7 @@ class CachingInputStream:
         io_buffer_size: Optional[int] = None,
         scan_detector: Optional[ScanDetector] = None,
         cache_on_read: bool = True,
+        on_close: Optional[Callable[[], None]] = None,
     ) -> None:
         self.path = path
         self.mtime = mtime
@@ -60,6 +61,7 @@ class CachingInputStream:
         self.scan_detector = scan_detector
         self.cache_on_read = cache_on_read and page_store.enabled
         self._scan_vetoed = False
+        self._on_close = on_close
         self._pos = 0
         # prefetch buffer window [start, end)
         self._buf: bytes = b""
@@ -84,8 +86,15 @@ class CachingInputStream:
         return data
 
     def close(self) -> None:
+        if self._closed:
+            return
         self._buf = b""
         self._closed = True
+        if self._on_close is not None:
+            try:
+                self._on_close()  # release the lazily-opened remote
+            except Exception:  # noqa: BLE001 — close is best-effort
+                pass
 
     # ---- the core (readInternal, :796-877) ---------------------------------
 
@@ -126,21 +135,30 @@ class CachingInputStream:
                 self.stats.add("total_bytes_read", length)
                 return data
 
-        # tier ③ — external bulk read; sequential reads prefetch ahead
+        # tier ③ — external bulk read; sequential reads prefetch ahead.
+        # fetch_end is page-ALIGNED (ceil): an io_buffer_size that is
+        # not a page multiple would otherwise end the span mid-page and
+        # admit a SHORT interior page under a full-page key — cache
+        # assembly would then return wrong bytes for any request
+        # crossing it.
         fetch_end = end_page
         if length <= self.io_buffer_size:
-            fetch_end = min(start_page + max(
-                self.io_buffer_size,
-                end_page - start_page), self._ceil_page(self.length))
+            fetch_end = min(
+                self._ceil_page(start_page + max(
+                    self.io_buffer_size, end_page - start_page)),
+                self._ceil_page(self.length))
         span = self._read_external(start_page, fetch_end - start_page)
 
-        # admit pages (scan detector may veto, :665-699)
+        # admit pages (scan detector may veto, :665-699); belt-and-
+        # braces: only full pages (or the file's true last page) are
+        # admissible, whatever the span length turned out to be
         if self.cache_on_read:
             for p in range(start_page, fetch_end, self.page_size):
                 if self._scan_veto(p):
                     continue
                 pg = span[p - start_page:p - start_page + self.page_size]
-                if pg:
+                if pg and (len(pg) == self.page_size
+                           or p + len(pg) >= self.length):
                     self.pages.put(self._key(p), pg)
 
         # refresh prefetch window (:869-872)
@@ -234,6 +252,8 @@ class CachingInputStream:
             pg = self._buf[p - start:p - start + self.page_size]
             if not pg:
                 break
+            if len(pg) < self.page_size and p + len(pg) < self.length:
+                break  # short interior slice: never admissible
             k = self._key(p)
             if not self.pages.exists(k) and not self._scan_vetoed:
                 self.pages.put(k, pg)
@@ -305,6 +325,13 @@ class CachingOutputStream:
             try:
                 self.caching_fh.close()
             except Exception as e:  # noqa: BLE001
+                if self.remote_fh is None:
+                    # local-first (ASYNC_COPY): the cache file IS the
+                    # write — swallowing a failed close (e.g. disk
+                    # full flushing buffered bytes) would delete the
+                    # only copy and report success: silent data loss.
+                    # Same re-raise discipline as write()/flush().
+                    raise
                 self._drop_caching_stream(e)
         if self.on_close:
             self.on_close(self)  # closingRemote: may defer remote close

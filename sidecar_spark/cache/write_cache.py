@@ -235,11 +235,22 @@ class WriteCache:
     def check_eviction(self, blocking: bool = True) -> None:
         """Start eviction when occupancy > 0.95 (checkEviction, :1020-1051).
         The reference spawns a CAS-guarded thread; we run inline by
-        default (deterministic for tests) or on a daemon thread."""
-        if not self.max_size or self.disabled:
+        default (deterministic for tests) or on a daemon thread.
+
+        ``disabled`` self-heals: it exists to stop busy-spinning on an
+        unsynced (monikered) eviction head, but the blocking upload
+        eventually completes — a permanent disable would let the cache
+        grow unbounded while admission keeps writing. Each call
+        re-checks the head cheaply and re-enables once it is synced."""
+        if not self.max_size:
             return
         if self.occupancy() <= self.conf.eviction_start_occupancy:
             return
+        if self.disabled:
+            head = self.file_list.eviction_candidate()
+            if head is None or self.has_moniker(head):
+                return  # still blocked on an unsynced head
+            self.disabled = False
         if blocking:
             self.evict_files()
         elif not self._evictor_running.is_set():

@@ -1678,3 +1678,177 @@ class TestSmallWriteDriverTee:
         finally:
             eng.close()
             CacheManager.clear_instances()
+
+
+class TestCacheCoreReviewFixes:
+    """Regression pins for the cache-core review findings."""
+
+    def test_local_first_close_error_raises(self):
+        """ASYNC_COPY (remote_fh=None): the cache file IS the write —
+        a failed close must raise, not silently drop the only copy."""
+        class FailingClose:
+            def write(self, d):
+                return len(d)
+
+            def close(self):
+                raise OSError("disk full flushing buffer")
+
+        out = CachingInputStream  # noqa: F841 — module import sanity
+        from sidecar_spark.cache.streams import CachingOutputStream
+        dropped = []
+        s = CachingOutputStream(
+            remote_fh=None, caching_fh=FailingClose(),
+            on_cache_error=lambda e: dropped.append(e))
+        s.write(b"precious")
+        with pytest.raises(OSError):
+            s.close()
+        assert not dropped  # the destructive drop path never ran
+
+    def test_unaligned_io_buffer_never_corrupts(self, cache_dir):
+        """io_buffer_size not a page multiple: the prefetch span is
+        page-ceiled and short interior slices are never admitted, so
+        every read still byte-matches the oracle."""
+        length = 4 * MiB
+        conf = SidecarConfig.create(
+            cache_dir=cache_dir, data_page_size=1 * MiB,
+            io_buffer_size=1 * MiB + 512 * KiB,  # 1.5 pages
+            data_cache_type="file")
+        stats = Statistics()
+        store = PageStore(conf, stats)
+        s = CachingInputStream(
+            path="/v", mtime=1, length=length, page_store=store,
+            remote_read=virtual_read, stats=stats,
+            io_buffer_size=conf.io_buffer_size)
+        # the finding's exact sequence
+        assert s.read_at(0, 4096) == virtual_read(0, 4096)
+        assert s.read_at(2 * MiB, 4096) == virtual_read(2 * MiB, 4096)
+        got = s.read_at(1 * MiB, 1 * MiB + 400 * KiB)
+        assert got == virtual_read(1 * MiB, 1 * MiB + 400 * KiB)
+        # random sweep for good measure
+        rng = random.Random(7)
+        for _ in range(200):
+            off = rng.randrange(length)
+            n = rng.randrange(1, 2 * MiB)
+            assert s.read_at(off, n) == virtual_read(
+                off, min(n, length - off))
+
+    def test_delete_nonempty_dir_requires_recursive(self, remote_dir):
+        fs = RemoteFS.local()
+        d = os.path.join(remote_dir, "dir")
+        os.makedirs(d)
+        with open(os.path.join(d, "f"), "wb") as f:
+            f.write(b"x")
+        with pytest.raises(OSError):
+            fs.delete(d, recursive=False)
+        assert os.path.exists(os.path.join(d, "f"))  # nothing wiped
+        # empty dir: recursive=False deletes the dir itself
+        e = os.path.join(remote_dir, "empty")
+        os.makedirs(e)
+        assert fs.delete(e, recursive=False)
+        assert not os.path.exists(e)
+        assert fs.delete(d, recursive=True)
+        assert not os.path.exists(d)
+
+    def test_write_cache_disable_self_heals(self, cache_dir):
+        conf = SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="disabled",
+            write_cache_size=10_000)
+        wc = WriteCache(conf)
+        wc.unsynced_retry_delay = 0.01
+        # head is unsynced: eviction blocks and disables
+        cp1 = wc.put_file("/r/a", b"a" * 6_000, synced=False)
+        wc.put_file("/r/b", b"b" * 6_000, synced=True)
+        wc.check_eviction()
+        assert wc.disabled
+        size_when_disabled = wc.size_bytes()
+        # the blocking upload completes: moniker clears
+        wc.delete_moniker(cp1)
+        wc.check_eviction()
+        assert not wc.disabled
+        assert wc.size_bytes() < size_when_disabled  # evicted again
+
+    def test_mid_write_cache_error_leaves_no_phantom(self, cache_dir,
+                                                     remote_dir):
+        mgr = CacheManager(SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False))
+        try:
+            p = os.path.join(remote_dir, "f")
+            out = mgr.create(p)
+            out.write(b"ok")
+            # sabotage the caching stream: next write errors and drops it
+            real_fh = out.caching_fh
+
+            class Boom:
+                def write(self, d):
+                    raise OSError("cache disk died")
+
+                def close(self):
+                    real_fh.close()
+
+            out.caching_fh = Boom()
+            out.write(b"more")   # drops the caching stream
+            out.close()
+            mgr.drain()
+            # remote write intact; NO phantom file-list entry
+            with open(p, "rb") as f:
+                assert f.read() == b"okmore"
+            assert not mgr.write_cache.contains(p)
+            assert mgr.write_cache.size_bytes() == 0
+        finally:
+            mgr.close(save=False)
+
+    def test_file_uri_and_plain_path_share_identity(self, cache_dir,
+                                                    remote_dir):
+        mgr = CacheManager(SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False))
+        try:
+            p = os.path.join(remote_dir, "f")
+            with open(p, "wb") as f:
+                f.write(b"DATA" * 100)
+            # plain path first (caches the unprefixed local fs) ...
+            s1 = mgr.open(p)
+            assert s1.read_at(0, 4) == b"DATA"
+            # ... then the file:// form of the SAME file must resolve
+            # through the same fs and the same cache identity
+            s2 = mgr.open("file://" + p)
+            assert s2.read_at(0, 4) == b"DATA"
+            assert s2.path == s1.path
+        finally:
+            mgr.close(save=False)
+
+    def test_resolve_suffix_honored(self, cache_dir, remote_dir):
+        mgr = CacheManager(SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False))
+        try:
+            for name in ("a.parquet", "notes.txt"):
+                with open(os.path.join(remote_dir, name), "wb") as f:
+                    f.write(b"x" * 100)
+            got = mgr.resolve_for_spark(remote_dir, suffix=".parquet")
+            assert len(got) == 1
+            assert got[0].endswith("a.parquet")
+        finally:
+            mgr.close(save=False)
+
+    def test_stream_close_releases_remote_handle(self, cache_dir,
+                                                 remote_dir):
+        mgr = CacheManager(SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False))
+        try:
+            p = os.path.join(remote_dir, "f")
+            with open(p, "wb") as f:
+                f.write(b"y" * 10_000)
+            import resource
+            s = mgr.open(p)
+            s.read_at(0, 100)  # forces the lazy remote open
+            before = len(os.listdir("/proc/self/fd"))
+            s.close()
+            after = len(os.listdir("/proc/self/fd"))
+            assert after < before  # the remote handle was released
+            with pytest.raises(ValueError):
+                s.read_at(0, 1)  # closed stream stays closed
+        finally:
+            mgr.close(save=False)
