@@ -183,8 +183,13 @@ class MemFSHandler(pafs.FileSystemHandler):
             elif self._info(src).type == pafs.FileType.Directory:
                 for p in [p for p in files if p.startswith(src + "/")]:
                     files[dest + p[len(src):]] = files.pop(p)
-                dirs.discard(src)
-                dirs.add(dest)
+                # rename NESTED dir entries too — leaving them keeps
+                # phantom dirs under the old name and loses them under
+                # the new one
+                for d in [d for d in dirs
+                          if d == src or d.startswith(src + "/")]:
+                    dirs.discard(d)
+                    dirs.add(dest + d[len(src):])
             else:
                 raise FileNotFoundError(src)
 

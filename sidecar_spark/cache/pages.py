@@ -252,12 +252,13 @@ class PageStore:
         hi = self.capacity * self.conf.eviction_start_occupancy
         lo = self.capacity * self.conf.eviction_stop_occupancy
         if self.cache_type == SidecarDataCacheType.HYBRID:
-            # memory tier holds at most capacity; overflow demotes to disk
-            while self._mem.bytes > hi:
-                k, data = self._mem.pop_lru()
-                self._disk.put(k, data)
-                if self._mem.bytes <= lo:
-                    break
+            # memory tier: trigger at the high watermark, demote down
+            # to the LOW one (stopping at hi would re-trigger on the
+            # very next put — the hysteresis is the watermarks' point)
+            if self._mem.bytes > hi:
+                while self._mem.bytes > lo and self._mem.d:
+                    k, data = self._mem.pop_lru()
+                    self._disk.put(k, data)
             # victim (disk) tier bounded at 4x capacity
             while self._disk.bytes > 4 * self.capacity:
                 self._disk.pop_lru()

@@ -1852,3 +1852,31 @@ class TestCacheCoreReviewFixes:
                 s.read_at(0, 1)  # closed stream stays closed
         finally:
             mgr.close(save=False)
+
+
+class TestHybridWatermarksAndMemfsMove:
+    def test_hybrid_demotes_to_low_watermark(self, cache_dir):
+        conf = SidecarConfig.create(
+            cache_dir=cache_dir, data_page_size=PAGE,
+            data_cache_type="hybrid", data_cache_size=10 * PAGE)
+        store = PageStore(conf)
+        for i in range(12):
+            store.put(store.key("/f", 1, i * PAGE), b"x" * PAGE)
+        lo = 10 * PAGE * conf.eviction_stop_occupancy
+        # memory tier settled at/below the LOW watermark, not the high
+        assert store._mem.bytes <= lo
+
+    def test_memfs_move_renames_nested_dirs(self):
+        from sidecar_spark.cache.memfs import memory_filesystem
+        import pyarrow.fs as pafs
+        fs = memory_filesystem()
+        fs.create_dir("mvtest/a/sub", recursive=True)
+        with fs.open_output_stream("mvtest/a/sub/f") as o:
+            o.write(b"x")
+        fs.move("mvtest/a", "mvtest/b")
+        assert fs.get_file_info("mvtest/b/sub").type == \
+            pafs.FileType.Directory
+        assert fs.get_file_info("mvtest/a/sub").type == \
+            pafs.FileType.NotFound
+        with fs.open_input_stream("mvtest/b/sub/f") as i:
+            assert i.read() == b"x"
