@@ -259,14 +259,26 @@ class CacheManager:
     @classmethod
     def get_or_create(cls, conf: SidecarConfig) -> "CacheManager":
         key = conf.cache_dir or "<default>"
-        inst = cls._instances.get(key)
-        if inst is None:
-            with cls._instances_lock:
-                inst = cls._instances.get(key)
-                if inst is None:
-                    inst = cls(conf)
-                    cls._instances[key] = inst
+        with cls._instances_lock:
+            inst = cls._instances.get(key)
+            if inst is None:
+                inst = cls(conf)
+                cls._instances[key] = inst
+            # refcount the shared singleton: each holder that obtained
+            # it here must release() it — a direct close() from one
+            # Engine would shut the pool under every other holder
+            inst._refs += 1
         return inst
+
+    def release(self) -> None:
+        """Drop one holder's reference; the LAST release closes.
+        Directly-constructed managers (tests) have zero refs and their
+        explicit close() keeps working unchanged."""
+        with CacheManager._instances_lock:
+            self._refs -= 1
+            live = self._refs > 0
+        if not live:
+            self.close()
 
     @classmethod
     def clear_instances(cls) -> None:
@@ -303,6 +315,7 @@ class CacheManager:
         )
         self.pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=conf.thread_pool_size, thread_name_prefix="sidecar")
+        self._refs = 0
         self._pending: List[concurrent.futures.Future] = []
         self._fs_cache: Dict[str, RemoteFS] = {}
         self._closed = False

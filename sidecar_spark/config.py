@@ -110,7 +110,10 @@ def _to_list(v: Any) -> tuple:
         return ()
     if isinstance(v, (list, tuple)):
         return tuple(v)
-    return tuple(p for p in str(v).split(",") if p.strip())
+    # strip surviving items: "a.*, b.*" must yield "b.*", not " b.*" —
+    # patterns are fullmatch'd against paths, and a leading space can
+    # never match, silently disabling the exclude
+    return tuple(p.strip() for p in str(v).split(",") if p.strip())
 
 
 @dataclass

@@ -36,16 +36,14 @@ class Engine:
         if conf is None:
             conf = SidecarConfig.from_spark(spark)
         if conf.cache_dir is None:
-            # default cache root under the Spark local dir
-            conf = SidecarConfig.create(**{
-                **{k: getattr(conf, k) for k in (
-                    "data_page_size", "io_buffer_size", "data_cache_type",
-                    "data_cache_mode", "data_cache_size", "write_cache_size",
-                    "write_cache_mode", "cache_persistent",
-                )},
-                "cache_dir": os.path.join(
-                    os.environ.get("SPARK_LOCAL_DIRS", "/tmp"), "sidecar-cache"),
-            })
+            # default cache root under the Spark local dir — replace
+            # ONLY cache_dir: an allowlist re-create here silently
+            # dropped every other user setting (exclude lists, hint
+            # detector, scan detector, pool sizes, ...)
+            import dataclasses
+            conf = dataclasses.replace(conf, cache_dir=os.path.join(
+                os.environ.get("SPARK_LOCAL_DIRS", "/tmp"),
+                "sidecar-cache"))
         self.conf = conf
         self.cache_enabled = cache_enabled
         self.cache: Optional[CacheManager] = (
@@ -122,6 +120,8 @@ class Engine:
 
     def register_all(self, sf_dir: Optional[str] = None,
                      tables=TPCH_TABLES) -> None:
+        if sf_dir is None and self.base_dir is None:
+            raise ValueError("Engine has no base_dir; pass sf_dir")
         for t in tables:
             path = os.path.join(sf_dir or self.base_dir, f"{t}.parquet")
             if os.path.exists(path) or "://" in path:
@@ -194,13 +194,25 @@ class Engine:
 
     @staticmethod
     def _plan_ordered(df) -> bool:
-        """True iff the analyzed plan's top node is a global Sort —
-        the one case where a bag-semantics parquet hit would
-        observably differ from recomputation."""
+        """True iff the analyzed plan carries a top-level global Sort —
+        possibly under order-PRESERVING wrappers (``ORDER BY ... LIMIT``
+        analyzes to GlobalLimit(LocalLimit(Sort)); a top projection
+        keeps row order too). The one case where a bag-semantics
+        parquet hit would observably differ from recomputation."""
         try:
             plan = df._jdf.queryExecution().analyzed()
-            return (plan.getClass().getSimpleName() == "Sort"
-                    and getattr(plan, "global")())
+            for _ in range(8):  # bounded descent
+                name = plan.getClass().getSimpleName()
+                if name == "Sort":
+                    return bool(getattr(plan, "global")())
+                if name not in ("GlobalLimit", "LocalLimit", "Project",
+                                "Offset"):
+                    return False
+                ch = plan.children()
+                if ch.length() != 1:
+                    return False
+                plan = ch.apply(0)
+            return False
         except Exception:  # noqa: BLE001
             return False
 
@@ -314,4 +326,8 @@ class Engine:
 
     def close(self) -> None:
         if self.cache is not None:
-            self.cache.close()
+            # release, not close: the CacheManager is a per-cache_dir
+            # singleton other live Engines may share — only the last
+            # holder's release shuts it down
+            self.cache.release()
+            self.cache = None

@@ -106,7 +106,14 @@ def table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         "sidecar-streamsrc-" + path.strip("/").replace("/", "_"))
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, f"{table}.parquet")
-    if not os.path.exists(link):
+    if not os.path.lexists(link):
+        try:
+            os.symlink(path, link)
+        except FileExistsError:
+            pass  # a concurrent process won the race — same target
+    elif not os.path.exists(link):
+        # dangling link (its target moved): heal it
+        os.remove(link)
         os.symlink(path, link)
     return (
         spark.readStream.schema(schema)
@@ -371,6 +378,7 @@ def run_foreach_batch_parquet(stream_df: DataFrame, name: str,
     place instead of duplicating. The checkpoint + deterministic
     batch replay + idempotent write is the documented Spark recipe."""
     spark = stream_df.sparkSession
+    own_ckpt = checkpoint is None
     ckpt = checkpoint or scratch_dir(f"sidecar-stream-{name}-ckpt-")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
@@ -390,6 +398,10 @@ def run_foreach_batch_parquet(stream_df: DataFrame, name: str,
         await_bounded(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if own_ckpt:
+            # a scratch checkpoint is single-run by contract: leaving
+            # it leaks RAM-backed /dev/shm space on every invocation
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.option("basePath", out_dir).parquet(out_dir)
 
 

@@ -126,6 +126,9 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):  # noqa: N802
         bucket, key, q = self._parse()
+        # snapshot the object's BYTES under the lock, send OUTSIDE it:
+        # a stalled client blocking on the socket while holding the
+        # store lock would serialize (or wedge) every other request
         with self.store.lock:
             if bucket not in self.store.buckets:
                 return self._err(404, "NoSuchBucket", bucket)
@@ -134,22 +137,34 @@ class _Handler(BaseHTTPRequestHandler):
             obj = self.store.buckets[bucket].get(key)
             if obj is None:
                 return self._err(404, "NoSuchKey", key)
-            data = obj.data
-            rng = self.headers.get("Range")
-            headers = {
-                "ETag": _etag(data),
-                "Last-Modified": formatdate(obj.mtime, usegmt=True),
-                "Accept-Ranges": "bytes",
-            }
-            if rng:
-                m = re.match(r"bytes=(\d*)-(\d*)", rng)
+            data = obj.data  # bytes are immutable: a safe snapshot
+            mtime = obj.mtime
+        rng = self.headers.get("Range")
+        headers = {
+            "ETag": _etag(data),
+            "Last-Modified": formatdate(mtime, usegmt=True),
+            "Accept-Ranges": "bytes",
+        }
+        if rng:
+            m = re.match(r"bytes=(\d*)-(\d*)", rng)
+            if m.group(1) == "" and m.group(2):
+                # suffix range bytes=-N: the LAST N bytes (the classic
+                # parquet-footer read) — not bytes 0..N
+                n = min(int(m.group(2)), len(data))
+                start, end = len(data) - n, len(data) - 1
+            else:
                 start = int(m.group(1) or 0)
                 end = int(m.group(2)) if m.group(2) else len(data) - 1
                 end = min(end, len(data) - 1)
-                headers["Content-Range"] = f"bytes {start}-{end}/{len(data)}"
-                return self._send(206, data[start:end + 1], headers,
-                                  "application/octet-stream")
-            self._send(200, data, headers, "application/octet-stream")
+            if start >= len(data) or start > end:
+                # unsatisfiable: RFC 7233 416 with the total length —
+                # a 206 here would be treated as data by SDKs
+                return self._send(
+                    416, b"", {"Content-Range": f"bytes */{len(data)}"})
+            headers["Content-Range"] = f"bytes {start}-{end}/{len(data)}"
+            return self._send(206, data[start:end + 1], headers,
+                              "application/octet-stream")
+        self._send(200, data, headers, "application/octet-stream")
 
     def _list(self, bucket: str, q: Dict[str, str]) -> None:
         prefix = q.get("prefix", "")

@@ -22,10 +22,10 @@ class LRCQueue:
 
     def put(self, key: str, value: int) -> None:
         with self._lock:
-            if key in self._d:  # keep original creation position
-                self._d[key] = value
-            else:
-                self._d[key] = value
+            # python dicts keep the ORIGINAL insertion position on
+            # re-assignment — exactly the least-recently-created
+            # semantics (a re-put must not refresh the position)
+            self._d[key] = value
 
     def get(self, key: str) -> Optional[int]:
         with self._lock:

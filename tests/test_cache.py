@@ -1880,3 +1880,79 @@ class TestHybridWatermarksAndMemfsMove:
             pafs.FileType.NotFound
         with fs.open_input_stream("mvtest/b/sub/f") as i:
             assert i.read() == b"x"
+
+
+class TestSecondReviewFixes:
+    def test_s3_suffix_range_returns_tail(self):
+        """bytes=-N must return the LAST N bytes (the parquet-footer
+        read shape), and an unsatisfiable start must 416."""
+        import urllib.request
+
+        from sidecar_spark.cache.fs import RemoteFS
+        from sidecar_spark.testing.s3server import S3StubServer
+
+        with S3StubServer() as srv:
+            os.environ["SIDECAR_S3_ENDPOINT"] = srv.endpoint
+            try:
+                fs, _ = RemoteFS.from_uri("s3://rng")
+                fs.write_all("s3://rng/o", bytes(range(100)))
+                req = urllib.request.Request(
+                    f"{srv.endpoint}/rng/o",
+                    headers={"Range": "bytes=-10"})
+                with urllib.request.urlopen(req) as r:
+                    assert r.status == 206
+                    assert r.read() == bytes(range(90, 100))
+                    assert r.headers["Content-Range"] == "bytes 90-99/100"
+                req = urllib.request.Request(
+                    f"{srv.endpoint}/rng/o",
+                    headers={"Range": "bytes=500-"})
+                try:
+                    urllib.request.urlopen(req)
+                    assert False, "expected 416"
+                except urllib.error.HTTPError as e:
+                    assert e.code == 416
+            finally:
+                os.environ.pop("SIDECAR_S3_ENDPOINT", None)
+
+    def test_engine_close_is_refcounted(self, cache_dir, remote_dir,
+                                        spark):
+        """Two Engines share one CacheManager: closing one must not
+        shut the pool under the other."""
+        from sidecar_spark import Engine
+        conf = SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False)
+        with open(os.path.join(remote_dir, "f.parquet"), "wb") as f:
+            f.write(b"PAR1" + b"x" * 500)
+        e1 = Engine(spark, base_dir=remote_dir, conf=conf)
+        e2 = Engine(spark, base_dir=remote_dir, conf=conf)
+        assert e1.cache is e2.cache
+        e1.close()
+        # e2 still fully functional: cold resolve uses the shared pool
+        paths = e2.cache.resolve_for_spark(remote_dir)
+        assert paths and paths[0].startswith(cache_dir)
+        e2.close()
+        # last holder closed it for real
+        assert e2.cache is None
+        CacheManager.clear_instances()
+
+    def test_config_list_items_stripped(self):
+        conf = SidecarConfig.create(
+            read_exclude_paths="/tmp/a.*, /tmp/b.*")
+        assert conf.read_excluded("/tmp/b-file")
+        assert conf.read_excluded("/tmp/a-file")
+
+    def test_default_cache_dir_keeps_user_settings(self, spark):
+        """Engine's cache_dir defaulting must not discard the rest of
+        the configuration (exclude lists etc.)."""
+        from sidecar_spark import Engine
+        conf = SidecarConfig.create(
+            data_cache_type="file", cache_persistent=False,
+            read_exclude_paths=[r".*\.secret"])
+        eng = Engine(spark, base_dir="/tmp", conf=conf)
+        try:
+            assert eng.conf.cache_dir  # defaulted
+            assert eng.conf.read_excluded("/x/creds.secret")  # kept
+        finally:
+            eng.close()
+            CacheManager.clear_instances()

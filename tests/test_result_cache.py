@@ -287,3 +287,16 @@ def test_staging_dirs_invisible_to_eviction_and_entries(tmp_path):
     os.utime(stage, (old, old))
     rc._sweep_orphans()
     assert not stage.exists()
+
+
+def test_order_by_limit_hit_preserves_order(eng):
+    """ORDER BY under LIMIT analyzes to GlobalLimit(LocalLimit(Sort));
+    the hit must replay the exact materialized order, not a bag."""
+    eng.register("t1")
+    q = "SELECT id, v FROM t1 ORDER BY v DESC, id LIMIT 7"
+    cold = [tuple(r) for r in eng.sql_cached(q).collect()]
+    warm = [tuple(r) for r in eng.sql_cached(q).collect()]
+    st = eng.result_cache_stats()
+    assert st["hits"] == 1
+    assert warm == cold
+    assert cold == sorted(cold, key=lambda r: (-r[1], r[0]))
