@@ -97,13 +97,25 @@ class FileMirror:
         name = os.path.basename(path.rstrip("/")) or "file"
         return os.path.join(self.root, base_key(path, mtime) + "-" + name)
 
+    #: staging files older than this are crash leftovers (a live copy
+    #: finishes or fails in seconds), swept during rebuild
+    TMP_SWEEP_AGE_S = 3600.0
+
     def _rebuild(self) -> None:
+        now = time.time()
         for name in sorted(os.listdir(self.root)):
             if ".tmp-" in name:
                 # another process's in-flight copy (tmp + atomic
                 # replace): not an entry — counting it would leave a
                 # phantom in the file list and inflate _size forever
-                # once the tmp is renamed away
+                # once the tmp is renamed away. Old ones are crash
+                # leftovers from a killed fetch — sweep them.
+                p = os.path.join(self.root, name)
+                try:
+                    if now - os.path.getmtime(p) > self.TMP_SWEEP_AGE_S:
+                        os.remove(p)
+                except OSError:
+                    pass
                 continue
             p = os.path.join(self.root, name)
             if os.path.isfile(p):
@@ -168,13 +180,23 @@ class FileMirror:
         try:
             tmp = f"{lp}.tmp-{os.getpid()}-{threading.get_ident()}"
             t0 = time.monotonic_ns()
-            with fs.open_read(st.path) as src, open(tmp, "wb") as dst:
-                while True:
-                    chunk = src.read(8 * 1024 * 1024)
-                    if not chunk:
-                        break
-                    dst.write(chunk)
-            os.replace(tmp, lp)
+            try:
+                with fs.open_read(st.path) as src, open(tmp, "wb") as dst:
+                    while True:
+                        chunk = src.read(8 * 1024 * 1024)
+                        if not chunk:
+                            break
+                        dst.write(chunk)
+                os.replace(tmp, lp)
+            except BaseException:
+                # a failed remote copy must not leak its staging file:
+                # _rebuild skips .tmp- names, so an orphan would sit
+                # outside capacity accounting forever
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+                raise
             with self._lock:
                 self.stats.add("total_read_requests_from_remote")
                 self.stats.add("total_bytes_read_remote", st.length)
@@ -273,10 +295,20 @@ class CacheManager:
     def release(self) -> None:
         """Drop one holder's reference; the LAST release closes.
         Directly-constructed managers (tests) have zero refs and their
-        explicit close() keeps working unchanged."""
+        explicit close() keeps working unchanged.
+
+        Deregistration happens INSIDE the same critical section as the
+        refcount-zero decision: were the lock dropped first, a
+        concurrent ``get_or_create`` could hand out this instance
+        (refs 0→1) while ``close()`` proceeds to shut the pool under
+        the new holder."""
         with CacheManager._instances_lock:
             self._refs -= 1
             live = self._refs > 0
+            if not live:
+                key = self.conf.cache_dir or "<default>"
+                if CacheManager._instances.get(key) is self:
+                    del CacheManager._instances[key]
         if not live:
             self.close()
 
@@ -332,24 +364,34 @@ class CacheManager:
         instance (or cache identities). ``file://`` URIs normalize to
         plain local paths so they share the one unprefixed local fs
         instead of shadowing it with a prefixed twin (whose ``_p``
-        would then mis-strip plain paths)."""
+        would then mis-strip plain paths).
+
+        The qualified path is normalized ONCE, independent of the
+        fs-cache hit/miss (``posixpath.normpath`` of the path part):
+        a non-normalized uri (trailing slash, doubled separators,
+        ``.``/``..`` segments) must yield the SAME meta/mirror keys
+        whether or not the fs instance was already cached — a
+        branch-dependent key would split one file's cache identity."""
         if "://" in uri:
+            import posixpath
             scheme, rest = uri.split("://", 1)
             if scheme == "file":
                 path = rest[rest.index("/"):] if "/" in rest else "/"
                 return (self._fs_cache.setdefault("file",
                                                   RemoteFS.local()),
                         os.path.abspath(path))
-            key = scheme + "://" + rest.split("/", 1)[0]
+            netloc, sep, tail = rest.partition("/")
+            key = scheme + "://" + netloc
+            # lstrip before normpath: POSIX keeps a leading "//", which
+            # would survive normalization as a doubled separator
+            qualified = key + posixpath.normpath("/" + tail.lstrip("/")) \
+                if sep and tail.strip("/") else key
             cached = self._fs_cache.get(key)
             if cached is not None:
-                # qualified paths equal the uri for every non-file
-                # scheme (mem/s3 pass the uri through; generic pyarrow
-                # schemes reassemble scheme://netloc/path)
-                return cached, uri
-            fs, path = RemoteFS.from_uri(uri)
+                return cached, qualified
+            fs, _ = RemoteFS.from_uri(uri)
             self._fs_cache[key] = fs
-            return fs, path
+            return fs, qualified
         return self._fs_cache.setdefault("file", RemoteFS.local()), os.path.abspath(uri)
 
     # ---- admission (isCacheableFile, :739-748) ------------------------------
@@ -1017,7 +1059,11 @@ class CacheManager:
         # commit (a manifest, a summary table) tees through the driver
         # directly — a Spark job costs more than the copy. Only at
         # auto_warm_bytes and above does the driver-funnel matter, and
-        # there the task fan-out takes over.
+        # there the task fan-out takes over. Real-cluster caveat: this
+        # branch fills the DRIVER node's write cache, not an
+        # executor's — fine for the manifests it is sized for (any
+        # node's read self-heals to remote), wrong for data tables,
+        # which is why the threshold gates it.
         total_bytes = sum(length for _, _, length in work)
         if self.conf.auto_warm_bytes and total_bytes < \
                 self.conf.auto_warm_bytes:
@@ -1065,13 +1111,20 @@ class CacheManager:
                         continue  # already mirrored on this node
                     _os.makedirs(_os.path.dirname(cp), exist_ok=True)
                     tmp = f"{cp}.tmp-{_os.getpid()}-{_th.get_ident()}"
-                    with fs.open_read(p) as src, open(tmp, "wb") as dst:
-                        while True:
-                            chunk = src.read(8 * 1024 * 1024)
-                            if not chunk:
-                                break
-                            dst.write(chunk)
-                    _os.replace(tmp, cp)
+                    try:
+                        with fs.open_read(p) as src, open(tmp, "wb") as dst:
+                            while True:
+                                chunk = src.read(8 * 1024 * 1024)
+                                if not chunk:
+                                    break
+                                dst.write(chunk)
+                        _os.replace(tmp, cp)
+                    except BaseException:
+                        try:  # no staging-file leak on a failed copy
+                            _os.remove(tmp)
+                        except OSError:
+                            pass
+                        raise
                     wc.register(cp, length)  # synced: no moniker
                     mgr.meta.save(p, FM(mtime, length, False))
                     wc.check_eviction()

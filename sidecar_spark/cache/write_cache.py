@@ -48,6 +48,53 @@ class WriteCache:
         self._evictor_running = threading.Event()
         self.disabled = False  # set when eviction can't make progress
         self.unsynced_retry_delay = 60.0  # evictFiles sleeps 60 s (:1432)
+        # disk adoption: a prior process (a recycled Spark Python
+        # worker running mirror_writes_distributed, a crashed driver)
+        # may have left synced mirror files on this node that exist
+        # only on disk — register them so eviction can account for and
+        # reclaim them; without this, worker-mirrored bytes on a real
+        # cluster grow the cache root unbounded across worker recycles
+        self.adopt_disk()
+
+    #: staging files older than this are crash leftovers, not in-flight
+    #: copies — swept during disk adoption
+    TMP_SWEEP_AGE_S = 3600.0
+
+    def adopt_disk(self) -> int:
+        """Register size-verified on-disk mirror files that the file
+        list does not know about (the ``FileMirror.lookup`` adoption
+        idea applied at startup): the write-cache path mapping is
+        bijective, so any regular file under the root IS a mirror of
+        its mapped remote path. Skips ``.tmp-`` staging files (another
+        process's in-flight copy — but sweeps ones old enough to be
+        crash leftovers) and files that currently carry a moniker (a
+        live writer owns them; their size is not final). Returns the
+        number of files adopted."""
+        adopted = 0
+        now = time.time()
+        for dirpath, _dirs, files in os.walk(self.root):
+            for name in files:
+                if name.endswith(MONIKER_SUFFIX):
+                    continue
+                p = os.path.join(dirpath, name)
+                if ".tmp-" in name:
+                    try:
+                        if now - os.path.getmtime(p) > self.TMP_SWEEP_AGE_S:
+                            os.remove(p)
+                    except OSError:
+                        pass
+                    continue
+                if self.file_list.exists(p) or self.has_moniker(p):
+                    continue
+                try:
+                    sz = os.path.getsize(p)
+                except OSError:
+                    continue  # vanished between walk and stat
+                self.file_list.put(p, sz)
+                with self._size_lock:
+                    self._size += sz
+                adopted += 1
+        return adopted
 
     # ---- path mapping ----------------------------------------------------
 
@@ -310,4 +357,8 @@ class WriteCache:
                     self.file_list.remove(cp)
             with self._size_lock:
                 self._size = total
+            # the snapshot REPLACES the list — re-adopt disk files the
+            # snapshot predates (e.g. worker-mirrored after the last
+            # save) so they stay accounted and evictable
+            self.adopt_disk()
         return ok

@@ -78,10 +78,13 @@ def await_bounded(q, timeout_sec: float | None = None) -> None:
     raised, so one stuck streaming query fails loudly instead of
     freezing every query after it.  A query that terminated with an
     error still raises its ``StreamingQueryException`` as usual.
-    The bound stretches with measured CPU load (``_load_factor``) so
-    contention slows the guard before it aborts correct work."""
-    timeout = (STREAM_TIMEOUT_SEC if timeout_sec is None
-               else timeout_sec) * _load_factor()
+    The DEFAULT bound stretches with measured CPU load
+    (``_load_factor``) so contention slows the guard before it aborts
+    correct work; an EXPLICIT ``timeout_sec`` is honored exactly — a
+    caller asking for a tight bound wants wedge detection at that
+    bound, not a silently 4x-stretched one."""
+    timeout = (STREAM_TIMEOUT_SEC * _load_factor()
+               if timeout_sec is None else timeout_sec)
     finished = q.awaitTermination(timeout)
     if finished:
         return

@@ -17,7 +17,7 @@ import time
 import pytest
 
 from sidecar_spark.cache import CacheManager, CachingInputStream, PageStore, WriteCache
-from sidecar_spark.cache.fs import RemoteFS
+from sidecar_spark.cache.fs import FileStat, RemoteFS
 from sidecar_spark.config import (
     DataCacheMode,
     SidecarConfig,
@@ -1956,3 +1956,156 @@ class TestSecondReviewFixes:
         finally:
             eng.close()
             CacheManager.clear_instances()
+
+
+class TestRound5AdviceFixes:
+    """Regression pins for the round-4 ADVICE findings."""
+
+    def test_write_cache_adopts_disk_files(self, cache_dir):
+        """A mirror file written by another process (a recycled Spark
+        Python worker's mirror_writes_distributed) must be adopted —
+        accounted and evictable — by the next WriteCache over the same
+        root, not grow the disk unbounded."""
+        conf = SidecarConfig.create(cache_dir=cache_dir,
+                                    write_cache_size=10 * MiB)
+        wc1 = WriteCache(conf)
+        cp = wc1.put_file("/data/worker-made", b"x" * 4096, synced=True)
+        # simulate the worker process dying: its in-memory accounting
+        # is gone, only the bytes remain
+        wc2 = WriteCache(conf)
+        assert wc2.file_list.exists(cp)
+        assert wc2.size_bytes() == 4096
+        # adopted entries are synced (no moniker) — evictable
+        wc2.file_list.put(cp, 4096)  # idempotent re-put keeps position
+        assert wc2.evict_files() == 0  # under watermark: nothing to do
+
+    def test_adopt_skips_live_monikers_and_sweeps_old_tmp(self, cache_dir):
+        conf = SidecarConfig.create(cache_dir=cache_dir,
+                                    write_cache_size=10 * MiB)
+        wc1 = WriteCache(conf)
+        fh, cp = wc1.open_write("/data/mid-write")  # moniker stays
+        fh.write(b"partial")
+        fh.close()
+        old_tmp = os.path.join(wc1.root, "f.tmp-123-456")
+        with open(old_tmp, "wb") as f:
+            f.write(b"stale")
+        os.utime(old_tmp, (time.time() - 7200, time.time() - 7200))
+        fresh_tmp = os.path.join(wc1.root, "g.tmp-123-457")
+        with open(fresh_tmp, "wb") as f:
+            f.write(b"live")
+        wc2 = WriteCache(conf)
+        assert not wc2.file_list.exists(cp)  # live writer owns it
+        assert not os.path.exists(old_tmp)   # crash leftover swept
+        assert os.path.exists(fresh_tmp)     # in-flight copy kept
+        assert not wc2.file_list.exists(fresh_tmp)
+
+    def test_snapshot_load_readopts_disk(self, cache_dir):
+        """load_snapshot REPLACES the file list — files mirrored after
+        the last save must be re-adopted, not orphaned."""
+        conf = SidecarConfig.create(cache_dir=cache_dir,
+                                    write_cache_size=10 * MiB)
+        wc1 = WriteCache(conf)
+        wc1.put_file("/data/before-save", b"a" * 100, synced=True)
+        snap = os.path.join(cache_dir, "filelist.json")
+        wc1.save_snapshot(snap)
+        cp2 = wc1.put_file("/data/after-save", b"b" * 200, synced=True)
+        wc2 = WriteCache(SidecarConfig.create(
+            cache_dir=cache_dir, write_cache_size=10 * MiB))
+        wc2.load_snapshot(snap)
+        assert wc2.file_list.exists(cp2)
+        assert wc2.size_bytes() == 300
+
+    def test_materialize_failure_leaves_no_tmp(self, cache_dir):
+        """A failed remote copy must remove its staging file — a
+        leaked .tmp- sits outside capacity accounting forever."""
+        conf = SidecarConfig.create(cache_dir=cache_dir,
+                                    data_cache_type="file",
+                                    cache_persistent=False)
+        mgr = CacheManager(conf)
+        try:
+            class BoomFS:
+                def open_read(self, path):
+                    raise OSError("remote unreachable")
+
+            st = FileStat(path="/r/f", length=10, mtime=1, is_dir=False)
+            with pytest.raises(OSError):
+                mgr.mirror.materialize(BoomFS(), st)
+            leftovers = [n for n in os.listdir(mgr.mirror.root)
+                         if ".tmp-" in n]
+            assert leftovers == []
+        finally:
+            mgr.close(save=False)
+
+    def test_mirror_rebuild_sweeps_old_tmp(self, cache_dir):
+        conf = SidecarConfig.create(cache_dir=cache_dir,
+                                    data_cache_type="file",
+                                    cache_persistent=False)
+        mgr = CacheManager(conf)
+        old_tmp = os.path.join(mgr.mirror.root, "k-f.tmp-1-2")
+        with open(old_tmp, "wb") as f:
+            f.write(b"stale")
+        os.utime(old_tmp, (time.time() - 7200, time.time() - 7200))
+        mgr.close(save=False)
+        mgr2 = CacheManager(conf)
+        try:
+            assert not os.path.exists(old_tmp)
+        finally:
+            mgr2.close(save=False)
+
+    def test_release_deregisters_before_close_finishes(self, cache_dir):
+        """get_or_create racing the last release must get a FRESH
+        manager, never the one whose close() is still running."""
+        import threading as th
+
+        conf = SidecarConfig.create(cache_dir=cache_dir,
+                                    data_cache_type="file",
+                                    cache_persistent=False)
+        inst = CacheManager.get_or_create(conf)
+        gate = th.Event()
+        real_close = inst.close
+
+        def slow_close(save=True):
+            gate.wait(5)
+            real_close(save=save)
+
+        inst.close = slow_close
+        t = th.Thread(target=inst.release)
+        t.start()
+        # release() deregisters under the lock before calling close();
+        # poll until the deregistration is visible, then get_or_create
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            with CacheManager._instances_lock:
+                gone = CacheManager._instances.get(cache_dir) is not inst
+            if gone:
+                break
+            time.sleep(0.01)
+        fresh = CacheManager.get_or_create(conf)
+        try:
+            assert fresh is not inst
+            assert not fresh._closed
+        finally:
+            gate.set()
+            t.join(10)
+            fresh.release()
+            CacheManager.clear_instances()
+
+    def test_resolve_uri_normalization_hit_miss_consistent(self, cache_dir):
+        """Doubled separators / trailing slashes / dot segments must
+        map to ONE cache identity on both the fs-cache miss (first
+        call) and hit (second call) branches."""
+        conf = SidecarConfig.create(cache_dir=cache_dir,
+                                    data_cache_type="file",
+                                    cache_persistent=False)
+        mgr = CacheManager(conf)
+        try:
+            variants = ["mem://b//x/./y", "mem://b/x/y/", "mem://b/x/y"]
+            seen = set()
+            for u in variants:
+                _, q1 = mgr._resolve(u)   # miss branch on first call
+                _, q2 = mgr._resolve(u)   # hit branch
+                assert q1 == q2
+                seen.add(q1)
+            assert seen == {"mem://b/x/y"}
+        finally:
+            mgr.close(save=False)

@@ -74,3 +74,27 @@ def test_erroring_foreach_batch_raises_promptly(spark, sf_dir):
     )
     with pytest.raises(StreamingQueryException):
         await_bounded(q, timeout_sec=60)
+
+
+def test_explicit_timeout_not_load_stretched(monkeypatch):
+    """An explicitly passed timeout must be honored EXACTLY — the
+    load factor applies only to the STREAM_TIMEOUT_SEC default (a
+    caller asking for a tight bound wants wedge detection at that
+    bound, round-4 ADVICE)."""
+    from sidecar_spark.streaming import ops
+
+    monkeypatch.setattr(ops, "_load_factor", lambda: 4.0)
+    seen = {}
+
+    class FakeQuery:
+        name = "fq"
+        id = "fq-id"
+
+        def awaitTermination(self, timeout):
+            seen["timeout"] = timeout
+            return True
+
+    ops.await_bounded(FakeQuery(), timeout_sec=7.5)
+    assert seen["timeout"] == 7.5  # exact, not 30.0
+    ops.await_bounded(FakeQuery())  # default DOES stretch
+    assert seen["timeout"] == ops.STREAM_TIMEOUT_SEC * 4.0
