@@ -61,9 +61,15 @@ class FileMirror:
     mutation flips the mtime so every node's stale copy simply stops
     matching. On a real cluster the executor-side deployment is the
     same class pointed at node-local NVMe (one cache root per host),
-    with ``resolve_for_spark`` run per-executor via a partition-local
-    resolve; no coordination protocol is required because keys are
-    content-addressed and the remote is the single source of truth.
+    with the resolve run PER SCAN TASK against that node's manager —
+    ``sidecar.resolve.mode = executor`` routes ``Engine.read_parquet``
+    through ``sources/cached_parquet.py``, whose ``read(partition)``
+    does hit-or-materialize-or-remote node-locally (an unwarmed node
+    self-heals by materializing instead of erroring); no coordination
+    protocol is required because keys are content-addressed and the
+    remote is the single source of truth. Driver-side
+    ``resolve_for_spark`` remains the default for local[k]/shared
+    mirror roots, where the JVM-native parquet scan is faster.
 
     Concurrency: cold fetches run OUTSIDE the instance lock with a
     per-key in-flight guard, so N distinct cold files materialize in
@@ -341,7 +347,8 @@ class CacheManager:
         )
         self.mirror = (
             FileMirror(os.path.join(conf.cache_dir, "mirror"),
-                       conf.data_cache_size, conf, self.stats)
+                       conf.mirror_size or conf.data_cache_size,
+                       conf, self.stats)
             if conf.cache_dir and conf.data_cache_type != SidecarDataCacheType.DISABLED
             else None
         )

@@ -82,6 +82,8 @@ _KEYMAP = {
     # wires the reference's unwired SizeBasedPriorityQueue as an option
     "write.cache.eviction.policy": "write_cache_eviction_policy",
     "auto.warm.bytes": "auto_warm_bytes",
+    "resolve.mode": "resolve_mode",
+    "mirror.size": "mirror_size",
 }
 
 _TRUE = {"true", "1", "yes", "on"}
@@ -136,12 +138,26 @@ class SidecarConfig:
     data_cache_type: SidecarDataCacheType = SidecarDataCacheType.FILE
     data_cache_mode: DataCacheMode = DataCacheMode.ALL
     data_cache_size: int = 0  # engine addition: page-store capacity (0 = unlimited)
+    # engine addition: file-mirror capacity; 0 = inherit
+    # data_cache_size. Sizing them apart lets a node keep a healthy
+    # page store for remote-streamed (mirror-vetoed) tables while the
+    # whole-file mirror stays bounded (sidecar.mirror.size)
+    mirror_size: int = 0
     minsize_threshold: int = 100 * MiB  # sidecar.cache.minsize.threshold
     # engine addition: a COLD table at/over this many admitted bytes is
     # warmed via Spark tasks (warm_distributed) before resolve, so big
     # cold reads never pull their bytes through the driver; below it
     # the driver-pool fill is cheaper than a Spark job. 0 disables.
     auto_warm_bytes: int = 256 * MiB
+    # engine addition: where table reads resolve against the mirror.
+    # "driver" (default): the driver resolves hit/materialize/remote
+    # and hands Spark concrete paths — correct whenever the mirror
+    # root is reachable from every scan task (local[k], shared NVMe/
+    # NFS). "executor": each scan TASK resolves against the
+    # CacheManager on ITS node (sources/cached_parquet.py) — the
+    # real-cluster deployment, where node-local mirrors differ and a
+    # driver-resolved local path would not exist on other machines.
+    resolve_mode: str = "driver"  # sidecar.resolve.mode
     read_exclude_paths: tuple = ()  # sidecar.read.exclude.path.list (regexes)
 
     # admission / hints
@@ -226,7 +242,7 @@ class SidecarConfig:
             if k in ("write_cache_size", "data_page_size", "io_buffer_size",
                      "io_pool_size", "thread_pool_size", "minsize_threshold",
                      "scan_detector_threshold", "data_cache_size",
-                     "auto_warm_bytes"):
+                     "auto_warm_bytes", "mirror_size"):
                 coerced[k] = _to_int(v)
             elif k in ("metrics_enabled", "test_mode", "cache_persistent",
                        "install_shutdown_hook", "remote_files_mutable",
@@ -243,6 +259,41 @@ class SidecarConfig:
             else:
                 coerced[k] = v
         return cls(**coerced)
+
+    # ---- serialization across the DataSource option boundary -----------
+
+    def to_json(self) -> str:
+        """Lossless JSON of every plain field — the Python DataSource
+        API carries options as strings only, so the executor-resolve
+        scan (sources/cached_parquet.py) ships its configuration this
+        way. ``hint_detector`` crosses only as an import string (a
+        callable cannot be JSON-carried — same rule as the
+        warm_distributed task closure, which drops callables)."""
+        import dataclasses
+        import json
+
+        out = {}
+        for f in dataclasses.fields(self):
+            if f.name == "_compiled":
+                continue
+            v = getattr(self, f.name)
+            if f.name == "hint_detector":
+                if v is None or isinstance(v, str):
+                    out[f.name] = v
+                continue  # callable: not serializable — dropped
+            if isinstance(v, (SidecarDataCacheType, WriteCacheMode,
+                              DataCacheMode)):
+                v = v.value
+            elif isinstance(v, tuple):
+                v = list(v)
+            out[f.name] = v
+        return json.dumps(out)
+
+    @classmethod
+    def from_json(cls, s: str) -> "SidecarConfig":
+        import json
+
+        return cls.create(**json.loads(s))
 
     # ---- path predicates ----------------------------------------------
 

@@ -85,6 +85,14 @@ class Engine:
         # would dominate the metadata path.
         if self.cache is None:
             return self.spark.read.parquet(location)
+        if (self.conf.resolve_mode == "executor"
+                and not location.startswith("mem://")):
+            # real-cluster mode: the resolve happens INSIDE each scan
+            # task against that node's own mirror (an unwarmed node
+            # materializes node-locally instead of erroring; see
+            # sources/cached_parquet.py). mem:// is process-local —
+            # unreachable from workers — so it stays driver-resolved.
+            return self._read_executor_resolved(location)
         try:
             files = self.cache.list_files(location)
         except Exception:  # noqa: BLE001 — listing trouble: let Spark
@@ -101,6 +109,29 @@ class Engine:
                 pass           # fails the read; resolve self-heals
         paths = self.cache.resolve_for_spark(location, files=files)
         return self.spark.read.parquet(*(paths or [location]))
+
+    def _read_executor_resolved(self, location: str):
+        """Build the scan through the cache-backed Python DataSource:
+        one partition per data file, each task resolving against ITS
+        node's CacheManager (sources/cached_parquet.py docstring for
+        the full design). Registered once per Engine."""
+        if not getattr(self, "_cached_source_registered", False):
+            from sidecar_spark.sources.cached_parquet import (
+                CachedParquetSource,
+            )
+
+            self.spark.dataSource.register(CachedParquetSource)
+            self._cached_source_registered = True
+        reader = (self.spark.read.format("sidecar_cached_parquet")
+                  .option("path", location)
+                  .option("conf", self.conf.to_json()))
+        endpoint = os.environ.get("SIDECAR_S3_ENDPOINT")
+        if endpoint:
+            # the source's plan/scan stages run in separate Python
+            # processes that do not inherit driver env set after the
+            # worker daemon forked — ship the endpoint as an option
+            reader = reader.option("endpoint", endpoint)
+        return reader.load()
 
     def warm(self, name: str, sf_dir: Optional[str] = None) -> int:
         """Cluster-wide pre-warm of a table's files into the (node-

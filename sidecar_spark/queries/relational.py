@@ -95,6 +95,78 @@ def cached_read_agg(spark, sf_dir):
     )
 
 
+@query(
+    "executor_resolved_agg",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS first_order
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def executor_resolved_agg(spark, sf_dir):
+    """The real-cluster read path under the oracle gate
+    (sidecar.resolve.mode = executor, sources/cached_parquet.py): the
+    scan is a Python DataSource whose every TASK resolves its one file
+    hit-or-materialize-or-remote against the node-local CacheManager —
+    the partition-local resolve of the FileMirror multi-node design
+    (SidecarCachingFileSystem.java:96-119 per-node singletons) — and
+    must be value-indistinguishable from the JVM-native scan."""
+    import os as _os
+
+    from sidecar_spark import Engine, SidecarConfig
+
+    conf = SidecarConfig.create(
+        cache_dir=_os.path.join("/tmp", "sidecar-query-cache-exec"),
+        data_cache_type="file", cache_persistent=False,
+        resolve_mode="executor")
+    eng = Engine(spark, base_dir=sf_dir, conf=conf)
+    od = eng.table("orders")
+    return od.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd")
+        .alias("first_order"),
+    )
+
+
+@query(
+    "page_cached_scan_agg",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_cust,
+           round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def page_cached_scan_agg(spark, sf_dir):
+    """PAGE tier serving a real Spark scan (verdict r4 #7): the
+    mirror is sized down so the file-level veto fires, and the
+    executor-resolved scan streams through the node-local
+    ``CachingInputStream`` instead — parquet footer + column-chunk
+    ranges land in the page store (``readInternal``,
+    SidecarCachingInputStream.java:796-877), so the repeat run serves
+    pages locally. tests/test_executor_resolve.py proves the stats
+    delta; this entry proves the values."""
+    import os as _os
+
+    from sidecar_spark import Engine, SidecarConfig
+
+    conf = SidecarConfig.create(
+        cache_dir=_os.path.join("/tmp", "sidecar-query-cache-pages"),
+        data_cache_type="file", cache_persistent=False,
+        resolve_mode="executor",
+        mirror_size=16,                 # veto: too small for any table
+        data_cache_size=256 * 1024 * 1024)  # healthy page store
+    eng = Engine(spark, base_dir=sf_dir, conf=conf)
+    cu = eng.table("customer")
+    return cu.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # aggregation
 # ---------------------------------------------------------------------------

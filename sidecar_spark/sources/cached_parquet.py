@@ -1,0 +1,302 @@
+"""Executor-side (partition-local) cache resolve — the real-cluster
+read path.
+
+The driver-mode resolve (``CacheManager.resolve_for_spark``) hands
+Spark concrete local paths out of the DRIVER's mirror — correct only
+while every scan task can see that same mirror root (local[k], shared
+NVMe/NFS). On a real multi-node cluster each node has its OWN
+node-local mirror (the per-node singleton design of the reference —
+every node's ``SidecarCachingFileSystem`` serves its own reads,
+``SidecarCachingFileSystem.java:96-119,273-288``), so a driver-chosen
+path is unreadable on any other machine and a task scheduled on an
+unwarmed node would die with FileNotFoundException.
+
+``CachedParquetSource`` moves the resolve into the scan task itself:
+
+* ``partitions()`` (driver): ONE remote listing → one InputPartition
+  per data file, plus the same file-level scan veto math as
+  ``resolve_for_spark`` (a table bigger than the mirror floor must
+  stream from remote on every node, not churn caches cluster-wide);
+* ``read(partition)`` (executor): opens the node-local
+  ``CacheManager.get_or_create`` singleton for the shipped cache root
+  and resolves THIS file hit-or-materialize-or-remote against THAT
+  node's mirror — an unwarmed node self-heals by materializing (a
+  node-local fill, never a driver funnel), and a vetoed or failed
+  fill streams the bytes straight from remote;
+* self-heal against mid-scan eviction: the local copy is OPENED
+  before use — a POSIX unlink after open leaves the fd readable, so
+  an eviction racing the scan can never produce wrong bytes; a copy
+  already gone at open time falls back to materialize-or-remote.
+
+Scale shape: N files → N independent partitions, each task touching
+exactly one file's bytes on its own node; the driver moves zero data
+bytes. Batches cross into Spark as Arrow RecordBatches (the
+DataSource API's vectorized path).
+
+Trade-off vs driver mode (kept the default for local[k]): rows pass
+through the Python worker as Arrow batches instead of the JVM-native
+parquet scan, and the Python DataSource API gives no column pruning —
+so this mode pays a per-byte toll for multi-node correctness. Use it
+where it is the only correct choice (``sidecar.resolve.mode =
+executor`` on real clusters with node-local cache roots).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_BATCH_ROWS = 65536
+
+
+class _PageCachedFile:
+    """Minimal file-object adapter so pyarrow's parquet reader can
+    pull its ranged reads through the engine's page-granular
+    ``CachingInputStream`` (pyarrow wraps any readable+seekable Python
+    object via ``pa.PythonFile``)."""
+
+    def __init__(self, stream):
+        self._s = stream
+
+    def read(self, n=-1):
+        return self._s.read(n)
+
+    def seek(self, pos, whence=0):
+        if whence == 1:
+            pos += self._s.tell()
+        elif whence == 2:
+            pos += self._s.length
+        self._s.seek(pos)
+        return pos
+
+    def tell(self):
+        return self._s.tell()
+
+    def size(self):
+        return self._s.length
+
+    def readable(self):
+        return True
+
+    def seekable(self):
+        return True
+
+    def writable(self):
+        return False
+
+    def flush(self):
+        pass
+
+    def close(self):
+        self._s.close()
+
+    @property
+    def closed(self):
+        return self._s._closed
+
+
+class _FilePart(InputPartition):
+    def __init__(self, path: str, mtime: int, length: int, veto: bool):
+        self.path = path
+        self.mtime = mtime
+        self.length = length
+        self.veto = veto
+
+
+def _read_file_batches(mgr, part: _FilePart, endpoint):
+    """Node-local hit-or-materialize-or-remote for ONE data file;
+    yields Arrow RecordBatches. Runs inside the scan task."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sidecar_spark.cache.fs import FileStat
+
+    if endpoint:
+        # propagate the CURRENT S3 endpoint (Spark reuses Python
+        # workers across jobs; a stale endpoint must not shadow this
+        # one's — same rule as warm_distributed's fetch_slice)
+        os.environ["SIDECAR_S3_ENDPOINT"] = endpoint
+    fs, p = mgr._resolve(part.path)  # noqa: SLF001 — package-internal
+    st = FileStat(path=p, length=part.length, mtime=part.mtime,
+                  is_dir=False)
+    handle = None
+    if (mgr.mirror is not None and not part.veto
+            and mgr.is_cacheable_file(p, part.length)):
+        local = mgr.mirror.lookup(p, part.mtime)
+        if local is None:
+            try:
+                # unwarmed node: self-heal by materializing — a
+                # node-local fill, never an error and never a driver
+                # funnel (the fetch_slice pattern inside the scan)
+                local = mgr.mirror.materialize(fs, st)
+            except Exception:  # noqa: BLE001 — cache trouble never
+                local = None   # fails the read: stream from remote
+        else:
+            mgr.stats.add("total_read_requests_from_data_cache")
+            mgr.stats.add("total_bytes_read_data_cache", part.length)
+        if local is not None:
+            try:
+                # open BEFORE reading: once the fd exists, a racing
+                # eviction's unlink cannot corrupt this scan (POSIX
+                # keeps the inode alive); a copy already evicted at
+                # open time falls through to the remote path
+                handle = open(local, "rb")
+            except OSError:
+                handle = None
+            if handle is not None:
+                mgr.stats.add("total_bytes_read", part.length)
+    if handle is not None:
+        with handle:
+            pf = pq.ParquetFile(handle)
+            yield from pf.iter_batches(batch_size=_BATCH_ROWS)
+        return
+    # remote stream (vetoed / excluded / fill failed): when the page
+    # store is live, route the ranged reads through the node-local
+    # CachingInputStream — a table too big to file-mirror still gets
+    # PAGE-granular caching of exactly the ranges this node's tasks
+    # touch (footers, hot column chunks), the reference's readInternal
+    # serving a real Spark scan. Otherwise ranged reads straight from
+    # the store.
+    if mgr.pages is not None and mgr.pages.enabled:
+        try:
+            stream = mgr.open(p)
+        except Exception:  # noqa: BLE001 — page path is best-effort
+            stream = None
+        if stream is not None:
+            try:
+                pf = pq.ParquetFile(_PageCachedFile(stream))
+                yield from pf.iter_batches(batch_size=_BATCH_ROWS)
+                return
+            finally:
+                stream.close()
+    mgr.stats.add("total_read_requests_from_remote")
+    mgr.stats.add("total_bytes_read_remote", part.length)
+    with fs.open_read(p) as f:
+        pf = pq.ParquetFile(f)
+        yield from pf.iter_batches(batch_size=_BATCH_ROWS)
+
+
+def _apply_endpoint(endpoint) -> None:
+    """Every Python stage of this source (plan process, scan workers)
+    runs OUTSIDE the driver process and does not inherit env vars set
+    after the worker daemon forked — the S3 endpoint override must
+    travel as an option and be re-applied per process (the same
+    reused-worker rule warm_distributed's fetch_slice follows)."""
+    if endpoint:
+        import os
+
+        os.environ["SIDECAR_S3_ENDPOINT"] = endpoint
+
+
+class CachedParquetReader(DataSourceReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("sidecar_cached_parquet requires option 'path'")
+        self.path = path
+        self.conf_json = options.get("conf")
+        if not self.conf_json:
+            raise ValueError("sidecar_cached_parquet requires option 'conf'")
+        self.endpoint = options.get("endpoint")
+        _apply_endpoint(self.endpoint)
+
+    def _conf(self):
+        from sidecar_spark.config import SidecarConfig
+
+        return SidecarConfig.from_json(self.conf_json)
+
+    def partitions(self):
+        from sidecar_spark.cache.manager import CacheManager
+
+        _apply_endpoint(self.endpoint)
+        mgr = CacheManager.get_or_create(self._conf())
+        try:
+            files = mgr.list_files(self.path)
+            veto = False
+            if mgr.mirror is not None and mgr.mirror.capacity:
+                admitted = sum(
+                    st.length for st in files
+                    if mgr.is_cacheable_file(st.path, st.length))
+                floor = (mgr.mirror.capacity
+                         * mgr.conf.eviction_stop_occupancy)
+                if admitted > floor:
+                    # same veto as resolve_for_spark: a table bigger
+                    # than the mirror floor streams from remote on
+                    # EVERY node instead of churning every cache
+                    veto = True
+                    mgr.stats.add("total_scans_detected")
+            return [_FilePart(st.path, st.mtime, st.length, veto)
+                    for st in files]
+        finally:
+            mgr.release()
+
+    def read(self, part: _FilePart):
+        from sidecar_spark.cache.manager import CacheManager
+
+        _apply_endpoint(self.endpoint)
+        # worker-lifetime singleton, exactly like fetch_slice /
+        # mirror_slice: get_or_create with no release — the node-local
+        # manager outlives the task, serving every later scan's hits
+        mgr = CacheManager.get_or_create(self._conf())
+        yield from _read_file_batches(mgr, part, self.endpoint)
+
+
+class CachedParquetSource(DataSource):
+    """``spark.read.format("sidecar_cached_parquet")
+    .option("path", uri).option("conf", conf.to_json()).load()`` —
+    wired automatically by ``Engine.read_parquet`` when
+    ``sidecar.resolve.mode = executor``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sidecar_cached_parquet"
+
+    def schema(self):
+        """Schema from the first data file's footer, read through the
+        cache fs (driver-side metadata only — no data bytes)."""
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        from sidecar_spark.cache.manager import CacheManager
+        from sidecar_spark.config import SidecarConfig
+
+        _apply_endpoint(self.options.get("endpoint"))
+        path = self.options.get("path")
+        conf = SidecarConfig.from_json(self.options["conf"])
+        mgr = CacheManager.get_or_create(conf)
+        try:
+            files = mgr.list_files(path)
+            if not files:
+                raise FileNotFoundError(
+                    f"no data files under {path!r}")
+            fs, p = mgr._resolve(files[0].path)
+            local = (mgr.mirror.lookup(p, files[0].mtime)
+                     if mgr.mirror is not None else None)
+            if local is not None:
+                # mirror-first: a warmed table's schema costs zero
+                # remote requests
+                arrow_schema = pq.ParquetFile(local).schema_arrow
+            else:
+                with fs.open_read(p) as f:
+                    arrow_schema = pq.ParquetFile(f).schema_arrow
+        finally:
+            mgr.release()
+        # match the JVM parquet reader's NTZ inference (tz-less
+        # parquet timestamps read as timestamp_ntz when
+        # spark.sql.parquet.inferTimestampNTZ.enabled, default true) —
+        # the two resolve modes must yield identical schemas
+        ntz = True
+        try:
+            from pyspark.sql import SparkSession
+
+            active = SparkSession.getActiveSession()
+            if active is not None:
+                ntz = (active.conf.get(
+                    "spark.sql.parquet.inferTimestampNTZ.enabled",
+                    "true").lower() == "true")
+        except Exception:  # noqa: BLE001 — keep the default
+            pass
+        return from_arrow_schema(arrow_schema, prefer_timestamp_ntz=ntz)
+
+    def reader(self, schema) -> CachedParquetReader:
+        return CachedParquetReader(self.options)

