@@ -103,11 +103,9 @@ class FileMirror:
         name = os.path.basename(path.rstrip("/")) or "file"
         return os.path.join(self.root, base_key(path, mtime) + "-" + name)
 
-    #: staging files older than this are crash leftovers (a live copy
-    #: finishes or fails in seconds), swept during rebuild
-    TMP_SWEEP_AGE_S = 3600.0
-
     def _rebuild(self) -> None:
+        from sidecar_spark.util.tmp_sweep import sweep_if_stale
+
         now = time.time()
         for name in sorted(os.listdir(self.root)):
             if ".tmp-" in name:
@@ -116,12 +114,7 @@ class FileMirror:
                 # phantom in the file list and inflate _size forever
                 # once the tmp is renamed away. Old ones are crash
                 # leftovers from a killed fetch — sweep them.
-                p = os.path.join(self.root, name)
-                try:
-                    if now - os.path.getmtime(p) > self.TMP_SWEEP_AGE_S:
-                        os.remove(p)
-                except OSError:
-                    pass
+                sweep_if_stale(os.path.join(self.root, name), now)
                 continue
             p = os.path.join(self.root, name)
             if os.path.isfile(p):
@@ -285,8 +278,23 @@ class CacheManager:
     # ---- singleton protocol (double-checked get, :273-288) ---------------
 
     @classmethod
+    def _key(cls, conf: SidecarConfig) -> str:
+        """Singleton key: cache root PLUS a policy fingerprint. Keyed
+        on the root alone, a long-lived process (a reused Spark Python
+        worker, the planner) would silently serve a NEW query's conf
+        with a STALE manager — mirror capacity, admission and veto
+        decisions frozen at whatever conf arrived first. Distinct
+        policies over one root get distinct managers; that is exactly
+        the already-proven two-process shape (content-addressed mirror
+        + adoption), just within one process."""
+        import hashlib
+
+        digest = hashlib.md5(conf.to_json().encode()).hexdigest()[:12]
+        return (conf.cache_dir or "<default>") + "|" + digest
+
+    @classmethod
     def get_or_create(cls, conf: SidecarConfig) -> "CacheManager":
-        key = conf.cache_dir or "<default>"
+        key = cls._key(conf)
         with cls._instances_lock:
             inst = cls._instances.get(key)
             if inst is None:
@@ -312,7 +320,7 @@ class CacheManager:
             self._refs -= 1
             live = self._refs > 0
             if not live:
-                key = self.conf.cache_dir or "<default>"
+                key = CacheManager._key(self.conf)
                 if CacheManager._instances.get(key) is self:
                     del CacheManager._instances[key]
         if not live:
@@ -378,7 +386,12 @@ class CacheManager:
         a non-normalized uri (trailing slash, doubled separators,
         ``.``/``..`` segments) must yield the SAME meta/mirror keys
         whether or not the fs instance was already cached — a
-        branch-dependent key would split one file's cache identity."""
+        branch-dependent key would split one file's cache identity.
+        These are Hadoop ``Path`` semantics (the reference is a Hadoop
+        FileSystem: ``new Path("s3a://b/a//c")`` collapses to
+        ``a/c``), so an object-store key that deliberately contains
+        ``//`` or dot segments is not addressable — exactly as it is
+        not through any Hadoop-API engine."""
         if "://" in uri:
             import posixpath
             scheme, rest = uri.split("://", 1)
@@ -1200,6 +1213,6 @@ class CacheManager:
             self.save()
         self.pool.shutdown(wait=True)
         with CacheManager._instances_lock:
-            key = self.conf.cache_dir or "<default>"
+            key = CacheManager._key(self.conf)
             if CacheManager._instances.get(key) is self:
                 del CacheManager._instances[key]

@@ -56,10 +56,6 @@ class WriteCache:
         # cluster grow the cache root unbounded across worker recycles
         self.adopt_disk()
 
-    #: staging files older than this are crash leftovers, not in-flight
-    #: copies — swept during disk adoption
-    TMP_SWEEP_AGE_S = 3600.0
-
     def adopt_disk(self) -> int:
         """Register size-verified on-disk mirror files that the file
         list does not know about (the ``FileMirror.lookup`` adoption
@@ -70,6 +66,8 @@ class WriteCache:
         crash leftovers) and files that currently carry a moniker (a
         live writer owns them; their size is not final). Returns the
         number of files adopted."""
+        from sidecar_spark.util.tmp_sweep import sweep_if_stale
+
         adopted = 0
         now = time.time()
         for dirpath, _dirs, files in os.walk(self.root):
@@ -78,11 +76,7 @@ class WriteCache:
                     continue
                 p = os.path.join(dirpath, name)
                 if ".tmp-" in name:
-                    try:
-                        if now - os.path.getmtime(p) > self.TMP_SWEEP_AGE_S:
-                            os.remove(p)
-                    except OSError:
-                        pass
+                    sweep_if_stale(p, now)
                     continue
                 if self.file_list.exists(p) or self.has_moniker(p):
                     continue

@@ -102,49 +102,52 @@ class _FilePart(InputPartition):
         self.veto = veto
 
 
-def _read_file_batches(mgr, part: _FilePart, endpoint):
+def _read_file_batches(mgr, part: _FilePart):
     """Node-local hit-or-materialize-or-remote for ONE data file;
-    yields Arrow RecordBatches. Runs inside the scan task."""
-    import os
-
+    yields Arrow RecordBatches. Runs inside the scan task (the caller
+    applied the S3 endpoint override already — one authoritative
+    site, ``_apply_endpoint``)."""
     import pyarrow.parquet as pq
 
     from sidecar_spark.cache.fs import FileStat
 
-    if endpoint:
-        # propagate the CURRENT S3 endpoint (Spark reuses Python
-        # workers across jobs; a stale endpoint must not shadow this
-        # one's — same rule as warm_distributed's fetch_slice)
-        os.environ["SIDECAR_S3_ENDPOINT"] = endpoint
     fs, p = mgr._resolve(part.path)  # noqa: SLF001 — package-internal
     st = FileStat(path=p, length=part.length, mtime=part.mtime,
                   is_dir=False)
     handle = None
-    if (mgr.mirror is not None and not part.veto
-            and mgr.is_cacheable_file(p, part.length)):
+    hit = False
+    if mgr.mirror is not None and mgr.is_cacheable_file(p, part.length):
+        # EXISTING hits are served locally even under the veto — the
+        # veto gates FILLS only (resolve_for_spark parity: "existing
+        # hits are still served locally"); a warmed file must not
+        # re-stream from remote just because the table grew
         local = mgr.mirror.lookup(p, part.mtime)
-        if local is None:
-            try:
-                # unwarmed node: self-heal by materializing — a
-                # node-local fill, never an error and never a driver
-                # funnel (the fetch_slice pattern inside the scan)
-                local = mgr.mirror.materialize(fs, st)
-            except Exception:  # noqa: BLE001 — cache trouble never
-                local = None   # fails the read: stream from remote
-        else:
-            mgr.stats.add("total_read_requests_from_data_cache")
-            mgr.stats.add("total_bytes_read_data_cache", part.length)
         if local is not None:
             try:
                 # open BEFORE reading: once the fd exists, a racing
                 # eviction's unlink cannot corrupt this scan (POSIX
-                # keeps the inode alive); a copy already evicted at
-                # open time falls through to the remote path
+                # keeps the inode alive)
                 handle = open(local, "rb")
+                hit = True
             except OSError:
-                handle = None
-            if handle is not None:
-                mgr.stats.add("total_bytes_read", part.length)
+                handle = None  # evicted between lookup and open
+        if handle is None and not part.veto:
+            try:
+                # unwarmed node (or lookup-to-open eviction race):
+                # self-heal by materializing — a node-local fill,
+                # never an error and never a driver funnel (the
+                # fetch_slice pattern inside the scan)
+                local = mgr.mirror.materialize(fs, st)
+                handle = open(local, "rb")
+            except Exception:  # noqa: BLE001 — cache trouble never
+                handle = None  # fails the read: stream from remote
+        if handle is not None:
+            # stats only after the copy is OPEN — a hit that failed
+            # to serve bytes must not count as one
+            if hit:
+                mgr.stats.add("total_read_requests_from_data_cache")
+                mgr.stats.add("total_bytes_read_data_cache", part.length)
+            mgr.stats.add("total_bytes_read", part.length)
     if handle is not None:
         with handle:
             pf = pq.ParquetFile(handle)
@@ -209,26 +212,27 @@ class CachedParquetReader(DataSourceReader):
         from sidecar_spark.cache.manager import CacheManager
 
         _apply_endpoint(self.endpoint)
+        # keep-alive singleton (no release), like read(): the planner
+        # process serves every later plan too — tearing the manager
+        # down here would pay FileMirror._rebuild + adopt_disk (two
+        # full cache-root walks) per query planned
         mgr = CacheManager.get_or_create(self._conf())
-        try:
-            files = mgr.list_files(self.path)
-            veto = False
-            if mgr.mirror is not None and mgr.mirror.capacity:
-                admitted = sum(
-                    st.length for st in files
-                    if mgr.is_cacheable_file(st.path, st.length))
-                floor = (mgr.mirror.capacity
-                         * mgr.conf.eviction_stop_occupancy)
-                if admitted > floor:
-                    # same veto as resolve_for_spark: a table bigger
-                    # than the mirror floor streams from remote on
-                    # EVERY node instead of churning every cache
-                    veto = True
-                    mgr.stats.add("total_scans_detected")
-            return [_FilePart(st.path, st.mtime, st.length, veto)
-                    for st in files]
-        finally:
-            mgr.release()
+        files = mgr.list_files(self.path)
+        veto = False
+        if mgr.mirror is not None and mgr.mirror.capacity:
+            admitted = sum(
+                st.length for st in files
+                if mgr.is_cacheable_file(st.path, st.length))
+            floor = (mgr.mirror.capacity
+                     * mgr.conf.eviction_stop_occupancy)
+            if admitted > floor:
+                # same veto as resolve_for_spark: a table bigger
+                # than the mirror floor is not FILLED on any node
+                # (existing hits still serve locally in read())
+                veto = True
+                mgr.stats.add("total_scans_detected")
+        return [_FilePart(st.path, st.mtime, st.length, veto)
+                for st in files]
 
     def read(self, part: _FilePart):
         from sidecar_spark.cache.manager import CacheManager
@@ -238,7 +242,7 @@ class CachedParquetReader(DataSourceReader):
         # mirror_slice: get_or_create with no release — the node-local
         # manager outlives the task, serving every later scan's hits
         mgr = CacheManager.get_or_create(self._conf())
-        yield from _read_file_batches(mgr, part, self.endpoint)
+        yield from _read_file_batches(mgr, part)
 
 
 class CachedParquetSource(DataSource):
@@ -263,24 +267,21 @@ class CachedParquetSource(DataSource):
         _apply_endpoint(self.options.get("endpoint"))
         path = self.options.get("path")
         conf = SidecarConfig.from_json(self.options["conf"])
+        # keep-alive singleton (no release) — see partitions()
         mgr = CacheManager.get_or_create(conf)
-        try:
-            files = mgr.list_files(path)
-            if not files:
-                raise FileNotFoundError(
-                    f"no data files under {path!r}")
-            fs, p = mgr._resolve(files[0].path)
-            local = (mgr.mirror.lookup(p, files[0].mtime)
-                     if mgr.mirror is not None else None)
-            if local is not None:
-                # mirror-first: a warmed table's schema costs zero
-                # remote requests
-                arrow_schema = pq.ParquetFile(local).schema_arrow
-            else:
-                with fs.open_read(p) as f:
-                    arrow_schema = pq.ParquetFile(f).schema_arrow
-        finally:
-            mgr.release()
+        files = mgr.list_files(path)
+        if not files:
+            raise FileNotFoundError(f"no data files under {path!r}")
+        fs, p = mgr._resolve(files[0].path)
+        local = (mgr.mirror.lookup(p, files[0].mtime)
+                 if mgr.mirror is not None else None)
+        if local is not None:
+            # mirror-first: a warmed table's schema costs zero
+            # remote requests
+            arrow_schema = pq.ParquetFile(local).schema_arrow
+        else:
+            with fs.open_read(p) as f:
+                arrow_schema = pq.ParquetFile(f).schema_arrow
         # match the JVM parquet reader's NTZ inference (tz-less
         # parquet timestamps read as timestamp_ntz when
         # spark.sql.parquet.inferTimestampNTZ.enabled, default true) —

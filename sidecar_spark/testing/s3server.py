@@ -75,9 +75,13 @@ class _Handler(BaseHTTPRequestHandler):
         # request journal: tests assert data-path properties ("this
         # scan issued ZERO GETs against object keys") from the wire,
         # which is the one vantage point worker processes and the
-        # driver share
+        # driver share. The query string is kept so subresource GETs
+        # (?uploadId=... part listings) are distinguishable from
+        # object-data GETs.
         with self.store.lock:
-            self.store.requests.append((self.command, u.path))
+            self.store.requests.append(
+                (self.command,
+                 u.path + ("?" + u.query if u.query else "")))
         return bucket, key, q
 
     def _body(self) -> bytes:

@@ -2076,7 +2076,7 @@ class TestRound5AdviceFixes:
         deadline = time.time() + 5
         while time.time() < deadline:
             with CacheManager._instances_lock:
-                gone = CacheManager._instances.get(cache_dir) is not inst
+                gone = inst not in CacheManager._instances.values()
             if gone:
                 break
             time.sleep(0.01)

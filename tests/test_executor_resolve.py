@@ -20,7 +20,8 @@ from sidecar_spark.cache.fs import RemoteFS
 from sidecar_spark.cache.manager import CacheManager
 from sidecar_spark.config import SidecarConfig
 
-SF = "/root/testdata/sf0.001"
+# honor the conftest-managed override like every other suite
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _conf(cache_dir, **kw):
@@ -91,7 +92,9 @@ class TestExecutorResolveSelfHeal:
 
         eng = Engine(spark, base_dir=SF, conf=_conf(cache_dir))
         try:
-            assert eng.table("region").count() == 5
+            n_region = spark.read.parquet(
+                os.path.join(SF, "region.parquet")).count()
+            assert eng.table("region").count() == n_region
             mroot = os.path.join(cache_dir, "mirror")
             # simulate "task scheduled on a node that never warmed":
             # wipe the only mirror copy between two scans
@@ -99,7 +102,7 @@ class TestExecutorResolveSelfHeal:
                 os.remove(os.path.join(mroot, f))
             eng.cache.mirror.files._d.clear()  # and its accounting
             eng.cache.mirror._size = 0
-            assert eng.table("region").count() == 5  # self-healed
+            assert eng.table("region").count() == n_region  # self-healed
             healed = [f for f in os.listdir(mroot) if ".tmp-" not in f]
             assert len(healed) == 1  # re-materialized node-locally
         finally:
@@ -148,7 +151,7 @@ class TestExecutorResolveSelfHeal:
                 {"path": loc, "conf": conf.to_json()})
             part = _FilePart(st.path, st.mtime, st.length, veto=False)
             rows = sum(b.num_rows for b in reader.read(part))
-            assert rows == 5
+            assert rows == spark.read.parquet(loc).count()
             assert mgr.stats.get("total_read_requests_from_remote") >= 1
         finally:
             mgr.release()
@@ -166,7 +169,8 @@ class TestExecutorResolveVeto:
         conf = _conf(cache_dir, data_cache_size=4096)  # tiny mirror
         eng = Engine(spark, base_dir=SF, conf=conf)
         try:
-            assert eng.table("lineitem").count() == 6000  # still correct
+            assert eng.table("lineitem").count() == spark.read.parquet(
+                os.path.join(SF, "lineitem.parquet")).count()
             mroot = os.path.join(cache_dir, "mirror")
             assert [f for f in os.listdir(mroot)
                     if ".tmp-" not in f] == []  # zero churn
@@ -320,4 +324,58 @@ class TestPageTierServesSparkScan:
                     == sorted(map(tuple, b.collect())))
         finally:
             eng.close()
+            CacheManager.clear_instances()
+
+
+class TestVetoServesExistingHits:
+    def test_warmed_file_served_locally_under_veto(self, cache_dir):
+        """resolve_for_spark parity (review fix): the veto gates FILLS
+        only — a file already mirrored must serve locally even when
+        the table as a whole is veto-sized."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sidecar_spark.cache.fs import FileStat
+        from sidecar_spark.sources.cached_parquet import (
+            CachedParquetReader,
+        )
+
+        remote = tempfile.mkdtemp(prefix="vh-remote-")
+        for i in range(3):
+            pq.write_table(pa.table({"x": list(range(i * 10, i * 10 + 10))}),
+                           os.path.join(remote, f"part-{i}.parquet"))
+        sizes = [os.path.getsize(os.path.join(remote, f"part-{i}.parquet"))
+                 for i in range(3)]
+        # mirror holds ~1.5 files: the 3-file table is veto-sized
+        conf = SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False, resolve_mode="executor",
+            mirror_size=int(sizes[0] * 1.5))
+        mgr = CacheManager.get_or_create(conf)
+        try:
+            files = sorted(mgr.list_files(remote), key=lambda s: s.path)
+            # pre-warm ONE file (a node that warmed before the table grew)
+            fs, p0 = mgr._resolve(files[0].path)
+            mgr.mirror.materialize(fs, FileStat(
+                path=p0, length=files[0].length,
+                mtime=files[0].mtime, is_dir=False))
+            reader = CachedParquetReader(
+                {"path": remote, "conf": conf.to_json()})
+            parts = sorted(reader.partitions(), key=lambda q: q.path)
+            assert parts[0].veto  # the table IS veto-sized
+            before = mgr.stats.snapshot()
+            rows0 = sum(b.num_rows for b in reader.read(parts[0]))
+            after = mgr.stats.snapshot()
+            assert rows0 == 10
+            # the warmed file was a LOCAL hit, not a remote re-stream
+            assert (after["total_read_requests_from_data_cache"]
+                    == before["total_read_requests_from_data_cache"] + 1)
+            # the unwarmed file streams remote and does NOT fill
+            rows1 = sum(b.num_rows for b in reader.read(parts[1]))
+            assert rows1 == 10
+            mroot = os.path.join(cache_dir, "mirror")
+            assert len([f for f in os.listdir(mroot)
+                        if ".tmp-" not in f]) == 1  # no veto fill
+        finally:
+            mgr.release()
             CacheManager.clear_instances()
