@@ -830,7 +830,20 @@ class CacheManager:
         st = fs.stat(path)
         if st is not None and not st.is_dir:
             return [st]
-        return [s for s in fs.list(path) if not s.is_dir
+        try:
+            listing = fs.list(path)
+        except (NotADirectoryError, FileNotFoundError):
+            # stat-to-list race on a mutating remote: the path was
+            # absent (or a dir) at stat time and reappeared as a FILE
+            # before the list ran (delete+recreate cycles). Re-stat
+            # and serve what is there NOW — a concurrent mutation must
+            # never fail the read (the resolve self-heal contract;
+            # caught live by the warm+evict soak)
+            st = fs.stat(path)
+            if st is not None and not st.is_dir:
+                return [st]
+            return []
+        return [s for s in listing if not s.is_dir
                 and s.path.endswith(suffix) and not os.path.basename(s.path).startswith(("_", "."))]
 
     # ---- Spark integration ------------------------------------------------------

@@ -2109,3 +2109,38 @@ class TestRound5AdviceFixes:
             assert seen == {"mem://b/x/y"}
         finally:
             mgr.close(save=False)
+
+
+class TestListFilesMutationRace:
+    def test_stat_to_list_race_self_heals(self, cache_dir, remote_dir,
+                                          monkeypatch):
+        """A path that is ABSENT at stat time but reappears as a FILE
+        before the list runs (delete+recreate cycling remote) must
+        resolve to that file, not raise NotADirectoryError — caught
+        live by the warm+evict soak."""
+        p = os.path.join(remote_dir, "f0.parquet")
+        with open(p, "wb") as f:
+            f.write(b"x" * 128)
+        conf = SidecarConfig.create(cache_dir=cache_dir,
+                                    data_cache_type="file",
+                                    cache_persistent=False)
+        mgr = CacheManager(conf)
+        try:
+            real_stat = RemoteFS.stat
+            state = {"first": True}
+
+            def flaky_stat(self, path):
+                if state["first"]:
+                    state["first"] = False
+                    return None  # the mid-recreate window
+                return real_stat(self, path)
+
+            monkeypatch.setattr(RemoteFS, "stat", flaky_stat)
+            out = mgr.list_files(p)
+            assert len(out) == 1 and out[0].path == p
+            # and resolve_for_spark over the same window stays whole
+            state["first"] = True
+            paths = mgr.resolve_for_spark(p)
+            assert len(paths) == 1
+        finally:
+            mgr.close(save=False)
