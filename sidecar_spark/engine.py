@@ -122,9 +122,17 @@ class Engine:
 
             self.spark.dataSource.register(CachedParquetSource)
             self._cached_source_registered = True
+        try:
+            ntz = self.spark.conf.get(
+                "spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        except Exception:  # noqa: BLE001 — Spark default
+            ntz = "true"
         reader = (self.spark.read.format("sidecar_cached_parquet")
                   .option("path", location)
-                  .option("conf", self.conf.to_json()))
+                  .option("conf", self.conf.to_json())
+                  # plan workers have no active session: ship the NTZ
+                  # inference setting so schemas match the JVM scan
+                  .option("ntz", ntz))
         endpoint = os.environ.get("SIDECAR_S3_ENDPOINT")
         if endpoint:
             # the source's plan/scan stages run in separate Python

@@ -285,18 +285,26 @@ class CachedParquetSource(DataSource):
         # match the JVM parquet reader's NTZ inference (tz-less
         # parquet timestamps read as timestamp_ntz when
         # spark.sql.parquet.inferTimestampNTZ.enabled, default true) —
-        # the two resolve modes must yield identical schemas
-        ntz = True
-        try:
-            from pyspark.sql import SparkSession
+        # the two resolve modes must yield identical schemas. The
+        # Engine ships the session's setting as an option because this
+        # code runs in the plan worker process, which has no active
+        # session; the probe below covers direct format() use from the
+        # driver, and the Spark default covers everything else.
+        ntz_opt = self.options.get("ntz")
+        if ntz_opt is not None:
+            ntz = str(ntz_opt).lower() == "true"
+        else:
+            ntz = True
+            try:
+                from pyspark.sql import SparkSession
 
-            active = SparkSession.getActiveSession()
-            if active is not None:
-                ntz = (active.conf.get(
-                    "spark.sql.parquet.inferTimestampNTZ.enabled",
-                    "true").lower() == "true")
-        except Exception:  # noqa: BLE001 — keep the default
-            pass
+                active = SparkSession.getActiveSession()
+                if active is not None:
+                    ntz = (active.conf.get(
+                        "spark.sql.parquet.inferTimestampNTZ.enabled",
+                        "true").lower() == "true")
+            except Exception:  # noqa: BLE001 — keep the default
+                pass
         return from_arrow_schema(arrow_schema, prefer_timestamp_ntz=ntz)
 
     def reader(self, schema) -> CachedParquetReader:
