@@ -108,7 +108,49 @@ class Engine:
             except Exception:  # noqa: BLE001 — warm trouble never
                 pass           # fails the read; resolve self-heals
         paths = self.cache.resolve_for_spark(location, files=files)
-        return self.spark.read.parquet(*(paths or [location]))
+        if not paths:
+            return self.spark.read.parquet(location)
+        partitioned = self._partitioned_read(location, files, paths)
+        if partitioned is not None:
+            return partitioned
+        return self.spark.read.parquet(*paths)
+
+    def _partitioned_read(self, location, files, paths):
+        """Hive-partitioned tables: Spark derives partition COLUMNS
+        from key=value directories, which concrete resolved file paths
+        strip — a flat path list silently loses those columns. When
+        every file resolved LOCAL, rebuild the key=value structure as
+        a content-addressed symlink view over the mirror copies and
+        let Spark's own partition discovery run on it (zero data
+        copies, pruning intact); with any file still remote, read the
+        ORIGINAL table root directly — correctness over caching.
+        Returns None for unpartitioned tables (the caller's flat-path
+        fast path)."""
+        from sidecar_spark.cache.partitions import (
+            build_symlink_view,
+            partition_spec,
+        )
+
+        _, root = self.cache._resolve(location)  # noqa: SLF001
+        specs = [partition_spec(root, st.path) for st in files]
+        if not any(specs):
+            return None
+        local = [p for p in paths if p is not None
+                 and self.conf.cache_dir
+                 and p.startswith(self.conf.cache_dir)]
+        if len(local) != len(paths):
+            # some files stream remote (veto / exclusion / fill
+            # failure): a mixed symlink tree cannot represent them —
+            # scan the real table tree instead
+            return self.spark.read.parquet(location)
+        pairs = []
+        for spec, lp in zip(specs, local):
+            rel = "/".join(f"{k}={v}" for k, v in spec)
+            pairs.append((os.path.join(rel, os.path.basename(lp))
+                          if rel else os.path.basename(lp), lp))
+        view = build_symlink_view(
+            os.path.join(self.conf.cache_dir, "views"), pairs)
+        return (self.spark.read.option("basePath", view).parquet(view))
 
     def _read_executor_resolved(self, location: str):
         """Build the scan through the cache-backed Python DataSource:

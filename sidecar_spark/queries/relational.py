@@ -979,6 +979,46 @@ def engine_write_roundtrip(spark, sf_dir):
 
 
 @query(
+    "partitioned_roundtrip_agg",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def partitioned_roundtrip_agg(spark, sf_dir):
+    """Hive-partitioned tables through the cached read path (round-5
+    gap fix): Engine.write(partition_by=...) lays the table out as
+    key=value directories, and the read back resolves through the
+    mirror — partition COLUMNS live in those directory names, which
+    flat resolved paths strip, so the engine rebuilds the structure as
+    a content-addressed symlink view (cache/partitions.py) and lets
+    Spark's own partition discovery and pruning run over it. Grouping
+    by the PARTITION column under the oracle gate proves the columns
+    and their values survive the cache."""
+    import os as _os
+
+    from sidecar_spark import Engine, SidecarConfig
+
+    conf = SidecarConfig.create(
+        cache_dir=_os.path.join("/tmp", "sidecar-query-cache"),
+        data_cache_type="file", cache_persistent=False)
+    eng = Engine(spark, base_dir=sf_dir, conf=conf)
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    dest = f"/tmp/sidecar-engine-write/{tag}/orders_by_status"
+    if not _os.path.exists(_os.path.join(dest, "_SUCCESS")):
+        eng.write(eng.table("orders"), dest,
+                  partition_by=["o_orderstatus"])
+    return (
+        eng.read_parquet(dest)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
+@query(
     "merge_upsert",
     oracle="""
     WITH updates AS (

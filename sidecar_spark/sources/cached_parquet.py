@@ -95,11 +95,14 @@ class _PageCachedFile:
 
 
 class _FilePart(InputPartition):
-    def __init__(self, path: str, mtime: int, length: int, veto: bool):
+    def __init__(self, path: str, mtime: int, length: int, veto: bool,
+                 parts=()):
         self.path = path
         self.mtime = mtime
         self.length = length
         self.veto = veto
+        #: ((key, raw value), ...) hive partition segments of this file
+        self.parts = tuple(parts)
 
 
 def _read_file_batches(mgr, part: _FilePart):
@@ -191,8 +194,37 @@ def _apply_endpoint(endpoint) -> None:
         os.environ["SIDECAR_S3_ENDPOINT"] = endpoint
 
 
+def _augment_with_partitions(batches, parts, schema):
+    """Append hive partition columns (absent from the data files) to
+    each Arrow batch, typed per the FINAL schema so the values match
+    what the JVM scan would derive from the directory names."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from sidecar_spark.cache.partitions import decode_value
+
+    fields = {f.name: f for f in schema.fields}
+    typed = []
+    for key, raw in parts:
+        at = to_arrow_type(fields[key].dataType)
+        val = decode_value(raw)
+        if val is not None:
+            if pa.types.is_integer(at):
+                val = int(val)
+            elif pa.types.is_floating(at):
+                val = float(val)
+        typed.append((key, pa.scalar(val, type=at)))
+    for batch in batches:
+        arrays = list(batch.columns)
+        names = list(batch.schema.names)
+        for key, scalar in typed:
+            arrays.append(pa.repeat(scalar, batch.num_rows))
+            names.append(key)
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
 class CachedParquetReader(DataSourceReader):
-    def __init__(self, options):
+    def __init__(self, options, schema=None):
         path = options.get("path")
         if not path:
             raise ValueError("sidecar_cached_parquet requires option 'path'")
@@ -201,6 +233,7 @@ class CachedParquetReader(DataSourceReader):
         if not self.conf_json:
             raise ValueError("sidecar_cached_parquet requires option 'conf'")
         self.endpoint = options.get("endpoint")
+        self.schema = schema
         _apply_endpoint(self.endpoint)
 
     def _conf(self):
@@ -231,7 +264,11 @@ class CachedParquetReader(DataSourceReader):
                 # (existing hits still serve locally in read())
                 veto = True
                 mgr.stats.add("total_scans_detected")
-        return [_FilePart(st.path, st.mtime, st.length, veto)
+        from sidecar_spark.cache.partitions import partition_spec
+
+        _, root = mgr._resolve(self.path)  # noqa: SLF001
+        return [_FilePart(st.path, st.mtime, st.length, veto,
+                          parts=partition_spec(root, st.path))
                 for st in files]
 
     def read(self, part: _FilePart):
@@ -242,7 +279,11 @@ class CachedParquetReader(DataSourceReader):
         # mirror_slice: get_or_create with no release — the node-local
         # manager outlives the task, serving every later scan's hits
         mgr = CacheManager.get_or_create(self._conf())
-        yield from _read_file_batches(mgr, part)
+        batches = _read_file_batches(mgr, part)
+        if part.parts and self.schema is not None:
+            batches = _augment_with_partitions(batches, part.parts,
+                                               self.schema)
+        yield from batches
 
 
 class CachedParquetSource(DataSource):
@@ -305,7 +346,46 @@ class CachedParquetSource(DataSource):
                         "true").lower() == "true")
             except Exception:  # noqa: BLE001 — keep the default
                 pass
-        return from_arrow_schema(arrow_schema, prefer_timestamp_ntz=ntz)
+        base = from_arrow_schema(arrow_schema, prefer_timestamp_ntz=ntz)
+        # Spark's file sources relax every read schema to nullable
+        # (FileFormat asNullable) — a required parquet field must not
+        # make the two resolve modes' schemas differ
+        from pyspark.sql.types import StructField as _SF
+        from pyspark.sql.types import StructType as _ST
+
+        base = _ST([_SF(f.name, f.dataType, True, f.metadata)
+                    for f in base.fields])
+        # hive partition columns live in the DIRECTORY names, not the
+        # files — append them (typed per the same int → bigint →
+        # double → string ladder Spark's partition discovery uses) so
+        # both resolve modes expose identical schemas
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from sidecar_spark.cache.partitions import (
+            infer_partition_types,
+            partition_spec,
+        )
+
+        # direct type map — _parse_datatype_string needs a live
+        # SparkContext, which the plan worker process does not have
+        type_map = {"int": IntegerType(), "bigint": LongType(),
+                    "double": DoubleType(), "string": StringType()}
+        _, p_root = mgr._resolve(path)  # noqa: SLF001
+        specs = [partition_spec(p_root, st.path) for st in files]
+        part_fields = [
+            StructField(k, type_map[ddl])
+            for k, ddl in infer_partition_types(specs)
+            if k not in {f.name for f in base.fields}]
+        if part_fields:
+            base = StructType(list(base.fields) + part_fields)
+        return base
 
     def reader(self, schema) -> CachedParquetReader:
-        return CachedParquetReader(self.options)
+        return CachedParquetReader(self.options, schema)

@@ -1,0 +1,154 @@
+"""Hive-partitioned tables through the cached read paths.
+
+Round-5 probe found partition COLUMNS silently dropped by both
+resolve modes (they live in key=value directory names, which concrete
+file paths strip). Driver mode now rebuilds the structure as a
+content-addressed symlink view over mirror copies; executor mode
+appends the columns to each task's Arrow batches
+(cache/partitions.py). These tests pin schema, values, filters, null
+partitions, encoded values, view reuse and the mixed-local/remote
+fallback.
+"""
+
+import os
+import tempfile
+
+import pytest
+
+from sidecar_spark.cache.manager import CacheManager
+from sidecar_spark.config import SidecarConfig
+
+
+def _conf(cache_dir, mode, **kw):
+    return SidecarConfig.create(
+        cache_dir=cache_dir, data_cache_type="file",
+        cache_persistent=False, resolve_mode=mode,
+        auto_warm_bytes=1, **kw)
+
+
+@pytest.fixture()
+def ptable(spark):
+    remote = tempfile.mkdtemp(prefix="ptab-")
+    loc = os.path.join(remote, "t.parquet")
+    df = spark.range(90).selectExpr(
+        "id", "id % 3 AS part", "concat('g', id % 2) AS grp")
+    df.write.mode("overwrite").partitionBy("part", "grp").parquet(loc)
+    return loc
+
+
+@pytest.mark.parametrize("mode", ["driver", "executor"])
+class TestPartitionedParity:
+    def test_schema_values_filters_match_jvm(self, spark, cache_dir,
+                                             ptable, mode):
+        from sidecar_spark import Engine
+
+        plain = spark.read.parquet(ptable)
+        eng = Engine(spark, conf=_conf(cache_dir, mode))
+        try:
+            got = eng.read_parquet(ptable)
+            assert got.schema == plain.schema  # incl. int/string types
+            assert (sorted(map(tuple, got.collect()))
+                    == sorted(map(tuple, plain.collect())))
+            assert (got.where("part = 1 AND grp = 'g0'").count()
+                    == plain.where("part = 1 AND grp = 'g0'").count())
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_null_and_encoded_partition_values(self, spark, cache_dir,
+                                               mode):
+        from sidecar_spark import Engine
+
+        remote = tempfile.mkdtemp(prefix="ptab-nul-")
+        loc = os.path.join(remote, "t.parquet")
+        df = spark.createDataFrame(
+            [(1, None, "a b"), (2, "x", "c/d"), (3, None, "a b")],
+            "id int, k string, v string")
+        df.write.mode("overwrite").partitionBy("k", "v").parquet(loc)
+        plain = spark.read.parquet(loc)
+        eng = Engine(spark, conf=_conf(cache_dir, mode))
+        try:
+            got = eng.read_parquet(loc)
+            assert (sorted(map(tuple, got.collect()))
+                    == sorted(map(tuple, plain.collect())))
+            assert got.where("k IS NULL").count() == 2
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+
+class TestDriverModeView:
+    def test_view_reused_and_warm_served(self, spark, cache_dir, ptable):
+        from sidecar_spark import Engine
+
+        eng = Engine(spark, conf=_conf(cache_dir, "driver"))
+        try:
+            assert eng.read_parquet(ptable).count() == 90
+            views = os.path.join(cache_dir, "views")
+            first = sorted(os.listdir(views))
+            s0 = eng.cache.stats.snapshot()
+            assert eng.read_parquet(ptable).count() == 90
+            # identical snapshot → the content-addressed view is
+            # REUSED, and the repeat resolve is all mirror hits
+            assert sorted(os.listdir(views)) == first
+            s1 = eng.cache.stats.snapshot()
+            assert (s1["total_read_requests_from_remote"]
+                    == s0["total_read_requests_from_remote"])
+            assert (s1["total_read_requests_from_data_cache"]
+                    > s0["total_read_requests_from_data_cache"])
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_partition_pruning_on_view(self, spark, cache_dir, ptable):
+        """The symlink view must keep Spark's partition PRUNING — the
+        plan's PartitionFilters carry the predicate, so a 100 TB
+        table's untouched partitions are never scanned."""
+        from sidecar_spark import Engine
+
+        eng = Engine(spark, conf=_conf(cache_dir, "driver"))
+        try:
+            df = eng.read_parquet(ptable).where("part = 1")
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "PartitionFilters: [" in plan
+            assert "part" in plan.split("PartitionFilters:")[1][:120]
+            assert df.count() == 30
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_mixed_local_remote_falls_back_to_table_root(
+            self, spark, cache_dir, ptable):
+        """Veto-sized partitioned table: some/all files stay remote —
+        the read must come from the ORIGINAL tree (correct columns),
+        never a partial symlink view."""
+        from sidecar_spark import Engine
+
+        conf = _conf(cache_dir, "driver", mirror_size=16)  # veto all
+        eng = Engine(spark, conf=conf)
+        try:
+            got = eng.read_parquet(ptable)
+            assert "part" in got.columns and got.count() == 90
+            views = os.path.join(cache_dir, "views")
+            assert not os.path.exists(views) or os.listdir(views) == []
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+
+class TestPartitionHelpers:
+    def test_partition_spec_and_type_inference(self):
+        from sidecar_spark.cache.partitions import (
+            infer_partition_types,
+            partition_spec,
+        )
+
+        spec = partition_spec("/r/t", "/r/t/a=1/b=x%20y/f.parquet")
+        assert spec == [("a", "1"), ("b", "x%20y")]
+        assert partition_spec("/r/t", "/r/t/f.parquet") == []
+        assert partition_spec("/r/t", "/r/other/f.parquet") == []
+        types = infer_partition_types([
+            [("a", "1"), ("b", "x")],
+            [("a", "99999999999"), ("b", "__HIVE_DEFAULT_PARTITION__")]])
+        assert types == [("a", "bigint"), ("b", "string")]
+        assert infer_partition_types([[("c", "1.5")]]) == [("c", "double")]
