@@ -164,17 +164,35 @@ class Engine:
 
             self.spark.dataSource.register(CachedParquetSource)
             self._cached_source_registered = True
+            # partition pruning for the Python source is gated by a
+            # session conf (default false in Spark 4.1). Executor
+            # mode is itself opt-in, and pruning is the difference
+            # between scanning one partition and scanning the table
+            # at 100 TB — enable it for this session
+            try:
+                self.spark.conf.set(
+                    "spark.sql.python.filterPushdown.enabled", "true")
+            except Exception:  # noqa: BLE001 — pruning is optional
+                pass
         try:
             ntz = self.spark.conf.get(
                 "spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         except Exception:  # noqa: BLE001 — Spark default
             ntz = "true"
+        try:
+            pushdown = self.spark.conf.get(
+                "spark.sql.python.filterPushdown.enabled", "false")
+        except Exception:  # noqa: BLE001
+            pushdown = "false"
         reader = (self.spark.read.format("sidecar_cached_parquet")
                   .option("path", location)
                   .option("conf", self.conf.to_json())
                   # plan workers have no active session: ship the NTZ
-                  # inference setting so schemas match the JVM scan
-                  .option("ntz", ntz))
+                  # inference setting so schemas match the JVM scan,
+                  # and the pushdown gate so the source only defines
+                  # pushFilters when the session allows it
+                  .option("ntz", ntz)
+                  .option("pushdown", pushdown))
         endpoint = os.environ.get("SIDECAR_S3_ENDPOINT")
         if endpoint:
             # the source's plan/scan stages run in separate Python

@@ -223,6 +223,49 @@ def _augment_with_partitions(batches, parts, schema):
         yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 
+def _filter_matches(raw: str, op: str, ref) -> bool:
+    """Evaluate one pushed filter against a file's raw partition
+    value. Conservative: any doubt (cast failure, unknown shape)
+    returns True — pruning may only skip files that PROVABLY fail,
+    and every filter stays residual for Spark anyway."""
+    from sidecar_spark.cache.partitions import decode_value
+
+    val = decode_value(raw)
+    if op == "isnull":
+        return val is None
+    if op == "isnotnull":
+        return val is not None
+    if val is None:
+        return False  # NULL fails every comparison
+    refs = ref if op == "in" else (ref,)
+    outcomes = []
+    for r in refs:
+        try:
+            if isinstance(r, bool):
+                v = val.lower() in ("true", "1")
+            elif isinstance(r, int):
+                v, r = int(val), r
+            elif isinstance(r, float):
+                v, r = float(val), r
+            else:
+                v, r = val, str(r)
+        except ValueError:
+            return True  # incomparable: keep the file
+        if op in ("eq", "in"):
+            outcomes.append(v == r)
+        elif op == "gt":
+            outcomes.append(v > r)
+        elif op == "ge":
+            outcomes.append(v >= r)
+        elif op == "lt":
+            outcomes.append(v < r)
+        elif op == "le":
+            outcomes.append(v <= r)
+        else:
+            return True
+    return any(outcomes)
+
+
 class CachedParquetReader(DataSourceReader):
     def __init__(self, options, schema=None):
         path = options.get("path")
@@ -234,7 +277,9 @@ class CachedParquetReader(DataSourceReader):
             raise ValueError("sidecar_cached_parquet requires option 'conf'")
         self.endpoint = options.get("endpoint")
         self.schema = schema
+        self._part_filters = []
         _apply_endpoint(self.endpoint)
+
 
     def _conf(self):
         from sidecar_spark.config import SidecarConfig
@@ -267,9 +312,18 @@ class CachedParquetReader(DataSourceReader):
         from sidecar_spark.cache.partitions import partition_spec
 
         _, root = mgr._resolve(self.path)  # noqa: SLF001
-        return [_FilePart(st.path, st.mtime, st.length, veto,
-                          parts=partition_spec(root, st.path))
-                for st in files]
+        out = []
+        for st in files:
+            spec = partition_spec(root, st.path)
+            if spec and self._part_filters:
+                keys = dict(spec)
+                if not all(_filter_matches(keys[col], op, ref)
+                           for col, op, ref in self._part_filters
+                           if col in keys):
+                    continue  # pruned: provably outside the predicate
+            out.append(_FilePart(st.path, st.mtime, st.length, veto,
+                                 parts=spec))
+        return out
 
     def read(self, part: _FilePart):
         from sidecar_spark.cache.manager import CacheManager
@@ -284,6 +338,55 @@ class CachedParquetReader(DataSourceReader):
             batches = _augment_with_partitions(batches, part.parts,
                                                self.schema)
         yield from batches
+
+
+class PruningCachedParquetReader(CachedParquetReader):
+    """CachedParquetReader + pushFilters-based partition pruning.
+
+    Split into a subclass because Spark 4.1 HARD-FAILS any reader that
+    defines pushFilters while spark.sql.python.filterPushdown.enabled
+    is false — the source picks this variant only when the session
+    conf (shipped as the "pushdown" option) allows it."""
+
+    def pushFilters(self, filters):
+        """Partition pruning — the one pushdown that matters at 100 TB
+        for this source: a filter on a hive partition column skips the
+        non-matching FILES at planning time, so their bytes are never
+        listed into partitions (the JVM scan's PartitionFilters
+        equivalent). Every filter is also returned to Spark as
+        residual, so pruning can only ever skip provably-non-matching
+        files — acceptance here is optimistic (any single-column
+        filter), and partitions() applies only those naming actual
+        partition keys."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = [(EqualTo, "eq"), (In, "in"), (GreaterThan, "gt"),
+               (GreaterThanOrEqual, "ge"), (LessThan, "lt"),
+               (LessThanOrEqual, "le"), (IsNull, "isnull"),
+               (IsNotNull, "isnotnull")]
+        for f in filters:
+            try:
+                attr = f.attribute
+                if isinstance(attr, tuple) and len(attr) == 1:
+                    for cls, op in ops:
+                        if type(f) is cls:
+                            ref = (tuple(f.values) if op == "in" else
+                                   getattr(f, "value", None))
+                            self._part_filters.append(
+                                (attr[0], op, ref))
+                            break
+            except Exception:  # noqa: BLE001 — pruning is best-effort
+                pass
+            yield f  # residual: Spark re-evaluates everything
 
 
 class CachedParquetSource(DataSource):
@@ -388,4 +491,10 @@ class CachedParquetSource(DataSource):
         return base
 
     def reader(self, schema) -> CachedParquetReader:
+        # the pruning variant defines pushFilters, which Spark 4.1
+        # hard-rejects while spark.sql.python.filterPushdown.enabled
+        # is false — the Engine ships the session conf's query-time
+        # value as the "pushdown" option
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return PruningCachedParquetReader(self.options, schema)
         return CachedParquetReader(self.options, schema)

@@ -152,3 +152,50 @@ class TestPartitionHelpers:
             [("a", "99999999999"), ("b", "__HIVE_DEFAULT_PARTITION__")]])
         assert types == [("a", "bigint"), ("b", "string")]
         assert infer_partition_types([[("c", "1.5")]]) == [("c", "double")]
+
+
+class TestExecutorPartitionPruning:
+    def test_filters_prune_partitions_at_planning(self, spark,
+                                                  cache_dir, ptable):
+        """A partition-column predicate in executor mode must skip the
+        non-matching FILES at planning time (fewer InputPartitions),
+        with values identical to the JVM scan."""
+        from sidecar_spark import Engine
+
+        plain = spark.read.parquet(ptable)
+        eng = Engine(spark, conf=_conf(cache_dir, "executor"))
+        try:
+            full = eng.read_parquet(ptable)
+            n_all = full.rdd.getNumPartitions()
+            filtered = eng.read_parquet(ptable).where(
+                "part = 1 AND grp = 'g0'")
+            n_pruned = filtered.rdd.getNumPartitions()
+            assert n_pruned < n_all  # files were skipped at planning
+            assert (sorted(map(tuple, filtered.collect()))
+                    == sorted(map(tuple,
+                                  plain.where("part = 1 AND grp = 'g0'")
+                                  .collect())))
+            # range + IN + null-handling predicates stay correct
+            for pred in ("part >= 2", "part IN (0, 2)",
+                         "part IS NOT NULL", "grp = 'g1' OR part = 0"):
+                assert (eng.read_parquet(ptable).where(pred).count()
+                        == plain.where(pred).count()), pred
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_filter_matcher_is_conservative(self):
+        from sidecar_spark.sources.cached_parquet import _filter_matches
+
+        assert _filter_matches("1", "eq", 1)
+        assert not _filter_matches("2", "eq", 1)
+        assert _filter_matches("x%20y", "eq", "x y")  # url-decoded
+        assert _filter_matches("5", "ge", 5)
+        assert not _filter_matches("4", "gt", 5)
+        assert _filter_matches("2", "in", (1, 2))
+        assert _filter_matches("__HIVE_DEFAULT_PARTITION__", "isnull",
+                               None)
+        assert not _filter_matches("__HIVE_DEFAULT_PARTITION__", "eq", 1)
+        # incomparable value: keep the file (never wrong-prune)
+        assert _filter_matches("abc", "eq", 1)
+        assert _filter_matches("zzz", "unknown-op", 1)
