@@ -94,6 +94,67 @@ class _PageCachedFile:
         return self._s._closed
 
 
+def _us_type(t):
+    """Recursively coerce nanosecond timestamps to microseconds and
+    relax NESTED field nullability. Spark's parquet scan (a) has no
+    ns precision (its Arrow bridge rejects timestamp[ns] outright —
+    the decode of explicitly ns-annotated parquet) and (b) relaxes
+    every field, nested included, to nullable (FileFormat
+    asNullable) — both must hold here or the two resolve modes'
+    schemas diverge."""
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(t) and t.unit == "ns":
+        return pa.timestamp("us", tz=t.tz)
+    if pa.types.is_list(t):
+        return pa.list_(_us_type(t.value_type))
+    if pa.types.is_large_list(t):
+        return pa.large_list(_us_type(t.value_type))
+    if pa.types.is_map(t):
+        return pa.map_(_us_type(t.key_type), _us_type(t.item_type))
+    if pa.types.is_struct(t):
+        return pa.struct([pa.field(f.name, _us_type(f.type), True)
+                          for f in t])
+    return t
+
+
+def _int96_columns(pf) -> set:
+    """Top-level column names stored as parquet INT96. Spark reads
+    INT96 as TimestampType (an LTZ instant) REGARDLESS of the NTZ
+    inference setting, while pyarrow decodes it tz-naive — these
+    columns must carry a UTC zone so the derived Spark type matches
+    (the int64 micros are unchanged; INT96 stores UTC instants)."""
+    try:
+        ps = pf.schema
+        return {ps.column(i).path.split(".", 1)[0]
+                for i in range(len(ps))
+                if ps.column(i).physical_type == "INT96"}
+    except Exception:  # noqa: BLE001 — coercion is best-effort
+        return set()
+
+
+def _arrow_target(pf):
+    """The Arrow schema Spark should see for this parquet file:
+    ns→µs, nested-nullable, INT96 zoned UTC."""
+    import pyarrow as pa
+
+    int96 = _int96_columns(pf)
+    fields = []
+    for f in pf.schema_arrow:
+        t = _us_type(f.type)
+        if f.name in int96 and pa.types.is_timestamp(t) and t.tz is None:
+            t = pa.timestamp(t.unit, tz="UTC")
+        fields.append(pa.field(f.name, t, f.nullable))
+    return pa.schema(fields)
+
+
+def _coerce_batches(pf, target):
+    """iter_batches with schema coercion applied only when needed."""
+    same = pf.schema_arrow.equals(target)
+    for batch in pf.iter_batches(batch_size=_BATCH_ROWS):
+        yield batch if same else batch.cast(target)
+
+
 class _FilePart(InputPartition):
     def __init__(self, path: str, mtime: int, length: int, veto: bool,
                  parts=()):
@@ -153,8 +214,8 @@ def _read_file_batches(mgr, part: _FilePart):
             mgr.stats.add("total_bytes_read", part.length)
     if handle is not None:
         with handle:
-            pf = pq.ParquetFile(handle)
-            yield from pf.iter_batches(batch_size=_BATCH_ROWS)
+            pf = pq.ParquetFile(handle, coerce_int96_timestamp_unit="us")
+            yield from _coerce_batches(pf, _arrow_target(pf))
         return
     # remote stream (vetoed / excluded / fill failed): when the page
     # store is live, route the ranged reads through the node-local
@@ -170,16 +231,17 @@ def _read_file_batches(mgr, part: _FilePart):
             stream = None
         if stream is not None:
             try:
-                pf = pq.ParquetFile(_PageCachedFile(stream))
-                yield from pf.iter_batches(batch_size=_BATCH_ROWS)
+                pf = pq.ParquetFile(_PageCachedFile(stream),
+                                    coerce_int96_timestamp_unit="us")
+                yield from _coerce_batches(pf, _arrow_target(pf))
                 return
             finally:
                 stream.close()
     mgr.stats.add("total_read_requests_from_remote")
     mgr.stats.add("total_bytes_read_remote", part.length)
     with fs.open_read(p) as f:
-        pf = pq.ParquetFile(f)
-        yield from pf.iter_batches(batch_size=_BATCH_ROWS)
+        pf = pq.ParquetFile(f, coerce_int96_timestamp_unit="us")
+        yield from _coerce_batches(pf, _arrow_target(pf))
 
 
 def _apply_endpoint(endpoint) -> None:
@@ -422,10 +484,12 @@ class CachedParquetSource(DataSource):
         if local is not None:
             # mirror-first: a warmed table's schema costs zero
             # remote requests
-            arrow_schema = pq.ParquetFile(local).schema_arrow
+            arrow_schema = _arrow_target(pq.ParquetFile(
+                local, coerce_int96_timestamp_unit="us"))
         else:
             with fs.open_read(p) as f:
-                arrow_schema = pq.ParquetFile(f).schema_arrow
+                arrow_schema = _arrow_target(pq.ParquetFile(
+                    f, coerce_int96_timestamp_unit="us"))
         # match the JVM parquet reader's NTZ inference (tz-less
         # parquet timestamps read as timestamp_ntz when
         # spark.sql.parquet.inferTimestampNTZ.enabled, default true) —

@@ -379,3 +379,43 @@ class TestVetoServesExistingHits:
         finally:
             mgr.release()
             CacheManager.clear_instances()
+
+
+class TestComplexTypeParity:
+    def test_int96_nested_struct_map_decimal_match_jvm(self, spark,
+                                                       cache_dir):
+        """Spark-written parquet with its DEFAULT INT96 timestamps plus
+        struct/map/decimal/nested-array/binary columns: pyarrow decodes
+        INT96 as tz-naive ns (which Spark's Arrow bridge rejects, and
+        which NTZ-infers to the wrong type) and keeps nested fields
+        required — the source coerces ns to us, zones INT96 UTC, and
+        relaxes nested nullability so both modes match the JVM scan
+        exactly (round-5 probe)."""
+        from sidecar_spark import Engine
+
+        remote = tempfile.mkdtemp(prefix="ctp-")
+        loc = os.path.join(remote, "t.parquet")
+        spark.sql("""
+          SELECT id,
+                 named_struct('a', id, 'b', concat('s', id)) AS st,
+                 map(concat('k', id % 3), CAST(id AS DOUBLE)) AS mp,
+                 CAST(id * 1.01 AS DECIMAL(18,4)) AS dec,
+                 array(array(id, id+1), array(id+2)) AS nested,
+                 encode(concat('b', id), 'UTF-8') AS bin,
+                 id % 2 = 0 AS flag,
+                 make_timestamp(2024, 1, 1, 0, 0, id % 60) AS ts,
+                 DATE'2024-03-01' +
+                   make_interval(0,0,0, CAST(id % 28 AS INT)) AS d
+          FROM range(300)""").write.mode("overwrite").parquet(loc)
+        plain = spark.read.parquet(loc)
+        want = sorted(map(str, plain.collect()))
+        for mode in ("driver", "executor"):
+            tmp = tempfile.mkdtemp(prefix=f"ctp-{mode}-")
+            eng = Engine(spark, conf=_conf(tmp, resolve_mode=mode))
+            try:
+                got_df = eng.read_parquet(loc)
+                assert got_df.schema == plain.schema, mode
+                assert sorted(map(str, got_df.collect())) == want, mode
+            finally:
+                eng.close()
+                CacheManager.clear_instances()
