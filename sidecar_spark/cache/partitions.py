@@ -38,8 +38,11 @@ VIEW_SWEEP_AGE_S = 24 * 3600.0
 
 def partition_spec(root: str, file_path: str) -> List[Tuple[str, str]]:
     """``key=value`` segments between table root and the file, in
-    order. Empty when the table is unpartitioned. Values stay RAW
-    (URL-encoded, hive null sentinel intact) — decode at use."""
+    order. Empty when the table is unpartitioned. BOTH key and value
+    stay RAW (URL-encoded, hive null sentinel intact): the symlink
+    view rebuild must round-trip the exact directory names (decoding
+    there would make Spark's rediscovery decode TWICE), so decoding
+    happens only at use (``decode_key`` / ``decode_value``)."""
     root = root.rstrip("/")
     if not file_path.startswith(root + "/"):
         return []
@@ -49,8 +52,12 @@ def partition_spec(root: str, file_path: str) -> List[Tuple[str, str]]:
         if "=" not in seg:
             return []  # non-hive layout: treat as unpartitioned
         k, _, v = seg.partition("=")
-        out.append((unquote(k), v))
+        out.append((k, v))
     return out
+
+
+def decode_key(raw: str) -> str:
+    return unquote(raw)
 
 
 def decode_value(raw: str) -> Optional[str]:
@@ -65,31 +72,39 @@ def infer_partition_types(
     numeric subset of Spark's inferPartitionColumnValue: int →
     bigint → double → string (date/decimal fall to string — the
     minority case, values stay correct as strings)."""
+    import re
+
     keys: List[str] = []
     values: Dict[str, List[str]] = {}
     for spec in specs:
-        for k, v in spec:
+        for raw_k, v in spec:
+            k = decode_key(raw_k)
             if k not in values:
                 keys.append(k)
                 values[k] = []
             if v != HIVE_NULL:
                 values[k].append(decode_value(v))
 
+    # strict numeric shapes (Java parse semantics): Python's
+    # int()/float() accept underscores, padding and inf/nan, which
+    # Spark's inferPartitionColumnValue rejects as numbers — those
+    # must stay strings or values diverge from the JVM scan
+    int_re = re.compile(r"[+-]?\d+")
+    dbl_re = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?")
+
     def one(vals: List[str]) -> str:
         if not vals:
             return "string"
-        try:
+        if all(int_re.fullmatch(v) for v in vals):
             ints = [int(v) for v in vals]
-            return "int" if all(-2**31 <= i < 2**31 for i in ints) \
-                else "bigint"
-        except ValueError:
-            pass
-        try:
-            for v in vals:
-                float(v)
+            if all(-2**31 <= i < 2**31 for i in ints):
+                return "int"
+            if all(-2**63 <= i < 2**63 for i in ints):
+                return "bigint"
+            return "string"  # beyond int64: Java parse fails
+        if all(dbl_re.fullmatch(v) for v in vals):
             return "double"
-        except ValueError:
-            return "string"
+        return "string"
 
     return [(k, one(values[k])) for k in keys]
 

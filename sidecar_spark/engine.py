@@ -168,10 +168,15 @@ class Engine:
             # session conf (default false in Spark 4.1). Executor
             # mode is itself opt-in, and pruning is the difference
             # between scanning one partition and scanning the table
-            # at 100 TB — enable it for this session
+            # at 100 TB — enable it, but ONLY when the user has not
+            # set the key themselves (an explicit false may be
+            # guarding some other Python source's broken pushFilters;
+            # SQLConf.contains distinguishes unset from default)
+            key = "spark.sql.python.filterPushdown.enabled"
             try:
-                self.spark.conf.set(
-                    "spark.sql.python.filterPushdown.enabled", "true")
+                jconf = self.spark._jsparkSession.sessionState().conf()
+                if not jconf.contains(key):
+                    self.spark.conf.set(key, "true")
             except Exception:  # noqa: BLE001 — pruning is optional
                 pass
         try:

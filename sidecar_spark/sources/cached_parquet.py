@@ -94,58 +94,66 @@ class _PageCachedFile:
         return self._s._closed
 
 
-def _us_type(t):
-    """Recursively coerce nanosecond timestamps to microseconds and
-    relax NESTED field nullability. Spark's parquet scan (a) has no
-    ns precision (its Arrow bridge rejects timestamp[ns] outright —
-    the decode of explicitly ns-annotated parquet) and (b) relaxes
-    every field, nested included, to nullable (FileFormat
-    asNullable) — both must hold here or the two resolve modes'
-    schemas diverge."""
-    import pyarrow as pa
-
-    if pa.types.is_timestamp(t) and t.unit == "ns":
-        return pa.timestamp("us", tz=t.tz)
-    if pa.types.is_list(t):
-        return pa.list_(_us_type(t.value_type))
-    if pa.types.is_large_list(t):
-        return pa.large_list(_us_type(t.value_type))
-    if pa.types.is_map(t):
-        return pa.map_(_us_type(t.key_type), _us_type(t.item_type))
-    if pa.types.is_struct(t):
-        return pa.struct([pa.field(f.name, _us_type(f.type), True)
-                          for f in t])
-    return t
-
-
-def _int96_columns(pf) -> set:
-    """Top-level column names stored as parquet INT96. Spark reads
-    INT96 as TimestampType (an LTZ instant) REGARDLESS of the NTZ
-    inference setting, while pyarrow decodes it tz-naive — these
-    columns must carry a UTC zone so the derived Spark type matches
-    (the int64 micros are unchanged; INT96 stores UTC instants)."""
+def _int96_leaves(pf) -> set:
+    """Dotted parquet leaf paths stored as INT96 (nested included —
+    ``st.ts``, ``arr.list.element``, ``mp.key_value.value``). Spark
+    reads INT96 as TimestampType (an LTZ instant) REGARDLESS of the
+    NTZ inference setting, while pyarrow decodes it tz-naive — those
+    exact leaves must carry a UTC zone so the derived Spark type
+    matches (the int64 micros are unchanged; INT96 stores UTC
+    instants)."""
     try:
         ps = pf.schema
-        return {ps.column(i).path.split(".", 1)[0]
-                for i in range(len(ps))
+        return {ps.column(i).path for i in range(len(ps))
                 if ps.column(i).physical_type == "INT96"}
     except Exception:  # noqa: BLE001 — coercion is best-effort
         return set()
 
 
-def _arrow_target(pf):
-    """The Arrow schema Spark should see for this parquet file:
-    ns→µs, nested-nullable, INT96 zoned UTC."""
+def _target_type(t, path: str, int96: set):
+    """Recursively derive the type Spark should see at this leaf
+    path: ns coerced to µs (Spark has no ns precision and its Arrow
+    bridge rejects timestamp[ns]), INT96 leaves zoned UTC, nested
+    struct fields relaxed to nullable (FileFormat asNullable). Path
+    segments follow parquet's naming for containers (``list.element``,
+    ``key_value.key/value``) so the INT96 match is per-leaf exact."""
     import pyarrow as pa
 
-    int96 = _int96_columns(pf)
-    fields = []
-    for f in pf.schema_arrow:
-        t = _us_type(f.type)
-        if f.name in int96 and pa.types.is_timestamp(t) and t.tz is None:
-            t = pa.timestamp(t.unit, tz="UTC")
-        fields.append(pa.field(f.name, t, f.nullable))
-    return pa.schema(fields)
+    if pa.types.is_timestamp(t):
+        unit = "us" if t.unit == "ns" else t.unit
+        tz = "UTC" if (t.tz is None and path in int96) else t.tz
+        if unit != t.unit or tz != t.tz:
+            return pa.timestamp(unit, tz=tz)
+        return t
+    if pa.types.is_list(t):
+        return pa.list_(
+            _target_type(t.value_type, path + ".list.element", int96))
+    if pa.types.is_large_list(t):
+        return pa.large_list(
+            _target_type(t.value_type, path + ".list.element", int96))
+    if pa.types.is_map(t):
+        return pa.map_(
+            _target_type(t.key_type, path + ".key_value.key", int96),
+            _target_type(t.item_type, path + ".key_value.value", int96))
+    if pa.types.is_struct(t):
+        return pa.struct([
+            pa.field(f.name,
+                     _target_type(f.type, path + "." + f.name, int96),
+                     True)
+            for f in t])
+    return t
+
+
+def _arrow_target(pf):
+    """The Arrow schema Spark should see for this parquet file:
+    ns→µs, nested-nullable, INT96 zoned UTC (per leaf)."""
+    import pyarrow as pa
+
+    int96 = _int96_leaves(pf)
+    return pa.schema([
+        pa.field(f.name, _target_type(f.type, f.name, int96),
+                 f.nullable)
+        for f in pf.schema_arrow])
 
 
 def _coerce_batches(pf, target):
@@ -265,9 +273,12 @@ def _augment_with_partitions(batches, parts, schema):
 
     from sidecar_spark.cache.partitions import decode_value
 
+    from sidecar_spark.cache.partitions import decode_key
+
     fields = {f.name: f for f in schema.fields}
     typed = []
-    for key, raw in parts:
+    for raw_key, raw in parts:
+        key = decode_key(raw_key)
         at = to_arrow_type(fields[key].dataType)
         val = decode_value(raw)
         if val is not None:
@@ -280,8 +291,15 @@ def _augment_with_partitions(batches, parts, schema):
         arrays = list(batch.columns)
         names = list(batch.schema.names)
         for key, scalar in typed:
-            arrays.append(pa.repeat(scalar, batch.num_rows))
-            names.append(key)
+            col = pa.repeat(scalar, batch.num_rows)
+            if key in names:
+                # a data column shadowed by a partition key: the JVM
+                # scan serves the DIRECTORY value (partition-inferred
+                # type, file position) — replace, never duplicate
+                arrays[names.index(key)] = col
+            else:
+                arrays.append(col)
+                names.append(key)
         yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 
@@ -378,7 +396,9 @@ class CachedParquetReader(DataSourceReader):
         for st in files:
             spec = partition_spec(root, st.path)
             if spec and self._part_filters:
-                keys = dict(spec)
+                from sidecar_spark.cache.partitions import decode_key
+
+                keys = {decode_key(k): v for k, v in spec}
                 if not all(_filter_matches(keys[col], op, ref)
                            for col, op, ref in self._part_filters
                            if col in keys):
@@ -441,7 +461,10 @@ class PruningCachedParquetReader(CachedParquetReader):
                 if isinstance(attr, tuple) and len(attr) == 1:
                     for cls, op in ops:
                         if type(f) is cls:
-                            ref = (tuple(f.values) if op == "in" else
+                            # In's field is `value` (a tuple) —
+                            # NOT `values`; a wrong attribute here
+                            # silently disables IN pruning
+                            ref = (tuple(f.value) if op == "in" else
                                    getattr(f, "value", None))
                             self._part_filters.append(
                                 (attr[0], op, ref))
@@ -546,9 +569,20 @@ class CachedParquetSource(DataSource):
                     "double": DoubleType(), "string": StringType()}
         _, p_root = mgr._resolve(path)  # noqa: SLF001
         specs = [partition_spec(p_root, st.path) for st in files]
+        inferred = infer_partition_types(specs)
+        shadowed = {k: type_map[ddl] for k, ddl in inferred
+                    if k in {f.name for f in base.fields}}
+        if shadowed:
+            # a data column with a partition key's name: the JVM scan
+            # serves the DIRECTORY value with the partition-inferred
+            # type at the file position — mirror that in the schema
+            base = StructType([
+                StructField(f.name, shadowed.get(f.name, f.dataType),
+                            True)
+                for f in base.fields])
         part_fields = [
             StructField(k, type_map[ddl])
-            for k, ddl in infer_partition_types(specs)
+            for k, ddl in inferred
             if k not in {f.name for f in base.fields}]
         if part_fields:
             base = StructType(list(base.fields) + part_fields)

@@ -199,3 +199,143 @@ class TestExecutorPartitionPruning:
         # incomparable value: keep the file (never wrong-prune)
         assert _filter_matches("abc", "eq", 1)
         assert _filter_matches("zzz", "unknown-op", 1)
+
+
+class TestReviewFindingsRound5b:
+    """Pins for the second review pass (nested INT96, IN pruning,
+    shadowed columns, strict numeric inference, raw-key round-trip,
+    conf respect)."""
+
+    def test_nested_int96_schema_parity(self, spark, cache_dir):
+        """INT96 timestamps nested in struct/array/map must derive
+        TimestampType (LTZ) exactly like the JVM scan — the top-level
+        shortcut typed them NTZ."""
+        from sidecar_spark import Engine
+
+        remote = tempfile.mkdtemp(prefix="ni96-")
+        loc = os.path.join(remote, "t.parquet")
+        spark.sql("""
+          SELECT named_struct('ts', make_timestamp(2024,1,1,0,0,id%60),
+                              'x', id) AS st,
+                 array(make_timestamp(2024,1,1,0,0,id%60)) AS arr,
+                 map('k', make_timestamp(2024,1,1,0,0,id%60)) AS mp
+          FROM range(50)""").write.mode("overwrite").parquet(loc)
+        plain = spark.read.parquet(loc)
+        eng = Engine(spark, conf=_conf(cache_dir, "executor"))
+        try:
+            got = eng.read_parquet(loc)
+            assert got.schema == plain.schema
+            assert (sorted(map(str, got.collect()))
+                    == sorted(map(str, plain.collect())))
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_in_filter_actually_prunes(self, spark, cache_dir, ptable):
+        """IN pruning was dead (the filter's field is `value`, not
+        `values`) — prove files are skipped at PLANNING, not just that
+        values are right."""
+        from sidecar_spark import Engine
+
+        eng = Engine(spark, conf=_conf(cache_dir, "executor"))
+        try:
+            n_all = eng.read_parquet(ptable).rdd.getNumPartitions()
+            pruned = eng.read_parquet(ptable).where("part IN (1)")
+            assert pruned.rdd.getNumPartitions() < n_all
+            assert pruned.count() == 30
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_shadowed_partition_column_matches_jvm(self, spark,
+                                                   cache_dir):
+        """A data file CONTAINING a column with the partition key's
+        name: the JVM serves the DIRECTORY value at the file position
+        with the partition-inferred type."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sidecar_spark import Engine
+
+        root = tempfile.mkdtemp(prefix="shad-")
+        loc = os.path.join(root, "t.parquet")
+        d = os.path.join(loc, "part=9")
+        os.makedirs(d)
+        pq.write_table(pa.table({"id": [1, 2], "part": [100, 200]}),
+                       os.path.join(d, "f.parquet"))
+        plain = spark.read.parquet(loc)
+        for mode in ("driver", "executor"):
+            tmp = tempfile.mkdtemp(prefix=f"shad-{mode}-")
+            eng = Engine(spark, conf=_conf(tmp, mode))
+            try:
+                got = eng.read_parquet(loc)
+                assert got.schema == plain.schema, mode
+                assert (sorted(map(tuple, got.collect()))
+                        == sorted(map(tuple, plain.collect()))), mode
+                assert got.where("part = 9").count() == 2, mode
+            finally:
+                eng.close()
+                CacheManager.clear_instances()
+
+    def test_strict_numeric_inference(self):
+        """Python int()/float() accept shapes Java rejects — those
+        partition values must infer string, like the JVM."""
+        from sidecar_spark.cache.partitions import infer_partition_types
+
+        assert infer_partition_types([[("v", "1_0")]]) == [("v", "string")]
+        assert infer_partition_types(
+            [[("v", "99999999999999999999999")]]) == [("v", "string")]
+        assert infer_partition_types([[("v", "inf")]]) == [("v", "string")]
+        assert infer_partition_types([[("v", "nan")]]) == [("v", "string")]
+        assert infer_partition_types([[("v", "1e3")]]) == [("v", "double")]
+        assert infer_partition_types([[("v", " 1")]]) == [("v", "string")]
+
+    def test_exotic_inferred_values_match_jvm(self, spark, cache_dir):
+        """End-to-end: underscore/huge/inf partition values must read
+        back exactly as the JVM does (strings, not re-parsed numbers)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sidecar_spark import Engine
+
+        root = tempfile.mkdtemp(prefix="exot-")
+        loc = os.path.join(root, "t.parquet")
+        for v in ("1_0", "99999999999999999999999", "inf"):
+            d = os.path.join(loc, f"v={v}")
+            os.makedirs(d)
+            pq.write_table(pa.table({"id": [1]}),
+                           os.path.join(d, "f.parquet"))
+        plain = spark.read.parquet(loc)
+        for mode in ("driver", "executor"):
+            tmp = tempfile.mkdtemp(prefix=f"exot-{mode}-")
+            eng = Engine(spark, conf=_conf(tmp, mode))
+            try:
+                got = eng.read_parquet(loc)
+                assert got.schema == plain.schema, mode
+                assert (sorted(map(tuple, got.collect()))
+                        == sorted(map(tuple, plain.collect()))), mode
+            finally:
+                eng.close()
+                CacheManager.clear_instances()
+
+    def test_explicit_pushdown_false_respected(self, spark, cache_dir,
+                                               ptable):
+        """A user's explicit filterPushdown=false must survive Engine
+        registration (it may be guarding another source's broken
+        pushFilters) — the scan still works, just unpruned."""
+        from sidecar_spark import Engine
+
+        key = "spark.sql.python.filterPushdown.enabled"
+        spark.conf.set(key, "false")
+        try:
+            eng = Engine(spark, conf=_conf(cache_dir, "executor"))
+            try:
+                eng._cached_source_registered = False  # force re-register
+                df = eng.read_parquet(ptable)
+                assert spark.conf.get(key) == "false"  # not overridden
+                assert df.where("part = 1").count() == 30  # still right
+            finally:
+                eng.close()
+                CacheManager.clear_instances()
+        finally:
+            spark.conf.unset(key)
