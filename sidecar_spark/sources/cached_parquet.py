@@ -264,43 +264,59 @@ def _apply_endpoint(endpoint) -> None:
         os.environ["SIDECAR_S3_ENDPOINT"] = endpoint
 
 
-def _augment_with_partitions(batches, parts, schema):
-    """Append hive partition columns (absent from the data files) to
-    each Arrow batch, typed per the FINAL schema so the values match
-    what the JVM scan would derive from the directory names."""
+def _finalize_batches(batches, schema, parts):
+    """Conform every Arrow batch to the DECLARED schema, in declared
+    order — the executor-side equivalent of how the JVM scan reads a
+    whole table through ONE footer's schema:
+
+    * hive partition columns are materialized from the directory
+      values (a shadowed data column is overridden — directory wins,
+      JVM semantics);
+    * a column the declared schema has but this FILE lacks (schema
+      evolution: the footer schema() sampled was newer/older) is
+      null-filled, exactly as the JVM scan does without mergeSchema;
+    * a column this file has but the schema lacks is dropped;
+    * type drift casts to the declared type.
+
+    Fast path: a batch already matching the declared names/types with
+    no partition columns passes through untouched."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_type
 
-    from sidecar_spark.cache.partitions import decode_value
+    from sidecar_spark.cache.partitions import decode_key, decode_value
 
-    from sidecar_spark.cache.partitions import decode_key
+    part_vals = {decode_key(k): raw for k, raw in parts}
+    targets = [(f.name, to_arrow_type(f.dataType)) for f in schema.fields]
 
-    fields = {f.name: f for f in schema.fields}
-    typed = []
-    for raw_key, raw in parts:
-        key = decode_key(raw_key)
-        at = to_arrow_type(fields[key].dataType)
-        val = decode_value(raw)
+    def part_scalar(name, at):
+        val = decode_value(part_vals[name])
         if val is not None:
             if pa.types.is_integer(at):
                 val = int(val)
             elif pa.types.is_floating(at):
                 val = float(val)
-        typed.append((key, pa.scalar(val, type=at)))
+        return pa.scalar(val, type=at)
+
     for batch in batches:
-        arrays = list(batch.columns)
-        names = list(batch.schema.names)
-        for key, scalar in typed:
-            col = pa.repeat(scalar, batch.num_rows)
-            if key in names:
-                # a data column shadowed by a partition key: the JVM
-                # scan serves the DIRECTORY value (partition-inferred
-                # type, file position) — replace, never duplicate
-                arrays[names.index(key)] = col
-            else:
+        names = batch.schema.names
+        if not part_vals and names == [n for n, _ in targets]                 and all(batch.schema.field(i).type.equals(t)
+                        for i, (_, t) in enumerate(targets)):
+            yield batch
+            continue
+        arrays = []
+        for name, at in targets:
+            if name in part_vals:
+                arrays.append(pa.repeat(part_scalar(name, at),
+                                        batch.num_rows))
+            elif name in names:
+                col = batch.column(names.index(name))
+                if not col.type.equals(at):
+                    col = col.cast(at)
                 arrays.append(col)
-                names.append(key)
-        yield pa.RecordBatch.from_arrays(arrays, names=names)
+            else:
+                arrays.append(pa.nulls(batch.num_rows, type=at))
+        yield pa.RecordBatch.from_arrays(
+            arrays, names=[n for n, _ in targets])
 
 
 def _filter_matches(raw: str, op: str, ref) -> bool:
@@ -416,9 +432,9 @@ class CachedParquetReader(DataSourceReader):
         # manager outlives the task, serving every later scan's hits
         mgr = CacheManager.get_or_create(self._conf())
         batches = _read_file_batches(mgr, part)
-        if part.parts and self.schema is not None:
-            batches = _augment_with_partitions(batches, part.parts,
-                                               self.schema)
+        if self.schema is not None:
+            batches = _finalize_batches(batches, self.schema,
+                                        part.parts)
         yield from batches
 
 
@@ -501,6 +517,10 @@ class CachedParquetSource(DataSource):
         files = mgr.list_files(path)
         if not files:
             raise FileNotFoundError(f"no data files under {path!r}")
+        # deterministic footer pick: FIRST file by path, matching the
+        # JVM scan's choice under schema evolution (a listing in OS
+        # order sampled a different file and diverged the schema)
+        files = sorted(files, key=lambda s: s.path)
         fs, p = mgr._resolve(files[0].path)
         local = (mgr.mirror.lookup(p, files[0].mtime)
                  if mgr.mirror is not None else None)

@@ -419,3 +419,57 @@ class TestComplexTypeParity:
             finally:
                 eng.close()
                 CacheManager.clear_instances()
+
+
+class TestSchemaEvolutionParity:
+    @pytest.mark.parametrize("first_wider", [False, True])
+    def test_mixed_footer_files_match_jvm(self, spark, cache_dir,
+                                          first_wider):
+        """Schema evolution across a table's files (no mergeSchema):
+        the JVM reads every file through ONE footer's schema — extra
+        columns dropped, missing columns null-filled. Executor mode
+        used to crash on the batch-schema mismatch; the per-batch
+        finalize now conforms every file to the declared schema, and
+        the footer pick is path-sorted to sample the same file."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sidecar_spark import Engine
+
+        root = tempfile.mkdtemp(prefix="sevo-")
+        loc = os.path.join(root, "t.parquet")
+        os.makedirs(loc)
+        wide = {"id": [1, 2], "extra": ["x", "y"]}
+        narrow = {"id": [3, 4]}
+        pq.write_table(pa.table(wide if first_wider else narrow),
+                       os.path.join(loc, "a.parquet"))
+        pq.write_table(pa.table(narrow if first_wider else wide),
+                       os.path.join(loc, "b.parquet"))
+        # the JVM's footer pick on a mixed-schema table is
+        # NONDETERMINISTIC run-to-run (parallelized inference), and
+        # driver mode IS the JVM scan — so exact-schema equality would
+        # assert unspecified behavior. The defined semantics are:
+        # whatever footer is picked, every file is read through it
+        # (extras dropped, missing null-filled). Assert values equal
+        # the JVM read PINNED to each mode's own schema; executor
+        # mode's pick must additionally be deterministic (sorted-first
+        # footer = one of the two files').
+        import pyspark.sql.types as T
+
+        valid = {
+            T.StructType([T.StructField("id", T.LongType())]),
+            T.StructType([T.StructField("id", T.LongType()),
+                          T.StructField("extra", T.StringType())]),
+        }
+        for mode in ("driver", "executor"):
+            tmp = tempfile.mkdtemp(prefix=f"sevo-{mode}-")
+            eng = Engine(spark, conf=_conf(tmp, resolve_mode=mode))
+            try:
+                got = eng.read_parquet(loc)
+                assert got.schema in valid, mode
+                pinned = spark.read.schema(got.schema).parquet(loc)
+                assert (sorted(map(str, got.collect()))
+                        == sorted(map(str, pinned.collect()))), mode
+            finally:
+                eng.close()
+                CacheManager.clear_instances()
