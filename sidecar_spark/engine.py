@@ -72,7 +72,14 @@ class Engine:
                     if sf_dir else self._location(name))
         return self.read_parquet(location)
 
-    def read_parquet(self, location: str):
+    def read_parquet(self, location: str, **options):
+        """Cached parquet read. ``options`` pass through to Spark's
+        parquet reader (``mergeSchema``, ``datetimeRebaseMode``, ...)
+        — they apply to the RESOLVED local paths exactly as to the
+        originals, since both are the same parquet bytes. Executor
+        mode implements the default option set only, so an options
+        read falls back to the driver resolve (still fully cached;
+        documented trade-off, never silently dropped options)."""
         # scale guard: a COLD table at/over auto_warm_bytes is warmed
         # by Spark tasks first (each node fills its own mirror), so the
         # subsequent resolve is all hits and the driver never funnels
@@ -84,8 +91,8 @@ class Engine:
         # store, re-listing a 10k-file table three times per read
         # would dominate the metadata path.
         if self.cache is None:
-            return self.spark.read.parquet(location)
-        if (self.conf.resolve_mode == "executor"
+            return self.spark.read.options(**options).parquet(location)
+        if (self.conf.resolve_mode == "executor" and not options
                 and not location.startswith("mem://")):
             # real-cluster mode: the resolve happens INSIDE each scan
             # task against that node's own mirror (an unwarmed node
@@ -96,7 +103,8 @@ class Engine:
         try:
             files = self.cache.list_files(location)
         except Exception:  # noqa: BLE001 — listing trouble: let Spark
-            return self.spark.read.parquet(location)  # read it raw
+            return (self.spark.read.options(**options)
+                    .parquet(location))  # read it raw
         if (self.cache.mirror is not None and self.conf.auto_warm_bytes
                 and not location.startswith("mem://")):
             try:
@@ -109,13 +117,14 @@ class Engine:
                 pass           # fails the read; resolve self-heals
         paths = self.cache.resolve_for_spark(location, files=files)
         if not paths:
-            return self.spark.read.parquet(location)
-        partitioned = self._partitioned_read(location, files, paths)
+            return self.spark.read.options(**options).parquet(location)
+        partitioned = self._partitioned_read(location, files, paths,
+                                             options)
         if partitioned is not None:
             return partitioned
-        return self.spark.read.parquet(*paths)
+        return self.spark.read.options(**options).parquet(*paths)
 
-    def _partitioned_read(self, location, files, paths):
+    def _partitioned_read(self, location, files, paths, options=None):
         """Hive-partitioned tables: Spark derives partition COLUMNS
         from key=value directories, which concrete resolved file paths
         strip — a flat path list silently loses those columns. When
@@ -142,7 +151,8 @@ class Engine:
             # some files stream remote (veto / exclusion / fill
             # failure): a mixed symlink tree cannot represent them —
             # scan the real table tree instead
-            return self.spark.read.parquet(location)
+            return (self.spark.read.options(**(options or {}))
+                    .parquet(location))
         pairs = []
         for spec, lp in zip(specs, local):
             rel = "/".join(f"{k}={v}" for k, v in spec)
@@ -150,7 +160,8 @@ class Engine:
                           if rel else os.path.basename(lp), lp))
         view = build_symlink_view(
             os.path.join(self.conf.cache_dir, "views"), pairs)
-        return (self.spark.read.option("basePath", view).parquet(view))
+        return (self.spark.read.options(**(options or {}))
+                .option("basePath", view).parquet(view))
 
     def _read_executor_resolved(self, location: str):
         """Build the scan through the cache-backed Python DataSource:

@@ -473,3 +473,40 @@ class TestSchemaEvolutionParity:
             finally:
                 eng.close()
                 CacheManager.clear_instances()
+
+
+class TestReaderOptionsPassThrough:
+    def test_merge_schema_option_through_cache(self, spark, cache_dir):
+        """Reader options (mergeSchema here) must pass through the
+        cached read — previously inexpressible through the Engine. In
+        executor mode an options read falls back to the driver resolve
+        (documented), so BOTH modes honor the option."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sidecar_spark import Engine
+
+        root = tempfile.mkdtemp(prefix="opt-")
+        loc = os.path.join(root, "t.parquet")
+        os.makedirs(loc)
+        pq.write_table(pa.table({"id": [1, 2]}),
+                       os.path.join(loc, "a.parquet"))
+        pq.write_table(pa.table({"id": [3, 4], "extra": ["x", "y"]}),
+                       os.path.join(loc, "b.parquet"))
+        plain = spark.read.option("mergeSchema", "true").parquet(loc)
+        want = sorted(map(str, plain.collect()))
+        for mode in ("driver", "executor"):
+            tmp = tempfile.mkdtemp(prefix=f"opt-{mode}-")
+            eng = Engine(spark, conf=_conf(tmp, resolve_mode=mode))
+            try:
+                got = eng.read_parquet(loc, mergeSchema="true")
+                assert got.schema == plain.schema, mode
+                assert sorted(map(str, got.collect())) == want, mode
+                if mode == "driver":
+                    # the merged read still came from the mirror
+                    mroot = os.path.join(tmp, "mirror")
+                    assert len([f for f in os.listdir(mroot)
+                                if ".tmp-" not in f]) == 2
+            finally:
+                eng.close()
+                CacheManager.clear_instances()
