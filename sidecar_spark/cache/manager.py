@@ -290,7 +290,19 @@ class CacheManager:
         import hashlib
 
         digest = hashlib.md5(conf.to_json().encode()).hexdigest()[:12]
-        return (conf.cache_dir or "<default>") + "|" + digest
+        key = (conf.cache_dir or "<default>") + "|" + digest
+        h = conf.hint_detector
+        if h is not None and callable(h):
+            # to_json() serializes a CALLABLE hint as its import
+            # string when possible and drops it otherwise — two confs
+            # differing only in their hint callable must not collapse
+            # to one singleton (one Engine's admission policy would
+            # silently govern the other's reads). id() distinguishes
+            # distinct callables; module.qualname keeps the marker
+            # readable in diagnostics.
+            key += (f"|hint:{getattr(h, '__module__', '')}."
+                    f"{getattr(h, '__qualname__', '')}:{id(h)}")
+        return key
 
     @classmethod
     def get_or_create(cls, conf: SidecarConfig) -> "CacheManager":

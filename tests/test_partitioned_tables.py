@@ -279,15 +279,19 @@ class TestReviewFindingsRound5b:
 
     def test_strict_numeric_inference(self):
         """Python int()/float() accept shapes Java rejects — those
-        partition values must infer string, like the JVM."""
+        partition values must infer string, like the JVM. (Round 6
+        tightened the ladder to the full JVM one: >int64 integers are
+        decimal(p,0), 1e3 is decimal(4,0) — JBigDecimal with scale≤0 —
+        and exact NaN/Infinity spellings are double; probed in
+        tests/test_partition_inference.py.)"""
         from sidecar_spark.cache.partitions import infer_partition_types
 
         assert infer_partition_types([[("v", "1_0")]]) == [("v", "string")]
         assert infer_partition_types(
-            [[("v", "99999999999999999999999")]]) == [("v", "string")]
+            [[("v", "99999999999999999999999")]]) == [("v", "decimal(23,0)")]
         assert infer_partition_types([[("v", "inf")]]) == [("v", "string")]
         assert infer_partition_types([[("v", "nan")]]) == [("v", "string")]
-        assert infer_partition_types([[("v", "1e3")]]) == [("v", "double")]
+        assert infer_partition_types([[("v", "1e3")]]) == [("v", "decimal(4,0)")]
         assert infer_partition_types([[("v", " 1")]]) == [("v", "string")]
 
     def test_exotic_inferred_values_match_jvm(self, spark, cache_dir):
