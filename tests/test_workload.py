@@ -350,3 +350,100 @@ class TestWarmEvictRace:
         mroot = os.path.join(cache_dir, "mirror")
         if os.path.isdir(mroot):
             assert not [n for n in os.listdir(mroot) if ".tmp-" in n]
+
+
+class TestExecutorScanEvictRace:
+    """Round-6 soak: the executor-resolved SPARK scan under mirror
+    churn. A background actor unlinks mirror copies while repeated
+    executor-mode scans (with byte-range splits) run over an S3-stub
+    table. Invariants: every scan's count/sum is exact (open-before-
+    read + materialize self-heal absorb the churn), and with the
+    mirror INTACT a scan issues zero object GETs. Bounded smoke by
+    default; SIDECAR_SOAK_SECONDS=600 for the full-length run."""
+
+    def test_executor_scan_survives_mirror_churn(self, spark, cache_dir):
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sidecar_spark import Engine
+        from sidecar_spark.cache.fs import RemoteFS
+        from sidecar_spark.testing.s3server import S3StubServer
+
+        n_files, rows_per = 4, 30_000
+        expected_sum = sum(range(n_files * rows_per))
+        with S3StubServer() as srv:
+            os.environ["SIDECAR_S3_ENDPOINT"] = srv.endpoint
+            try:
+                fs, _ = RemoteFS.from_uri("s3://lake")
+                for i in range(n_files):
+                    buf = io.BytesIO()
+                    pq.write_table(
+                        pa.table({"a": list(range(i * rows_per,
+                                                  (i + 1) * rows_per))}),
+                        buf, row_group_size=5_000)
+                    fs.write_all(
+                        f"s3://lake/soak.parquet/part-{i}.parquet",
+                        buf.getvalue())
+                conf = SidecarConfig.create(
+                    cache_dir=cache_dir, data_cache_type="file",
+                    cache_persistent=False, resolve_mode="executor",
+                    auto_warm_bytes=1)
+                eng = Engine(spark, conf=conf)
+                spark.conf.set("spark.sidecar.scan.splitBytes",
+                               str(64 * 1024))
+                stop = threading.Event()
+                errors: list = []
+
+                def churn() -> None:
+                    rng = random.Random(7)
+                    mroot = os.path.join(cache_dir, "mirror")
+                    while not stop.is_set():
+                        try:
+                            names = [n for n in os.listdir(mroot)
+                                     if ".tmp-" not in n]
+                        except OSError:
+                            names = []
+                        if names:
+                            victim = os.path.join(
+                                mroot, rng.choice(names))
+                            try:
+                                os.unlink(victim)  # eviction analog
+                            except OSError:
+                                pass
+                        time.sleep(0.02)
+
+                th = threading.Thread(target=churn, daemon=True)
+                soak_s = float(os.environ.get("SIDECAR_SOAK_SECONDS",
+                                              "0"))
+                deadline = time.monotonic() + soak_s
+                try:
+                    eng.cache.warm_distributed(spark,
+                                               "s3://lake/soak.parquet")
+                    # intact-mirror pass first: the wire-level zero-GET
+                    # invariant, BEFORE churn starts
+                    srv.store.clear_requests()
+                    df = eng.read_parquet("s3://lake/soak.parquet")
+                    row = df.agg({"a": "sum"}).collect()[0]
+                    assert row[0] == expected_sum
+                    assert srv.store.object_gets(".parquet") == 0
+                    th.start()
+                    cycle = 0
+                    while (cycle < 6 if soak_s <= 0
+                           else time.monotonic() < deadline):
+                        cycle += 1
+                        df = eng.read_parquet("s3://lake/soak.parquet")
+                        got = df.agg({"a": "sum"}).collect()[0][0]
+                        if got != expected_sum:
+                            errors.append((cycle, got))
+                            break
+                    assert not errors, errors
+                finally:
+                    stop.set()
+                    th.join(timeout=5)
+                    spark.conf.unset("spark.sidecar.scan.splitBytes")
+                    eng.close()
+                    CacheManager.clear_instances()
+            finally:
+                os.environ.pop("SIDECAR_S3_ENDPOINT", None)
