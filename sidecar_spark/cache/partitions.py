@@ -151,8 +151,18 @@ _INT_RE = re.compile(r"[+-]?\d+")
 # exponent) — Java rejects underscores, hex and whitespace, which
 # Python's int()/float() accept
 _DEC_RE = re.compile(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?")
-# Double.parseDouble additionally accepts NaN / Infinity (signed)
-_DBL_SPECIAL_RE = re.compile(r"[+-]?(NaN|Infinity)")
+# Double.parseDouble (the ladder's LAST numeric try) additionally
+# accepts leading/trailing chars <= U+0020 (String.trim), exact-case
+# NaN/Infinity (signed, NO type suffix), f/F/d/D suffixes on numeric
+# forms, and hex floats — all probed against the live JVM scan
+_JAVA_TRIM = "".join(chr(c) for c in range(0x21))
+_JAVA_DBL_SPECIAL_RE = re.compile(r"[+-]?(NaN|Infinity)")
+_JAVA_DBL_RE = re.compile(
+    r"[+-]?("
+    r"(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?"
+    r"|0[xX]([0-9a-fA-F]+\.?[0-9a-fA-F]*|[0-9a-fA-F]*\.[0-9a-fA-F]+)"
+    r"[pP][+-]?\d+"
+    r")[fFdD]?")
 _DATE_RE = re.compile(r"\d{4}-\d{2}-\d{2}")
 # Spark's default TimestampFormatter pattern is exact: space
 # separator, no fractional seconds ('T' or '.5' → string; probed)
@@ -162,10 +172,34 @@ _TS_RE = re.compile(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}")
 _INTEGRAL_DECIMAL_PRECISION = {"int": 10, "bigint": 20}
 
 
+def java_parse_double(v: str) -> Optional[float]:
+    """``Double.parseDouble`` semantics (probed): trim chars ≤ U+0020,
+    exact-case NaN/Infinity (signed, no suffix), decimal or hex-float
+    numeric forms with optional f/F/d/D suffix. None when Java would
+    throw."""
+    s = v.strip(_JAVA_TRIM)
+    if _JAVA_DBL_SPECIAL_RE.fullmatch(s):
+        return float(s.replace("Infinity", "inf").replace("NaN", "nan"))
+    if not _JAVA_DBL_RE.fullmatch(s):
+        return None
+    if s and s[-1] in "fFdD":
+        s = s[:-1]
+    try:
+        return float(s)
+    except ValueError:
+        try:
+            return float.fromhex(s)  # 0x1p3 → 8.0
+        except ValueError:
+            return None
+
+
 def infer_value_type(v: str) -> Tuple[str, Optional[int]]:
     """One decoded partition value → (kind, decimal precision|None),
     following the probed JVM ladder exactly."""
-    if _INT_RE.fullmatch(v):
+    # Integer/Long.parseInt reject anything beyond ~19 digits anyway —
+    # the length gate avoids materializing a 5000-digit int (Python
+    # caps int() conversions at 4300 digits with a ValueError)
+    if len(v) <= 20 and _INT_RE.fullmatch(v):
         i = int(v)
         if -2**31 <= i < 2**31:
             return ("int", None)
@@ -174,14 +208,21 @@ def infer_value_type(v: str) -> Tuple[str, Optional[int]]:
         # beyond int64 falls through to the decimal/double tries
     if _DEC_RE.fullmatch(v):
         d = decimal.Decimal(v)  # preserves textual scale like JBigDecimal
-        scale = -d.as_tuple().exponent
+        tup = d.as_tuple()
+        scale = -tup.exponent
         if scale <= 0:
-            iv = int(d)
-            precision = len(str(abs(iv))) if iv else 1
+            # precision of the integer value WITHOUT materializing it
+            # (a value like 1e999999999 must not build a giant int):
+            # mantissa digits + positive exponent; all-zero mantissa
+            # collapses to precision 1 (JBigDecimal("0e5") → 0)
+            if not any(tup.digits):
+                precision = 1
+            else:
+                precision = len(tup.digits) + (-scale)
             if precision <= 38:
                 return ("decimal", precision)
         return ("double", None)  # Double.parseDouble accepts all of these
-    if _DBL_SPECIAL_RE.fullmatch(v):
+    if java_parse_double(v) is not None:
         return ("double", None)
     if _DATE_RE.fullmatch(v):
         try:

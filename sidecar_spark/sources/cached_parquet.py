@@ -276,12 +276,16 @@ def _read_file_batches(mgr, part: _FilePart, columns=None):
                 hit = True
             except OSError:
                 handle = None  # evicted between lookup and open
-        if handle is None and not part.veto:
+        if handle is None and not part.veto and part.start == 0:
+            # unwarmed node (or lookup-to-open eviction race):
+            # self-heal by materializing — a node-local fill, never an
+            # error and never a driver funnel (the fetch_slice pattern
+            # inside the scan). Only the split owning byte 0 fills: N
+            # cold split tasks would otherwise EACH copy the whole
+            # file (the in-flight dedup is per-process; Spark workers
+            # are separate processes) — the others range-stream this
+            # first scan and hit the mirror from the next one.
             try:
-                # unwarmed node (or lookup-to-open eviction race):
-                # self-heal by materializing — a node-local fill,
-                # never an error and never a driver funnel (the
-                # fetch_slice pattern inside the scan)
                 local = mgr.mirror.materialize(fs, st)
                 handle = open(local, "rb")
             except Exception:  # noqa: BLE001 — cache trouble never
@@ -358,14 +362,16 @@ def _partition_scalar(raw, at, tz: str):
     (int/bigint/double/decimal/date/timestamp/string/null)."""
     import pyarrow as pa
 
-    from sidecar_spark.cache.partitions import decode_value
+    from sidecar_spark.cache.partitions import decode_value, java_parse_double
 
     val = decode_value(raw)
     if val is not None:
         if pa.types.is_integer(at):
             val = int(val)
         elif pa.types.is_floating(at):
-            val = float(val)  # accepts NaN / Infinity like the JVM
+            # Java parse, not Python float(): " 1", "1f", "0x1p3",
+            # NaN/Infinity — everything the ladder typed as double
+            val = java_parse_double(val)
         elif pa.types.is_decimal(at):
             import decimal
 
@@ -378,15 +384,41 @@ def _partition_scalar(raw, at, tz: str):
             val = datetime.date(int(y), int(m), int(d))
         elif pa.types.is_timestamp(at):
             import datetime
-            from zoneinfo import ZoneInfo
 
             # a date-shaped value in a timestamp column (mixed
             # date+timestamp dirs) casts to midnight, JVM parity
             fmt = ("%Y-%m-%d %H:%M:%S" if " " in val else "%Y-%m-%d")
             naive = datetime.datetime.strptime(val, fmt)
             # partition timestamps are wall times in the SESSION zone
-            val = naive.replace(tzinfo=ZoneInfo(tz or "UTC"))
+            val = naive.replace(tzinfo=_session_zone(tz))
     return pa.scalar(val, type=at)
+
+
+def _session_zone(tz: str):
+    """Spark session-timezone string → tzinfo. Spark accepts region
+    IDs (ZoneInfo) AND offset forms ZoneInfo does not ("GMT+8",
+    "UTC+08:00", "+08:00", "-0730") — parse those by hand instead of
+    failing every scan task over a timestamp partition column."""
+    import datetime
+    import re as _re
+
+    name = (tz or "UTC").strip()
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(name)
+    except Exception:  # noqa: BLE001 — offset forms fall through
+        pass
+    m = _re.fullmatch(
+        r"(?:GMT|UTC|UT)?([+-])(\d{1,2})(?::?(\d{2}))?(?::?(\d{2}))?",
+        name)
+    if m:
+        sign = -1 if m.group(1) == "-" else 1
+        delta = datetime.timedelta(
+            hours=int(m.group(2)), minutes=int(m.group(3) or 0),
+            seconds=int(m.group(4) or 0))
+        return datetime.timezone(sign * delta)
+    return datetime.timezone.utc  # never fail the scan over a zone name
 
 
 def _finalize_batches(batches, schema, parts, tz="UTC"):
@@ -446,7 +478,7 @@ def _filter_matches(raw: str, op: str, ref) -> bool:
     import datetime
     import decimal
 
-    from sidecar_spark.cache.partitions import decode_value
+    from sidecar_spark.cache.partitions import decode_value, java_parse_double
 
     val = decode_value(raw)
     if op == "isnull":
@@ -464,7 +496,9 @@ def _filter_matches(raw: str, op: str, ref) -> bool:
             elif isinstance(r, int):
                 v, r = int(val), r
             elif isinstance(r, float):
-                v, r = float(val), r
+                v = java_parse_double(val)
+                if v is None:
+                    return True  # not a double the JVM would parse
             elif isinstance(r, decimal.Decimal):
                 v = decimal.Decimal(val)
             elif isinstance(r, datetime.datetime):
@@ -505,7 +539,9 @@ class CachedParquetReader(DataSourceReader):
         self.schema = schema
         self.tz = options.get("tz") or "UTC"
         try:
-            self.split_bytes = int(options.get("split_bytes") or 0)
+            # clamp: a negative value must mean "no splitting", never
+            # an empty range list that silently drops a file's rows
+            self.split_bytes = max(0, int(options.get("split_bytes") or 0))
         except ValueError:
             self.split_bytes = 0
         self._part_filters = []

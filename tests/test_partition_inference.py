@@ -261,3 +261,154 @@ class TestExecutorOptionsRawFallback:
         finally:
             eng.close()
             CacheManager.clear_instances()
+
+
+class TestJavaDoubleForms:
+    """Round-6 review fixes: Double.parseDouble's full grammar
+    (trimmed whitespace, f/F/d/D suffixes, hex floats — JVM-probed),
+    plus the giant-numeric guards."""
+
+    def test_java_parse_double_grammar(self):
+        from sidecar_spark.cache.partitions import java_parse_double
+
+        assert java_parse_double(" 1") == 1.0       # String.trim
+        assert java_parse_double("1 ") == 1.0
+        assert java_parse_double("1f") == 1.0       # type suffix
+        assert java_parse_double("1.5d") == 1.5
+        assert java_parse_double("0x1p3") == 8.0    # hex float
+        assert java_parse_double("-0x1p3") == -8.0
+        assert java_parse_double("Infinity") == float("inf")
+        assert java_parse_double("-Infinity") == float("-inf")
+        assert java_parse_double("NaN") != java_parse_double("NaN")  # nan
+        assert java_parse_double("nan") is None     # case-sensitive
+        assert java_parse_double("NaNf") is None    # no suffix on NaN
+        assert java_parse_double("Infinityd") is None
+        assert java_parse_double("1_0") is None
+        assert java_parse_double("true") is None
+
+    def test_inference_of_java_double_forms(self):
+        from sidecar_spark.cache.partitions import infer_value_type
+
+        for v in (" 1", "1 ", "1f", "1.5d", "0x1p3"):
+            assert infer_value_type(v) == ("double", None), v
+        for v in ("nan", "NaNf", "Infinityd"):
+            assert infer_value_type(v) == ("string", None), v
+
+    def test_giant_numerics_do_not_materialize(self):
+        import time
+
+        from sidecar_spark.cache.partitions import infer_value_type
+
+        t0 = time.perf_counter()
+        assert infer_value_type("9" * 5000) == ("double", None)
+        assert infer_value_type("1e999999999") == ("double", None)
+        assert time.perf_counter() - t0 < 0.05
+
+    def test_java_forms_parity_end_to_end(self, spark, cache_dir):
+        root = os.path.join(tempfile.mkdtemp(prefix="pi-j-"), "t.parquet")
+        _write_part(spark, root, "x=1f", [(1, "a")])
+        _write_part(spark, root, "x=0x1p3", [(2, "b")])
+        _assert_parity(spark, cache_dir, root)
+
+
+class TestSplitGuards:
+    def test_negative_split_bytes_disables_splitting(self, cache_dir):
+        """A negative splitBytes must mean 'no splitting' — an empty
+        range list would silently drop the file's rows."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sidecar_spark.sources.cached_parquet import (
+            CachedParquetReader,
+        )
+
+        remote = tempfile.mkdtemp(prefix="neg-remote-")
+        pq.write_table(pa.table({"a": list(range(1000))}),
+                       os.path.join(remote, "p.parquet"))
+        conf = _conf(tempfile.mkdtemp(dir=cache_dir), "executor")
+        mgr = CacheManager.get_or_create(conf)
+        try:
+            reader = CachedParquetReader(
+                {"path": remote, "conf": conf.to_json(),
+                 "split_bytes": "-65536"})
+            parts = reader.partitions()
+            assert len(parts) == 1
+            assert sum(b.num_rows for b in reader.read(parts[0])) == 1000
+        finally:
+            mgr.release()
+            CacheManager.clear_instances()
+
+    def test_cold_split_scan_fills_mirror_once(self, cache_dir):
+        """Only the split owning byte 0 materializes — N cold split
+        tasks must not each copy the whole file."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sidecar_spark.sources.cached_parquet import (
+            CachedParquetReader,
+        )
+
+        remote = tempfile.mkdtemp(prefix="once-remote-")
+        pq.write_table(pa.table({"a": list(range(100_000))}),
+                       os.path.join(remote, "p.parquet"),
+                       row_group_size=10_000)
+        conf = _conf(tempfile.mkdtemp(dir=cache_dir), "executor")
+        mgr = CacheManager.get_or_create(conf)
+        try:
+            reader = CachedParquetReader(
+                {"path": remote, "conf": conf.to_json(),
+                 "split_bytes": "65536"})
+            parts = reader.partitions()
+            assert len(parts) > 2
+            seen = []
+            for p in parts:
+                for b in reader.read(p):
+                    seen.extend(b.column(0).to_pylist())
+            assert sorted(seen) == list(range(100_000))
+            file_len = os.path.getsize(os.path.join(remote, "p.parquet"))
+            mroot = os.path.join(conf.cache_dir, "mirror")
+            copies = [n for n in os.listdir(mroot) if ".tmp-" not in n]
+            # exactly ONE full-file fill (the byte-0 split), never N
+            assert len(copies) == 1
+            assert os.path.getsize(
+                os.path.join(mroot, copies[0])) == file_len
+            # and the next scan is all-local
+            r1 = mgr.stats.get("total_read_requests_from_remote")
+            for p in reader.partitions():
+                for _ in reader.read(p):
+                    pass
+            assert mgr.stats.get("total_read_requests_from_remote") == r1
+        finally:
+            mgr.release()
+            CacheManager.clear_instances()
+
+
+class TestSessionZoneForms:
+    def test_offset_zone_forms(self):
+        import datetime
+
+        from sidecar_spark.sources.cached_parquet import _session_zone
+
+        probe = datetime.datetime(2024, 1, 1)
+        for name, hours in (("GMT+8", 8), ("UTC+08:00", 8),
+                            ("+08:00", 8), ("-0730", -7.5),
+                            ("UT+2", 2)):
+            z = _session_zone(name)
+            assert z.utcoffset(probe) == datetime.timedelta(hours=hours), name
+        assert _session_zone("America/Los_Angeles") is not None
+        assert _session_zone("not/a/zone").utcoffset(probe) == \
+            datetime.timedelta(0)
+
+    def test_timestamp_partition_respects_session_zone(self, spark,
+                                                       cache_dir):
+        """Timestamp partition values are wall times in the session
+        zone: flip the session to GMT+8 and both modes must still
+        match the JVM scan."""
+        root = os.path.join(tempfile.mkdtemp(prefix="pi-z-"), "t.parquet")
+        _write_part(spark, root, "t=2024-01-01 12%3A34%3A56", [(1, "a")])
+        old = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "GMT+8")
+        try:
+            _assert_parity(spark, cache_dir, root)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)

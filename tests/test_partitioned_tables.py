@@ -292,7 +292,10 @@ class TestReviewFindingsRound5b:
         assert infer_partition_types([[("v", "inf")]]) == [("v", "string")]
         assert infer_partition_types([[("v", "nan")]]) == [("v", "string")]
         assert infer_partition_types([[("v", "1e3")]]) == [("v", "decimal(4,0)")]
-        assert infer_partition_types([[("v", " 1")]]) == [("v", "string")]
+        # Double.parseDouble TRIMS (String.trim) — " 1" is double 1.0
+        # in the JVM (round-6 probe; the round-5 assertion here was
+        # written without probing and had it backwards)
+        assert infer_partition_types([[("v", " 1")]]) == [("v", "double")]
 
     def test_exotic_inferred_values_match_jvm(self, spark, cache_dir):
         """End-to-end: underscore/huge/inf partition values must read
