@@ -527,11 +527,17 @@ def _filter_matches(raw: str, op: str, ref) -> bool:
 
 
 class CachedParquetReader(DataSourceReader):
-    def __init__(self, options, schema=None):
+    def __init__(self, options, schema=None, files=None):
         path = options.get("path")
         if not path:
             raise ValueError("sidecar_cached_parquet requires option 'path'")
         self.path = path
+        #: one-shot listing snapshot handed down from schema() — the
+        #: FIRST partitions() call consumes it (one object-store LIST
+        #: per planned query instead of two, and schema + partitions
+        #: see the same snapshot); re-executions re-list fresh so a
+        #: mutated table is never served from a stale listing
+        self._files_once = files
         self.conf_json = options.get("conf")
         if not self.conf_json:
             raise ValueError("sidecar_cached_parquet requires option 'conf'")
@@ -562,7 +568,9 @@ class CachedParquetReader(DataSourceReader):
         # down here would pay FileMirror._rebuild + adopt_disk (two
         # full cache-root walks) per query planned
         mgr = CacheManager.get_or_create(self._conf())
-        files = mgr.list_files(self.path)
+        files, self._files_once = self._files_once, None
+        if files is None:
+            files = mgr.list_files(self.path)
         veto = False
         if mgr.mirror is not None and mgr.mirror.capacity:
             admitted = sum(
@@ -725,6 +733,9 @@ class CachedParquetSource(DataSource):
         # JVM scan's choice under schema evolution (a listing in OS
         # order sampled a different file and diverged the schema)
         files = sorted(files, key=lambda s: s.path)
+        # hand the listing down to the reader: one object-store LIST
+        # per planned query, and schema/partitions share a snapshot
+        self._files_snapshot = files
         fs, p = mgr._resolve(files[0].path)
         local = (mgr.mirror.lookup(p, files[0].mtime)
                  if mgr.mirror is not None else None)
@@ -836,9 +847,12 @@ class CachedParquetSource(DataSource):
         # hard-rejects while spark.sql.python.filterPushdown.enabled
         # is false — the Engine ships the session conf's query-time
         # value as the "pushdown" option
+        files = getattr(self, "_files_snapshot", None)
+        self._files_snapshot = None  # one-shot: re-plans re-list
         if str(self.options.get("pushdown", "false")).lower() == "true":
-            return PruningCachedParquetReader(self.options, schema)
-        return CachedParquetReader(self.options, schema)
+            return PruningCachedParquetReader(self.options, schema,
+                                              files=files)
+        return CachedParquetReader(self.options, schema, files=files)
 
 
 def _ddl_type(ddl: str):

@@ -792,3 +792,47 @@ class TestHintDetectorSingletonKey:
             ma.release()
             mb.release()
             CacheManager.clear_instances()
+
+
+class TestSingleListingPerPlan:
+    """Round-6 metadata-path economy: schema() hands its listing down
+    to the reader, so planning one executor-mode query costs ONE
+    object-store LIST, not two — and a re-execution re-lists fresh
+    (never a stale snapshot for a mutated table)."""
+
+    def test_one_list_request_per_planned_query(self, spark, cache_dir):
+        import io
+
+        from sidecar_spark import Engine
+        from sidecar_spark.testing.s3server import S3StubServer
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        with S3StubServer() as srv:
+            os.environ["SIDECAR_S3_ENDPOINT"] = srv.endpoint
+            try:
+                fs, _ = RemoteFS.from_uri("s3://lake")
+                buf = io.BytesIO()
+                pq.write_table(pa.table({"a": [1, 2, 3]}), buf)
+                fs.write_all("s3://lake/one.parquet/part-0.parquet",
+                             buf.getvalue())
+                eng = Engine(spark, conf=_conf(cache_dir))
+                try:
+                    srv.store.clear_requests()
+                    assert eng.read_parquet("s3://lake/one.parquet") \
+                        .count() == 3
+                    # one full LIST for the plan (schema+partitions
+                    # share the snapshot — the pre-round-6 path
+                    # listed twice); the single max-keys=1 request
+                    # alongside is list_files' own stat probe
+                    full_lists = [r for r in srv.store.requests
+                                  if r[0] == "GET"
+                                  and "list-type" in r[1]
+                                  and "max-keys=1&" not in r[1]]
+                    assert len(full_lists) == 1, srv.store.requests
+                finally:
+                    eng.close()
+                    CacheManager.clear_instances()
+            finally:
+                os.environ.pop("SIDECAR_S3_ENDPOINT", None)
