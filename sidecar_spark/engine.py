@@ -26,6 +26,12 @@ TPCH_TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+#: reader options whose semantics are tied to the ORIGINAL file paths
+#: or mtimes — they cannot be applied to content-addressed mirror
+#: copies, so reads carrying them go to the original tree raw
+_PATH_SEMANTIC_OPTS = {"basepath", "pathglobfilter",
+                       "modifiedbefore", "modifiedafter"}
+
 
 class Engine:
     def __init__(self, spark, base_dir: Optional[str] = None,
@@ -121,6 +127,16 @@ class Engine:
             # multi-node clusters executor mode exists for — so an
             # options read goes to the ORIGINAL location raw:
             # correct everywhere, merely uncached (round-5 advice).
+            return _select(
+                self.spark.read.options(**options).parquet(location))
+        if options and any(k.lower() in _PATH_SEMANTIC_OPTS
+                           for k in options):
+            # these options are about the ORIGINAL paths: a glob or
+            # basePath evaluated against content-addressed mirror
+            # names matches the wrong files (probed: pathGlobFilter
+            # filtered out every resolved file), and modifiedBefore/
+            # After would silently filter on mirror COPY times — read
+            # the original tree raw, correctness over caching
             return _select(
                 self.spark.read.options(**options).parquet(location))
         try:

@@ -836,3 +836,39 @@ class TestSingleListingPerPlan:
                     CacheManager.clear_instances()
             finally:
                 os.environ.pop("SIDECAR_S3_ENDPOINT", None)
+
+
+class TestPathSemanticOptions:
+    """Round-6 probe find: pathGlobFilter/basePath/modifiedBefore/
+    modifiedAfter are about the ORIGINAL paths — applied to
+    content-addressed mirror names they match the wrong files (glob
+    filtered out everything; basePath threw; modified* would filter
+    on copy times). Reads carrying them go to the original tree raw
+    in BOTH modes."""
+
+    def test_glob_and_basepath_match_jvm(self, spark, cache_dir):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sidecar_spark import Engine
+
+        root = tempfile.mkdtemp(prefix="psem-")
+        loc = os.path.join(root, "t.parquet")
+        os.makedirs(loc)
+        pq.write_table(pa.table({"a": [1, 2]}),
+                       os.path.join(loc, "data-1.parquet"))
+        pq.write_table(pa.table({"a": [3, 4]}),
+                       os.path.join(loc, "other-2.parquet"))
+        jvm_glob = sorted(
+            r.a for r in spark.read.option("pathGlobFilter", "data-*")
+            .parquet(loc).collect())
+        for mode in ("driver", "executor"):
+            tmp = tempfile.mkdtemp(prefix=f"psem-{mode}-", dir=cache_dir)
+            eng = Engine(spark, conf=_conf(tmp, resolve_mode=mode))
+            try:
+                got = eng.read_parquet(loc, pathGlobFilter="data-*")
+                assert sorted(r.a for r in got.collect()) == jvm_glob, mode
+                assert eng.read_parquet(loc, basePath=loc).count() == 4, mode
+            finally:
+                eng.close()
+                CacheManager.clear_instances()
