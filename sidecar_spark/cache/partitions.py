@@ -125,7 +125,9 @@ def layout_specs(root: str, files) -> Optional[List[List[Tuple[str, str]]]]:
             return None
         specs.append(spec)
         shapes.add(tuple(decode_key(k).lower() for k, _ in spec))
-        for raw_k, _ in spec:
+        for raw_k, raw_v in spec:
+            if raw_v == "":
+                return None  # k= (empty value): the JVM scan refuses
             k = decode_key(raw_k)
             if case_of.setdefault(k.lower(), k) != k:
                 return None  # case-conflicting key names

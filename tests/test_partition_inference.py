@@ -412,3 +412,42 @@ class TestSessionZoneForms:
             _assert_parity(spark, cache_dir, root)
         finally:
             spark.conf.set("spark.sql.session.timeZone", old)
+
+
+class TestEmptyPartitionValue:
+    def test_empty_value_refused_like_jvm(self, spark, cache_dir):
+        """A ``k=`` directory (empty value): the JVM scan refuses —
+        driver mode delegates to that exact error, executor mode
+        raises its own clear one (round-6 probe)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        root = os.path.join(tempfile.mkdtemp(prefix="pi-e-"), "t.parquet")
+        for rel, ids in (("k=", [1]), ("k=z", [2])):
+            d = os.path.join(root, rel)
+            os.makedirs(d)
+            pq.write_table(pa.table({"id": ids}),
+                           os.path.join(d, "f.parquet"))
+        with pytest.raises(Exception):
+            spark.read.parquet(root).collect()  # ground truth
+        for mode in ("driver", "executor"):
+            eng = _engine(spark, cache_dir, mode)
+            try:
+                with pytest.raises(Exception):
+                    eng.read_parquet(root).collect()
+            finally:
+                eng.close()
+                CacheManager.clear_instances()
+
+    def test_spark_written_special_values_roundtrip(self, spark,
+                                                    cache_dir):
+        """Values Spark itself writes (space, unicode, '=', '/', '%',
+        empty string → hive-null, real null) must read back
+        identically in both modes."""
+        loc = os.path.join(tempfile.mkdtemp(prefix="pi-w-"), "t.parquet")
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "café"), (3, "x=y"), (4, "p/q"),
+             (5, ""), (6, None), (7, "100%")],
+            "id int, k string")
+        df.write.partitionBy("k").parquet(loc)
+        _assert_parity(spark, cache_dir, loc)
