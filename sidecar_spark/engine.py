@@ -96,6 +96,22 @@ class Engine:
         projects the read: executor mode prunes the parquet column
         chunks each task moves; driver mode selects (Catalyst prunes
         the JVM scan)."""
+        return self._cached_read(location, "parquet", columns, options)
+
+    def read_format(self, location: str, format: str,  # noqa: A002
+                    columns: Optional[List[str]] = None, **options):
+        """Cached read for ANY Spark file-source format (csv, json,
+        orc, text, xml, avro, ...) — the reference caches every file
+        type because it IS a FileSystem, so format-agnostic caching is
+        part of the capability. Driver mode resolves through the
+        mirror exactly like parquet (hive-partitioned layouts
+        included); executor mode reads the original location raw for
+        non-parquet formats — the executor-side Python DataSource
+        decodes parquet specifically, and a wrong-but-cached read is
+        never an acceptable trade."""
+        return self._cached_read(location, format, columns, options)
+
+    def _cached_read(self, location: str, fmt: str, columns, options):
         # scale guard: a COLD table at/over auto_warm_bytes is warmed
         # by Spark tasks first (each node fills its own mirror), so the
         # subsequent resolve is all hits and the driver never funnels
@@ -109,9 +125,19 @@ class Engine:
         def _select(df):
             return df.select(*columns) if columns else df
 
+        # `schema` is a reader METHOD, not an option — silently
+        # passing it through .options() would be ignored and the read
+        # would fall back to inference with different types
+        schema = (options or {}).pop("schema", None)
+
+        def _raw(*paths):
+            reader = self.spark.read.options(**options).format(fmt)
+            if schema is not None:
+                reader = reader.schema(schema)
+            return reader.load(list(paths) if paths else location)
+
         if self.cache is None:
-            return _select(
-                self.spark.read.options(**options).parquet(location))
+            return _select(_raw())
         if (self.conf.resolve_mode == "executor"
                 and not location.startswith("mem://")):
             # real-cluster mode: the resolve happens INSIDE each scan
@@ -119,16 +145,15 @@ class Engine:
             # materializes node-locally instead of erroring; see
             # sources/cached_parquet.py). mem:// is process-local —
             # unreachable from workers — so it stays driver-resolved.
-            if not options:
+            if fmt == "parquet" and not options and schema is None:
                 return self._read_executor_resolved(location, columns)
-            # the Python source implements the default option set
-            # only. A driver-resolve fallback here would hand scan
-            # tasks driver-LOCAL mirror paths — unreadable on the
-            # multi-node clusters executor mode exists for — so an
-            # options read goes to the ORIGINAL location raw:
+            # the Python source decodes parquet with the default
+            # option set only. A driver-resolve fallback here would
+            # hand scan tasks driver-LOCAL mirror paths — unreadable
+            # on the multi-node clusters executor mode exists for —
+            # so everything else goes to the ORIGINAL location raw:
             # correct everywhere, merely uncached (round-5 advice).
-            return _select(
-                self.spark.read.options(**options).parquet(location))
+            return _select(_raw())
         if options and any(k.lower() in _PATH_SEMANTIC_OPTS
                            for k in options):
             # these options are about the ORIGINAL paths: a glob or
@@ -137,13 +162,11 @@ class Engine:
             # filtered out every resolved file), and modifiedBefore/
             # After would silently filter on mirror COPY times — read
             # the original tree raw, correctness over caching
-            return _select(
-                self.spark.read.options(**options).parquet(location))
+            return _select(_raw())
         try:
             files = self.cache.list_files(location)
         except Exception:  # noqa: BLE001 — listing trouble: let Spark
-            return _select(self.spark.read.options(**options)
-                           .parquet(location))  # read it raw
+            return _select(_raw())  # read it raw
         if (self.cache.mirror is not None and self.conf.auto_warm_bytes
                 and not location.startswith("mem://")):
             try:
@@ -156,16 +179,16 @@ class Engine:
                 pass           # fails the read; resolve self-heals
         paths = self.cache.resolve_for_spark(location, files=files)
         if not paths:
-            return _select(
-                self.spark.read.options(**options).parquet(location))
+            return _select(_raw())
         partitioned = self._partitioned_read(location, files, paths,
-                                             options)
+                                             options, fmt=fmt,
+                                             schema=schema)
         if partitioned is not None:
             return _select(partitioned)
-        return _select(
-            self.spark.read.options(**options).parquet(*paths))
+        return _select(_raw(*paths))
 
-    def _partitioned_read(self, location, files, paths, options=None):
+    def _partitioned_read(self, location, files, paths, options=None,
+                           fmt="parquet", schema=None):
         """Hive-partitioned tables: Spark derives partition COLUMNS
         from key=value directories, which concrete resolved file paths
         strip — a flat path list silently loses those columns. When
@@ -198,7 +221,7 @@ class Engine:
             # not a clean hive tree: delegate to the JVM scan on the
             # original root (it errors on nested plain dirs, drops
             # mixed-depth root files — whatever it does IS the parity)
-            return self.spark.read.options(**opts).parquet(location)
+            return self._reader(opts, fmt, schema).load(location)
         if not any(specs):
             return None
         local = [p for p in paths if p is not None
@@ -208,8 +231,7 @@ class Engine:
             # some files stream remote (veto / exclusion / fill
             # failure): a mixed symlink tree cannot represent them —
             # scan the real table tree instead
-            return (self.spark.read.options(**(options or {}))
-                    .parquet(location))
+            return self._reader(options, fmt, schema).load(location)
         pairs = []
         for spec, lp in zip(specs, local):
             rel = "/".join(f"{k}={v}" for k, v in spec)
@@ -217,8 +239,15 @@ class Engine:
                           if rel else os.path.basename(lp), lp))
         view = build_symlink_view(
             os.path.join(self.conf.cache_dir, "views"), pairs)
-        return (self.spark.read.options(**(options or {}))
-                .option("basePath", view).parquet(view))
+        return (self._reader(options, fmt, schema)
+                .option("basePath", view).load(view))
+
+    def _reader(self, options, fmt, schema=None):
+        reader = (self.spark.read.options(**(options or {}))
+                  .format(fmt))
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader
 
     def _read_executor_resolved(self, location: str, columns=None):
         """Build the scan through the cache-backed Python DataSource:

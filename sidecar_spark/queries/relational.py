@@ -285,6 +285,75 @@ def partitioned_typed_read(spark, sf_dir):
     )
 
 
+@query(
+    "cached_csv_read_agg",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def cached_csv_read_agg(spark, sf_dir):
+    """Format-agnostic cached reads (round-6): the reference caches
+    EVERY file type — it is a FileSystem — so ``Engine.read_format``
+    resolves csv/json/orc/... through the same mirror as parquet.
+    orders is materialized to CSV once, read back through the cache
+    with header+schema options, and must aggregate identically to the
+    parquet original the oracle reads."""
+    import os as _os
+
+    from sidecar_spark import Engine, SidecarConfig
+
+    conf = SidecarConfig.create(
+        cache_dir=_os.path.join("/tmp", "sidecar-query-cache"),
+        data_cache_type="file", cache_persistent=False)
+    eng = Engine(spark, base_dir=sf_dir, conf=conf)
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    dest = f"/tmp/sidecar-engine-write/{tag}/orders_csv"
+    if not _os.path.exists(_os.path.join(dest, "_SUCCESS")):
+        (eng.table("orders")
+         .select("o_orderpriority", "o_totalprice")
+         .write.mode("overwrite").option("header", "true").csv(dest))
+    df = eng.read_format(
+        dest, "csv", header="true",
+        schema="o_orderpriority string, o_totalprice double")
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+
+
+@query(
+    "cached_orc_read_agg",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n_nations,
+           min(n_name) AS first_name
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def cached_orc_read_agg(spark, sf_dir):
+    """ORC through the cache (round-6, Engine.read_format): same
+    mirror resolve as parquet, different decoder — proving the cache
+    layer is format-blind exactly like the reference FS."""
+    import os as _os
+
+    from sidecar_spark import Engine, SidecarConfig
+
+    conf = SidecarConfig.create(
+        cache_dir=_os.path.join("/tmp", "sidecar-query-cache"),
+        data_cache_type="file", cache_persistent=False)
+    eng = Engine(spark, base_dir=sf_dir, conf=conf)
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    dest = f"/tmp/sidecar-engine-write/{tag}/nation_orc"
+    if not _os.path.exists(_os.path.join(dest, "_SUCCESS")):
+        eng.table("nation").write.mode("overwrite").orc(dest)
+    df = eng.read_format(dest, "orc")
+    return df.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"))
+
+
 # ---------------------------------------------------------------------------
 # aggregation
 # ---------------------------------------------------------------------------

@@ -872,3 +872,86 @@ class TestPathSemanticOptions:
             finally:
                 eng.close()
                 CacheManager.clear_instances()
+
+
+class TestReadFormatAnyFileType:
+    """Round-6: the reference caches every file type (it is a
+    FileSystem) — Engine.read_format serves csv/json/orc through the
+    same mirror resolve as parquet; executor mode reads non-parquet
+    raw (the Python source decodes parquet specifically)."""
+
+    def _write_tables(self, spark):
+        root = tempfile.mkdtemp(prefix="fmt-")
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)],
+            "id int, k string, v double")
+        locs = {}
+        for fmt, opts in (("csv", {"header": "true"}),
+                          ("json", {}), ("orc", {})):
+            loc = os.path.join(root, f"t_{fmt}")
+            df.write.options(**opts).format(fmt).save(loc)
+            locs[fmt] = loc
+        return locs
+
+    def test_driver_mode_parity_and_mirror_fill(self, spark, cache_dir):
+        from sidecar_spark import Engine
+
+        locs = self._write_tables(spark)
+        for fmt, opts in (("csv", {"header": "true",
+                                   "inferSchema": "true"}),
+                          ("json", {}), ("orc", {})):
+            tmp = tempfile.mkdtemp(prefix=f"fmt-{fmt}-", dir=cache_dir)
+            eng = Engine(spark, conf=_conf(tmp, resolve_mode="driver"))
+            try:
+                plain = (spark.read.options(**opts).format(fmt)
+                         .load(locs[fmt]))
+                got = eng.read_format(locs[fmt], fmt, **opts)
+                assert got.schema == plain.schema, fmt
+                assert (sorted(map(str, got.collect()))
+                        == sorted(map(str, plain.collect()))), fmt
+                mroot = os.path.join(tmp, "mirror")
+                assert [f for f in os.listdir(mroot)
+                        if ".tmp-" not in f], fmt  # served from mirror
+                # and the scan really reads the mirror paths
+                plan = got._jdf.queryExecution().executedPlan().toString()
+                assert tmp in plan, fmt
+            finally:
+                eng.close()
+                CacheManager.clear_instances()
+
+    def test_executor_mode_reads_raw(self, spark, cache_dir):
+        from sidecar_spark import Engine
+
+        locs = self._write_tables(spark)
+        eng = Engine(spark, conf=_conf(cache_dir, resolve_mode="executor"))
+        try:
+            got = eng.read_format(locs["json"], "json")
+            plan = got._jdf.queryExecution().executedPlan().toString()
+            assert cache_dir not in plan  # original location, raw
+            assert got.count() == 3
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_partitioned_csv_keeps_partition_columns(self, spark,
+                                                     cache_dir):
+        from sidecar_spark import Engine
+
+        root = tempfile.mkdtemp(prefix="fmt-part-")
+        loc = os.path.join(root, "t_csv")
+        df = spark.createDataFrame(
+            [(1, "x", "p1"), (2, "y", "p2")], "id int, v string, k string")
+        df.write.partitionBy("k").option("header", "true").csv(loc)
+        plain = (spark.read.option("header", "true")
+                 .option("inferSchema", "true").csv(loc))
+        eng = Engine(spark, conf=_conf(cache_dir, resolve_mode="driver"))
+        try:
+            got = eng.read_format(loc, "csv", header="true",
+                                  inferSchema="true")
+            assert got.schema == plain.schema
+            assert (sorted(map(str, got.collect()))
+                    == sorted(map(str, plain.collect())))
+            assert "k" in got.columns  # symlink view kept the keys
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
