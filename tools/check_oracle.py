@@ -170,10 +170,17 @@ def main() -> int:
         # back-to-back 120 s timeouts on a query that passes in a
         # fresh interpreter. When the second attempt still shows a
         # wedge signature, restart the SparkSession and try once more.
+        # round-6 addition: host THREAD exhaustion ("can't start new
+        # thread") poisons the session's worker pools the same way —
+        # both in-session retries fail identically while a fresh
+        # session (after a cooldown for the pressure spike to pass)
+        # succeeds. Observed live: 4 resource-class failures in one
+        # pressured run, all green on immediate re-run.
         wedge_markers = ("did not terminate within", "STREAM_FAILED",
                          "FOREACH_BATCH_USER_FUNCTION_ERROR",
                          "Error while sending a command",
-                         "Py4JNetworkError")
+                         "Py4JNetworkError",
+                         "can't start new thread")
         for attempt in (0, 1, 2):
             try:
                 sdf = fn(spark, args.sf_dir).toPandas()
@@ -187,6 +194,7 @@ def main() -> int:
                         spark.stop()
                     except Exception:  # noqa: BLE001
                         pass
+                    time.sleep(10)  # let a transient pressure spike pass
                     spark = _new_session()
                     errs.append("(session restarted for attempt 3)")
         err = " | ".join(errs) if sdf is None and errs else None
