@@ -22,7 +22,7 @@ import sys
 import time
 
 
-def main(paths: list[str]) -> None:
+def main(paths: list[str], allow_union: bool = False) -> None:
     runs = []
     for p in paths:
         with open(p) as f:
@@ -35,24 +35,45 @@ def main(paths: list[str]) -> None:
     if not runs:
         raise SystemExit("no bench records found")
     names = set(runs[0]["queries"])
+    union = False
     for r in runs[1:]:
         if set(r["queries"]) != names:
-            raise SystemExit("runs cover different query sets — "
-                             "same-methodology merge impossible")
-    per_query = {q: round(min(r["queries"][q] for r in runs), 3)
-                 for q in sorted(names)}
+            if not allow_union:
+                raise SystemExit(
+                    "runs cover different query sets — same-methodology "
+                    "merge impossible (pass --union when the battery "
+                    "GREW mid-round: per-query min over the runs that "
+                    "contain each query, sample counts recorded)")
+            union = True
+            names |= set(r["queries"])
+    per_query = {}
+    samples = {}
+    for q in sorted(names):
+        vals = [r["queries"][q] for r in runs if q in r["queries"]]
+        per_query[q] = round(min(vals), 3)
+        samples[q] = len(vals)
     per_run_totals = [r["value"] for r in runs]
     merged = dict(runs[-1])
     merged["queries"] = per_query
     merged["value"] = round(sum(per_query.values()), 3)
-    merged["note"] = (
+    note = (
         f"per-query min over {len(runs)} full runs "
         f"({time.strftime('%Y-%m-%d')}, all at HEAD); per-run totals "
         + "/".join(f"{t:.1f}" for t in per_run_totals) + " s; compare "
         "ONLY against another min-of-N record (same methodology)")
+    if union:
+        few = sorted(q for q, n in samples.items() if n < len(runs))
+        note += (f"; UNION merge — {len(few)} queries joined the "
+                 f"battery mid-round and carry fewer samples: "
+                 + ",".join(few[:8]))
+        merged["samples"] = {q: n for q, n in samples.items()
+                             if n < len(runs)}
+    merged["note"] = note
     merged["per_run_totals"] = per_run_totals
     print(json.dumps(merged))
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:])
+    argv = sys.argv[1:]
+    main([a for a in argv if a != "--union"],
+         allow_union="--union" in argv)
