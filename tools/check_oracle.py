@@ -256,6 +256,18 @@ def main() -> int:
         print(f"{status} {name}: rows={len(sdf)} [{secs:.1f}s] {reason}")
     if args.out and record:
         import json
+        if getattr(args, "only", None) and os.path.exists(args.out):
+            # an --only rerun must MERGE into the existing full record,
+            # not overwrite 400+ entries with a handful (a footgun that
+            # twice destroyed the round-6 record mid-round)
+            try:
+                with open(args.out, encoding="utf-8") as fh:
+                    full = json.load(fh)
+            except Exception:  # noqa: BLE001 — corrupt file: rewrite
+                full = {}
+            if len(full) > len(record):
+                full.update(record)
+                record = full
         with open(args.out, "w", encoding="utf-8") as fh:
             json.dump(record, fh, indent=1, sort_keys=True)
         print(f"wrote {args.out} ({len(record)} queries)")
