@@ -198,15 +198,19 @@ def java_parse_double(v: str) -> Optional[float]:
 def infer_value_type(v: str) -> Tuple[str, Optional[int]]:
     """One decoded partition value → (kind, decimal precision|None),
     following the probed JVM ladder exactly."""
-    # Integer/Long.parseInt reject anything beyond ~19 digits anyway —
-    # the length gate avoids materializing a 5000-digit int (Python
-    # caps int() conversions at 4300 digits with a ValueError)
-    if len(v) <= 20 and _INT_RE.fullmatch(v):
-        i = int(v)
-        if -2**31 <= i < 2**31:
-            return ("int", None)
-        if -2**63 <= i < 2**63:
-            return ("bigint", None)
+    # Integer/Long.parseInt reject anything beyond ~19 SIGNIFICANT
+    # digits (overflow) but accept leading zeros of any length — gate
+    # on significant digits, not raw length, so a zero-padded
+    # "0...001" stays int like the JVM (round-6 advice #3) while a
+    # 5000-digit value never materializes a giant Python int
+    if _INT_RE.fullmatch(v):
+        digits = v.lstrip("+-").lstrip("0") or "0"
+        if len(digits) <= 19:
+            i = int(v[0] + digits if v[0] in "+-" else digits)
+            if -2**31 <= i < 2**31:
+                return ("int", None)
+            if -2**63 <= i < 2**63:
+                return ("bigint", None)
         # beyond int64 falls through to the decimal/double tries
     if _DEC_RE.fullmatch(v):
         d = decimal.Decimal(v)  # preserves textual scale like JBigDecimal

@@ -129,6 +129,15 @@ class Engine:
         # passing it through .options() would be ignored and the read
         # would fall back to inference with different types
         schema = (options or {}).pop("schema", None)
+        # per-READ split-size override for the executor scan (cleaner
+        # than mutating the shared session conf and restoring it);
+        # popped here so it never reaches Spark's reader and never
+        # forces the everything-else raw fallback below
+        split_bytes = None
+        for k in list(options or ()):
+            if k.lower() in ("split_bytes",
+                             "spark.sidecar.scan.splitbytes"):
+                split_bytes = options.pop(k)
 
         def _raw(*paths):
             reader = self.spark.read.options(**options).format(fmt)
@@ -146,7 +155,8 @@ class Engine:
             # sources/cached_parquet.py). mem:// is process-local —
             # unreachable from workers — so it stays driver-resolved.
             if fmt == "parquet" and not options and schema is None:
-                return self._read_executor_resolved(location, columns)
+                return self._read_executor_resolved(
+                    location, columns, split_bytes=split_bytes)
             # the Python source decodes parquet with the default
             # option set only. A driver-resolve fallback here would
             # hand scan tasks driver-LOCAL mirror paths — unreadable
@@ -213,7 +223,11 @@ class Engine:
         )
 
         opts = options or {}
-        if str(opts.get("recursiveFileLookup", "false")).lower() == "true":
+        # reader option KEYS are case-insensitive in Spark — match
+        # recursivefilelookup=true however the caller spelled it
+        rfl = next((v for k, v in opts.items()
+                    if k.lower() == "recursivefilelookup"), "false")
+        if str(rfl).lower() == "true":
             return None  # flat cached read = JVM recursive semantics
         _, root = self.cache._resolve(location)  # noqa: SLF001
         specs = layout_specs(root, files)
@@ -249,7 +263,8 @@ class Engine:
             reader = reader.schema(schema)
         return reader
 
-    def _read_executor_resolved(self, location: str, columns=None):
+    def _read_executor_resolved(self, location: str, columns=None,
+                                split_bytes=None):
         """Build the scan through the cache-backed Python DataSource:
         byte-range partitions over the data files, each task resolving
         against ITS node's CacheManager (sources/cached_parquet.py
@@ -306,7 +321,10 @@ class Engine:
                   .option("ntz", ntz)
                   .option("pushdown", pushdown)
                   .option("tz", tz)
-                  .option("split_bytes", str(self._scan_split_bytes())))
+                  .option("split_bytes", str(
+                      _parse_bytes(str(split_bytes))
+                      if split_bytes is not None
+                      else self._scan_split_bytes())))
         if columns:
             import json
 

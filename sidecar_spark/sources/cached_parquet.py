@@ -314,28 +314,42 @@ def _read_file_batches(mgr, part: _FilePart, columns=None):
         except Exception:  # noqa: BLE001 — page path is best-effort
             stream = None
         if stream is not None:
-            yielded = 0
+            emitted = []
             ok = True
             try:
                 try:
                     for batch in one_pass(_PageCachedFile(stream)):
                         yield batch
-                        yielded += 1
+                        emitted.append(batch)
+                    emitted = None  # complete: drop the audit trail
                 finally:
                     stream.close()
             except Exception:  # noqa: BLE001 — mid-stream page-store
                 ok = False     # trouble never fails the read either
-            if ok:
-                return
-            # restart from remote, skipping the batches already
-            # emitted — the iteration is deterministic (same bytes,
-            # same batch_size, same row groups, same columns), so
-            # batch N of the remote pass is batch N of the page pass
+            if ok or emitted is None:  # None: all batches were
+                return                 # emitted; only close() failed
+            # restart from remote. The iteration is deterministic
+            # (same bytes, same batch_size, same row groups, same
+            # columns), so batch N of the remote pass is batch N of
+            # the page pass — and the remote pass DECODES those
+            # batches anyway, so instead of discarding them blindly
+            # they are VERIFIED against what was already emitted: a
+            # page store that served decodable-but-wrong bytes before
+            # failing surfaces here as a loud task failure (Spark
+            # retries the split atomically) rather than wrong rows
+            # baked silently into the result (round-6 advice #2).
             mgr.stats.add("total_read_requests_from_remote")
             mgr.stats.add("total_bytes_read_remote", span)
             with fs.open_read(p) as f:
                 for i, batch in enumerate(one_pass(f)):
-                    if i >= yielded:
+                    if i < len(emitted):
+                        if not batch.equals(emitted[i]):
+                            raise RuntimeError(
+                                f"page-cache served wrong bytes for "
+                                f"{p!r} batch {i} before failing; "
+                                "failing the task so Spark re-reads "
+                                "the split atomically")
+                    else:
                         yield batch
             return
     mgr.stats.add("total_read_requests_from_remote")
@@ -630,7 +644,12 @@ class CachedParquetReader(DataSourceReader):
         mgr = CacheManager.get_or_create(self._conf())
         if part.first and part.veto:
             # one detected scan per scan EXECUTED (reference
-            # semantics: the ScanDetector fires on reads, not plans)
+            # semantics: the ScanDetector fires on reads, not plans).
+            # Documented approximation (round-6 advice #5): a Spark
+            # retry/speculative run of THIS partition double-counts,
+            # and a plan that prunes every partition counts zero —
+            # exact-once would need a driver-side scan-id dedup, a
+            # heavier mechanism than a monitoring counter warrants
             mgr.stats.add("total_scans_detected")
         columns = None
         if self.schema is not None:

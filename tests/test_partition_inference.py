@@ -70,6 +70,12 @@ class TestInferenceLadderUnits:
             ("5", ("int", None)), ("007", ("int", None)),
             ("+5", ("int", None)),
             ("9223372036854775806", ("bigint", None)),
+            # Integer/Long.parseInt accept leading zeros of ANY length
+            # — the gate counts significant digits (round-6 advice #3)
+            ("0" * 24 + "1", ("int", None)),
+            ("-" + "0" * 30, ("int", None)),
+            ("+" + "0" * 25 + "9223372036854775806", ("bigint", None)),
+            ("0" * 4300, ("int", None)),  # all-zero: int 0, no giant int
             ("123456789012345678901", ("decimal", 21)),
             ("1e5", ("decimal", 6)),      # JBigDecimal scale -5 → 100000
             ("1.", ("decimal", 1)),       # scale 0
@@ -144,6 +150,14 @@ class TestTypedPartitionParityEndToEnd:
         root = os.path.join(tempfile.mkdtemp(prefix="pi-s-"), "t.parquet")
         _write_part(spark, root, "x=123456789012345678901", [(1, "a")])
         _write_part(spark, root, "x=2.5", [(2, "b")])
+        _assert_parity(spark, cache_dir, root)
+
+    def test_zero_padded_int_value(self, spark, cache_dir):
+        """A 25-char zero-padded value is int to parseInt (round-6
+        advice #3) — live JVM oracle decides the truth."""
+        root = os.path.join(tempfile.mkdtemp(prefix="pi-z-"), "t.parquet")
+        _write_part(spark, root, "x=" + "0" * 24 + "1", [(1, "a")])
+        _write_part(spark, root, "x=7", [(2, "b")])
         _assert_parity(spark, cache_dir, root)
 
 
@@ -227,6 +241,26 @@ class TestLayoutParity:
         eng = _engine(spark, cache_dir, "driver")
         try:
             got = eng.read_parquet(root, recursiveFileLookup="true")
+            assert got.schema == jvm.schema
+            assert got.count() == 2
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_recursive_lookup_key_case_insensitive(self, spark,
+                                                   cache_dir):
+        """Spark reader option KEYS are case-insensitive — a read
+        passing recursivefilelookup="true" must take the same flat
+        path as the canonical spelling (round-6 advice #1)."""
+        root = os.path.join(tempfile.mkdtemp(prefix="pi-rc-"), "t.parquet")
+        _write_part(spark, root, "k=1", [(1, "x")])
+        _write_part(spark, root, "k=2", [(2, "y")])
+        jvm = (spark.read.option("recursivefilelookup", "true")
+               .parquet(root))
+        assert "k" not in jvm.columns  # ground truth re-derived
+        eng = _engine(spark, cache_dir, "driver")
+        try:
+            got = eng.read_parquet(root, recursivefilelookup="true")
             assert got.schema == jvm.schema
             assert got.count() == 2
         finally:

@@ -265,9 +265,10 @@ def main() -> int:
                     full = json.load(fh)
             except Exception:  # noqa: BLE001 — corrupt file: rewrite
                 full = {}
-            if len(full) > len(record):
-                full.update(record)
-                record = full
+            # unconditionally: a truncated existing record's entries
+            # outside the rerun must survive too (round-6 advice #4)
+            full.update(record)
+            record = full
         with open(args.out, "w", encoding="utf-8") as fh:
             json.dump(record, fh, indent=1, sort_keys=True)
         print(f"wrote {args.out} ({len(record)} queries)")
