@@ -89,13 +89,14 @@ class Engine:
         parquet reader (``mergeSchema``, ``datetimeRebaseMode``, ...)
         — they apply to the RESOLVED local paths exactly as to the
         originals, since both are the same parquet bytes. Executor
-        mode implements the default option set only, so an options
-        read there goes to the ORIGINAL remote location raw — correct
-        on every node of a real cluster (driver-resolved mirror paths
-        would be unreadable on workers), merely uncached. ``columns``
-        projects the read: executor mode prunes the parquet column
-        chunks each task moves; driver mode selects (Catalyst prunes
-        the JVM scan)."""
+        mode implements the default option set plus ``mergeSchema``
+        (union-of-footers declared schema, JVM merge semantics —
+        sources/cached_parquet.py); any OTHER option there goes to
+        the ORIGINAL remote location raw — correct on every node of a
+        real cluster (driver-resolved mirror paths would be unreadable
+        on workers), merely uncached. ``columns`` projects the read:
+        executor mode prunes the parquet column chunks each task
+        moves; driver mode selects (Catalyst prunes the JVM scan)."""
         return self._cached_read(location, "parquet", columns, options)
 
     def read_format(self, location: str, format: str,  # noqa: A002
@@ -154,9 +155,23 @@ class Engine:
             # materializes node-locally instead of erroring; see
             # sources/cached_parquet.py). mem:// is process-local —
             # unreachable from workers — so it stays driver-resolved.
-            if fmt == "parquet" and not options and schema is None:
+            # mergeSchema is implemented by the Python source (round-6
+            # verdict #1: union-of-footers declared schema, JVM merge
+            # semantics) — peel it off so a mergeSchema-only read
+            # stays on the cached path; None = defer to the session
+            # conf spark.sql.parquet.mergeSchema (option overrides
+            # conf, probed)
+            merge = None
+            rest = {}
+            for k, v in (options or {}).items():
+                if k.lower() == "mergeschema":
+                    merge = str(v).lower() == "true"
+                else:
+                    rest[k] = v
+            if fmt == "parquet" and not rest and schema is None:
                 return self._read_executor_resolved(
-                    location, columns, split_bytes=split_bytes)
+                    location, columns, split_bytes=split_bytes,
+                    merge=merge)
             # the Python source decodes parquet with the default
             # option set only. A driver-resolve fallback here would
             # hand scan tasks driver-LOCAL mirror paths — unreadable
@@ -190,71 +205,96 @@ class Engine:
         paths = self.cache.resolve_for_spark(location, files=files)
         if not paths:
             return _select(_raw())
-        partitioned = self._partitioned_read(location, files, paths,
-                                             options, fmt=fmt,
-                                             schema=schema)
-        if partitioned is not None:
-            return _select(partitioned)
-        return _select(_raw(*paths))
-
-    def _partitioned_read(self, location, files, paths, options=None,
-                           fmt="parquet", schema=None):
-        """Hive-partitioned tables: Spark derives partition COLUMNS
-        from key=value directories, which concrete resolved file paths
-        strip — a flat path list silently loses those columns. When
-        every file resolved LOCAL, rebuild the key=value structure as
-        a content-addressed symlink view over the mirror copies and
-        let Spark's own partition discovery run on it (zero data
-        copies, pruning intact); with any file still remote, read the
-        ORIGINAL table root directly — correctness over caching.
-        Returns None for unpartitioned tables (the caller's flat-path
-        fast path).
-
-        Layout parity (round-6 probes): a layout Spark's discovery
-        refuses — non key=value subdirectories, files at mixed depths
-        — reads the ORIGINAL root raw so the JVM's own error/drop
-        semantics apply verbatim; ``recursiveFileLookup=true``
-        disables partition discovery in the JVM, so it takes the flat
-        resolved-path read here (cached, partition columns dropped —
-        the same result the JVM scan gives)."""
-        from sidecar_spark.cache.partitions import (
-            build_symlink_view,
-            layout_specs,
-        )
-
-        opts = options or {}
-        # reader option KEYS are case-insensitive in Spark — match
-        # recursivefilelookup=true however the caller spelled it
-        rfl = next((v for k, v in opts.items()
+        view_read = self._view_read(location, files, paths, options,
+                                    fmt=fmt, schema=schema)
+        if view_read is not None:
+            return _select(view_read)
+        # some files stream remote (veto / exclusion / fill failure):
+        # a partial symlink tree cannot represent them. Under
+        # recursiveFileLookup the directory structure is NON-semantic
+        # (the JVM flattens and skips partition discovery — probed),
+        # so the mixed flat-path read stays correct and cached where
+        # local; otherwise a partitioned or non-clean layout scans
+        # the ORIGINAL root (structure is semantic there —
+        # correctness over caching) and only a flat table keeps the
+        # mixed flat-path read.
+        rfl = next((v for k, v in (options or {}).items()
                     if k.lower() == "recursivefilelookup"), "false")
         if str(rfl).lower() == "true":
-            return None  # flat cached read = JVM recursive semantics
+            return _select(_raw(*paths))
+        from sidecar_spark.cache.partitions import layout_specs
+
         _, root = self.cache._resolve(location)  # noqa: SLF001
         specs = layout_specs(root, files)
-        if specs is None:
-            # not a clean hive tree: delegate to the JVM scan on the
-            # original root (it errors on nested plain dirs, drops
-            # mixed-depth root files — whatever it does IS the parity)
-            return self._reader(opts, fmt, schema).load(location)
-        if not any(specs):
-            return None
+        if specs is None or any(specs):
+            return _select(_raw())
+        return _select(_raw(*paths))
+
+    def _view_read(self, location, files, paths, options=None,
+                   fmt="parquet", schema=None):
+        """When every file resolved LOCAL: scan a 1:1 symlink view of
+        the ORIGINAL tree — original relative paths and basenames,
+        each name pointing at that file's mirror copy — so the JVM
+        applies its OWN semantics to an identical structure. That
+        makes every path-structure behavior parity-by-construction,
+        on cached bytes, with zero data copies:
+
+        * partition discovery and typed partition values (key=value
+          dirs are reproduced verbatim);
+        * the deterministic footer pick under schema evolution and
+          the mergeSchema fold order (both follow PATH order, probed
+          — a flat list of content-hash mirror names would reorder
+          them);
+        * layout refusals and drops (nested plain dirs error,
+          mixed-depth root files dropped, case-conflicting keys
+          merged by the JVM's own rule) — the view reproduces the
+          exact layout, so whatever the JVM does there IS the parity;
+        * recursiveFileLookup, which flattens the view exactly as it
+          would the original.
+
+        The ONE structure behavior a view cannot reproduce: keys with
+        CONFLICTING case across directories (``b=1`` next to ``B=2``)
+        — the JVM names the merged column after whichever ABSOLUTE
+        path its internal hash map iterates first, and the view's
+        paths hash differently than the originals (probed: the view
+        picked the other case). That edge returns None so the caller
+        delegates to the original root raw, verbatim parity.
+
+        Returns None when any file still streams remote (the caller
+        falls back). The view dir is content-addressed by its (rel,
+        mirror-path) pairs, so a repeat resolve of the same snapshot
+        reuses it and a changed table gets a fresh dir."""
+        from sidecar_spark.cache.partitions import (
+            build_symlink_view,
+            decode_key,
+        )
+
         local = [p for p in paths if p is not None
                  and self.conf.cache_dir
                  and p.startswith(self.conf.cache_dir)]
         if len(local) != len(paths):
-            # some files stream remote (veto / exclusion / fill
-            # failure): a mixed symlink tree cannot represent them —
-            # scan the real table tree instead
-            return self._reader(options, fmt, schema).load(location)
+            return None
+        _, root = self.cache._resolve(location)  # noqa: SLF001
+        root_s = root.rstrip("/")
         pairs = []
-        for spec, lp in zip(specs, local):
-            rel = "/".join(f"{k}={v}" for k, v in spec)
-            pairs.append((os.path.join(rel, os.path.basename(lp))
-                          if rel else os.path.basename(lp), lp))
+        key_case = {}
+        for st, lp in zip(files, local):
+            fp = st.path.rstrip("/")
+            if fp == root_s:
+                rel = os.path.basename(fp)  # location IS one file
+            elif fp.startswith(root_s + "/"):
+                rel = fp[len(root_s) + 1:]
+            else:
+                return None  # listing escaped the root: fall back
+            for seg in rel.split("/")[:-1]:
+                if "=" in seg:
+                    k = decode_key(seg.partition("=")[0])
+                    if key_case.setdefault(k.lower(), k) != k:
+                        return None  # case-conflicting keys: delegate
+            pairs.append((rel, lp))
         view = build_symlink_view(
             os.path.join(self.conf.cache_dir, "views"), pairs)
-        return (self._reader(options, fmt, schema)
-                .option("basePath", view).load(view))
+        return self._reader(options, fmt, schema).load(view)
 
     def _reader(self, options, fmt, schema=None):
         reader = (self.spark.read.options(**(options or {}))
@@ -264,7 +304,7 @@ class Engine:
         return reader
 
     def _read_executor_resolved(self, location: str, columns=None,
-                                split_bytes=None):
+                                split_bytes=None, merge=None):
         """Build the scan through the cache-backed Python DataSource:
         byte-range partitions over the data files, each task resolving
         against ITS node's CacheManager (sources/cached_parquet.py
@@ -309,6 +349,20 @@ class Engine:
                 "spark.sql.session.timeZone", "UTC")
         except Exception:  # noqa: BLE001
             tz = "UTC"
+        if merge is None:
+            # option absent: the session conf decides (JVM parity;
+            # an explicit option value overrides the conf — probed)
+            try:
+                merge = (self.spark.conf.get(
+                    "spark.sql.parquet.mergeSchema", "false").lower()
+                    == "true")
+            except Exception:  # noqa: BLE001
+                merge = False
+        try:
+            case_sensitive = self.spark.conf.get(
+                "spark.sql.caseSensitive", "false")
+        except Exception:  # noqa: BLE001
+            case_sensitive = "false"
         reader = (self.spark.read.format("sidecar_cached_parquet")
                   .option("path", location)
                   .option("conf", self.conf.to_json())
@@ -321,6 +375,8 @@ class Engine:
                   .option("ntz", ntz)
                   .option("pushdown", pushdown)
                   .option("tz", tz)
+                  .option("merge", "true" if merge else "false")
+                  .option("case_sensitive", case_sensitive)
                   .option("split_bytes", str(
                       _parse_bytes(str(split_bytes))
                       if split_bytes is not None

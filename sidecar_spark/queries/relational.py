@@ -239,6 +239,116 @@ def executor_split_scan_agg(spark, sf_dir):
 
 
 @query(
+    "executor_mergeschema_agg",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n, count(region_tag) AS n_tagged,
+           round(sum(coalesce(o_totalprice, 0)), 2) AS total
+    FROM (
+      SELECT o_orderpriority, o_totalprice, NULL AS region_tag
+      FROM orders WHERE o_orderkey < 10000
+      UNION ALL BY NAME
+      SELECT o_orderpriority, o_totalprice,
+             'r' || CAST(o_custkey % 5 AS VARCHAR) AS region_tag
+      FROM orders WHERE o_orderkey >= 10000
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def executor_mergeschema_agg(spark, sf_dir):
+    """mergeSchema=true through the EXECUTOR-resolved scan (round-6
+    verdict #1): the Python source declares the union of ALL footers
+    in path order with the JVM's merge semantics (probed: appended
+    columns, case-insensitive match, decimal same-scale widening,
+    CANNOT_MERGE_SCHEMAS otherwise) and each task null-fills what its
+    file lacks — so the first option a real lake user passes now
+    stays on the CACHED real-cluster path instead of falling back to
+    a raw remote read. The file names force old-file-first path
+    order; the oracle reconstructs the evolution with UNION ALL BY
+    NAME."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from sidecar_spark import Engine, SidecarConfig
+
+    out = _tempfile.mkdtemp(prefix="sidecar-exec-merge-")
+    try:
+        o = t(spark, sf_dir, "orders")
+
+        def write_one(df, name):
+            stage = _os.path.join(out, "_stage")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(f for f in _os.listdir(stage)
+                        if f.endswith(".parquet"))
+            _os.replace(_os.path.join(stage, part),
+                        _os.path.join(out, name))
+            _shutil.rmtree(stage)
+
+        write_one(o.where(F.col("o_orderkey") < 10000)
+                  .select("o_orderpriority", "o_totalprice"),
+                  "a_old.parquet")
+        write_one(o.where(F.col("o_orderkey") >= 10000)
+                  .select("o_orderpriority", "o_totalprice",
+                          F.concat(F.lit("r"), (F.col("o_custkey") % 5)
+                                   .cast("string")).alias("region_tag")),
+                  "b_new.parquet")
+        conf = SidecarConfig.create(
+            cache_dir=_os.path.join("/tmp", "sidecar-query-cache-exec"),
+            data_cache_type="file", cache_persistent=False,
+            resolve_mode="executor")
+        eng = Engine(spark, conf=conf)
+        merged = eng.read_parquet(out, mergeSchema="true")
+        rows = (
+            merged.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count("region_tag").alias("n_tagged"),
+                 F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 2)
+                 .alias("total"))
+            .orderBy("o_orderpriority")
+            .collect())
+        return spark.createDataFrame(
+            rows, "o_orderpriority string, n bigint, n_tagged bigint, "
+                  "total double")
+    finally:
+        _shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "executor_statprune_scan_agg",
+    oracle="""
+    SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+)
+def executor_statprune_scan_agg(spark, sf_dir):
+    """Row-group min/max statistics pruning in the executor scan
+    (round-6 verdict #2): the pushed ``o_orderkey <= 1000`` reaches
+    the Python source via pushFilters and _stat_prune skips every row
+    group whose statistics provably fail it — on this orderkey-sorted
+    table that is all but the first group(s), the JVM scan's own
+    row-group filtering re-expressed. Every filter stays residual, so
+    pruning can only skip provably-empty groups; the count/sum pair
+    would catch any over-pruned row."""
+    import os as _os
+
+    from sidecar_spark import Engine, SidecarConfig
+
+    conf = SidecarConfig.create(
+        cache_dir=_os.path.join("/tmp", "sidecar-query-cache-exec"),
+        data_cache_type="file", cache_persistent=False,
+        resolve_mode="executor")
+    eng = Engine(spark, base_dir=sf_dir, conf=conf)
+    o = eng.table("orders")
+    return (o.where(F.col("o_orderkey") <= 1000)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").alias("key_sum"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+@query(
     "partitioned_typed_read",
     oracle="""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mon,

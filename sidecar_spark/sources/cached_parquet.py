@@ -186,6 +186,67 @@ def _coerce_batches(pf, target, columns=None, row_groups=None):
         yield batch if batch.schema.equals(sub) else batch.cast(sub)
 
 
+def _merge_data_types(a, b, case_sensitive: bool, path: str):
+    """Spark's ``StructType.merge`` type fusion, probed live against
+    the Spark 4.1 JVM (round-7 probe sweep P1-P17): identical types
+    pass; struct/array/map recurse; decimals with EQUAL scale take the
+    max precision; EVERYTHING else (int vs bigint, bigint vs double,
+    ntz vs ltz, string vs int, differing decimal scales, differing
+    array elements) raises — the JVM's CANNOT_MERGE_SCHEMAS."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    if a == b:
+        return a
+    if isinstance(a, StructType) and isinstance(b, StructType):
+        return _merge_struct_types(a, b, case_sensitive)
+    if isinstance(a, ArrayType) and isinstance(b, ArrayType):
+        return ArrayType(
+            _merge_data_types(a.elementType, b.elementType,
+                              case_sensitive, path + ".element"),
+            a.containsNull or b.containsNull)
+    if isinstance(a, MapType) and isinstance(b, MapType):
+        return MapType(
+            _merge_data_types(a.keyType, b.keyType, case_sensitive,
+                              path + ".key"),
+            _merge_data_types(a.valueType, b.valueType, case_sensitive,
+                              path + ".value"),
+            a.valueContainsNull or b.valueContainsNull)
+    if (isinstance(a, DecimalType) and isinstance(b, DecimalType)
+            and a.scale == b.scale):
+        return DecimalType(max(a.precision, b.precision), a.scale)
+    raise ValueError(
+        f"CANNOT_MERGE_SCHEMAS: failed merging field {path!r}: "
+        f"{a.simpleString()} and {b.simpleString()} are incompatible "
+        "(Spark mergeSchema semantics)")
+
+
+def _merge_struct_types(left, right, case_sensitive: bool):
+    """Fold one footer schema into the running merge, JVM semantics
+    (probed): left fields keep their order AND their name case; a
+    right field matching by name (case-insensitively unless
+    spark.sql.caseSensitive) merges types in place; unmatched right
+    fields append in right's order; nullability ORs."""
+    from pyspark.sql.types import StructField, StructType
+
+    def key(n):
+        return n if case_sensitive else n.lower()
+
+    left_by_key = {key(f.name): i for i, f in enumerate(left.fields)}
+    out = list(left.fields)
+    for f in right.fields:
+        i = left_by_key.get(key(f.name))
+        if i is None:
+            out.append(f)
+        else:
+            cur = out[i]
+            out[i] = StructField(
+                cur.name,
+                _merge_data_types(cur.dataType, f.dataType,
+                                  case_sensitive, cur.name),
+                cur.nullable or f.nullable, cur.metadata)
+    return StructType(out)
+
+
 class _FilePart(InputPartition):
     def __init__(self, path: str, mtime: int, length: int, veto: bool,
                  parts=(), start: int = 0, end=None, first: bool = False):
@@ -232,7 +293,120 @@ def _select_row_groups(pf, start: int, end: int):
     return out
 
 
-def _read_file_batches(mgr, part: _FilePart, columns=None):
+def _stat_comparable(r, v) -> bool:
+    """True when a pushed-filter reference and a parquet statistics
+    value can be compared soundly. Floats are excluded (a row group
+    containing NaN may carry min/max stats that ignore it, and Spark
+    orders NaN largest — pruning on them could drop matching rows);
+    timestamps are excluded (stat values are instants, Spark
+    references are session-zone-sensitive); bools/ints/strings/dates/
+    decimals compare exactly."""
+    import datetime
+    import decimal
+
+    if isinstance(r, bool) or isinstance(v, bool):
+        return isinstance(r, bool) and isinstance(v, bool)
+    if isinstance(r, datetime.datetime) or isinstance(v, datetime.datetime):
+        return False
+    if isinstance(r, int) and isinstance(v, int):
+        return True
+    if isinstance(r, str) and isinstance(v, str):
+        return True
+    if isinstance(r, datetime.date) and isinstance(v, datetime.date):
+        return True
+    if isinstance(r, decimal.Decimal) and isinstance(v, decimal.Decimal):
+        return True
+    return False  # floats, bytes, mixed types: keep the group
+
+
+def _rg_may_match(md, i, col_idx, flt) -> bool:
+    """Conservative per-row-group test for ONE pushed filter: False
+    only when the group's statistics PROVE no row can satisfy it —
+    any missing/unknown/incomparable statistic keeps the group, and
+    every filter stays residual for Spark regardless."""
+    col_key, op, ref = flt
+    j = col_idx.get(col_key)
+    if j is None:
+        # the column is absent from this FILE (schema evolution):
+        # every row null-fills it, and NULL satisfies only IsNull
+        return op == "isnull"
+    rg = md.row_group(i)
+    try:
+        st = rg.column(j).statistics
+    except Exception:  # noqa: BLE001 — no stats: keep
+        return True
+    if st is None:
+        return True
+    nulls = None
+    try:
+        nulls = st.null_count
+    except Exception:  # noqa: BLE001
+        pass
+    if op == "isnull":
+        return nulls != 0  # unknown (None) keeps the group
+    if op == "isnotnull":
+        return not (nulls is not None and nulls == rg.num_rows)
+    if not st.has_min_max:
+        return True
+    mn, mx = st.min, st.max
+    refs = ref if op == "in" else (ref,)
+    possible = False
+    for r in refs:
+        if r is None:
+            continue  # NULL fails every comparison
+        if not _stat_comparable(r, mn) or not _stat_comparable(r, mx):
+            return True  # incomparable: keep
+        try:
+            if op in ("eq", "in"):
+                possible = possible or (mn <= r <= mx)
+            elif op == "gt":
+                possible = possible or (mx > r)
+            elif op == "ge":
+                possible = possible or (mx >= r)
+            elif op == "lt":
+                possible = possible or (mn < r)
+            elif op == "le":
+                possible = possible or (mn <= r)
+            else:
+                return True  # unknown op: keep
+        except TypeError:
+            return True
+        if possible:
+            return True
+    return possible
+
+
+def _stat_prune(pf, rgs, filters, case_sensitive=False):
+    """Drop row groups whose min/max/null statistics PROVABLY fail a
+    pushed filter — the Python-source analog of the JVM parquet
+    scan's row-group statistics filtering (round-6 verdict #2). On a
+    table sorted or clustered by the filtered column this is the
+    difference between touching 2% and 100% of the row groups at
+    100 TB. ``rgs`` is the byte-range pre-selection (or every group);
+    every filter stays residual for Spark, so pruning can only skip
+    provably-empty groups."""
+    md = pf.metadata
+    if not filters or not md.num_row_groups:
+        return rgs
+    # top-level primitive columns only (nested paths carry dots;
+    # their stats don't line up with Spark filter attributes)
+    col_idx = {}
+    try:
+        rg0 = md.row_group(0)
+        for j in range(rg0.num_columns):
+            path = rg0.column(j).path_in_schema
+            if "." not in path:
+                col_idx[path if case_sensitive else path.lower()] = j
+    except Exception:  # noqa: BLE001 — metadata trouble: no pruning
+        return rgs
+    flts = [(c if case_sensitive else c.lower(), op, ref)
+            for c, op, ref in filters]
+    return [i for i in rgs
+            if all(_rg_may_match(md, i, col_idx, f) for f in flts)]
+
+
+def _read_file_batches(mgr, part: _FilePart, columns=None,
+                       case_sensitive=False, stat_filters=()):
     """Node-local hit-or-materialize-or-remote for ONE data file (or
     one byte-range split of it); yields Arrow RecordBatches. Runs
     inside the scan task (the caller applied the S3 endpoint override
@@ -251,12 +425,44 @@ def _read_file_batches(mgr, part: _FilePart, columns=None):
         pf = pq.ParquetFile(fobj, coerce_int96_timestamp_unit="us")
         cols = None
         if columns is not None:
-            names = set(pf.schema_arrow.names)
+            names = pf.schema_arrow.names
+            if case_sensitive:
+                present = set(names)
+                cols = [c for c in columns if c in present]
+            else:
+                # the JVM resolves file columns case-INsensitively
+                # under the default spark.sql.caseSensitive=false
+                # (probed): a file spelling "x" serves a declared "X"
+                # — request the FILE's spelling, _finalize_batches
+                # renames to the declared one
+                by_lower = {}
+                for n in names:
+                    by_lower.setdefault(n.lower(), []).append(n)
+                cols = []
+                for c in columns:
+                    m = by_lower.get(c.lower())
+                    if m is None:
+                        continue
+                    if len(m) > 1:
+                        # JVM parity: ambiguous duplicates error
+                        # loudly ("Found duplicate field(s) in
+                        # case-insensitive mode"), never serve
+                        # whichever spelling enumerates last
+                        raise ValueError(
+                            f"Found duplicate field(s) {m!r} for "
+                            f"column {c!r} in {p!r} while reading "
+                            "in case-insensitive mode")
+                    cols.append(m[0])
             # schema evolution: a requested column this FILE lacks is
             # null-filled downstream (_finalize_batches), not read
-            cols = [c for c in columns if c in names]
         rgs = (_select_row_groups(pf, part.start, part.end)
                if is_split else None)
+        if stat_filters:
+            rgs = _stat_prune(
+                pf,
+                rgs if rgs is not None
+                else range(pf.metadata.num_row_groups),
+                stat_filters, case_sensitive)
         return _coerce_batches(pf, _arrow_target(pf), cols, rgs)
 
     handle = None
@@ -435,7 +641,8 @@ def _session_zone(tz: str):
     return datetime.timezone.utc  # never fail the scan over a zone name
 
 
-def _finalize_batches(batches, schema, parts, tz="UTC"):
+def _finalize_batches(batches, schema, parts, tz="UTC",
+                      case_sensitive=False):
     """Conform every Arrow batch to the DECLARED schema, in declared
     order — the executor-side equivalent of how the JVM scan reads a
     whole table through ONE footer's schema:
@@ -467,21 +674,113 @@ def _finalize_batches(batches, schema, parts, tz="UTC"):
                         for i, (_, t) in enumerate(targets)):
             yield batch
             continue
+        # declared-name → batch-column resolution follows the session's
+        # spark.sql.caseSensitive (probed: default resolves a file
+        # spelling "x" into a declared "X"; caseSensitive=true leaves
+        # it null-filled)
+        if case_sensitive:
+            pos = {n: i for i, n in enumerate(names)}
+        else:
+            pos = {n.lower(): i for i, n in enumerate(names)}
         arrays = []
         for name, at in targets:
+            idx = pos.get(name if case_sensitive else name.lower())
             if name.lower() in part_vals:
                 arrays.append(pa.repeat(
                     _partition_scalar(part_vals[name.lower()], at, tz),
                     batch.num_rows))
-            elif name in names:
-                col = batch.column(names.index(name))
-                if not col.type.equals(at):
-                    col = col.cast(at)
-                arrays.append(col)
+            elif idx is not None:
+                arrays.append(_conform_array(batch.column(idx), at,
+                                             case_sensitive))
             else:
                 arrays.append(pa.nulls(batch.num_rows, type=at))
         yield pa.RecordBatch.from_arrays(
             arrays, names=[n for n, _ in targets])
+
+
+def _conform_array(col, at, case_sensitive=False):
+    """Cast one Arrow array to the declared type. Arrow's ``cast``
+    covers everything EXCEPT adding a struct subfield the file lacks
+    (nested schema evolution under mergeSchema) — when it refuses,
+    rebuild the container structurally: structs get missing children
+    null-filled (matched by the session's case rule), lists recurse
+    into their values, validity bitmaps preserved at every level."""
+    import pyarrow as pa
+
+    if col.type.equals(at):
+        return col
+    try:
+        return col.cast(at)
+    except pa.ArrowInvalid:
+        raise  # a VALUE failed the cast — structural rebuild can't fix it
+    except (pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        pass  # structural mismatch: rebuild below
+    if pa.types.is_struct(at) and pa.types.is_struct(col.type):
+        names = [col.type.field(i).name
+                 for i in range(col.type.num_fields)]
+        if case_sensitive:
+            pos = {n: i for i, n in enumerate(names)}
+        else:
+            pos = {n.lower(): i for i, n in enumerate(names)}
+        children = []
+        for f in at:
+            i = pos.get(f.name if case_sensitive else f.name.lower())
+            if i is None:
+                children.append(pa.nulls(len(col), type=f.type))
+            else:
+                children.append(_conform_array(col.field(i), f.type,
+                                               case_sensitive))
+        return pa.StructArray.from_arrays(
+            children, fields=list(at), mask=col.is_null())
+    if ((pa.types.is_list(at) or pa.types.is_large_list(at))
+            and (pa.types.is_list(col.type)
+                 or pa.types.is_large_list(col.type))):
+        import pyarrow.compute as pc
+
+        flat = _conform_array(col.flatten(), at.value_type,
+                              case_sensitive)
+        # offsets may carry nulls at null slots and start past zero
+        # (sliced batch): fill, then rebase to flatten()'s origin
+        off = col.offsets
+        if off.null_count:
+            off = pc.fill_null_backward(pc.fill_null_forward(off))
+        base = off[0].as_py() or 0
+        if base:
+            off = pc.subtract(off, base)
+        if pa.types.is_large_list(at):
+            cls, off = pa.LargeListArray, off.cast(pa.int64())
+        else:
+            cls, off = pa.ListArray, off.cast(pa.int32())
+        return cls.from_arrays(off, flat, mask=col.is_null())
+    if pa.types.is_map(at) and pa.types.is_map(col.type):
+        # view the map as list<struct<key,value>> (zero-copy-ish cast,
+        # validity preserved — probed), conform THAT through the
+        # list+struct rules above, then reattach the map type: the
+        # conformed list is offset-0 (batches come unsliced from
+        # iter_batches; the rebuild paths emit offset-0 arrays), so
+        # its [validity, offsets] buffers and entries child transfer
+        # directly. MapArray.from_arrays has no mask parameter, hence
+        # from_buffers.
+        def entries(mt):
+            return pa.list_(pa.struct([
+                pa.field("key", mt.key_type, False),
+                pa.field("value", mt.item_type)]))
+
+        lv = _conform_array(col.cast(entries(col.type)), entries(at),
+                            case_sensitive)
+        vals = lv.values
+        if vals.null_count == 0 and vals.buffers()[0] is not None:
+            # the struct rebuild attaches an all-valid validity
+            # buffer; Map validation demands the entries child carry
+            # NONE — rebuild the struct without one
+            vals = pa.StructArray.from_arrays(
+                [vals.field(i) for i in range(vals.type.num_fields)],
+                fields=list(vals.type))
+        return pa.Array.from_buffers(
+            at, len(lv), lv.buffers()[:2], null_count=lv.null_count,
+            children=[vals])
+    # no structural rule matched: surface the original cast error
+    return col.cast(at)
 
 
 def _filter_matches(raw: str, op: str, ref) -> bool:
@@ -558,6 +857,9 @@ class CachedParquetReader(DataSourceReader):
         self.endpoint = options.get("endpoint")
         self.schema = schema
         self.tz = options.get("tz") or "UTC"
+        self.case_sensitive = (str(options.get("case_sensitive",
+                                               "false")).lower()
+                               == "true")
         try:
             # clamp: a negative value must mean "no splitting", never
             # an empty range list that silently drops a file's rows
@@ -661,10 +963,25 @@ class CachedParquetReader(DataSourceReader):
             part_keys = {decode_key(k).lower() for k, _ in part.parts}
             columns = [f.name for f in self.schema.fields
                        if f.name.lower() not in part_keys]
-        batches = _read_file_batches(mgr, part, columns=columns)
+        # row-group statistics pruning from the pushed filters —
+        # partition-column filters are excluded: their values live in
+        # the DIRECTORY (already file-pruned in partitions()), and a
+        # missing-from-file partition column must not read as
+        # all-NULL here
+        stat_filters = ()
+        if self._part_filters:
+            from sidecar_spark.cache.partitions import decode_key as _dk
+
+            pk = {_dk(k).lower() for k, _ in part.parts}
+            stat_filters = [f for f in self._part_filters
+                            if f[0].lower() not in pk]
+        batches = _read_file_batches(mgr, part, columns=columns,
+                                     case_sensitive=self.case_sensitive,
+                                     stat_filters=stat_filters)
         if self.schema is not None:
             batches = _finalize_batches(batches, self.schema,
-                                        part.parts, tz=self.tz)
+                                        part.parts, tz=self.tz,
+                                        case_sensitive=self.case_sensitive)
         yield from batches
 
 
@@ -755,18 +1072,6 @@ class CachedParquetSource(DataSource):
         # hand the listing down to the reader: one object-store LIST
         # per planned query, and schema/partitions share a snapshot
         self._files_snapshot = files
-        fs, p = mgr._resolve(files[0].path)
-        local = (mgr.mirror.lookup(p, files[0].mtime)
-                 if mgr.mirror is not None else None)
-        if local is not None:
-            # mirror-first: a warmed table's schema costs zero
-            # remote requests
-            arrow_schema = _arrow_target(pq.ParquetFile(
-                local, coerce_int96_timestamp_unit="us"))
-        else:
-            with fs.open_read(p) as f:
-                arrow_schema = _arrow_target(pq.ParquetFile(
-                    f, coerce_int96_timestamp_unit="us"))
         # match the JVM parquet reader's NTZ inference (tz-less
         # parquet timestamps read as timestamp_ntz when
         # spark.sql.parquet.inferTimestampNTZ.enabled, default true) —
@@ -790,15 +1095,55 @@ class CachedParquetSource(DataSource):
                         "true").lower() == "true")
             except Exception:  # noqa: BLE001 — keep the default
                 pass
-        base = from_arrow_schema(arrow_schema, prefer_timestamp_ntz=ntz)
-        # Spark's file sources relax every read schema to nullable
-        # (FileFormat asNullable) — a required parquet field must not
-        # make the two resolve modes' schemas differ
+
         from pyspark.sql.types import StructField as _SF
         from pyspark.sql.types import StructType as _ST
 
-        base = _ST([_SF(f.name, f.dataType, True, f.metadata)
-                    for f in base.fields])
+        def footer_struct(st):
+            """One file's footer → the Spark StructType the JVM would
+            derive for it: INT96/ns coercion, NTZ inference, then
+            relaxed to all-nullable (FileFormat asNullable) — a
+            required parquet field must not make the two resolve
+            modes' schemas differ."""
+            fs_, p_ = mgr._resolve(st.path)  # noqa: SLF001
+            local = (mgr.mirror.lookup(p_, st.mtime)
+                     if mgr.mirror is not None else None)
+            if local is not None:
+                # mirror-first: a warmed table's schema costs zero
+                # remote requests
+                arrow = _arrow_target(pq.ParquetFile(
+                    local, coerce_int96_timestamp_unit="us"))
+            else:
+                with fs_.open_read(p_) as f:
+                    arrow = _arrow_target(pq.ParquetFile(
+                        f, coerce_int96_timestamp_unit="us"))
+            s = from_arrow_schema(arrow, prefer_timestamp_ntz=ntz)
+            return _ST([_SF(f.name, f.dataType, True, f.metadata)
+                        for f in s.fields])
+
+        merge = str(self.options.get("merge", "false")).lower() == "true"
+        case_sensitive = (str(self.options.get("case_sensitive",
+                                               "false")).lower()
+                          == "true")
+        if merge and len(files) > 1:
+            # mergeSchema=true: the declared schema is the left fold
+            # of EVERY footer in path order (JVM-probed: path-sorted
+            # seed, new columns appended, case-insensitive name match
+            # keeping the first spelling, decimal same-scale→max-
+            # precision, anything else CANNOT_MERGE_SCHEMAS). Footers
+            # are metadata-only reads fanned over a thread pool — the
+            # JVM distributes this over tasks; a plan worker has no
+            # session to launch jobs from, so I/O-parallel threads are
+            # the honest equivalent up to ~10k files.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(16, len(files))) as pool:
+                structs = list(pool.map(footer_struct, files))
+            base = structs[0]
+            for s in structs[1:]:
+                base = _merge_struct_types(base, s, case_sensitive)
+        else:
+            base = footer_struct(files[0])
         # hive partition columns live in the DIRECTORY names, not the
         # files — append them, typed exactly as Spark's partition
         # discovery would (cache/partitions.py ladder, JVM-probed)
@@ -840,6 +1185,19 @@ class CachedParquetSource(DataSource):
                 for f in base.fields])
         if part_fields:
             base = StructType(list(base.fields) + part_fields)
+        if not case_sensitive:
+            # JVM parity (probed): a schema with case-duplicate names
+            # is refused at PLAN time under the default
+            # spark.sql.caseSensitive=false — COLUMN_ALREADY_EXISTS
+            lowers = [f.name.lower() for f in base.fields]
+            dups = {n for n in lowers if lowers.count(n) > 1}
+            if dups:
+                raise ValueError(
+                    f"COLUMN_ALREADY_EXISTS: duplicate column name(s) "
+                    f"{sorted(dups)!r} in {path!r} under "
+                    "case-insensitive resolution — the JVM scan "
+                    "refuses this schema too (set "
+                    "spark.sql.caseSensitive=true to read it)")
         # explicit projection (Engine.read_parquet(columns=[...])):
         # the declared schema shrinks to the requested columns in the
         # requested order — the DataSource API has no automatic prune

@@ -689,6 +689,90 @@ class TestRowGroupSplits:
             CacheManager.clear_instances()
 
 
+class TestRowGroupStatPruning:
+    """Round-6 verdict #2: min/max/null statistics prune row groups
+    the pushed filters PROVABLY fail — the Python-source analog of the
+    JVM scan's row-group filtering. Conservative by construction:
+    floats (NaN order), timestamps (session zones) and unknown stats
+    keep the group, and every filter stays residual for Spark."""
+
+    def _write_sorted(self, rows=100, rg=10):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        remote = tempfile.mkdtemp(prefix="sp-remote-")
+        pq.write_table(
+            pa.table({"x": list(range(rows)),
+                      "s": [f"v{i:03d}" for i in range(rows)]}),
+            os.path.join(remote, "part-0.parquet"), row_group_size=rg)
+        return remote
+
+    def test_selection_math(self, cache_dir):
+        import pyarrow.parquet as pq
+
+        from sidecar_spark.sources.cached_parquet import _stat_prune
+
+        remote = self._write_sorted()
+        pf = pq.ParquetFile(os.path.join(remote, "part-0.parquet"))
+        rgs = range(pf.metadata.num_row_groups)
+        assert _stat_prune(pf, rgs, [("x", "gt", 75)]) == [7, 8, 9]
+        assert _stat_prune(pf, rgs, [("x", "eq", 33)]) == [3]
+        assert _stat_prune(pf, rgs, [("x", "in", (5, 95))]) == [0, 9]
+        assert _stat_prune(pf, rgs, [("s", "ge", "v095")]) == [9]
+        assert _stat_prune(pf, rgs, [("x", "isnull", None)]) == []
+        # a column this file lacks is all-NULL: eq can never match
+        assert _stat_prune(pf, rgs, [("zz", "eq", 5)]) == []
+        # conservative keeps: float ref (NaN order), unknown column op
+        assert len(_stat_prune(pf, rgs, [("x", "gt", 75.0)])) == 10
+
+    def test_reader_reads_fewer_groups_same_values(self, cache_dir):
+        from pyspark.sql.datasource import GreaterThan
+
+        from sidecar_spark.sources.cached_parquet import (
+            PruningCachedParquetReader,
+        )
+
+        remote = self._write_sorted()
+        conf = _conf(cache_dir)
+        mgr = CacheManager.get_or_create(conf)
+        try:
+            reader = PruningCachedParquetReader(
+                {"path": remote, "conf": conf.to_json()})
+            flt = GreaterThan(("x",), 75)
+            residual = list(reader.pushFilters([flt]))
+            assert residual == [flt]  # everything stays residual
+            got = []
+            for p in reader.partitions():
+                for b in reader.read(p):
+                    got.extend(b.column(0).to_pylist())
+            # groups 7..9 only — 30 rows moved instead of 100, and
+            # every row > 75 is present (Spark's residual filter
+            # trims the 70..75 overshoot)
+            assert sorted(got) == list(range(70, 100))
+        finally:
+            mgr.release()
+            CacheManager.clear_instances()
+
+    def test_e2e_filter_parity_through_spark(self, spark, cache_dir):
+        from sidecar_spark import Engine
+
+        remote = self._write_sorted()
+        eng = Engine(spark, conf=_conf(cache_dir))
+        try:
+            got = (eng.read_parquet(remote).where("x > 75 AND s >= 'v080'")
+                   .selectExpr("count(*) AS n", "sum(x) AS sx")
+                   .collect()[0])
+            want = (spark.read.parquet(remote)
+                    .where("x > 75 AND s >= 'v080'")
+                    .selectExpr("count(*) AS n", "sum(x) AS sx")
+                    .collect()[0])
+            assert (got.n, got.sx) == (want.n, want.sx)
+            assert got.n == 20
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+
 class TestVetoScanCounterSemantics:
     """Round-5 verdict 'what's wrong #3': a detected scan counts once
     per scan EXECUTED (reference ScanDetector fires on reads), not

@@ -280,17 +280,34 @@ class TestLayoutParity:
 
 class TestExecutorOptionsRawFallback:
     def test_options_read_scans_remote_root(self, spark, cache_dir):
-        """Executor mode + reader options: the scan must target the
-        ORIGINAL location, never driver-resolved mirror paths (which
-        don't exist on other nodes of a real cluster) — round-5
-        advice item 1."""
+        """Executor mode + reader options the Python source does not
+        implement (mergeSchema now IS implemented — round-7): the scan
+        must target the ORIGINAL location, never driver-resolved
+        mirror paths (which don't exist on other nodes of a real
+        cluster) — round-5 advice item 1."""
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+        loc = os.path.join(sf, "nation.parquet")
+        eng = _engine(spark, cache_dir, "executor")
+        try:
+            df = eng.read_parquet(loc, datetimeRebaseMode="CORRECTED")
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert eng.conf.cache_dir not in plan
+            assert df.count() == spark.read.parquet(loc).count()
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_mergeschema_read_stays_cached(self, spark, cache_dir):
+        """mergeSchema is the one option the executor source DOES
+        implement (round-6 verdict #1) — it must stay on the cached
+        Python-source path, not fall back to the raw JVM scan."""
         sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
         loc = os.path.join(sf, "nation.parquet")
         eng = _engine(spark, cache_dir, "executor")
         try:
             df = eng.read_parquet(loc, mergeSchema="true")
             plan = df._jdf.queryExecution().executedPlan().toString()
-            assert eng.conf.cache_dir not in plan
+            assert "PythonScan" in plan or "sidecar" in plan.lower(), plan
             assert df.count() == spark.read.parquet(loc).count()
         finally:
             eng.close()
