@@ -106,10 +106,12 @@ class Engine:
         type because it IS a FileSystem, so format-agnostic caching is
         part of the capability. Driver mode resolves through the
         mirror exactly like parquet (hive-partitioned layouts
-        included); executor mode reads the original location raw for
-        non-parquet formats — the executor-side Python DataSource
-        decodes parquet specifically, and a wrong-but-cached read is
-        never an acceptable trade."""
+        included); executor mode serves parquet AND orc through the
+        cached Python sources (both self-describing — schema parity
+        is derivable) and reads the remaining formats from the
+        original location raw: csv/json schema inference cannot be
+        reproduced from Python without silent divergence (PARITY.md),
+        and a wrong-but-cached read is never an acceptable trade."""
         return self._cached_read(location, format, columns, options)
 
     def _cached_read(self, location: str, fmt: str, columns, options):
@@ -168,12 +170,32 @@ class Engine:
                     merge = str(v).lower() == "true"
                 else:
                     rest[k] = v
-            if fmt == "parquet" and not rest and schema is None:
+            if fmt in ("parquet", "orc") and not rest and schema is None:
+                if merge is None:
+                    try:
+                        merge = (self.spark.conf.get(
+                            f"spark.sql.{fmt}.mergeSchema",
+                            "false").lower() == "true")
+                    except Exception:  # noqa: BLE001
+                        merge = False
+                if fmt == "orc" and merge:
+                    # ORC mergeSchema column ORDER follows a JVM-
+                    # internal hash order over the file BASENAMES
+                    # (probed: same order across directories, changed
+                    # by renaming files) — unreproducible from Python
+                    # by policy (refuse-to-guess), so the read goes to
+                    # the original location raw. Driver mode keeps it
+                    # cached: the symlink view preserves basenames,
+                    # so the JVM applies the same order there.
+                    return _select(_raw())
                 return self._read_executor_resolved(
                     location, columns, split_bytes=split_bytes,
-                    merge=merge)
-            # the Python source decodes parquet with the default
-            # option set only. A driver-resolve fallback here would
+                    merge=merge, fmt=fmt)
+            # the Python sources decode parquet and ORC (both
+            # self-describing) with the default option set plus
+            # mergeSchema. csv/json schema INFERENCE cannot be
+            # reproduced from Python without silent divergence
+            # (PARITY.md), and a driver-resolve fallback here would
             # hand scan tasks driver-LOCAL mirror paths — unreadable
             # on the multi-node clusters executor mode exists for —
             # so everything else goes to the ORIGINAL location raw:
@@ -304,7 +326,8 @@ class Engine:
         return reader
 
     def _read_executor_resolved(self, location: str, columns=None,
-                                split_bytes=None, merge=None):
+                                split_bytes=None, merge=None,
+                                fmt="parquet"):
         """Build the scan through the cache-backed Python DataSource:
         byte-range partitions over the data files, each task resolving
         against ITS node's CacheManager (sources/cached_parquet.py
@@ -313,11 +336,13 @@ class Engine:
         source's plan/scan stages run in worker processes with no
         active session."""
         if not getattr(self, "_cached_source_registered", False):
+            from sidecar_spark.sources.cached_orc import CachedOrcSource
             from sidecar_spark.sources.cached_parquet import (
                 CachedParquetSource,
             )
 
             self.spark.dataSource.register(CachedParquetSource)
+            self.spark.dataSource.register(CachedOrcSource)
             self._cached_source_registered = True
             # partition pruning for the Python source is gated by a
             # session conf (default false in Spark 4.1). Executor
@@ -351,11 +376,12 @@ class Engine:
             tz = "UTC"
         if merge is None:
             # option absent: the session conf decides (JVM parity;
-            # an explicit option value overrides the conf — probed)
+            # an explicit option value overrides the conf — probed);
+            # each format has its own conf key
+            key = (f"spark.sql.{fmt}.mergeSchema")
             try:
-                merge = (self.spark.conf.get(
-                    "spark.sql.parquet.mergeSchema", "false").lower()
-                    == "true")
+                merge = (self.spark.conf.get(key, "false").lower()
+                         == "true")
             except Exception:  # noqa: BLE001
                 merge = False
         try:
@@ -363,7 +389,9 @@ class Engine:
                 "spark.sql.caseSensitive", "false")
         except Exception:  # noqa: BLE001
             case_sensitive = "false"
-        reader = (self.spark.read.format("sidecar_cached_parquet")
+        source = ("sidecar_cached_orc" if fmt == "orc"
+                  else "sidecar_cached_parquet")
+        reader = (self.spark.read.format(source)
                   .option("path", location)
                   .option("conf", self.conf.to_json())
                   # plan workers have no active session: ship the NTZ

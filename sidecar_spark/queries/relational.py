@@ -349,6 +349,51 @@ def executor_statprune_scan_agg(spark, sf_dir):
 
 
 @query(
+    "executor_orc_read_agg",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT)
+           AS key_sum
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def executor_orc_read_agg(spark, sf_dir):
+    """ORC through the EXECUTOR-resolved cached scan (round-7): the
+    nation table is rewritten as ORC and read via
+    sources/cached_orc.py — the parquet source's node-local resolve
+    with an ORC footer/stripe decode (schema parity derivable: ORC is
+    self-describing; timestamps zoned UTC, catalyst-metadata ntz).
+    The reference caches every format because it IS a FileSystem;
+    this keeps the #2 lake format on the cached real-cluster path."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from sidecar_spark import Engine, SidecarConfig
+
+    out = _tempfile.mkdtemp(prefix="sidecar-exec-orc-")
+    try:
+        t(spark, sf_dir, "nation").coalesce(1) \
+            .write.mode("overwrite").orc(out)
+        conf = SidecarConfig.create(
+            cache_dir=_os.path.join("/tmp", "sidecar-query-cache-exec"),
+            data_cache_type="file", cache_persistent=False,
+            resolve_mode="executor")
+        eng = Engine(spark, conf=conf)
+        rows = (eng.read_format(out, "orc")
+                .groupBy("n_regionkey")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("n_nationkey").alias("key_sum"))
+                .orderBy("n_regionkey")
+                .collect())
+        return spark.createDataFrame(
+            rows, "n_regionkey int, n bigint, key_sum bigint")
+    finally:
+        _shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
     "partitioned_typed_read",
     oracle="""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mon,

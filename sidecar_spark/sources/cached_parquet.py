@@ -405,65 +405,70 @@ def _stat_prune(pf, rgs, filters, case_sensitive=False):
             if all(_rg_may_match(md, i, col_idx, f) for f in flts)]
 
 
-def _read_file_batches(mgr, part: _FilePart, columns=None,
-                       case_sensitive=False, stat_filters=()):
-    """Node-local hit-or-materialize-or-remote for ONE data file (or
-    one byte-range split of it); yields Arrow RecordBatches. Runs
-    inside the scan task (the caller applied the S3 endpoint override
-    already — one authoritative site, ``_apply_endpoint``)."""
+def _resolve_file_columns(names, columns, case_sensitive, path):
+    """Map requested (declared-schema) column names to THIS file's
+    spellings. The JVM resolves file columns case-INsensitively under
+    the default spark.sql.caseSensitive=false (probed): a file
+    spelling "x" serves a declared "X"; ambiguous duplicates error
+    loudly ("Found duplicate field(s)"), never serve whichever
+    spelling enumerates last. A requested column the file lacks is
+    omitted (null-filled downstream by _finalize_batches)."""
+    if case_sensitive:
+        present = set(names)
+        return [c for c in columns if c in present]
+    by_lower = {}
+    for n in names:
+        by_lower.setdefault(n.lower(), []).append(n)
+    cols = []
+    for c in columns:
+        m = by_lower.get(c.lower())
+        if m is None:
+            continue
+        if len(m) > 1:
+            raise ValueError(
+                f"Found duplicate field(s) {m!r} for column {c!r} "
+                f"in {path!r} while reading in case-insensitive mode")
+        cols.append(m[0])
+    return cols
+
+
+def _parquet_pass(fobj, part, columns, stat_filters, case_sensitive,
+                  path):
+    """Decode ONE parquet file object into coerced Arrow batches:
+    projection by file spelling, byte-range row-group selection,
+    statistics pruning."""
     import pyarrow.parquet as pq
 
+    pf = pq.ParquetFile(fobj, coerce_int96_timestamp_unit="us")
+    cols = None
+    if columns is not None:
+        cols = _resolve_file_columns(pf.schema_arrow.names, columns,
+                                     case_sensitive, path)
+    is_split = part.start > 0 or part.end < part.length
+    rgs = (_select_row_groups(pf, part.start, part.end)
+           if is_split else None)
+    if stat_filters:
+        rgs = _stat_prune(
+            pf,
+            rgs if rgs is not None
+            else range(pf.metadata.num_row_groups),
+            stat_filters, case_sensitive)
+    return _coerce_batches(pf, _arrow_target(pf), cols, rgs)
+
+
+def _read_file_batches(mgr, part: _FilePart, one_pass):
+    """Node-local hit-or-materialize-or-remote for ONE data file (or
+    one byte-range split of it); yields Arrow RecordBatches from
+    ``one_pass(fobj)`` — the format-specific decode (parquet row
+    groups, ORC stripes). Runs inside the scan task (the caller
+    applied the S3 endpoint override already — one authoritative
+    site, ``_apply_endpoint``)."""
     from sidecar_spark.cache.fs import FileStat
 
     fs, p = mgr._resolve(part.path)  # noqa: SLF001 — package-internal
     st = FileStat(path=p, length=part.length, mtime=part.mtime,
                   is_dir=False)
     span = part.end - part.start  # bytes this task is responsible for
-    is_split = part.start > 0 or part.end < part.length
-
-    def one_pass(fobj):
-        pf = pq.ParquetFile(fobj, coerce_int96_timestamp_unit="us")
-        cols = None
-        if columns is not None:
-            names = pf.schema_arrow.names
-            if case_sensitive:
-                present = set(names)
-                cols = [c for c in columns if c in present]
-            else:
-                # the JVM resolves file columns case-INsensitively
-                # under the default spark.sql.caseSensitive=false
-                # (probed): a file spelling "x" serves a declared "X"
-                # — request the FILE's spelling, _finalize_batches
-                # renames to the declared one
-                by_lower = {}
-                for n in names:
-                    by_lower.setdefault(n.lower(), []).append(n)
-                cols = []
-                for c in columns:
-                    m = by_lower.get(c.lower())
-                    if m is None:
-                        continue
-                    if len(m) > 1:
-                        # JVM parity: ambiguous duplicates error
-                        # loudly ("Found duplicate field(s) in
-                        # case-insensitive mode"), never serve
-                        # whichever spelling enumerates last
-                        raise ValueError(
-                            f"Found duplicate field(s) {m!r} for "
-                            f"column {c!r} in {p!r} while reading "
-                            "in case-insensitive mode")
-                    cols.append(m[0])
-            # schema evolution: a requested column this FILE lacks is
-            # null-filled downstream (_finalize_batches), not read
-        rgs = (_select_row_groups(pf, part.start, part.end)
-               if is_split else None)
-        if stat_filters:
-            rgs = _stat_prune(
-                pf,
-                rgs if rgs is not None
-                else range(pf.metadata.num_row_groups),
-                stat_filters, case_sensitive)
-        return _coerce_batches(pf, _arrow_target(pf), cols, rgs)
 
     handle = None
     hit = False
@@ -936,6 +941,12 @@ class CachedParquetReader(DataSourceReader):
             out[0].first = True
         return out
 
+    def _file_pass(self, fobj, part, columns, stat_filters):
+        """Format-specific decode of one open file object into Arrow
+        batches; ORC (cached_orc.py) overrides this."""
+        return _parquet_pass(fobj, part, columns, stat_filters,
+                             self.case_sensitive, part.path)
+
     def read(self, part: _FilePart):
         from sidecar_spark.cache.manager import CacheManager
 
@@ -975,9 +986,10 @@ class CachedParquetReader(DataSourceReader):
             pk = {_dk(k).lower() for k, _ in part.parts}
             stat_filters = [f for f in self._part_filters
                             if f[0].lower() not in pk]
-        batches = _read_file_batches(mgr, part, columns=columns,
-                                     case_sensitive=self.case_sensitive,
-                                     stat_filters=stat_filters)
+        batches = _read_file_batches(
+            mgr, part,
+            lambda fobj: self._file_pass(fobj, part, columns,
+                                         stat_filters))
         if self.schema is not None:
             batches = _finalize_batches(batches, self.schema,
                                         part.parts, tz=self.tz,
@@ -1047,11 +1059,28 @@ class CachedParquetSource(DataSource):
     def name(cls) -> str:
         return "sidecar_cached_parquet"
 
+    @staticmethod
+    def _file_arrow_schema(src):
+        """One file (path or open file object) → the Arrow schema
+        Spark should see for it; the format-specific footer decode
+        (ORC overrides, cached_orc.py)."""
+        import pyarrow.parquet as pq
+
+        return _arrow_target(pq.ParquetFile(
+            src, coerce_int96_timestamp_unit="us"))
+
+    @staticmethod
+    def _ntz_flag(ntz: bool) -> bool:
+        """Whether from_arrow_schema should prefer timestamp_ntz for
+        tz-NAIVE arrow timestamps. Parquet: the session's NTZ
+        inference setting (shipped as the "ntz" option). ORC forces
+        True: its target schema zones every LTZ timestamp UTC, so a
+        naive timestamp there IS an ntz value (catalyst metadata)."""
+        return ntz
+
     def schema(self):
         """Schema from the first data file's footer, read through the
         cache fs (driver-side metadata only — no data bytes)."""
-        import pyarrow.parquet as pq
-
         from pyspark.sql.pandas.types import from_arrow_schema
 
         from sidecar_spark.cache.manager import CacheManager
@@ -1099,24 +1128,24 @@ class CachedParquetSource(DataSource):
         from pyspark.sql.types import StructField as _SF
         from pyspark.sql.types import StructType as _ST
 
+        ntz = self._ntz_flag(ntz)
+
         def footer_struct(st):
             """One file's footer → the Spark StructType the JVM would
             derive for it: INT96/ns coercion, NTZ inference, then
             relaxed to all-nullable (FileFormat asNullable) — a
-            required parquet field must not make the two resolve
-            modes' schemas differ."""
+            required field must not make the two resolve modes'
+            schemas differ."""
             fs_, p_ = mgr._resolve(st.path)  # noqa: SLF001
             local = (mgr.mirror.lookup(p_, st.mtime)
                      if mgr.mirror is not None else None)
             if local is not None:
                 # mirror-first: a warmed table's schema costs zero
                 # remote requests
-                arrow = _arrow_target(pq.ParquetFile(
-                    local, coerce_int96_timestamp_unit="us"))
+                arrow = self._file_arrow_schema(local)
             else:
                 with fs_.open_read(p_) as f:
-                    arrow = _arrow_target(pq.ParquetFile(
-                        f, coerce_int96_timestamp_unit="us"))
+                    arrow = self._file_arrow_schema(f)
             s = from_arrow_schema(arrow, prefer_timestamp_ntz=ntz)
             return _ST([_SF(f.name, f.dataType, True, f.metadata)
                         for f in s.fields])

@@ -1,0 +1,216 @@
+"""Executor-mode cached ORC source (sources/cached_orc.py) — live
+JVM-oracle parity: ``spark.read.orc`` on the same directory IS the
+oracle, so a Spark behavior change fails loudly.
+
+The probed ground truths this suite re-derives live: ORC timestamps
+are instants whose pyarrow-naive wall time is the UTC rendering
+(cross-zone probe); Spark's ``timestamp_ntz`` rides as int64 micros
+with ``spark.sql.catalyst.type`` field metadata; hive partition and
+mergeSchema semantics are the shared ones from the parquet source.
+"""
+
+import datetime
+import decimal
+import os
+import tempfile
+
+import pytest
+
+from sidecar_spark.cache.manager import CacheManager
+from sidecar_spark.config import SidecarConfig
+
+
+def _conf(cache_dir, mode="executor", **kw):
+    return SidecarConfig.create(
+        cache_dir=tempfile.mkdtemp(prefix=f"orc-{mode}-", dir=cache_dir),
+        data_cache_type="file", cache_persistent=False,
+        resolve_mode=mode, **kw)
+
+
+def _parity(spark, cache_dir, root, modes=("executor", "driver"),
+            columns=None, **read_opts):
+    from sidecar_spark import Engine
+
+    jvm = spark.read.options(**read_opts).orc(root)
+    if columns:
+        jvm = jvm.select(*columns)
+    want_schema = jvm.schema
+    want = sorted(map(str, jvm.collect()))
+    for mode in modes:
+        eng = Engine(spark, conf=_conf(cache_dir, mode))
+        try:
+            got = eng.read_format(root, "orc", columns=columns,
+                                  **read_opts)
+            assert got.schema == want_schema, (mode, got.schema,
+                                               want_schema)
+            assert sorted(map(str, got.collect())) == want, mode
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+
+class TestCachedOrcParity:
+    def test_all_types_roundtrip(self, spark, cache_dir):
+        root = tempfile.mkdtemp(prefix="orct-")
+        df = spark.createDataFrame(
+            [(1, 2**40, 1.5, "s", True, datetime.date(2024, 1, 2),
+              datetime.datetime(2024, 1, 2, 3, 4, 5, 123456),
+              decimal.Decimal("12.34"), [1, 2], {"k": 1}, (7, "in")),
+             (2, None, None, None, None, None, None, None, None, None,
+              None)],
+            "i int, l bigint, dbl double, s string, b boolean, d date,"
+            " ts timestamp, dec decimal(5,2), arr array<int>,"
+            " mp map<string,int>, st struct<a:int,b:string>")
+        df.coalesce(1).write.mode("overwrite").orc(root)
+        _parity(spark, cache_dir, root)
+
+    def test_timestamp_ntz_catalyst_metadata(self, spark, cache_dir):
+        root = tempfile.mkdtemp(prefix="orcn-")
+        spark.createDataFrame(
+            [(datetime.datetime(2024, 1, 2, 3, 4, 5, 123456),
+              datetime.datetime(2024, 1, 2, 3, 4, 5))],
+            "tn timestamp_ntz, ts timestamp") \
+            .coalesce(1).write.mode("overwrite").orc(root)
+        _parity(spark, cache_dir, root)
+
+    def test_cross_zone_instant(self, spark, cache_dir):
+        """Written under one session zone, read under another: the
+        INSTANT must survive (ORC timestamps are instants; the naive
+        pyarrow value is the UTC wall — probed)."""
+        root = tempfile.mkdtemp(prefix="orcz-")
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        try:
+            spark.createDataFrame(
+                [(1, datetime.datetime(2024, 1, 2, 3, 4, 5))],
+                "i int, ts timestamp") \
+                .coalesce(1).write.mode("overwrite").orc(root)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _parity(spark, cache_dir, root)
+
+    def test_hive_partitioned(self, spark, cache_dir):
+        root = tempfile.mkdtemp(prefix="orcp-") + "/t.orc"
+        df = spark.createDataFrame(
+            [(i, f"v{i}", i % 3) for i in range(30)],
+            "id int, v string, k int")
+        df.write.mode("overwrite").partitionBy("k").orc(root)
+        _parity(spark, cache_dir, root)
+
+    def test_projection(self, spark, cache_dir):
+        root = tempfile.mkdtemp(prefix="orcj-")
+        spark.createDataFrame(
+            [(i, f"v{i}", i * 0.5) for i in range(100)],
+            "id int, v string, x double") \
+            .coalesce(1).write.mode("overwrite").orc(root)
+        _parity(spark, cache_dir, root, columns=["x", "id"])
+
+    def test_mergeschema_additive(self, spark, cache_dir):
+        """ORC mergeSchema column ORDER follows a JVM-internal hash
+        order over file BASENAMES (probed: stable across directories,
+        changed by renaming) — executor mode delegates to the raw
+        scan (refuse-to-guess policy), driver mode stays cached (the
+        symlink view preserves basenames, so the JVM applies the same
+        order). Both must match the JVM verbatim."""
+        import pyarrow as pa
+        import pyarrow.orc as po
+
+        root = tempfile.mkdtemp(prefix="orcm-")
+        po.write_table(pa.table({"x": pa.array([1], pa.int64()),
+                                 "y": pa.array(["a"])}),
+                       os.path.join(root, "a.orc"))
+        po.write_table(pa.table({"x": pa.array([2], pa.int64()),
+                                 "z": pa.array([0.5])}),
+                       os.path.join(root, "b.orc"))
+        _parity(spark, cache_dir, root, mergeSchema="true")
+
+    def test_mergeschema_executor_delegates_raw(self, spark, cache_dir):
+        from sidecar_spark import Engine
+
+        root = tempfile.mkdtemp(prefix="orcmr-")
+        spark.range(5).coalesce(1).write.mode("overwrite").orc(root)
+        eng = Engine(spark, conf=_conf(cache_dir))
+        try:
+            df = eng.read_format(root, "orc", mergeSchema="true")
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "PythonScan" not in plan  # raw JVM scan
+            assert df.count() == 5
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_executor_plan_uses_python_source(self, spark, cache_dir):
+        from sidecar_spark import Engine
+
+        root = tempfile.mkdtemp(prefix="orcx-")
+        spark.range(10).coalesce(1).write.mode("overwrite").orc(root)
+        eng = Engine(spark, conf=_conf(cache_dir))
+        try:
+            df = eng.read_format(root, "orc")
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "PythonScan" in plan or "sidecar" in plan.lower()
+            assert df.count() == 10
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_serves_from_cache(self, cache_dir):
+        """In-process drive (scan workers' stats are invisible from
+        the driver): cold fills the mirror, warm does zero remote."""
+        import pyarrow as pa
+        import pyarrow.orc as po
+
+        from sidecar_spark.sources.cached_orc import CachedOrcSource
+
+        root = tempfile.mkdtemp(prefix="orcc-")
+        po.write_table(
+            pa.table({"x": pa.array(list(range(5000)), pa.int64())}),
+            os.path.join(root, "a.orc"))
+        conf = _conf(cache_dir)
+        opts = {"path": root, "conf": conf.to_json()}
+        mgr = CacheManager.get_or_create(conf)
+        try:
+            def one_scan():
+                src = CachedOrcSource(opts)
+                schema = src.schema()
+                reader = src.reader(schema)
+                return sum(b.num_rows for part in reader.partitions()
+                           for b in reader.read(part))
+
+            assert one_scan() == 5000
+            before = mgr.stats.snapshot()
+            assert one_scan() == 5000
+            after = mgr.stats.snapshot()
+            assert (after["total_bytes_read_remote"]
+                    == before["total_bytes_read_remote"])
+            assert (after["total_read_requests_from_data_cache"]
+                    > before["total_read_requests_from_data_cache"])
+        finally:
+            mgr.release()
+            CacheManager.clear_instances()
+
+    def test_partition_file_pruning(self, spark, cache_dir):
+        """pushFilters partition-FILE pruning is format-agnostic: a
+        filter on the hive key plans only the matching files."""
+        from pyspark.sql.datasource import EqualTo
+
+        from sidecar_spark.sources.cached_orc import (
+            PruningCachedOrcReader,
+        )
+
+        root = tempfile.mkdtemp(prefix="orcf-") + "/t.orc"
+        spark.createDataFrame(
+            [(i, i % 3) for i in range(30)], "id int, k int") \
+            .write.mode("overwrite").partitionBy("k").orc(root)
+        conf = _conf(cache_dir)
+        mgr = CacheManager.get_or_create(conf)
+        try:
+            reader = PruningCachedOrcReader(
+                {"path": root, "conf": conf.to_json()})
+            flt = EqualTo(("k",), 1)
+            assert list(reader.pushFilters([flt])) == [flt]
+            parts = reader.partitions()
+            assert parts and all(
+                ("k", "1") in p.parts for p in parts)
+        finally:
+            mgr.release()
+            CacheManager.clear_instances()
