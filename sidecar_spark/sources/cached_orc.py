@@ -25,13 +25,15 @@ with the JVM scan is derivable:
 
 Scale differences vs the parquet source, both deliberate:
 
-* no byte-range splits — pyarrow exposes stripes only as indexed
-  reads (``read_stripe(i)``), not byte offsets, so one file is one
-  task; ORC tables are typically written many-files-per-partition,
-  where file-level parallelism is the JVM's own unit too;
-* no row-group statistics pruning — pyarrow does not expose ORC
-  stripe statistics; partition-FILE pruning (``pushFilters``) still
-  applies unchanged.
+* splits are stripe-INDEX ranges, not byte ranges — pyarrow exposes
+  stripes only as indexed reads (``read_stripe(i)``), so a file
+  larger than the split size is split by reading its footer's stripe
+  count at plan time (mirror-first; the same footer read Hadoop's
+  OrcInputFormat pays for its stripe-offset splits) and tiling
+  [0, nstripes) across ceil(length/split) tasks;
+* no stripe statistics pruning — pyarrow does not expose ORC stripe
+  statistics; partition-FILE pruning (``pushFilters``) still applies
+  unchanged.
 """
 
 from __future__ import annotations
@@ -41,6 +43,7 @@ from sidecar_spark.sources.cached_parquet import (
     CachedParquetReader,
     CachedParquetSource,
     PruningCachedParquetReader,
+    _FilePart,
     _resolve_file_columns,
 )
 
@@ -97,7 +100,10 @@ def _orc_arrow_target(schema):
 def _orc_pass(fobj, part, columns, case_sensitive, path):
     """Decode ONE ORC file object into coerced Arrow batches, stripe
     by stripe (pyarrow's unit of ORC granularity), sliced to the same
-    batch rows as the parquet path."""
+    batch rows as the parquet path. A stripe-range split (set by
+    ``CachedOrcReader.partitions`` for files larger than the split
+    size) reads only its [stripe_start, stripe_end) — disjoint and
+    complete across the file's tasks."""
     import pyarrow as pa
     import pyarrow.orc as po
 
@@ -107,8 +113,10 @@ def _orc_pass(fobj, part, columns, case_sensitive, path):
     if columns is not None:
         cols = _resolve_file_columns(of.schema.names, columns,
                                      case_sensitive, path)
+    stripes = getattr(part, "stripes", None)
+    lo, hi = stripes if stripes else (0, of.nstripes)
     subs = {}
-    for i in range(of.nstripes):
+    for i in range(lo, min(hi, of.nstripes)):
         rb = (of.read_stripe(i, columns=cols) if cols is not None
               else of.read_stripe(i))
         key = tuple(rb.schema.names)
@@ -125,9 +133,64 @@ def _orc_pass(fobj, part, columns, case_sensitive, path):
 class CachedOrcReader(CachedParquetReader):
     def __init__(self, options, schema=None, files=None):
         super().__init__(options, schema, files=files)
-        # stripes are not byte-addressable through pyarrow: one file
-        # is one task (see module docstring)
-        self.split_bytes = 0
+        # stripes are not byte-ADDRESSABLE through pyarrow, so the
+        # parquet byte-range splitter cannot apply — partitions()
+        # splits big files by stripe INDEX ranges instead (one footer
+        # read per large file at plan time, the same cost Hadoop's
+        # OrcInputFormat pays for its stripe-offset splits)
+        self._orc_split, self.split_bytes = self.split_bytes, 0
+
+    def partitions(self):
+        parts = super().partitions()
+        if not self._orc_split:
+            return parts
+        big = [p for p in parts if p.length > self._orc_split]
+        if not big:
+            return parts
+        from sidecar_spark.cache.manager import CacheManager
+
+        mgr = CacheManager.get_or_create(self._conf())
+        out = []
+        for p in parts:
+            if p.length <= self._orc_split:
+                out.append(p)
+                continue
+            try:
+                n = self._nstripes(mgr, p)
+            except Exception:  # noqa: BLE001 — footer trouble: the
+                out.append(p)  # whole file stays one task
+                continue
+            want = max(1, min(n, -(-p.length // self._orc_split)))
+            per = -(-n // want)  # ceil: ranges tile [0, n) exactly
+            first_flag = p.first
+            for lo in range(0, n, per):
+                hi = min(lo + per, n)
+                # proportional byte attribution: stats span, and the
+                # cold-fill gate (only the split owning byte 0
+                # materializes; the others range-stream the first
+                # scan) both key off start/end
+                sp = _FilePart(p.path, p.mtime, p.length, p.veto,
+                               parts=p.parts,
+                               start=lo * p.length // n,
+                               end=hi * p.length // n)
+                sp.stripes = (lo, hi)
+                sp.first = first_flag and lo == 0
+                out.append(sp)
+        return out
+
+    @staticmethod
+    def _nstripes(mgr, p) -> int:
+        """Stripe count from the file footer, mirror-first (a warmed
+        table's split planning costs zero remote requests)."""
+        import pyarrow.orc as po
+
+        fs, path = mgr._resolve(p.path)  # noqa: SLF001
+        local = (mgr.mirror.lookup(path, p.mtime)
+                 if mgr.mirror is not None else None)
+        if local is not None:
+            return po.ORCFile(local).nstripes
+        with fs.open_read(path) as f:
+            return po.ORCFile(f).nstripes
 
     def _file_pass(self, fobj, part, columns, stat_filters):
         return _orc_pass(fobj, part, columns, self.case_sensitive,

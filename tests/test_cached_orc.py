@@ -188,6 +188,41 @@ class TestCachedOrcParity:
             mgr.release()
             CacheManager.clear_instances()
 
+    def test_stripe_splits_disjoint_and_complete(self, cache_dir):
+        """A file larger than split_bytes becomes stripe-INDEX-range
+        tasks (footer-counted at plan time): disjoint, complete, one
+        first-flag, and only the byte-0 split cold-fills."""
+        import pyarrow as pa
+        import pyarrow.orc as po
+
+        from sidecar_spark.sources.cached_orc import CachedOrcReader
+
+        root = tempfile.mkdtemp(prefix="orcsp-")
+        po.write_table(
+            pa.table({"x": pa.array(list(range(200_000)), pa.int64()),
+                      "s": [f"{i * 2654435761 % 2**32:08x}"
+                            for i in range(200_000)]}),
+            os.path.join(root, "a.orc"),
+            stripe_size=64 * 1024)  # many small stripes
+        conf = _conf(cache_dir)
+        mgr = CacheManager.get_or_create(conf)
+        try:
+            reader = CachedOrcReader(
+                {"path": root, "conf": conf.to_json(),
+                 "split_bytes": "65536"})
+            parts = reader.partitions()
+            assert len(parts) > 2, len(parts)
+            assert sum(1 for p in parts if p.first) == 1
+            assert sum(1 for p in parts if p.start == 0) == 1
+            seen = []
+            for p in parts:
+                for b in reader.read(p):
+                    seen.extend(b.column(0).to_pylist())
+            assert sorted(seen) == list(range(200_000))
+        finally:
+            mgr.release()
+            CacheManager.clear_instances()
+
     def test_partition_file_pruning(self, spark, cache_dir):
         """pushFilters partition-FILE pruning is format-agnostic: a
         filter on the hive key plans only the matching files."""
