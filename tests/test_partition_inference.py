@@ -267,6 +267,43 @@ class TestLayoutParity:
             eng.close()
             CacheManager.clear_instances()
 
+    def test_recursive_lookup_mixed_resolution_stays_flat(
+            self, spark, cache_dir):
+        """Mixed local/remote resolve + recursiveFileLookup: directory
+        structure is NON-semantic under rfl (the JVM flattens), so the
+        read keeps the mixed flat-path route — cached where local —
+        instead of re-streaming everything from the original root
+        (round-7 review finding #3)."""
+        from sidecar_spark import Engine
+
+        root = os.path.join(tempfile.mkdtemp(prefix="pi-mx-"),
+                            "t.parquet")
+        _write_part(spark, root, "k=1", [(1, "x")])
+        _write_part(spark, root, "k=2", [(2, "y")])
+        excl = next(f for f in os.listdir(os.path.join(root, "k=2"))
+                    if f.endswith(".parquet"))
+        conf = SidecarConfig.create(
+            cache_dir=tempfile.mkdtemp(prefix="pi-mx-c-", dir=cache_dir),
+            data_cache_type="file", cache_persistent=False,
+            resolve_mode="driver",
+            read_exclude_paths=(f".*{excl}",))
+        eng = Engine(spark, conf=conf)
+        try:
+            got = eng.read_parquet(root, recursiveFileLookup="true")
+            inputs = [f.replace("file://", "") for f in got.inputFiles()]
+            assert any(f.startswith(eng.conf.cache_dir)
+                       for f in inputs)         # cached where local
+            assert any(f.startswith(root)
+                       for f in inputs)         # excluded file: remote
+            jvm = (spark.read.option("recursiveFileLookup", "true")
+                   .parquet(root))
+            assert got.schema == jvm.schema
+            assert (sorted(map(str, got.collect()))
+                    == sorted(map(str, jvm.collect())))
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
     def test_mixed_depth_delegates_to_jvm(self, spark, cache_dir):
         """A file at the root NEXT TO k=... dirs: the JVM silently
         keeps only the partitioned files (probed). Driver mode
