@@ -394,6 +394,69 @@ def executor_orc_read_agg(spark, sf_dir):
 
 
 @query(
+    "executor_legacy_rebase_read",
+    oracle="""
+    SELECT strftime(CAST(o_orderdate AS DATE) - 160000, '%Y') AS yr,
+           count(*) AS n,
+           strftime(min(CAST(o_orderdate AS DATE) - 160000),
+                    '%Y-%m-%d') AS first_d,
+           strftime(max(CAST(o_orderdate AS DATE) - 160000),
+                    '%Y-%m-%d') AS last_d
+    FROM orders
+    WHERE o_orderkey <= 2000
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def executor_legacy_rebase_read(spark, sf_dir):
+    """LEGACY-rebase parquet through the executor scan (round-7 probe
+    find): Spark writes ancient dates in the hybrid Julian calendar
+    under datetimeRebaseModeInWrite=LEGACY and rebases them back on
+    read; the Python source must rebase identically
+    (sources/rebase.py) or every pre-1582 label shifts by 9-10 days —
+    the write+read roundtrip is label-identity, so the oracle simply
+    recomputes the labels from the base table and any missed rebase
+    hash-mismatches. Dates land in the 1550s (orderdate − 160000
+    days), squarely pre-Gregorian."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from sidecar_spark import Engine, SidecarConfig
+
+    out = _tempfile.mkdtemp(prefix="sidecar-legacy-rebase-")
+    try:
+        o = (t(spark, sf_dir, "orders")
+             .where(F.col("o_orderkey") <= 2000)
+             .select(F.date_sub("o_orderdate", 160000).alias("d")))
+        spark.conf.set(
+            "spark.sql.parquet.datetimeRebaseModeInWrite", "LEGACY")
+        try:
+            o.coalesce(1).write.mode("overwrite").parquet(out)
+        finally:
+            spark.conf.unset(
+                "spark.sql.parquet.datetimeRebaseModeInWrite")
+        conf = SidecarConfig.create(
+            cache_dir=_os.path.join("/tmp", "sidecar-query-cache-exec"),
+            data_cache_type="file", cache_persistent=False,
+            resolve_mode="executor")
+        eng = Engine(spark, conf=conf)
+        rows = (eng.read_parquet(out)
+                .groupBy(F.date_format("d", "yyyy").alias("yr"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.date_format(F.min("d"), "yyyy-MM-dd")
+                     .alias("first_d"),
+                     F.date_format(F.max("d"), "yyyy-MM-dd")
+                     .alias("last_d"))
+                .orderBy("yr")
+                .collect())
+        return spark.createDataFrame(
+            rows, "yr string, n bigint, first_d string, last_d string")
+    finally:
+        _shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
     "partitioned_typed_read",
     oracle="""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mon,

@@ -448,12 +448,35 @@ def _parquet_pass(fobj, part, columns, stat_filters, case_sensitive,
     rgs = (_select_row_groups(pf, part.start, part.end)
            if is_split else None)
     if stat_filters:
+        km = pf.metadata.metadata or {}
+        if b"org.apache.spark.legacyDateTime" in km:
+            # legacy file: date statistics hold HYBRID-calendar day
+            # counts while Spark's pushed references are proleptic —
+            # comparing them could wrongly skip a group whose rebased
+            # values match. Dates stop pruning for this file;
+            # timestamps never prune anyway.
+            import datetime as _dt
+
+            stat_filters = [
+                f for f in stat_filters
+                if not any(isinstance(r, _dt.date) for r in
+                           (f[2] if isinstance(f[2], tuple)
+                            else (f[2],)))]
         rgs = _stat_prune(
             pf,
             rgs if rgs is not None
             else range(pf.metadata.num_row_groups),
             stat_filters, case_sensitive)
-    return _coerce_batches(pf, _arrow_target(pf), cols, rgs)
+    batches = _coerce_batches(pf, _arrow_target(pf), cols, rgs)
+    # LEGACY-written files (org.apache.spark.legacyDateTime /
+    # legacyINT96 footer markers) stored ancient dates/timestamps in
+    # the hybrid Julian calendar — rebase to proleptic like the JVM
+    # scan (probed: stored julian 1500-01-01 must read 1500-01-01,
+    # not the raw proleptic 1500-01-10). Unmarked files pass through
+    # untouched (the JVM reads those proleptic-raw too, probed).
+    from sidecar_spark.sources.rebase import rebase_batches
+
+    return rebase_batches(batches, pf, _int96_leaves(pf))
 
 
 def _read_file_batches(mgr, part: _FilePart, one_pass):
