@@ -14,7 +14,19 @@ with the JVM scan is derivable:
   the UTC rendering of the stored instant (probed cross-zone: write
   session Asia/Tokyo, read session UTC — the naive value zoned UTC
   equals the JVM's ``unix_timestamp``), so the target zones them UTC
-  and coerces ns→µs exactly like the parquet INT96 rule;
+  and coerces ns→µs exactly like the parquet INT96 rule. KNOWN
+  LIMIT: pyarrow's ns decode wraps timestamps outside
+  [1677-09-21, 2262-04-11] inside the C++ reader itself, and a
+  wrapped value is indistinguishable from a genuine one post-hoc
+  (every decode lands inside that window) — ancient ORC timestamps
+  need the raw JVM scan (driver mode serves them correctly through
+  the view; PARITY.md);
+* ORC DATES are stored as HYBRID-calendar day counts — a format
+  semantic, not a writer option (probed: the JVM rebases them for
+  every writer, including pyarrow-written files, and across all
+  ``datetimeRebaseModeInWrite`` settings) — so the decode rebases
+  julian→proleptic ALWAYS (``rebase.py``; identity at/after
+  1582-10-15, fast-pathed);
 * Spark writes ``timestamp_ntz`` to ORC as raw int64 MICROS with the
   field metadata ``spark.sql.catalyst.type = timestamp_ntz`` (probed)
   — the target reinterprets those as ``timestamp[us]`` (Arrow's
@@ -116,6 +128,9 @@ def _orc_pass(fobj, part, columns, case_sensitive, path):
     stripes = getattr(part, "stripes", None)
     lo, hi = stripes if stripes else (0, of.nstripes)
     subs = {}
+    from sidecar_spark.sources.rebase import has_date as _hd
+
+    any_date = any(_hd(f.type) for f in target)
     for i in range(lo, min(hi, of.nstripes)):
         rb = (of.read_stripe(i, columns=cols) if cols is not None
               else of.read_stripe(i))
@@ -127,7 +142,22 @@ def _orc_pass(fobj, part, columns, case_sensitive, path):
         conform = not rb.schema.equals(sub)
         for off in range(0, rb.num_rows, _BATCH_ROWS):
             chunk = rb.slice(off, _BATCH_ROWS)
-            yield chunk.cast(sub) if conform else chunk
+            if conform:
+                chunk = chunk.cast(sub)
+            if any_date:
+                # ORC day counts are HYBRID-calendar labels (format
+                # semantic, probed: the JVM rebases them for EVERY
+                # writer, incl. pyarrow-written files) — rebase to
+                # proleptic; modern values fast-path through. ORC
+                # TIMESTAMPS are not rebased: see module docstring.
+                from sidecar_spark.sources.rebase import rebase_array
+
+                arrays = [rebase_array(chunk.column(j), True, False,
+                                       False)
+                          for j in range(chunk.num_columns)]
+                chunk = pa.RecordBatch.from_arrays(
+                    arrays, schema=chunk.schema)
+            yield chunk
 
 
 class CachedOrcReader(CachedParquetReader):

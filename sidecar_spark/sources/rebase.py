@@ -76,19 +76,20 @@ def rebase_micros(us: int) -> int:
     return rebase_julian_day(day) * _US_PER_DAY + tod
 
 
-def rebase_array(arr, legacy_dt: bool, legacy_96: bool,
+def rebase_array(arr, dates: bool, ts_plain: bool, ts_int96: bool,
                  int96_cols=frozenset(), name: str = ""):
-    """Rebase one Arrow array (recursing into list/struct/map) when
-    the file was written LEGACY. ``int96_cols`` names TOP-LEVEL
-    columns stored as INT96 (their own legacy flag); int64
-    timestamps and date32 follow ``legacy_dt``. Values at/after the
-    1582 switch pass through untouched — the fast path returns the
-    input array unchanged when nothing is ancient."""
+    """Rebase one Arrow array (recursing into list/struct), per-kind
+    flags: ``dates`` rebases date32 (parquet: when legacyDateTime;
+    ORC: ALWAYS — hybrid is the format semantic, probed), ``ts_plain``
+    rebases non-INT96 timestamps, ``ts_int96`` those whose dotted
+    path is in ``int96_cols``. Values at/after the 1582 switch pass
+    through untouched — the fast path returns the input array
+    unchanged when nothing is ancient."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     t = arr.type
-    if pa.types.is_date32(t) and legacy_dt:
+    if pa.types.is_date32(t) and dates:
         days = arr.cast(pa.int32())
         anc = pc.any(pc.less(days, GREG_SWITCH_DAY)).as_py()
         if not anc:
@@ -98,7 +99,7 @@ def rebase_array(arr, legacy_dt: bool, legacy_96: bool,
                 for v in days.to_pylist()]
         return pa.array(vals, type=pa.int32()).cast(pa.date32())
     if pa.types.is_timestamp(t):
-        flag = legacy_96 if name in int96_cols else legacy_dt
+        flag = ts_int96 if name in int96_cols else ts_plain
         if not flag:
             return arr
         unit_per_day = {"s": 86_400, "ms": 86_400_000,
@@ -122,7 +123,7 @@ def rebase_array(arr, legacy_dt: bool, legacy_96: bool,
         return pa.array(vals, type=pa.int64()).cast(t)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         src = arr.flatten()
-        flat = rebase_array(src, legacy_dt, legacy_96, int96_cols)
+        flat = rebase_array(src, dates, ts_plain, ts_int96, int96_cols)
         if flat is src:
             return arr
         import pyarrow.compute as _pc
@@ -140,7 +141,7 @@ def rebase_array(arr, legacy_dt: bool, legacy_96: bool,
             flat, mask=arr.is_null())
     if pa.types.is_struct(t):
         srcs = [arr.field(i) for i in range(t.num_fields)]
-        kids = [rebase_array(s, legacy_dt, legacy_96, int96_cols,
+        kids = [rebase_array(s, dates, ts_plain, ts_int96, int96_cols,
                              f"{name}.{t.field(i).name}" if name
                              else t.field(i).name)
                 for i, s in enumerate(srcs)]
@@ -148,7 +149,42 @@ def rebase_array(arr, legacy_dt: bool, legacy_96: bool,
             return arr
         return pa.StructArray.from_arrays(
             kids, fields=list(t), mask=arr.is_null())
+    if pa.types.is_map(t):
+        # rebase inside map entries via the list<struct<key,value>>
+        # view (the _conform_array pattern); identity when nothing
+        # inside is temporal
+        entries = pa.list_(pa.struct([
+            pa.field("key", t.key_type, False),
+            pa.field("value", t.item_type)]))
+        lv = arr.cast(entries)
+        out = rebase_array(lv, dates, ts_plain, ts_int96, int96_cols)
+        if out is lv:
+            return arr
+        vals = out.values
+        if vals.null_count == 0 and vals.buffers()[0] is not None:
+            vals = pa.StructArray.from_arrays(
+                [vals.field(i) for i in range(vals.type.num_fields)],
+                fields=list(vals.type))
+        return pa.Array.from_buffers(
+            t, len(out), out.buffers()[:2],
+            null_count=out.null_count, children=[vals])
     return arr
+
+
+def has_date(t) -> bool:
+    """True when the type contains a date32 anywhere (the ORC
+    always-rebase gate)."""
+    import pyarrow as pa
+
+    if pa.types.is_date32(t):
+        return True
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return has_date(t.value_type)
+    if pa.types.is_map(t):
+        return has_date(t.key_type) or has_date(t.item_type)
+    if pa.types.is_struct(t):
+        return any(has_date(f.type) for f in t)
+    return False
 
 
 def _has_temporal(t) -> bool:
@@ -186,8 +222,9 @@ def rebase_batches(batches, pf, int96_leaves):
         if not any(_has_temporal(f.type) for f in batch.schema):
             yield batch
             continue
-        arrays = [rebase_array(batch.column(i), legacy_dt, legacy_96,
-                               int96_cols, batch.schema.names[i])
+        arrays = [rebase_array(batch.column(i), legacy_dt, legacy_dt,
+                               legacy_96, int96_cols,
+                               batch.schema.names[i])
                   for i in range(batch.num_columns)]
         yield pa.RecordBatch.from_arrays(arrays,
                                          schema=batch.schema)

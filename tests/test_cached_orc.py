@@ -88,6 +88,37 @@ class TestCachedOrcParity:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
         _parity(spark, cache_dir, root)
 
+    def test_ancient_dates_rebase_always(self, spark, cache_dir):
+        """ORC day counts are HYBRID-calendar labels for every writer
+        (probed): Spark-written julian 1500-01-01 must read
+        1500-01-01, and a pyarrow-written proleptic 1500-01-01 must
+        read 1499-12-23 — both whatever the JVM serves, re-derived
+        live."""
+        root = tempfile.mkdtemp(prefix="orcad-")
+        spark.createDataFrame(
+            [(1, datetime.date(1500, 1, 1)),
+             (2, datetime.date(1582, 10, 4)),
+             (3, datetime.date(2024, 1, 1)), (4, None)],
+            "i int, d date").coalesce(1).write.mode("overwrite").orc(root)
+        _parity(spark, cache_dir, root)
+        import pyarrow as pa
+        import pyarrow.orc as po
+
+        root2 = tempfile.mkdtemp(prefix="orcad2-")
+        po.write_table(pa.table({"d": pa.array(
+            [datetime.date(1500, 1, 1), datetime.date(2024, 1, 1)])}),
+            os.path.join(root2, "a.orc"))
+        _parity(spark, cache_dir, root2)
+
+    def test_ancient_dates_nested(self, spark, cache_dir):
+        root = tempfile.mkdtemp(prefix="orcan-")
+        spark.sql(
+            "SELECT named_struct('when', DATE'1500-01-01') AS st, "
+            "array(DATE'1500-01-01', DATE'2024-01-01') AS ds, "
+            "map('k', DATE'1500-01-01') AS mp"
+        ).coalesce(1).write.mode("overwrite").orc(root)
+        _parity(spark, cache_dir, root)
+
     def test_hive_partitioned(self, spark, cache_dir):
         root = tempfile.mkdtemp(prefix="orcp-") + "/t.orc"
         df = spark.createDataFrame(
