@@ -389,6 +389,22 @@ class Engine:
                 "spark.sql.caseSensitive", "false")
         except Exception:  # noqa: BLE001
             case_sensitive = "false"
+        # rebase modes for non-Spark-written files: the JVM consults
+        # these confs when a footer has neither a legacy marker nor
+        # org.apache.spark.version (probed, sources/rebase.py) — ship
+        # them so executor-mode reads pick the same per-file mode
+        try:
+            dt_rebase = self.spark.conf.get(
+                "spark.sql.parquet.datetimeRebaseModeInRead",
+                "CORRECTED")
+        except Exception:  # noqa: BLE001
+            dt_rebase = "CORRECTED"
+        try:
+            i96_rebase = self.spark.conf.get(
+                "spark.sql.parquet.int96RebaseModeInRead",
+                "CORRECTED")
+        except Exception:  # noqa: BLE001
+            i96_rebase = "CORRECTED"
         source = ("sidecar_cached_orc" if fmt == "orc"
                   else "sidecar_cached_parquet")
         reader = (self.spark.read.format(source)
@@ -405,6 +421,8 @@ class Engine:
                   .option("tz", tz)
                   .option("merge", "true" if merge else "false")
                   .option("case_sensitive", case_sensitive)
+                  .option("dt_rebase", dt_rebase)
+                  .option("i96_rebase", i96_rebase)
                   .option("split_bytes", str(
                       _parse_bytes(str(split_bytes))
                       if split_bytes is not None

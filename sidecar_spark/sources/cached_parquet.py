@@ -433,10 +433,11 @@ def _resolve_file_columns(names, columns, case_sensitive, path):
 
 
 def _parquet_pass(fobj, part, columns, stat_filters, case_sensitive,
-                  path):
+                  path, dt_rebase="CORRECTED", i96_rebase="CORRECTED",
+                  ntz=True):
     """Decode ONE parquet file object into coerced Arrow batches:
     projection by file spelling, byte-range row-group selection,
-    statistics pruning."""
+    statistics pruning, calendar rebase."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(fobj, coerce_int96_timestamp_unit="us")
@@ -449,12 +450,15 @@ def _parquet_pass(fobj, part, columns, stat_filters, case_sensitive,
            if is_split else None)
     if stat_filters:
         km = pf.metadata.metadata or {}
-        if b"org.apache.spark.legacyDateTime" in km:
-            # legacy file: date statistics hold HYBRID-calendar day
-            # counts while Spark's pushed references are proleptic —
-            # comparing them could wrongly skip a group whose rebased
-            # values match. Dates stop pruning for this file;
-            # timestamps never prune anyway.
+        if (b"org.apache.spark.legacyDateTime" in km
+                or (dt_rebase == "LEGACY"
+                    and b"org.apache.spark.version" not in km)):
+            # LEGACY-read file (footer marker, or non-Spark file under
+            # datetimeRebaseModeInRead=LEGACY): date statistics hold
+            # HYBRID-calendar day counts while Spark's pushed
+            # references are proleptic — comparing them could wrongly
+            # skip a group whose rebased values match. Dates stop
+            # pruning for this file; timestamps never prune anyway.
             import datetime as _dt
 
             stat_filters = [
@@ -468,15 +472,17 @@ def _parquet_pass(fobj, part, columns, stat_filters, case_sensitive,
             else range(pf.metadata.num_row_groups),
             stat_filters, case_sensitive)
     batches = _coerce_batches(pf, _arrow_target(pf), cols, rgs)
-    # LEGACY-written files (org.apache.spark.legacyDateTime /
-    # legacyINT96 footer markers) stored ancient dates/timestamps in
-    # the hybrid Julian calendar — rebase to proleptic like the JVM
-    # scan (probed: stored julian 1500-01-01 must read 1500-01-01,
-    # not the raw proleptic 1500-01-10). Unmarked files pass through
-    # untouched (the JVM reads those proleptic-raw too, probed).
+    # Calendar rebase, matching the JVM scan's per-file mode choice
+    # (probed — rebase.py docstrings): footer legacy markers →
+    # rebase; Spark-written unmarked → pass through; non-Spark files
+    # → the session's datetimeRebaseModeInRead / int96RebaseModeInRead
+    # (shipped from the driver as reader options). NTZ columns are
+    # exempt in every mode.
     from sidecar_spark.sources.rebase import rebase_batches
 
-    return rebase_batches(batches, pf, _int96_leaves(pf))
+    return rebase_batches(batches, pf, _int96_leaves(pf),
+                          dt_conf=dt_rebase, i96_conf=i96_rebase,
+                          ntz_infer=ntz, path=path)
 
 
 def _read_file_batches(mgr, part: _FilePart, one_pass):
@@ -888,6 +894,15 @@ class CachedParquetReader(DataSourceReader):
         self.case_sensitive = (str(options.get("case_sensitive",
                                                "false")).lower()
                                == "true")
+        # rebase modes for NON-Spark-written files (footer markers /
+        # spark.version win over these — rebase.rebase_batches);
+        # defaults match Spark 4's CORRECTED, so direct format() use
+        # without the Engine behaves like an untouched session
+        self.dt_rebase = str(options.get("dt_rebase")
+                             or "CORRECTED").upper()
+        self.i96_rebase = str(options.get("i96_rebase")
+                              or "CORRECTED").upper()
+        self.ntz = str(options.get("ntz") or "true").lower() == "true"
         try:
             # clamp: a negative value must mean "no splitting", never
             # an empty range list that silently drops a file's rows
@@ -968,7 +983,9 @@ class CachedParquetReader(DataSourceReader):
         """Format-specific decode of one open file object into Arrow
         batches; ORC (cached_orc.py) overrides this."""
         return _parquet_pass(fobj, part, columns, stat_filters,
-                             self.case_sensitive, part.path)
+                             self.case_sensitive, part.path,
+                             self.dt_rebase, self.i96_rebase,
+                             self.ntz)
 
     def read(self, part: _FilePart):
         from sidecar_spark.cache.manager import CacheManager

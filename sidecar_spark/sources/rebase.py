@@ -76,15 +76,31 @@ def rebase_micros(us: int) -> int:
     return rebase_julian_day(day) * _US_PER_DAY + tod
 
 
+#: micros of 1900-01-01T00:00:00Z — Spark's ancient-TIMESTAMP
+#: threshold for rebase-mode checks (probed: EXCEPTION errors on a
+#: 1800 LTZ value even though dates only error before 1582-10-15;
+#: the JVM's julian→gregorian micros tables extend to 1900 because
+#: pre-1900 zone offsets were LMT-based)
+TS_1900_US = ((datetime.date(1900, 1, 1).toordinal() - _EPOCH_ORD)
+              * _US_PER_DAY)
+
+
 def rebase_array(arr, dates: bool, ts_plain: bool, ts_int96: bool,
-                 int96_cols=frozenset(), name: str = ""):
+                 int96_cols=frozenset(), name: str = "",
+                 ntz_exempt: bool = False):
     """Rebase one Arrow array (recursing into list/struct), per-kind
     flags: ``dates`` rebases date32 (parquet: when legacyDateTime;
     ORC: ALWAYS — hybrid is the format semantic, probed), ``ts_plain``
     rebases non-INT96 timestamps, ``ts_int96`` those whose dotted
     path is in ``int96_cols``. Values at/after the 1582 switch pass
     through untouched — the fast path returns the input array
-    unchanged when nothing is ancient."""
+    unchanged when nothing is ancient. ``ntz_exempt`` skips tz-NAIVE
+    timestamps outside ``int96_cols``: those read as TIMESTAMP_NTZ,
+    and the JVM NEVER rebases NTZ (probed: a LEGACY-written file
+    stores NTZ columns proleptic-raw while rebasing its date and LTZ
+    columns; rebase eligibility follows the CATALYST type — with NTZ
+    inference off the same naive column reads as LTZ and IS
+    rebased)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -99,7 +115,12 @@ def rebase_array(arr, dates: bool, ts_plain: bool, ts_int96: bool,
                 for v in days.to_pylist()]
         return pa.array(vals, type=pa.int32()).cast(pa.date32())
     if pa.types.is_timestamp(t):
-        flag = ts_int96 if name in int96_cols else ts_plain
+        if name in int96_cols:
+            flag = ts_int96
+        elif t.tz is None and ntz_exempt:
+            flag = False  # reads as TIMESTAMP_NTZ — never rebased
+        else:
+            flag = ts_plain
         if not flag:
             return arr
         unit_per_day = {"s": 86_400, "ms": 86_400_000,
@@ -123,7 +144,8 @@ def rebase_array(arr, dates: bool, ts_plain: bool, ts_int96: bool,
         return pa.array(vals, type=pa.int64()).cast(t)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         src = arr.flatten()
-        flat = rebase_array(src, dates, ts_plain, ts_int96, int96_cols)
+        flat = rebase_array(src, dates, ts_plain, ts_int96, int96_cols,
+                            name, ntz_exempt)
         if flat is src:
             return arr
         import pyarrow.compute as _pc
@@ -143,7 +165,7 @@ def rebase_array(arr, dates: bool, ts_plain: bool, ts_int96: bool,
         srcs = [arr.field(i) for i in range(t.num_fields)]
         kids = [rebase_array(s, dates, ts_plain, ts_int96, int96_cols,
                              f"{name}.{t.field(i).name}" if name
-                             else t.field(i).name)
+                             else t.field(i).name, ntz_exempt)
                 for i, s in enumerate(srcs)]
         if all(k is s for k, s in zip(kids, srcs)):
             return arr
@@ -157,7 +179,8 @@ def rebase_array(arr, dates: bool, ts_plain: bool, ts_int96: bool,
             pa.field("key", t.key_type, False),
             pa.field("value", t.item_type)]))
         lv = arr.cast(entries)
-        out = rebase_array(lv, dates, ts_plain, ts_int96, int96_cols)
+        out = rebase_array(lv, dates, ts_plain, ts_int96, int96_cols,
+                           name, ntz_exempt)
         if out is lv:
             return arr
         vals = out.values
@@ -201,30 +224,134 @@ def _has_temporal(t) -> bool:
     return False
 
 
-def rebase_batches(batches, pf, int96_leaves):
-    """Wrap a batch iterator with legacy rebase when (and only when)
-    the file footer carries Spark's legacy markers. Files without
-    the markers — everything written by Spark 3+/4 defaults or by
-    non-Spark writers — pass through with zero overhead (probed:
-    the JVM reads those proleptic-raw, same as pyarrow)."""
+def _norm_leaf(path: str) -> str:
+    """Parquet dotted leaf path → the name the rebase recursion
+    rebuilds: list levels contribute no segment (the element array
+    keeps its list's name) and map entries drop the synthetic
+    ``key_value`` level (``m.key_value.key`` → ``m.key``)."""
+    return (path.replace(".list.element", "")
+                .replace(".key_value.", "."))
+
+
+def _raise_if_ancient(arr, dt_exc: bool, i96_exc: bool, int96_cols,
+                      ntz_exempt: bool, name: str, path: str):
+    """EXCEPTION rebase mode: fail the read when a rebase-eligible
+    column holds an ancient value, like the JVM's
+    SparkUpgradeException (INCONSISTENT_BEHAVIOR_CROSS_VERSION.
+    READ_ANCIENT_DATETIME). Thresholds probed: dates before
+    1582-10-15; timestamps before 1900-01-01T00:00:00Z (a 1800 LTZ
+    value errors even though it needs no 1582 rebase). NTZ columns
+    are exempt (probed: an ancient NTZ-only file reads fine)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _msg(kind):
+        return (f"reading ancient {kind} values from {path!r} "
+                f"(column {name!r}) is ambiguous: the writer's "
+                "calendar is unknown (no Spark footer marker). Set "
+                "spark.sql.parquet.datetimeRebaseModeInRead (or "
+                "int96RebaseModeInRead) to CORRECTED to read them as "
+                "proleptic Gregorian, or LEGACY to rebase from the "
+                "hybrid Julian calendar — the JVM scan raises "
+                "SparkUpgradeException READ_ANCIENT_DATETIME here "
+                "too.")
+
+    t = arr.type
+    if pa.types.is_date32(t):
+        if dt_exc and len(arr):
+            days = arr.cast(pa.int32())
+            if pc.any(pc.less(days, GREG_SWITCH_DAY)).as_py():
+                raise ValueError(_msg("date"))
+        return
+    if pa.types.is_timestamp(t):
+        if name in int96_cols:
+            exc = i96_exc
+        elif t.tz is None and ntz_exempt:
+            exc = False  # TIMESTAMP_NTZ — never checked
+        else:
+            exc = dt_exc
+        if exc and len(arr):
+            unit_per_day = {"s": 86_400, "ms": 86_400_000,
+                            "us": _US_PER_DAY,
+                            "ns": 86_400_000_000_000}[t.unit]
+            bound = TS_1900_US // _US_PER_DAY * unit_per_day
+            ints = arr.cast(pa.int64())
+            if pc.any(pc.less(ints, bound)).as_py():
+                raise ValueError(_msg("timestamp"))
+        return
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        _raise_if_ancient(arr.flatten(), dt_exc, i96_exc, int96_cols,
+                          ntz_exempt, name, path)
+        return
+    if pa.types.is_struct(t):
+        for i in range(t.num_fields):
+            kid = f"{name}.{t.field(i).name}" if name else t.field(i).name
+            _raise_if_ancient(arr.field(i), dt_exc, i96_exc,
+                              int96_cols, ntz_exempt, kid, path)
+        return
+    if pa.types.is_map(t):
+        _raise_if_ancient(arr.keys, dt_exc, i96_exc, int96_cols,
+                          ntz_exempt, f"{name}.key", path)
+        _raise_if_ancient(arr.items, dt_exc, i96_exc, int96_cols,
+                          ntz_exempt, f"{name}.value", path)
+        return
+
+
+def rebase_batches(batches, pf, int96_leaves, dt_conf="CORRECTED",
+                   i96_conf="CORRECTED", ntz_infer=True,
+                   path: str = ""):
+    """Wrap a batch iterator with the rebase mode the JVM scan would
+    pick for this file (probed, Spark 4.1):
+
+    - footer marker ``org.apache.spark.legacyDateTime`` /
+      ``legacyINT96`` → LEGACY (rebase), regardless of session confs;
+    - else footer has ``org.apache.spark.version`` (Spark 3+/4
+      default writes) → CORRECTED (pass through), regardless of
+      session confs;
+    - else (non-Spark writer, e.g. pyarrow) → the session's
+      ``spark.sql.parquet.datetimeRebaseModeInRead`` /
+      ``int96RebaseModeInRead`` (both default CORRECTED): LEGACY
+      rebases, EXCEPTION fails the read on ancient values
+      (dates < 1582-10-15, LTZ timestamps < 1900-01-01Z).
+
+    NTZ columns are exempt from every mode — eligibility follows the
+    CATALYST type, so ``ntz_infer=False`` (inference disabled) makes
+    tz-naive columns LTZ and rebase-eligible again (probed)."""
     import pyarrow as pa
 
     km = pf.metadata.metadata or {}
-    legacy_dt = b"org.apache.spark.legacyDateTime" in km
-    legacy_96 = b"org.apache.spark.legacyINT96" in km
-    if not (legacy_dt or legacy_96):
+    spark_written = b"org.apache.spark.version" in km
+    dt_mode = ("LEGACY" if b"org.apache.spark.legacyDateTime" in km
+               else "CORRECTED" if spark_written else dt_conf)
+    i96_mode = ("LEGACY" if b"org.apache.spark.legacyINT96" in km
+                else "CORRECTED" if spark_written else i96_conf)
+    if dt_mode == "CORRECTED" and i96_mode == "CORRECTED":
         yield from batches
         return
-    # dotted leaf paths; struct recursion rebuilds the same dotted
-    # form, so nested INT96 columns match their own flag too
-    int96_cols = frozenset(int96_leaves)
+    # dotted leaf paths normalized to the recursion's naming, so
+    # nested INT96 columns (inside structs, lists, maps) match too
+    int96_cols = frozenset(_norm_leaf(p) for p in int96_leaves)
+    dt_leg = dt_mode == "LEGACY"
+    i96_leg = i96_mode == "LEGACY"
+    any_exc = "EXCEPTION" in (dt_mode, i96_mode)
     for batch in batches:
         if not any(_has_temporal(f.type) for f in batch.schema):
             yield batch
             continue
-        arrays = [rebase_array(batch.column(i), legacy_dt, legacy_dt,
-                               legacy_96, int96_cols,
-                               batch.schema.names[i])
+        if any_exc:
+            for i in range(batch.num_columns):
+                _raise_if_ancient(batch.column(i),
+                                  dt_mode == "EXCEPTION",
+                                  i96_mode == "EXCEPTION",
+                                  int96_cols, ntz_infer,
+                                  batch.schema.names[i], path)
+        if not (dt_leg or i96_leg):
+            yield batch
+            continue
+        arrays = [rebase_array(batch.column(i), dt_leg, dt_leg,
+                               i96_leg, int96_cols,
+                               batch.schema.names[i],
+                               ntz_exempt=ntz_infer)
                   for i in range(batch.num_columns)]
         yield pa.RecordBatch.from_arrays(arrays,
                                          schema=batch.schema)
