@@ -32,6 +32,29 @@ TPCH_TABLES = (
 _PATH_SEMANTIC_OPTS = {"basepath", "pathglobfilter",
                        "modifiedbefore", "modifiedafter"}
 
+#: (conf key, default) pairs the executor-mode Python sources do NOT
+#: implement — when a session sets one to a non-default value the
+#: read goes to the ORIGINAL location raw, so the JVM applies its own
+#: semantics (probed: binaryAsString=true reads binary as string;
+#: int96AsTimestamp=false refuses INT96; nanosAsLong=true reads
+#: ignoreCorrupt/MissingFiles skip; partition inference off types
+#: every partition column string). nanosAsLong is NOT here — the
+#: Python source implements it natively (annotation-keyed ns→bigint,
+#: ``cached_parquet``) because the query battery leaves it set for
+#: the NANOS-shipped events table and a global fallback would
+#: silently un-cache every later executor read.
+#: Correct everywhere, merely uncached — these are rare
+#: compatibility switches, not the hot path. Driver mode needs no
+#: gate: the JVM reads the symlink view itself, applying every conf.
+_EXEC_RAW_CONFS = (
+    ("spark.sql.parquet.binaryAsString", "false"),
+    ("spark.sql.parquet.int96AsTimestamp", "true"),
+    ("spark.sql.files.ignoreCorruptFiles", "false"),
+    ("spark.sql.files.ignoreMissingFiles", "false"),
+    ("spark.sql.sources.partitionColumnTypeInference.enabled",
+     "true"),
+)
+
 
 class Engine:
     def __init__(self, spark, base_dir: Optional[str] = None,
@@ -152,6 +175,15 @@ class Engine:
             return _select(_raw())
         if (self.conf.resolve_mode == "executor"
                 and not location.startswith("mem://")):
+            # session confs the Python sources don't implement →
+            # original raw, JVM semantics exactly (_EXEC_RAW_CONFS)
+            for _key, _default in _EXEC_RAW_CONFS:
+                try:
+                    if (self.spark.conf.get(_key, _default).lower()
+                            != _default):
+                        return _select(_raw())
+                except Exception:  # noqa: BLE001 — unreadable conf
+                    pass           # means unset: the default applies
             # real-cluster mode: the resolve happens INSIDE each scan
             # task against that node's own mirror (an unwarmed node
             # materializes node-locally instead of erroring; see
@@ -405,6 +437,15 @@ class Engine:
                 "CORRECTED")
         except Exception:  # noqa: BLE001
             i96_rebase = "CORRECTED"
+        # NANOS-annotated columns: refused by default (JVM
+        # PARQUET_TYPE_ILLEGAL), served as bigint when the legacy
+        # conf is on — implemented natively in the source (the query
+        # battery leaves this conf set for the events table)
+        try:
+            nanos_long = self.spark.conf.get(
+                "spark.sql.legacy.parquet.nanosAsLong", "false")
+        except Exception:  # noqa: BLE001
+            nanos_long = "false"
         source = ("sidecar_cached_orc" if fmt == "orc"
                   else "sidecar_cached_parquet")
         reader = (self.spark.read.format(source)
@@ -423,6 +464,7 @@ class Engine:
                   .option("case_sensitive", case_sensitive)
                   .option("dt_rebase", dt_rebase)
                   .option("i96_rebase", i96_rebase)
+                  .option("nanos_long", nanos_long)
                   .option("split_bytes", str(
                       _parse_bytes(str(split_bytes))
                       if split_bytes is not None

@@ -257,7 +257,9 @@ class CachedOrcSource(CachedParquetSource):
         return super().schema()
 
     @staticmethod
-    def _file_arrow_schema(src):
+    def _file_arrow_schema(src, nanos_long: bool = False):
+        # nanos_long is parquet-only (TIMESTAMP(NANOS) annotation);
+        # ORC timestamps always decode to µs here
         import pyarrow.orc as po
 
         return _orc_arrow_target(po.ORCFile(src).schema)

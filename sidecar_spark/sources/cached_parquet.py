@@ -118,48 +118,120 @@ def _int96_leaves(pf) -> set:
         return set()
 
 
-def _target_type(t, path: str, int96: set):
+def _target_type(t, path: str, int96: set, nanos=frozenset()):
     """Recursively derive the type Spark should see at this leaf
-    path: ns coerced to µs (Spark has no ns precision and its Arrow
-    bridge rejects timestamp[ns]), INT96 leaves zoned UTC, nested
-    struct fields relaxed to nullable (FileFormat asNullable). Path
-    segments follow parquet's naming for containers (``list.element``,
-    ``key_value.key/value``) so the INT96 match is per-leaf exact."""
+    path: ns coerced to µs (embedded-arrow-schema restores of
+    µs-stored data — files ANNOTATED nanos are refused upstream like
+    the JVM, ``_refuse_illegal_types``), unsigned ints widened the
+    way the JVM reads parquet UINT_* (uint8→smallint, uint16→int,
+    uint32→bigint, uint64→decimal(20,0) — probed), INT96 leaves
+    zoned UTC, nested struct fields relaxed to nullable (FileFormat
+    asNullable). Path segments follow parquet's naming for
+    containers (``list.element``, ``key_value.key/value``) so the
+    INT96 match is per-leaf exact."""
     import pyarrow as pa
 
     if pa.types.is_timestamp(t):
+        if path in nanos:
+            # TIMESTAMP(NANOS)-annotated leaf under nanosAsLong=true:
+            # the JVM serves the raw ns counts as bigint (probed)
+            return pa.int64()
         unit = "us" if t.unit == "ns" else t.unit
         tz = "UTC" if (t.tz is None and path in int96) else t.tz
         if unit != t.unit or tz != t.tz:
             return pa.timestamp(unit, tz=tz)
         return t
+    if pa.types.is_uint8(t):
+        return pa.int16()
+    if pa.types.is_uint16(t):
+        return pa.int32()
+    if pa.types.is_uint32(t):
+        return pa.int64()
+    if pa.types.is_uint64(t):
+        return pa.decimal128(20, 0)
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
     if pa.types.is_list(t):
         return pa.list_(
-            _target_type(t.value_type, path + ".list.element", int96))
+            _target_type(t.value_type, path + ".list.element", int96,
+                         nanos))
     if pa.types.is_large_list(t):
         return pa.large_list(
-            _target_type(t.value_type, path + ".list.element", int96))
+            _target_type(t.value_type, path + ".list.element", int96,
+                         nanos))
     if pa.types.is_map(t):
         return pa.map_(
-            _target_type(t.key_type, path + ".key_value.key", int96),
-            _target_type(t.item_type, path + ".key_value.value", int96))
+            _target_type(t.key_type, path + ".key_value.key", int96,
+                         nanos),
+            _target_type(t.item_type, path + ".key_value.value",
+                         int96, nanos))
     if pa.types.is_struct(t):
         return pa.struct([
             pa.field(f.name,
-                     _target_type(f.type, path + "." + f.name, int96),
+                     _target_type(f.type, path + "." + f.name, int96,
+                                  nanos),
                      True)
             for f in t])
     return t
 
 
-def _arrow_target(pf):
+def _nanos_leaves(pf) -> set:
+    """Dotted parquet leaf paths ANNOTATED ``TIMESTAMP(NANOS,*)`` —
+    the annotation is the key, not the arrow type: an embedded arrow
+    schema can restore ns for a µs-annotated file (probed: pyarrow
+    version=1.0 writes), and those must keep serving µs timestamps."""
+    try:
+        ps = pf.schema
+        return {ps.column(i).path for i in range(len(ps))
+                if (getattr(ps.column(i).logical_type, "type", None)
+                    == "TIMESTAMP"
+                    and "nanoseconds" in str(ps.column(i).logical_type))}
+    except Exception:  # noqa: BLE001 — introspection is best-effort
+        return set()
+
+
+def _refuse_illegal_types(pf, path: str, nanos_long: bool = False):
+    """The JVM parquet scan refuses these annotations outright
+    (probed: PARQUET_TYPE_ILLEGAL): ``TIMESTAMP(NANOS,*)`` — Spark
+    has no ns precision; ``spark.sql.legacy.parquet.nanosAsLong=true``
+    reads them as bigint (implemented natively, ``_nanos_leaves``) —
+    and ``TIME(*)`` (no Spark TIME in the parquet reader). Refusing
+    here keeps the two resolve modes and the JVM in agreement instead
+    of silently serving coerced values the JVM never would. Files
+    whose ANNOTATION is µs pass even when an embedded arrow schema
+    restores ns (probed: pyarrow version=1.0 writes coerce the
+    annotation)."""
+    try:
+        ps = pf.schema
+        cols = [(ps.column(i).path, ps.column(i).logical_type)
+                for i in range(len(ps))]
+    except Exception:  # noqa: BLE001 — introspection is best-effort
+        return
+    for p, lt in cols:
+        kind = getattr(lt, "type", None)
+        if kind == "TIME" or (kind == "TIMESTAMP"
+                              and not nanos_long
+                              and "nanoseconds" in str(lt)):
+            raise ValueError(
+                f"Illegal Parquet type {lt} at column {p!r} in "
+                f"{path!r}: the JVM scan refuses it "
+                "(PARQUET_TYPE_ILLEGAL). For nanosecond timestamps "
+                "set spark.sql.legacy.parquet.nanosAsLong=true to "
+                "read them as bigint.")
+
+
+def _arrow_target(pf, nanos_long: bool = False):
     """The Arrow schema Spark should see for this parquet file:
-    ns→µs, nested-nullable, INT96 zoned UTC (per leaf)."""
+    ns→µs, unsigned widened, nested-nullable, INT96 zoned UTC (per
+    leaf), NANOS-annotated leaves as int64 under nanosAsLong."""
     import pyarrow as pa
 
     int96 = _int96_leaves(pf)
+    nanos = _nanos_leaves(pf) if nanos_long else frozenset()
     return pa.schema([
-        pa.field(f.name, _target_type(f.type, f.name, int96),
+        pa.field(f.name, _target_type(f.type, f.name, int96, nanos),
                  f.nullable)
         for f in pf.schema_arrow])
 
@@ -434,13 +506,14 @@ def _resolve_file_columns(names, columns, case_sensitive, path):
 
 def _parquet_pass(fobj, part, columns, stat_filters, case_sensitive,
                   path, dt_rebase="CORRECTED", i96_rebase="CORRECTED",
-                  ntz=True):
+                  ntz=True, nanos_long=False):
     """Decode ONE parquet file object into coerced Arrow batches:
     projection by file spelling, byte-range row-group selection,
     statistics pruning, calendar rebase."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(fobj, coerce_int96_timestamp_unit="us")
+    _refuse_illegal_types(pf, path, nanos_long)
     cols = None
     if columns is not None:
         cols = _resolve_file_columns(pf.schema_arrow.names, columns,
@@ -471,7 +544,8 @@ def _parquet_pass(fobj, part, columns, stat_filters, case_sensitive,
             rgs if rgs is not None
             else range(pf.metadata.num_row_groups),
             stat_filters, case_sensitive)
-    batches = _coerce_batches(pf, _arrow_target(pf), cols, rgs)
+    batches = _coerce_batches(pf, _arrow_target(pf, nanos_long),
+                              cols, rgs)
     # Calendar rebase, matching the JVM scan's per-file mode choice
     # (probed — rebase.py docstrings): footer legacy markers →
     # rebase; Spark-written unmarked → pass through; non-Spark files
@@ -903,6 +977,8 @@ class CachedParquetReader(DataSourceReader):
         self.i96_rebase = str(options.get("i96_rebase")
                               or "CORRECTED").upper()
         self.ntz = str(options.get("ntz") or "true").lower() == "true"
+        self.nanos_long = (str(options.get("nanos_long")
+                               or "false").lower() == "true")
         try:
             # clamp: a negative value must mean "no splitting", never
             # an empty range list that silently drops a file's rows
@@ -985,7 +1061,7 @@ class CachedParquetReader(DataSourceReader):
         return _parquet_pass(fobj, part, columns, stat_filters,
                              self.case_sensitive, part.path,
                              self.dt_rebase, self.i96_rebase,
-                             self.ntz)
+                             self.ntz, self.nanos_long)
 
     def read(self, part: _FilePart):
         from sidecar_spark.cache.manager import CacheManager
@@ -1100,14 +1176,16 @@ class CachedParquetSource(DataSource):
         return "sidecar_cached_parquet"
 
     @staticmethod
-    def _file_arrow_schema(src):
+    def _file_arrow_schema(src, nanos_long: bool = False):
         """One file (path or open file object) → the Arrow schema
         Spark should see for it; the format-specific footer decode
         (ORC overrides, cached_orc.py)."""
         import pyarrow.parquet as pq
 
-        return _arrow_target(pq.ParquetFile(
-            src, coerce_int96_timestamp_unit="us"))
+        pf = pq.ParquetFile(src, coerce_int96_timestamp_unit="us")
+        _refuse_illegal_types(pf, getattr(src, "name", None)
+                              or str(src), nanos_long)
+        return _arrow_target(pf, nanos_long)
 
     @staticmethod
     def _ntz_flag(ntz: bool) -> bool:
@@ -1169,6 +1247,8 @@ class CachedParquetSource(DataSource):
         from pyspark.sql.types import StructType as _ST
 
         ntz = self._ntz_flag(ntz)
+        nanos_long = (str(self.options.get("nanos_long")
+                          or "false").lower() == "true")
 
         def footer_struct(st):
             """One file's footer → the Spark StructType the JVM would
@@ -1182,10 +1262,10 @@ class CachedParquetSource(DataSource):
             if local is not None:
                 # mirror-first: a warmed table's schema costs zero
                 # remote requests
-                arrow = self._file_arrow_schema(local)
+                arrow = self._file_arrow_schema(local, nanos_long)
             else:
                 with fs_.open_read(p_) as f:
-                    arrow = self._file_arrow_schema(f)
+                    arrow = self._file_arrow_schema(f, nanos_long)
             s = from_arrow_schema(arrow, prefer_timestamp_ntz=ntz)
             return _ST([_SF(f.name, f.dataType, True, f.metadata)
                         for f in s.fields])

@@ -1,0 +1,255 @@
+"""Exotic parquet type and compatibility-conf parity (round-7 probe
+sweep, third wave). The JVM parquet scan widens unsigned ints
+(uint8→smallint, uint16→int, uint32→bigint, uint64→decimal(20,0)),
+REFUSES TIMESTAMP(NANOS)/TIME outright (PARQUET_TYPE_ILLEGAL), and a
+set of rare compatibility confs (binaryAsString, int96AsTimestamp,
+nanosAsLong, ignoreCorrupt/MissingFiles, partition type inference)
+changes its behavior — the executor source must match on every one,
+either natively or via the engine's raw fallback. All cases oracled
+against the live JVM in the same test.
+"""
+
+import datetime
+import os
+import tempfile
+
+import pytest
+
+from sidecar_spark.cache.manager import CacheManager
+from sidecar_spark.config import SidecarConfig
+
+
+def _conf(cache_dir, mode="executor"):
+    return SidecarConfig.create(
+        cache_dir=tempfile.mkdtemp(prefix=f"tp-{mode}-", dir=cache_dir),
+        data_cache_type="file", cache_persistent=False,
+        resolve_mode=mode)
+
+
+def _engine_read(spark, cache_dir, root, mode="executor"):
+    from sidecar_spark import Engine
+
+    eng = Engine(spark, conf=_conf(cache_dir, mode))
+    try:
+        df = eng.read_parquet(root)
+        return df.schema, sorted(map(str, df.collect()))
+    finally:
+        eng.close()
+        CacheManager.clear_instances()
+
+
+class TestUnsignedWidening:
+    def test_uint_matrix_parity(self, spark, cache_dir):
+        """pyarrow-written unsigned columns, extreme values included:
+        both resolve modes must serve the JVM's widened schema and
+        exact values (uint64 above int64 max becomes decimal(20,0))."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tempfile.mkdtemp(prefix="tp-uint-")
+        tbl = pa.table({
+            "u8": pa.array([0, 200, 255], type=pa.uint8()),
+            "u16": pa.array([0, 60000, 65535], type=pa.uint16()),
+            "u32": pa.array([0, 4000000000, 4294967295],
+                            type=pa.uint32()),
+            "u64": pa.array([0, 2**63 + 5, 2**64 - 1],
+                            type=pa.uint64()),
+        })
+        pq.write_table(tbl, f"{d}/p.parquet")
+        jvm = spark.read.parquet(d)
+        want = sorted(map(str, jvm.collect()))
+        assert jvm.schema.simpleString() == (
+            "struct<u8:smallint,u16:int,u32:bigint,u64:decimal(20,0)>")
+        for mode in ("executor", "driver"):
+            schema, rows = _engine_read(spark, cache_dir, d, mode)
+            assert schema == jvm.schema, mode
+            assert rows == want, mode
+
+    def test_nested_uint_parity(self, spark, cache_dir):
+        """Unsigned leaves inside struct/array widen too."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tempfile.mkdtemp(prefix="tp-uintn-")
+        tbl = pa.table({
+            "st": pa.array([{"a": 4000000000}],
+                           type=pa.struct([("a", pa.uint32())])),
+            "arr": pa.array([[1, 2**63 + 7]],
+                            type=pa.list_(pa.uint64())),
+        })
+        pq.write_table(tbl, f"{d}/p.parquet")
+        jvm = spark.read.parquet(d)
+        want = sorted(map(str, jvm.collect()))
+        schema, rows = _engine_read(spark, cache_dir, d)
+        assert schema == jvm.schema
+        assert rows == want
+
+
+class TestIllegalTypeRefusal:
+    def _write_ns(self):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tempfile.mkdtemp(prefix="tp-ns-")
+        pq.write_table(pa.table({
+            "ts": pa.array([datetime.datetime(2020, 1, 1, 12)],
+                           type=pa.timestamp("ns"))}), f"{d}/p.parquet")
+        return d
+
+    def test_nanos_refused_like_jvm(self, spark, cache_dir):
+        """TIMESTAMP(NANOS) files: the JVM refuses them
+        (PARQUET_TYPE_ILLEGAL) — serving silently-coerced µs values
+        would diverge, so the executor source refuses too."""
+        from sidecar_spark import Engine
+
+        d = self._write_ns()
+        # pin the default: the query battery intentionally leaves
+        # nanosAsLong=true session-wide for the NANOS events table
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        try:
+            with pytest.raises(Exception):
+                spark.read.parquet(d).collect()  # JVM oracle
+            eng = Engine(spark, conf=_conf(cache_dir))
+            try:
+                with pytest.raises(Exception) as ei:
+                    eng.read_parquet(d).collect()
+                assert "Illegal Parquet type" in str(ei.value)
+            finally:
+                eng.close()
+                CacheManager.clear_instances()
+        finally:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+
+    def test_time_refused_like_jvm(self, spark, cache_dir):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sidecar_spark import Engine
+
+        d = tempfile.mkdtemp(prefix="tp-time-")
+        pq.write_table(pa.table({
+            "t": pa.array([datetime.time(12, 30, 15)],
+                          type=pa.time64("us"))}), f"{d}/p.parquet")
+        with pytest.raises(Exception):
+            spark.read.parquet(d).collect()  # JVM oracle
+        eng = Engine(spark, conf=_conf(cache_dir))
+        try:
+            with pytest.raises(Exception) as ei:
+                eng.read_parquet(d).collect()
+            assert "Illegal Parquet type" in str(ei.value)
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_v1_micros_annotation_still_served(self, spark, cache_dir):
+        """pyarrow version=1.0 coerces ns data to a MICROS annotation
+        (probed) — the JVM serves it, so the refusal must key on the
+        parquet ANNOTATION, not the arrow value type."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tempfile.mkdtemp(prefix="tp-v1-")
+        pq.write_table(pa.table({
+            "ts": pa.array([datetime.datetime(2020, 1, 1, 12)],
+                           type=pa.timestamp("ns"))}),
+            f"{d}/p.parquet", version="1.0")
+        jvm = spark.read.parquet(d)
+        want = sorted(map(str, jvm.collect()))
+        schema, rows = _engine_read(spark, cache_dir, d)
+        assert schema == jvm.schema
+        assert rows == want
+
+    def test_nanos_as_long_native(self, spark, cache_dir):
+        """nanosAsLong=true: the JVM reads NANOS-annotated columns as
+        bigint; the executor source implements it natively (the raw
+        ns counts, annotation-keyed) so the read STAYS CACHED — the
+        query battery leaves this conf set for the events table, and
+        a raw fallback here would silently un-cache everything
+        after."""
+        d = self._write_ns()
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            jvm = spark.read.parquet(d)
+            assert jvm.schema.simpleString() == "struct<ts:bigint>"
+            want = sorted(map(str, jvm.collect()))
+            schema, rows = _engine_read(spark, cache_dir, d)
+            assert schema == jvm.schema
+            assert rows == want
+        finally:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+
+
+class TestCompatConfFallback:
+    def test_binary_as_string(self, spark, cache_dir):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tempfile.mkdtemp(prefix="tp-bas-")
+        pq.write_table(pa.table({
+            "b": pa.array([b"hello", b"\x00\x01"], type=pa.binary())}),
+            f"{d}/p.parquet")
+        spark.conf.set("spark.sql.parquet.binaryAsString", "true")
+        try:
+            jvm = spark.read.parquet(d)
+            assert jvm.schema.simpleString() == "struct<b:string>"
+            want = sorted(map(str, jvm.collect()))
+            schema, rows = _engine_read(spark, cache_dir, d)
+            assert schema == jvm.schema
+            assert rows == want
+        finally:
+            spark.conf.unset("spark.sql.parquet.binaryAsString")
+
+    def test_partition_type_inference_off(self, spark, cache_dir):
+        """Inference disabled: every partition column is STRING with
+        the raw directory value (probed: '5' and '2020-01-01' both
+        stay strings)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tempfile.mkdtemp(prefix="tp-pti-")
+        os.makedirs(f"{d}/k=5")
+        os.makedirs(f"{d}/k=2020-01-01")
+        pq.write_table(pa.table({"v": pa.array([1])}),
+                       f"{d}/k=5/a.parquet")
+        pq.write_table(pa.table({"v": pa.array([2])}),
+                       f"{d}/k=2020-01-01/b.parquet")
+        key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        spark.conf.set(key, "false")
+        try:
+            jvm = spark.read.parquet(d)
+            assert dict(jvm.dtypes)["k"] == "string"
+            want = sorted(map(str, jvm.collect()))
+            schema, rows = _engine_read(spark, cache_dir, d)
+            assert schema == jvm.schema
+            assert rows == want
+        finally:
+            spark.conf.unset(key)
+
+    def test_ignore_corrupt_files(self, spark, cache_dir):
+        """ignoreCorruptFiles=true with an explicit-schema read skips
+        the corrupt file and serves the good rows (probed: schema
+        inference still fails, so the parity read passes a schema)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sidecar_spark import Engine
+
+        d = tempfile.mkdtemp(prefix="tp-icf-")
+        pq.write_table(pa.table({"v": pa.array([1, 2])}),
+                       f"{d}/good.parquet")
+        with open(f"{d}/zbad.parquet", "wb") as f:
+            f.write(b"PAR1 this is not parquet PAR1")
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        try:
+            jvm = (spark.read.schema("v bigint").parquet(d))
+            want = sorted(map(str, jvm.collect()))
+            assert want  # the good file's rows survive
+            eng = Engine(spark, conf=_conf(cache_dir))
+            try:
+                got = eng.read_parquet(d, schema="v bigint")
+                assert sorted(map(str, got.collect())) == want
+            finally:
+                eng.close()
+                CacheManager.clear_instances()
+        finally:
+            spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
