@@ -2471,3 +2471,73 @@ def last_touch_attribution(spark, sf_dir):
             .groupBy(channel.alias("channel"))
             .agg(F.count(F.lit(1)).alias("n_purchases"),
                  F.round(F.sum("value"), 2).alias("revenue")))
+
+
+@query(
+    "unsigned_widened_read",
+    oracle="""
+    SELECT CAST(o_orderkey % 5 AS BIGINT) AS g,
+           count(*) AS n,
+           CAST(sum(o_orderkey % 256) AS BIGINT) AS sum_u8,
+           CAST(sum(o_orderkey % 65536) AS BIGINT) AS sum_u16,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_u32,
+           CAST(max(CAST(o_orderkey AS HUGEINT)
+                    + 9223372036854775808) AS VARCHAR) AS max_u64
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def unsigned_widened_read(spark, sf_dir):
+    """Unsigned parquet ints through the executor-resolved scan
+    (round-7 probe sweep, third wave): the JVM widens UINT_8/16/32/64
+    to smallint/int/bigint/decimal(20,0) — probed, including uint64
+    values ABOVE int64 max — and the Python source must serve the
+    identical schema and values (sources/cached_parquet.py
+    ``_target_type``). The fixture derives every unsigned column from
+    ``o_orderkey`` (u64 = key + 2^63, deliberately past int64), so
+    the DuckDB oracle recomputes the same aggregates from the
+    original orders table without reading the unsigned file at all.
+    pandas/pyarrow pipelines write unsigned parquet routinely — a
+    100 TB training-data lake WILL contain these files."""
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from sidecar_spark import Engine, SidecarConfig
+
+    src_path = _os.path.join(sf_dir, "orders.parquet")
+    try:
+        mt = _os.stat(src_path).st_mtime_ns
+    except OSError:
+        mt = 0
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = _os.path.join("/tmp", "sidecar-formats", tag,
+                         f"unsigned_{mt}")
+    marker = _os.path.join(root, "_SUCCESS")
+    if not _os.path.exists(marker):
+        _os.makedirs(root, exist_ok=True)
+        k = _pq.read_table(src_path, columns=["o_orderkey"]) \
+            .column("o_orderkey").combine_chunks().cast(_pa.int64())
+        fixture = _pa.table({
+            "u8": _pc.bit_wise_and(k, 255).cast(_pa.uint8()),
+            "u16": _pc.bit_wise_and(k, 65535).cast(_pa.uint16()),
+            "u32": k.cast(_pa.uint32()),
+            "u64": _pc.add(k.cast(_pa.uint64()),
+                           _pa.scalar(2**63, _pa.uint64())),
+        })
+        _pq.write_table(fixture, _os.path.join(root, "part-0.parquet"))
+        open(marker, "w").close()
+    conf = SidecarConfig.create(
+        cache_dir=_os.path.join("/tmp", "sidecar-query-cache-exec"),
+        data_cache_type="file", cache_persistent=False,
+        resolve_mode="executor")
+    eng = Engine(spark, conf=conf)
+    df = eng.read_parquet(root)
+    return (df.groupBy((F.col("u32") % 5).cast("long").alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("u8").cast("long").alias("sum_u8"),
+                 F.sum("u16").cast("long").alias("sum_u16"),
+                 F.sum("u32").cast("long").alias("sum_u32"),
+                 F.max("u64").cast("string").alias("max_u64")))
