@@ -118,7 +118,8 @@ def _int96_leaves(pf) -> set:
         return set()
 
 
-def _target_type(t, path: str, int96: set, nanos=frozenset()):
+def _target_type(t, path: str, int96: set, nanos=frozenset(),
+                 unwraps=frozenset()):
     """Recursively derive the type Spark should see at this leaf
     path: ns coerced to µs (embedded-arrow-schema restores of
     µs-stored data — files ANNOTATED nanos are refused upstream like
@@ -131,6 +132,13 @@ def _target_type(t, path: str, int96: set, nanos=frozenset()):
     INT96 match is per-leaf exact."""
     import pyarrow as pa
 
+    if (unwraps and path in unwraps and pa.types.is_struct(t)
+            and t.num_fields == 1):
+        # legacy nested-list name rule (_legacy_list_unwraps): the
+        # single-field struct pyarrow fabricated IS the element —
+        # drop the wrapper and keep deriving at the same path
+        return _target_type(t.field(0).type, path, int96, nanos,
+                            unwraps)
     if pa.types.is_timestamp(t):
         if path in nanos:
             # TIMESTAMP(NANOS)-annotated leaf under nanosAsLong=true:
@@ -156,25 +164,107 @@ def _target_type(t, path: str, int96: set, nanos=frozenset()):
     if pa.types.is_list(t):
         return pa.list_(
             _target_type(t.value_type, path + ".list.element", int96,
-                         nanos))
+                         nanos, unwraps))
     if pa.types.is_large_list(t):
         return pa.large_list(
             _target_type(t.value_type, path + ".list.element", int96,
-                         nanos))
+                         nanos, unwraps))
     if pa.types.is_map(t):
         return pa.map_(
             _target_type(t.key_type, path + ".key_value.key", int96,
-                         nanos),
+                         nanos, unwraps),
             _target_type(t.item_type, path + ".key_value.value",
-                         int96, nanos))
+                         int96, nanos, unwraps))
     if pa.types.is_struct(t):
         return pa.struct([
             pa.field(f.name,
                      _target_type(f.type, path + "." + f.name, int96,
-                                  nanos),
+                                  nanos, unwraps),
                      True)
             for f in t])
     return t
+
+
+def _legacy_list_unwraps(pf) -> frozenset:
+    """Arrow-path positions where pyarrow's decode of a
+    LEGACY-format (``spark.sql.parquet.writeLegacyFormat=true``,
+    Hive-compat) NESTED list diverges from the JVM: parquet-mr's
+    backward-compat name rule says a ``repeated group`` named
+    ``array`` (or ``<parent>_tuple``) directly under a LIST group is
+    ITSELF the element — so when that group is also LIST-annotated
+    the element is a list (``array<array<int>>``), while pyarrow
+    wraps it in a single-field struct
+    (``array<struct<array:array<int>>>``), a silent schema AND value
+    divergence (probed). pyarrow exposes no programmatic group tree,
+    so this parses its stable textual dump. Returns paths in the
+    ``_target_type`` grammar (e.g. ``aa.list.element``) whose
+    single-field struct must be unwrapped."""
+    import re
+
+    txt = str(pf.schema)
+    if "repeated group" not in txt:
+        return frozenset()
+    line_re = re.compile(
+        r"^(\s*)(required|optional|repeated) (.+?) field_id=-?\d+ "
+        r"(\S+?)(?: \((.+?)\))?( \{|;)$")
+    root = {"name": "", "anno": None, "group": True, "children": []}
+    stack = [root]
+    for line in txt.splitlines():
+        if line.strip() == "}":
+            if len(stack) > 1:
+                stack.pop()
+            continue
+        m = line_re.match(line)
+        if not m:
+            continue
+        _, rep, typ, name, anno, tail = m.groups()
+        node = {"name": name, "rep": rep, "anno": anno,
+                "group": typ == "group", "children": []}
+        stack[-1]["children"].append(node)
+        if tail == " {":
+            stack.append(node)
+    # the first group line is the schema root itself
+    if root["children"] and root["children"][0]["group"]:
+        root = root["children"][0]
+
+    out = set()
+
+    def walk(node, path):
+        anno = (node["anno"] or "").split("(")[0]
+        if not node["group"]:
+            return
+        if anno == "List" and node["children"]:
+            r = node["children"][0]
+            elem = path + ".list.element"
+            r_anno = (r["anno"] or "").split("(")[0]
+            name_rule = (r["name"] == "array"
+                         or r["name"] == node["name"] + "_tuple")
+            if r["group"] and name_rule and r_anno == "List":
+                # the divergent shape: unwrap, then continue in the
+                # UNWRAPPED tree (the same path hosts the inner list)
+                out.add(elem)
+                walk(r, elem)
+            elif r["group"] and not name_rule and len(r["children"]) == 1:
+                # standard 3-level (or "bag" legacy): element is the
+                # repeated group's single child
+                walk(r["children"][0], elem)
+            elif r["group"]:
+                # element is a struct of the repeated group's fields
+                for c in r["children"]:
+                    walk(c, elem + "." + c["name"])
+            return
+        if anno in ("Map", "MapKeyValue") and node["children"]:
+            kv = node["children"][0]
+            kids = kv["children"] if kv["group"] else []
+            if len(kids) == 2:
+                walk(kids[0], path + ".key_value.key")
+                walk(kids[1], path + ".key_value.value")
+            return
+        for c in node["children"]:
+            walk(c, (path + "." if path else "") + c["name"])
+
+    walk(root, "")
+    return frozenset(out)
 
 
 def _nanos_leaves(pf) -> set:
@@ -225,22 +315,92 @@ def _refuse_illegal_types(pf, path: str, nanos_long: bool = False):
 def _arrow_target(pf, nanos_long: bool = False):
     """The Arrow schema Spark should see for this parquet file:
     ns→µs, unsigned widened, nested-nullable, INT96 zoned UTC (per
-    leaf), NANOS-annotated leaves as int64 under nanosAsLong."""
+    leaf), NANOS-annotated leaves as int64 under nanosAsLong,
+    legacy nested-list struct wrappers dropped."""
     import pyarrow as pa
 
     int96 = _int96_leaves(pf)
     nanos = _nanos_leaves(pf) if nanos_long else frozenset()
+    unwraps = _legacy_list_unwraps(pf)
     return pa.schema([
-        pa.field(f.name, _target_type(f.type, f.name, int96, nanos),
+        pa.field(f.name, _target_type(f.type, f.name, int96, nanos,
+                                      unwraps),
                  f.nullable)
         for f in pf.schema_arrow])
 
 
-def _coerce_batches(pf, target, columns=None, row_groups=None):
+def _unwrap_legacy_array(arr, path, unwraps):
+    """Drop the single-field struct wrappers pyarrow fabricates for
+    legacy nested lists (``_legacy_list_unwraps``), recursing into
+    containers; identity (the same object) when nothing under this
+    path needs unwrapping."""
+    import pyarrow as pa
+
+    t = arr.type
+    if (pa.types.is_struct(t) and path in unwraps
+            and t.num_fields == 1):
+        if arr.null_count:
+            # the wrapper is a parquet REPEATED group — it cannot be
+            # null; a null here means the shape is not the probed one
+            raise ValueError(
+                f"unexpected null legacy-list wrapper at {path!r}")
+        return _unwrap_legacy_array(arr.field(0), path, unwraps)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        src = arr.flatten()
+        flat = _unwrap_legacy_array(src, path + ".list.element",
+                                    unwraps)
+        if flat is src:
+            return arr
+        import pyarrow.compute as pc
+
+        off = arr.offsets
+        if off.null_count:
+            off = pc.fill_null_backward(pc.fill_null_forward(off))
+        base = off[0].as_py() or 0
+        if base:
+            off = pc.subtract(off, base)
+        cls = (pa.LargeListArray if pa.types.is_large_list(t)
+               else pa.ListArray)
+        return cls.from_arrays(
+            off.cast(pa.int64() if pa.types.is_large_list(t)
+                     else pa.int32()),
+            flat, mask=arr.is_null())
+    if pa.types.is_struct(t):
+        srcs = [arr.field(i) for i in range(t.num_fields)]
+        kids = [_unwrap_legacy_array(
+                    s, f"{path}.{t.field(i).name}", unwraps)
+                for i, s in enumerate(srcs)]
+        if all(k is s for k, s in zip(kids, srcs)):
+            return arr
+        return pa.StructArray.from_arrays(
+            kids, names=[t.field(i).name for i in range(t.num_fields)],
+            mask=arr.is_null())
+    if pa.types.is_map(t):
+        entries = arr.values  # raw entries struct (never null)
+        k0, i0 = entries.field(0), entries.field(1)
+        k1 = _unwrap_legacy_array(k0, path + ".key_value.key", unwraps)
+        i1 = _unwrap_legacy_array(i0, path + ".key_value.value",
+                                  unwraps)
+        if k1 is k0 and i1 is i0:
+            return arr
+        new_entries = pa.StructArray.from_arrays(
+            [k1, i1], names=[entries.type.field(0).name,
+                             entries.type.field(1).name])
+        return pa.Array.from_buffers(
+            pa.map_(k1.type, i1.type), len(arr), arr.buffers()[:2],
+            null_count=arr.null_count, offset=arr.offset,
+            children=[new_entries])
+    return arr
+
+
+def _coerce_batches(pf, target, columns=None, row_groups=None,
+                    unwraps=frozenset()):
     """iter_batches limited to ``columns`` / ``row_groups`` (both
     optional), with schema coercion applied only when needed. The
     target subtype is derived per batch-shape from the full-file
-    target, so a projected read coerces only the columns it moved."""
+    target, so a projected read coerces only the columns it moved.
+    ``unwraps`` drops legacy nested-list struct wrappers first — a
+    structural change .cast() cannot express."""
     kwargs = {"batch_size": _BATCH_ROWS}
     if columns is not None:
         kwargs["columns"] = columns
@@ -250,6 +410,13 @@ def _coerce_batches(pf, target, columns=None, row_groups=None):
 
     subs = {}
     for batch in pf.iter_batches(**kwargs):
+        if unwraps:
+            arrays = [_unwrap_legacy_array(batch.column(i),
+                                           batch.schema.names[i],
+                                           unwraps)
+                      for i in range(batch.num_columns)]
+            batch = pa.RecordBatch.from_arrays(
+                arrays, names=list(batch.schema.names))
         key = tuple(batch.schema.names)
         sub = subs.get(key)
         if sub is None:
@@ -545,7 +712,8 @@ def _parquet_pass(fobj, part, columns, stat_filters, case_sensitive,
             else range(pf.metadata.num_row_groups),
             stat_filters, case_sensitive)
     batches = _coerce_batches(pf, _arrow_target(pf, nanos_long),
-                              cols, rgs)
+                              cols, rgs,
+                              unwraps=_legacy_list_unwraps(pf))
     # Calendar rebase, matching the JVM scan's per-file mode choice
     # (probed — rebase.py docstrings): footer legacy markers →
     # rebase; Spark-written unmarked → pass through; non-Spark files

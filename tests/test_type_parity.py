@@ -253,3 +253,110 @@ class TestCompatConfFallback:
                 CacheManager.clear_instances()
         finally:
             spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+
+
+class TestWriteLegacyFormat:
+    """``spark.sql.parquet.writeLegacyFormat=true`` (Hive/Impala
+    compat) files: parquet-mr's backward-compat name rule makes a
+    ``repeated group array (List)`` under a LIST group the element
+    ITSELF, so nested lists read as ``array<array<T>>`` — pyarrow
+    wraps them in a single-field struct instead (probed, silent
+    schema AND value divergence). ``_legacy_list_unwraps`` +
+    ``_unwrap_legacy_array`` restore the JVM shape."""
+
+    def _write_legacy(self, spark, sql):
+        d = tempfile.mkdtemp(prefix="tp-wlf-")
+        spark.conf.set("spark.sql.parquet.writeLegacyFormat", "true")
+        try:
+            spark.sql(sql).coalesce(1).write.mode("overwrite").parquet(d)
+        finally:
+            spark.conf.unset("spark.sql.parquet.writeLegacyFormat")
+        return d
+
+    def _parity(self, spark, cache_dir, d):
+        jvm = spark.read.parquet(d)
+        want = sorted(map(str, jvm.collect()))
+        for mode in ("executor", "driver"):
+            schema, rows = _engine_read(spark, cache_dir, d, mode)
+            assert schema == jvm.schema, (
+                mode, schema.simpleString(), jvm.schema.simpleString())
+            assert rows == want, mode
+
+    def test_nested_list_unwrap(self, spark, cache_dir):
+        d = self._write_legacy(spark, """
+            SELECT 1 AS id, array(array(1,2), array(3)) AS aa
+            UNION ALL SELECT 2, NULL
+            UNION ALL SELECT 3, array(array(9))""")
+        self._parity(spark, cache_dir, d)
+
+    def test_triple_nested_list(self, spark, cache_dir):
+        """THREE-plus levels of legacy nesting: pyarrow refuses the
+        footer outright ('LIST-annotated groups must not be
+        repeated'), so the executor read fails LOUDLY — never a
+        silent wrong answer — while driver mode (the JVM reads the
+        symlink view) serves it correctly (PARITY.md)."""
+        from sidecar_spark import Engine
+
+        d = self._write_legacy(spark, """
+            SELECT array(array(array(1,2), array(3)),
+                         array(array(4))) AS aaa""")
+        jvm = spark.read.parquet(d)
+        want = sorted(map(str, jvm.collect()))
+        schema, rows = _engine_read(spark, cache_dir, d, "driver")
+        assert schema == jvm.schema
+        assert rows == want
+        eng = Engine(spark, conf=_conf(cache_dir, "executor"))
+        try:
+            with pytest.raises(Exception) as ei:
+                eng.read_parquet(d).collect()
+            assert "repeated" in str(ei.value).lower()
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_nested_list_in_map_and_struct(self, spark, cache_dir):
+        d = self._write_legacy(spark, """
+            SELECT map('k', array(array(1.5D))) AS m,
+                   named_struct('inner',
+                                array(array('x','y'))) AS st""")
+        self._parity(spark, cache_dir, d)
+
+    def test_flat_legacy_shapes_unchanged(self, spark, cache_dir):
+        """Flat lists ('bag' form), maps and decimals in legacy files
+        already decoded at parity — guard they stay that way."""
+        d = self._write_legacy(spark, """
+            SELECT array(1,2,3) AS a, map('k', 1.5D) AS m,
+                   CAST(123.45 AS DECIMAL(9,2)) AS d9,
+                   named_struct('x', array('s')) AS st
+            UNION ALL
+            SELECT array(), map(), NULL,
+                   named_struct('x', CAST(NULL AS array<string>))""")
+        self._parity(spark, cache_dir, d)
+
+
+class TestNullPartition:
+    def test_hive_default_partition_parity(self, spark, cache_dir):
+        """``__HIVE_DEFAULT_PARTITION__`` directories read back as
+        NULL partition values, IS NULL filters included (probed at
+        parity — this guards it)."""
+        from sidecar_spark import Engine
+
+        d = tempfile.mkdtemp(prefix="tp-nullpart-")
+        spark.sql("SELECT * FROM VALUES (1,'a'),(2,NULL),(3,'b') "
+                  "t(v, k)") \
+            .write.mode("overwrite").partitionBy("k").parquet(d)
+        jvm = spark.read.parquet(d)
+        want = sorted(map(str, jvm.collect()))
+        schema, rows = _engine_read(spark, cache_dir, d)
+        assert schema == jvm.schema
+        assert rows == want
+        jvm_null = sorted(map(str, spark.read.parquet(d)
+                              .where("k IS NULL").collect()))
+        eng = Engine(spark, conf=_conf(cache_dir))
+        try:
+            got = sorted(map(str, eng.read_parquet(d)
+                             .where("k IS NULL").collect()))
+            assert got == jvm_null and len(got) == 1
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
