@@ -312,7 +312,7 @@ def _refuse_illegal_types(pf, path: str, nanos_long: bool = False):
                 "read them as bigint.")
 
 
-def _arrow_target(pf, nanos_long: bool = False):
+def _arrow_target(pf, nanos_long: bool = False, unwraps=None):
     """The Arrow schema Spark should see for this parquet file:
     ns→µs, unsigned widened, nested-nullable, INT96 zoned UTC (per
     leaf), NANOS-annotated leaves as int64 under nanosAsLong,
@@ -321,7 +321,8 @@ def _arrow_target(pf, nanos_long: bool = False):
 
     int96 = _int96_leaves(pf)
     nanos = _nanos_leaves(pf) if nanos_long else frozenset()
-    unwraps = _legacy_list_unwraps(pf)
+    if unwraps is None:
+        unwraps = _legacy_list_unwraps(pf)
     return pa.schema([
         pa.field(f.name, _target_type(f.type, f.name, int96, nanos,
                                       unwraps),
@@ -711,9 +712,10 @@ def _parquet_pass(fobj, part, columns, stat_filters, case_sensitive,
             rgs if rgs is not None
             else range(pf.metadata.num_row_groups),
             stat_filters, case_sensitive)
-    batches = _coerce_batches(pf, _arrow_target(pf, nanos_long),
-                              cols, rgs,
-                              unwraps=_legacy_list_unwraps(pf))
+    unwraps = _legacy_list_unwraps(pf)
+    batches = _coerce_batches(pf, _arrow_target(pf, nanos_long,
+                                                unwraps=unwraps),
+                              cols, rgs, unwraps=unwraps)
     # Calendar rebase, matching the JVM scan's per-file mode choice
     # (probed — rebase.py docstrings): footer legacy markers →
     # rebase; Spark-written unmarked → pass through; non-Spark files
