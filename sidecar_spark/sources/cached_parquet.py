@@ -559,14 +559,20 @@ def _stat_comparable(r, v) -> bool:
     return False  # floats, bytes, mixed types: keep the group
 
 
-def _rg_may_match(md, i, col_idx, flt) -> bool:
+def _rg_may_match(md, i, col_idx, flt, present=frozenset()) -> bool:
     """Conservative per-row-group test for ONE pushed filter: False
     only when the group's statistics PROVE no row can satisfy it —
     any missing/unknown/incomparable statistic keeps the group, and
-    every filter stays residual for Spark regardless."""
+    every filter stays residual for Spark regardless. ``present`` is
+    the file's top-level field names: a filter column in it but not
+    in ``col_idx`` is present-but-unprunable, NOT null-filled."""
     col_key, op, ref = flt
     j = col_idx.get(col_key)
     if j is None:
+        if col_key in present:
+            # present but unprunable (nested/ambiguous-path column):
+            # never prove anything about it — keep the group
+            return True
         # the column is absent from this FILE (schema evolution):
         # every row null-fills it, and NULL satisfies only IsNull
         return op == "isnull"
@@ -628,21 +634,44 @@ def _stat_prune(pf, rgs, filters, case_sensitive=False):
     md = pf.metadata
     if not filters or not md.num_row_groups:
         return rgs
-    # top-level primitive columns only (nested paths carry dots;
-    # their stats don't line up with Spark filter attributes)
+    import pyarrow as pa
+
+    def norm(n):
+        return n if case_sensitive else n.lower()
+
+    # map top-level PRIMITIVE field names to their column chunk —
+    # by arrow field identity, not by "path has no dot": a flat
+    # column literally named "a.b" has parquet path "a.b" too, and
+    # excluding it used to read as "absent from the file" downstream,
+    # wrongly pruning every group for an eq filter (probed: silent
+    # empty result). A nested leaf sharing a flat column's path
+    # (struct a{b} next to flat "a.b") is ambiguous — both drop out
+    # (kept as unprunable), never mis-resolved.
+    present = set()
+    prim = set()
+    for f in pf.schema_arrow:
+        present.add(norm(f.name))
+        if not pa.types.is_nested(f.type):
+            prim.add(norm(f.name))
     col_idx = {}
+    dup = set()
     try:
         rg0 = md.row_group(0)
         for j in range(rg0.num_columns):
-            path = rg0.column(j).path_in_schema
-            if "." not in path:
-                col_idx[path if case_sensitive else path.lower()] = j
+            key = norm(rg0.column(j).path_in_schema)
+            if key not in prim:
+                continue  # nested leaf: stats don't line up
+            if key in col_idx:
+                dup.add(key)
+            col_idx[key] = j
+        for k in dup:
+            col_idx.pop(k, None)
     except Exception:  # noqa: BLE001 — metadata trouble: no pruning
         return rgs
-    flts = [(c if case_sensitive else c.lower(), op, ref)
-            for c, op, ref in filters]
+    flts = [(norm(c), op, ref) for c, op, ref in filters]
     return [i for i in rgs
-            if all(_rg_may_match(md, i, col_idx, f) for f in flts)]
+            if all(_rg_may_match(md, i, col_idx, f, present)
+                   for f in flts)]
 
 
 def _resolve_file_columns(names, columns, case_sensitive, path):

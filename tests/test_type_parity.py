@@ -360,3 +360,108 @@ class TestNullPartition:
         finally:
             eng.close()
             CacheManager.clear_instances()
+
+
+class TestDottedColumnNames:
+    """A flat column literally named ``a.b`` has parquet path
+    ``a.b`` — indistinguishable by path from a nested leaf. The old
+    stat-prune heuristic excluded it as 'nested' and the downstream
+    miss read as 'absent from the file → null-filled', wrongly
+    pruning EVERY row group for an eq filter (probed: silent empty
+    result with pushdown on). The fix keys prunability on the arrow
+    top-level field identity."""
+
+    def test_dotted_name_filter_parity(self, spark, cache_dir):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sidecar_spark import Engine
+
+        d = tempfile.mkdtemp(prefix="tp-dot-")
+        pq.write_table(pa.table({
+            "a.b": pa.array([1, 2]),
+            "c d": pa.array(["x", "y"]),
+            "plain": pa.array([10, 20])}), f"{d}/p.parquet")
+        jvm = sorted(map(str, spark.read.parquet(d)
+                         .where("`a.b` = 2").collect()))
+        assert len(jvm) == 1
+        eng = Engine(spark, conf=_conf(cache_dir))
+        try:
+            got = sorted(map(str, eng.read_parquet(d)
+                             .where("`a.b` = 2").collect()))
+            assert got == jvm
+            # dotted names still PRUNE nothing but stats on plain
+            # names still prune correctly alongside them
+            got2 = sorted(map(str, eng.read_parquet(d)
+                              .where("`a.b` = 2 AND plain = 20")
+                              .collect()))
+            assert got2 == jvm
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_flat_dotted_vs_nested_ambiguity(self, spark, cache_dir):
+        """A file holding BOTH a flat ``a.b`` and a struct ``a.b``
+        leaf: the two column chunks share the path — both drop out of
+        OUR pruning (kept), values stay exact. The JVM's own parquet
+        pushdown mis-resolves the ambiguous path to the nested leaf
+        and returns EMPTY (probed: correct row with
+        spark.sql.parquet.filterPushdown=false) — a JVM wrong-result
+        this engine intentionally does not replicate (PARITY.md), so
+        the oracle here is the JVM with its pushdown off."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sidecar_spark import Engine
+
+        d = tempfile.mkdtemp(prefix="tp-amb-")
+        pq.write_table(pa.table({
+            "a.b": pa.array([1, 2]),
+            "a": pa.array([{"b": 10}, {"b": 20}],
+                          type=pa.struct([("b", pa.int64())]))}),
+            f"{d}/p.parquet")
+        spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+        try:
+            jvm = sorted(map(str, spark.read.parquet(d)
+                             .where("`a.b` = 2").collect()))
+        finally:
+            spark.conf.unset("spark.sql.parquet.filterPushdown")
+        assert len(jvm) == 1
+        eng = Engine(spark, conf=_conf(cache_dir))
+        try:
+            got = sorted(map(str, eng.read_parquet(d)
+                             .where("`a.b` = 2").collect()))
+            assert got == jvm
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_absent_column_prune_still_exact(self, spark, cache_dir):
+        """Guard the schema-evolution semantic the fix refined: a
+        filter on a column genuinely ABSENT from one file still
+        null-fills (only IS NULL matches) under mergeSchema."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sidecar_spark import Engine
+
+        d = tempfile.mkdtemp(prefix="tp-abs-")
+        pq.write_table(pa.table({"v": pa.array([1])}), f"{d}/a.parquet")
+        pq.write_table(pa.table({"v": pa.array([2]),
+                                 "extra": pa.array([99])}),
+                       f"{d}/b.parquet")
+        jvm = spark.read.option("mergeSchema", "true").parquet(d)
+        want_eq = sorted(map(str, jvm.where("extra = 99").collect()))
+        want_null = sorted(map(str, jvm.where("extra IS NULL")
+                               .collect()))
+        eng = Engine(spark, conf=_conf(cache_dir))
+        try:
+            got = eng.read_parquet(d, mergeSchema="true")
+            assert sorted(map(str, got.where("extra = 99")
+                              .collect())) == want_eq
+            got2 = eng.read_parquet(d, mergeSchema="true")
+            assert sorted(map(str, got2.where("extra IS NULL")
+                              .collect())) == want_null
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
