@@ -216,6 +216,15 @@ def _legacy_list_unwraps(pf) -> frozenset:
             continue
         m = line_re.match(line)
         if not m:
+            if line.rstrip().endswith("{"):
+                # a group whose name defeats the pattern (spaces,
+                # parens): keep the stack balanced so later siblings
+                # attach to the right parents; "?" never matches the
+                # name rule, so no unwrap is ever derived from it
+                node = {"name": "?", "rep": "", "anno": None,
+                        "group": True, "children": []}
+                stack[-1]["children"].append(node)
+                stack.append(node)
             continue
         _, rep, typ, name, anno, tail = m.groups()
         node = {"name": name, "rep": rep, "anno": anno,

@@ -465,3 +465,26 @@ class TestDottedColumnNames:
         finally:
             eng.close()
             CacheManager.clear_instances()
+
+
+class TestSchemaDumpParser:
+    def test_space_named_group_keeps_stack_balanced(self, spark,
+                                                     cache_dir):
+        """A struct whose NAME defeats the schema-dump pattern (space
+        in the name) must not desynchronize the parser's stack — the
+        sibling columns after it still read at parity."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tempfile.mkdtemp(prefix="tp-spname-")
+        pq.write_table(pa.table({
+            "c d": pa.array([{"x": 1}, {"x": 2}],
+                            type=pa.struct([("x", pa.int64())])),
+            "after": pa.array([[10], [20, 30]],
+                              type=pa.list_(pa.int64()))}),
+            f"{d}/p.parquet")
+        jvm = spark.read.parquet(d)
+        want = sorted(map(str, jvm.collect()))
+        schema, rows = _engine_read(spark, cache_dir, d)
+        assert schema == jvm.schema
+        assert rows == want
