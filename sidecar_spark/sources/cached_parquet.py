@@ -238,7 +238,13 @@ def _legacy_list_unwraps(pf) -> frozenset:
 
     out = set()
 
-    def walk(node, path):
+    def walk(node, path, degraded=False):
+        """``degraded`` = inside a subtree pyarrow entered through
+        the name-rule mis-parse: there it still honors List/Map
+        annotations but no longer FLATTENS single-child repeated
+        groups (probed: an inner 3-level 'bag' form under an
+        unwrapped outer list surfaced as struct<array:int64> where
+        the JVM serves int64), so those levels need unwrapping too."""
         anno = (node["anno"] or "").split("(")[0]
         if not node["group"]:
             return
@@ -252,25 +258,33 @@ def _legacy_list_unwraps(pf) -> frozenset:
                 # the divergent shape: unwrap, then continue in the
                 # UNWRAPPED tree (the same path hosts the inner list)
                 out.add(elem)
-                walk(r, elem)
+                walk(r, elem, True)
             elif r["group"] and not name_rule and len(r["children"]) == 1:
                 # standard 3-level (or "bag" legacy): element is the
-                # repeated group's single child
-                walk(r["children"][0], elem)
-            elif r["group"]:
+                # repeated group's single child — pyarrow flattens
+                # this at top level but NOT inside a degraded subtree
+                if degraded:
+                    out.add(elem)
+                walk(r["children"][0], elem, degraded)
+            elif r["group"] and not name_rule:
                 # element is a struct of the repeated group's fields
                 for c in r["children"]:
-                    walk(c, elem + "." + c["name"])
+                    walk(c, elem + "." + c["name"], degraded)
+            elif r["group"]:
+                # name-rule, not List-annotated: element = the group
+                # itself (a struct), pyarrow agrees
+                for c in r["children"]:
+                    walk(c, elem + "." + c["name"], degraded)
             return
         if anno in ("Map", "MapKeyValue") and node["children"]:
             kv = node["children"][0]
             kids = kv["children"] if kv["group"] else []
             if len(kids) == 2:
-                walk(kids[0], path + ".key_value.key")
-                walk(kids[1], path + ".key_value.value")
+                walk(kids[0], path + ".key_value.key", degraded)
+                walk(kids[1], path + ".key_value.value", degraded)
             return
         for c in node["children"]:
-            walk(c, (path + "." if path else "") + c["name"])
+            walk(c, (path + "." if path else "") + c["name"], degraded)
 
     walk(root, "")
     return frozenset(out)

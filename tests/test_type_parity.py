@@ -314,6 +314,18 @@ class TestWriteLegacyFormat:
             eng.close()
             CacheManager.clear_instances()
 
+
+    def test_nested_list_nullable_elements(self, spark, cache_dir):
+        """NULLABLE inner elements make the legacy writer emit the
+        3-level 'bag' form INSIDE the name-rule subtree — pyarrow
+        stops flattening single-child repeated groups there (probed:
+        struct<array:int64> where the JVM serves int64), so the
+        degraded-mode walk registers a second unwrap level."""
+        d = self._write_legacy(spark, """
+            SELECT k, array(array(k % 10), array(k, k)) AS aa
+            FROM (SELECT CAST(id AS BIGINT) k FROM range(50))""")
+        self._parity(spark, cache_dir, d)
+
     def test_nested_list_in_map_and_struct(self, spark, cache_dir):
         d = self._write_legacy(spark, """
             SELECT map('k', array(array(1.5D))) AS m,
