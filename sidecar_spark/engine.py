@@ -202,7 +202,29 @@ class Engine:
                     merge = str(v).lower() == "true"
                 else:
                     rest[k] = v
-            if fmt in ("parquet", "orc") and not rest and schema is None:
+            user_schema = None
+            if schema is not None and fmt == "parquet" and not rest:
+                # explicit USER schema (parquet): implemented by the
+                # Python source — no footer inference, per-file
+                # conformance through the JVM's own conversion
+                # matrix (_cast_gate), partition columns relocated/
+                # typed like the JVM (probed). mergeSchema is
+                # irrelevant under a user schema (the JVM skips
+                # merging too). ORC user schemas stay on the raw
+                # fallback (unprobed surface — refuse to guess).
+                try:
+                    if isinstance(schema, str):
+                        from pyspark.sql.types import (
+                            _parse_datatype_string,
+                        )
+
+                        user_schema = _parse_datatype_string(schema)
+                    else:
+                        user_schema = schema
+                except Exception:  # noqa: BLE001 — unparseable DDL:
+                    return _select(_raw())  # let the JVM error on it
+            if fmt in ("parquet", "orc") and not rest and (
+                    schema is None or user_schema is not None):
                 if merge is None:
                     try:
                         merge = (self.spark.conf.get(
@@ -222,7 +244,7 @@ class Engine:
                     return _select(_raw())
                 return self._read_executor_resolved(
                     location, columns, split_bytes=split_bytes,
-                    merge=merge, fmt=fmt)
+                    merge=merge, fmt=fmt, user_schema=user_schema)
             # the Python sources decode parquet and ORC (both
             # self-describing) with the default option set plus
             # mergeSchema. csv/json schema INFERENCE cannot be
@@ -359,7 +381,7 @@ class Engine:
 
     def _read_executor_resolved(self, location: str, columns=None,
                                 split_bytes=None, merge=None,
-                                fmt="parquet"):
+                                fmt="parquet", user_schema=None):
         """Build the scan through the cache-backed Python DataSource:
         byte-range partitions over the data files, each task resolving
         against ITS node's CacheManager (sources/cached_parquet.py
@@ -469,6 +491,11 @@ class Engine:
                       _parse_bytes(str(split_bytes))
                       if split_bytes is not None
                       else self._scan_split_bytes())))
+        if user_schema is not None:
+            import json
+
+            reader = reader.option(
+                "user_schema", json.dumps(user_schema.jsonValue()))
         if columns:
             import json
 

@@ -2653,3 +2653,42 @@ def null_partition_read(spark, sf_dir):
                        .alias("part_k"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("o_orderkey").cast("long").alias("sum_key")))
+
+
+@query(
+    "user_schema_read",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(o_orderkey AS DECIMAL(20,0))) AS BIGINT)
+               AS sum_key,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def user_schema_read(spark, sf_dir):
+    """Explicit USER schema through the executor-resolved scan
+    (round-7 fourth wave): the read declares a SUBSET of orders'
+    columns with the key upcast to decimal(20,0) (the int64→decimal
+    cell of the JVM's conversion matrix) and must stay CACHED with
+    no footer inference (sources/cached_parquet.py user_schema
+    branch + ``_cast_gate``). The DuckDB oracle recomputes from the
+    original table with equivalent casts."""
+    import os as _os
+
+    from sidecar_spark import Engine, SidecarConfig
+
+    conf = SidecarConfig.create(
+        cache_dir=_os.path.join("/tmp", "sidecar-query-cache-exec"),
+        data_cache_type="file", cache_persistent=False,
+        resolve_mode="executor")
+    eng = Engine(spark, conf=conf)
+    df = eng.read_parquet(
+        _os.path.join(sf_dir, "orders.parquet"),
+        schema="o_orderkey decimal(20,0), o_orderstatus string, "
+               "o_totalprice double")
+    return (df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").cast("long").alias("sum_key"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_price")))

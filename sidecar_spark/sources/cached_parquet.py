@@ -1028,23 +1028,87 @@ def _finalize_batches(batches, schema, parts, tz="UTC",
             arrays, names=[n for n, _ in targets])
 
 
+def _cast_gate(src, dst):
+    """The JVM parquet reader's type-conversion matrix for reading a
+    FILE type as a different DECLARED type — identical for explicit
+    user schemas and un-merged schema evolution (same vectorized
+    updaters; probed live, tests/test_type_parity.py):
+
+    - signed int file ≤32 bits → narrower signed int TRUNCATES
+      (mod 2^k, probed: 70000 as tinyint reads 112, -70000 → -112),
+      wider int / double widen, decimal(p≥10, 0);
+    - int64 file → decimal(p≥19, 0) only — NOT int/double (probed);
+    - float → double; double → double only;
+    - decimal(p,s) → decimal(p',s') iff s' ≥ s and p'-s' ≥ p-s
+      (rescale probed: (9,2)→(18,4) rescales values exactly);
+    - string ↔ binary reinterpret (binary→string unvalidated);
+    - date32 → timestamp_ntz (midnight); NOT ltz/string (probed);
+    - timestamp ltz ↔ ntz reinterpret the same micros (probed).
+
+    Returns the Arrow ``safe`` flag for an allowed cast, or None to
+    REFUSE — the JVM errors on those, and serving a silently-cast
+    value would diverge."""
+    import pyarrow as pa
+
+    if src.equals(dst):
+        return True
+    if (pa.types.is_signed_integer(src) and src.bit_width <= 32):
+        if pa.types.is_signed_integer(dst):
+            return dst.bit_width >= src.bit_width  # narrower: truncate
+        if pa.types.is_float64(dst):
+            return True
+        if (pa.types.is_decimal(dst) and dst.scale == 0
+                and dst.precision >= 10):
+            return True
+        return None
+    if pa.types.is_int64(src):
+        if pa.types.is_int64(dst):
+            return True
+        if (pa.types.is_decimal(dst) and dst.scale == 0
+                and dst.precision >= 19):
+            return True
+        return None
+    if pa.types.is_float32(src):
+        return True if (pa.types.is_float32(dst)
+                        or pa.types.is_float64(dst)) else None
+    if pa.types.is_decimal(src):
+        if (pa.types.is_decimal(dst) and dst.scale >= src.scale
+                and (dst.precision - dst.scale
+                     >= src.precision - src.scale)):
+            return True
+        return None
+    if pa.types.is_string(src) or pa.types.is_large_string(src):
+        if pa.types.is_string(dst) or pa.types.is_binary(dst):
+            return True
+        return None
+    if pa.types.is_binary(src) or pa.types.is_large_binary(src):
+        if pa.types.is_binary(dst):
+            return True
+        if pa.types.is_string(dst):
+            return False  # reinterpret, no utf8 validation
+        return None
+    if pa.types.is_date32(src):
+        if pa.types.is_timestamp(dst) and dst.tz is None:
+            return True
+        return None
+    if (pa.types.is_timestamp(src) and pa.types.is_timestamp(dst)
+            and src.unit == dst.unit):
+        return True  # ltz<->ntz reinterpret (units already µs)
+    return None
+
+
 def _conform_array(col, at, case_sensitive=False):
-    """Cast one Arrow array to the declared type. Arrow's ``cast``
-    covers everything EXCEPT adding a struct subfield the file lacks
-    (nested schema evolution under mergeSchema) — when it refuses,
-    rebuild the container structurally: structs get missing children
-    null-filled (matched by the session's case rule), lists recurse
-    into their values, validity bitmaps preserved at every level."""
+    """Conform one Arrow array to the declared type. Containers
+    rebuild structurally — structs get missing children null-filled
+    (matched by the session's case rule), lists/maps recurse into
+    their values, validity bitmaps preserved at every level. Scalar
+    drift goes through ``_cast_gate`` so only conversions the JVM
+    scan itself performs are served; everything else fails LOUDLY
+    instead of silently casting values the JVM would refuse."""
     import pyarrow as pa
 
     if col.type.equals(at):
         return col
-    try:
-        return col.cast(at)
-    except pa.ArrowInvalid:
-        raise  # a VALUE failed the cast — structural rebuild can't fix it
-    except (pa.ArrowTypeError, pa.ArrowNotImplementedError):
-        pass  # structural mismatch: rebuild below
     if pa.types.is_struct(at) and pa.types.is_struct(col.type):
         names = [col.type.field(i).name
                  for i in range(col.type.num_fields)]
@@ -1109,8 +1173,14 @@ def _conform_array(col, at, case_sensitive=False):
         return pa.Array.from_buffers(
             at, len(lv), lv.buffers()[:2], null_count=lv.null_count,
             children=[vals])
-    # no structural rule matched: surface the original cast error
-    return col.cast(at)
+    safe = _cast_gate(col.type, at)
+    if safe is None:
+        raise ValueError(
+            f"cannot read parquet column of type {col.type} as "
+            f"declared type {at}: the JVM scan refuses this "
+            "conversion (unsupported vectorized updater) — matching "
+            "refusal instead of silently casting values")
+    return col.cast(at, safe=safe)
 
 
 def _filter_matches(raw: str, op: str, ref) -> bool:
@@ -1441,6 +1511,60 @@ class CachedParquetSource(DataSource):
         # hand the listing down to the reader: one object-store LIST
         # per planned query, and schema/partitions share a snapshot
         self._files_snapshot = files
+        user_json = self.options.get("user_schema")
+        if user_json:
+            # explicit USER schema: no footer inference at all — the
+            # declared schema is the user's, reshaped by partition
+            # discovery exactly like the JVM (probed): partition
+            # columns RELOCATE to the end (even when the user listed
+            # them first), typed by the USER when named in the
+            # schema, by the inference ladder otherwise; an omitted
+            # partition column is APPENDED anyway. Data columns keep
+            # the user's order and case; per-file conformance
+            # (subset/superset/upcasts) happens in _finalize_batches
+            # through the _cast_gate matrix.
+            import json as _json
+
+            from pyspark.sql.types import StructField as _SF
+            from pyspark.sql.types import StructType as _ST
+
+            from sidecar_spark.cache.partitions import (
+                infer_partition_types,
+                layout_specs,
+            )
+
+            user = _ST.fromJson(_json.loads(user_json))
+            cs = (str(self.options.get("case_sensitive",
+                                       "false")).lower() == "true")
+            _, p_root = mgr._resolve(path)  # noqa: SLF001
+            specs = layout_specs(p_root, files)
+            if specs is None:
+                raise ValueError(
+                    f"{path!r} is not a clean hive-partitioned "
+                    "layout (non key=value subdirectories, or files "
+                    "at mixed depths) — Spark's partition discovery "
+                    "refuses these too")
+            inferred = infer_partition_types(specs)
+            pk_lower = {k.lower() for k, _ in inferred}
+
+            def key(n):
+                return n if cs else n.lower()
+
+            user_by_key = {}
+            for f in user.fields:
+                user_by_key.setdefault(key(f.name), f)
+            data_fields = [
+                _SF(f.name, f.dataType, True, f.metadata)
+                for f in user.fields if f.name.lower() not in pk_lower]
+            part_fields = []
+            for k, ddl in inferred:
+                uf = user_by_key.get(key(k))
+                if uf is not None:
+                    part_fields.append(_SF(uf.name, uf.dataType, True,
+                                           uf.metadata))
+                else:
+                    part_fields.append(_SF(k, _ddl_type(ddl), True))
+            return _ST(data_fields + part_fields)
         # match the JVM parquet reader's NTZ inference (tz-less
         # parquet timestamps read as timestamp_ntz when
         # spark.sql.parquet.inferTimestampNTZ.enabled, default true) —

@@ -573,7 +573,10 @@ class TestColumnsProjection:
             cache_persistent=False, resolve_mode="executor")
         mgr = CacheManager.get_or_create(conf)
         try:
-            schema = StructType.fromDDL("a INT, c STRING")
+            # BIGINT: the fixture's pyarrow ints are int64, and the
+            # declared schema must be readable under the JVM's
+            # conversion matrix (int64 never narrows — _cast_gate)
+            schema = StructType.fromDDL("a BIGINT, c STRING")
             # spark lowercases datasource option keys; mimic that
             reader = CachedParquetReader(
                 {"path": remote, "conf": conf.to_json()}, schema=schema)

@@ -500,3 +500,159 @@ class TestSchemaDumpParser:
         schema, rows = _engine_read(spark, cache_dir, d)
         assert schema == jvm.schema
         assert rows == want
+
+
+class TestUserSchema:
+    """Explicit user schemas through the executor source (round-7):
+    the JVM reads the files through the user's schema with a fixed
+    conversion matrix (``_cast_gate``) — subset/reorder/superset,
+    truncating int downcasts, widening, decimal rescale, refusals —
+    and partition columns RELOCATE to the end, user-typed when named.
+    Every case is oracled against the live JVM."""
+
+    @pytest.fixture()
+    def data_dir(self):
+        import decimal as _dec
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tempfile.mkdtemp(prefix="tp-us-")
+        pq.write_table(pa.table({
+            "i": pa.array([1, 70000, -70000], type=pa.int32()),
+            "l": pa.array([10, 20, 30], type=pa.int64()),
+            "s": pa.array(["x", "y", "z"]),
+            "d9": pa.array([_dec.Decimal("123.45"),
+                            _dec.Decimal("1.23"), None],
+                           type=pa.decimal128(9, 2)),
+            "st": pa.array([{"a": 1, "b": "p"}] * 3,
+                           type=pa.struct([("a", pa.int64()),
+                                           ("b", pa.string())])),
+        }), f"{d}/p.parquet")
+        return d
+
+    @pytest.fixture()
+    def part_dir(self):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tempfile.mkdtemp(prefix="tp-usp-")
+        os.makedirs(f"{d}/k=5")
+        os.makedirs(f"{d}/k=7")
+        pq.write_table(pa.table({"v": pa.array([1])}),
+                       f"{d}/k=5/a.parquet")
+        pq.write_table(pa.table({"v": pa.array([2])}),
+                       f"{d}/k=7/b.parquet")
+        return d
+
+    def _parity(self, spark, cache_dir, root, sch):
+        from sidecar_spark import Engine
+
+        jdf = spark.read.schema(sch).parquet(root)
+        want = (jdf.schema, sorted(map(str, jdf.collect())))
+        eng = Engine(spark, conf=_conf(cache_dir))
+        try:
+            gdf = eng.read_parquet(root, schema=sch)
+            assert gdf.schema == want[0], (
+                gdf.schema.simpleString(), want[0].simpleString())
+            assert sorted(map(str, gdf.collect())) == want[1]
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def _both_refuse(self, spark, cache_dir, root, sch):
+        from sidecar_spark import Engine
+
+        with pytest.raises(Exception):
+            spark.read.schema(sch).parquet(root).collect()
+        eng = Engine(spark, conf=_conf(cache_dir))
+        try:
+            with pytest.raises(Exception):
+                eng.read_parquet(root, schema=sch).collect()
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    @pytest.mark.parametrize("sch", [
+        "i int, l bigint, s string, d9 decimal(9,2), "
+        "st struct<a:bigint,b:string>",
+        "s string, i int",                       # subset + reorder
+        "i int, missing string, l bigint",       # superset null-fill
+        "i bigint, s string",                    # widen
+        "i tinyint",                             # truncating downcast
+        "i smallint",
+        "i double",
+        "d9 decimal(18,4)",                      # rescale
+        "d9 decimal(18,2)",
+        "l decimal(20,0)",
+        "st struct<a:bigint>",                   # struct subset
+        "st struct<a:bigint,b:string,c:int>",    # struct extra
+        "I int, S string",                       # case difference
+        "s binary",                              # reinterpret
+    ])
+    def test_supported_conversions(self, spark, cache_dir, data_dir,
+                                   sch):
+        self._parity(spark, cache_dir, data_dir, sch)
+
+    @pytest.mark.parametrize("sch", [
+        "l int",                # int64 never narrows
+        "i string",             # no int->string
+        "d9 decimal(5,2)",      # integer digits shrink
+        "st struct<a:int>",     # nested int64 narrow
+    ])
+    def test_refused_conversions(self, spark, cache_dir, data_dir,
+                                 sch):
+        self._both_refuse(spark, cache_dir, data_dir, sch)
+
+    @pytest.mark.parametrize("sch", [
+        "v bigint",              # partition col appended, inferred
+        "v bigint, k string",    # user-typed partition value
+        "v bigint, k double",
+        "k int, v bigint",       # partition col relocates to the end
+    ])
+    def test_partition_interaction(self, spark, cache_dir, part_dir,
+                                   sch):
+        self._parity(spark, cache_dir, part_dir, sch)
+
+    def test_partition_filter_with_user_type(self, spark, cache_dir,
+                                             part_dir):
+        """A filter on a user-STRING-typed partition column prunes
+        and evaluates with string semantics on both paths."""
+        from sidecar_spark import Engine
+
+        sch = "v bigint, k string"
+        jvm = sorted(map(str, spark.read.schema(sch).parquet(part_dir)
+                         .where("k = '5'").collect()))
+        eng = Engine(spark, conf=_conf(cache_dir))
+        try:
+            got = sorted(map(str, eng.read_parquet(part_dir, schema=sch)
+                             .where("k = '5'").collect()))
+            assert got == jvm and len(got) == 1
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
+
+    def test_evolution_gate_matches_jvm(self, spark, cache_dir):
+        """The SAME conversion matrix governs un-merged schema
+        evolution: a table whose first footer declares int while a
+        later file stores bigint must FAIL the read like the JVM
+        (previously an in-range value would silently cast)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sidecar_spark import Engine
+
+        d = tempfile.mkdtemp(prefix="tp-evog-")
+        pq.write_table(pa.table({"v": pa.array([1], type=pa.int32())}),
+                       f"{d}/a.parquet")
+        pq.write_table(pa.table({"v": pa.array([2], type=pa.int64())}),
+                       f"{d}/b.parquet")
+        with pytest.raises(Exception):
+            spark.read.parquet(d).collect()  # JVM oracle (int32 decl)
+        eng = Engine(spark, conf=_conf(cache_dir))
+        try:
+            with pytest.raises(Exception):
+                eng.read_parquet(d).collect()
+        finally:
+            eng.close()
+            CacheManager.clear_instances()
