@@ -185,30 +185,22 @@ def _target_type(t, path: str, int96: set, nanos=frozenset(),
     return t
 
 
-def _legacy_list_unwraps(pf) -> frozenset:
-    """Arrow-path positions where pyarrow's decode of a
-    LEGACY-format (``spark.sql.parquet.writeLegacyFormat=true``,
-    Hive-compat) NESTED list diverges from the JVM: parquet-mr's
-    backward-compat name rule says a ``repeated group`` named
-    ``array`` (or ``<parent>_tuple``) directly under a LIST group is
-    ITSELF the element — so when that group is also LIST-annotated
-    the element is a list (``array<array<int>>``), while pyarrow
-    wraps it in a single-field struct
-    (``array<struct<array:array<int>>>``), a silent schema AND value
-    divergence (probed). pyarrow exposes no programmatic group tree,
-    so this parses its stable textual dump. Returns paths in the
-    ``_target_type`` grammar (e.g. ``aa.list.element``) whose
-    single-field struct must be unwrapped."""
+def _parse_schema_tree(txt: str):
+    """pyarrow's textual ParquetSchema dump → group tree (pyarrow
+    exposes no programmatic parquet group tree, so the stable dump is
+    the only window into repetition levels). FAILS LOUDLY when the
+    dump contains ``repeated group`` but the line grammar matched
+    nothing — a pyarrow dump-format change would otherwise silently
+    disable legacy-list unwrapping and revert to serving the
+    struct-wrapped (wrong) values it exists to fix (ADVICE r7 #1)."""
     import re
 
-    txt = str(pf.schema)
-    if "repeated group" not in txt:
-        return frozenset()
     line_re = re.compile(
         r"^(\s*)(required|optional|repeated) (.+?) field_id=-?\d+ "
         r"(\S+?)(?: \((.+?)\))?( \{|;)$")
     root = {"name": "", "anno": None, "group": True, "children": []}
     stack = [root]
+    matched = 0
     for line in txt.splitlines():
         if line.strip() == "}":
             if len(stack) > 1:
@@ -226,15 +218,43 @@ def _legacy_list_unwraps(pf) -> frozenset:
                 stack[-1]["children"].append(node)
                 stack.append(node)
             continue
+        matched += 1
         _, rep, typ, name, anno, tail = m.groups()
         node = {"name": name, "rep": rep, "anno": anno,
                 "group": typ == "group", "children": []}
         stack[-1]["children"].append(node)
         if tail == " {":
             stack.append(node)
+    if matched == 0 and "repeated group" in txt:
+        raise ValueError(
+            "unrecognized pyarrow ParquetSchema dump format (zero "
+            "lines matched the field grammar but the schema has "
+            "repeated groups) — legacy nested-list handling cannot "
+            "silently fall open; this pyarrow version's dump layout "
+            "needs a parser update (sources/cached_parquet.py)")
     # the first group line is the schema root itself
     if root["children"] and root["children"][0]["group"]:
         root = root["children"][0]
+    return root
+
+
+def _legacy_list_unwraps(pf) -> frozenset:
+    """Arrow-path positions where pyarrow's decode of a
+    LEGACY-format (``spark.sql.parquet.writeLegacyFormat=true``,
+    Hive-compat) NESTED list diverges from the JVM: parquet-mr's
+    backward-compat name rule says a ``repeated group`` named
+    ``array`` (or ``<parent>_tuple``) directly under a LIST group is
+    ITSELF the element — so when that group is also LIST-annotated
+    the element is a list (``array<array<int>>``), while pyarrow
+    wraps it in a single-field struct
+    (``array<struct<array:array<int>>>``), a silent schema AND value
+    divergence (probed). Returns paths in the ``_target_type``
+    grammar (e.g. ``aa.list.element``) whose single-field struct must
+    be unwrapped."""
+    txt = str(pf.schema)
+    if "repeated group" not in txt:
+        return frozenset()
+    root = _parse_schema_tree(txt)
 
     out = set()
 
@@ -290,6 +310,89 @@ def _legacy_list_unwraps(pf) -> frozenset:
     return frozenset(out)
 
 
+def _leaf_recursion_names(pf):
+    """Map each parquet dotted LEAF path to the name the rebase
+    recursion (rebase.rebase_array) rebuilds for it, derived from the
+    actual group tree: only genuine container levels drop out —
+    repeated levels under a LIST annotation contribute no segment,
+    a MAP's synthetic key_value group collapses to ``.key``/
+    ``.value``. A struct field literally named ``list`` (child
+    ``element``) or ``key_value`` keeps its segments, where blind
+    substring surgery would mangle it (ADVICE r7 #4). Returns None
+    when the tree has unparseable names ("?") — callers fall back to
+    the anchored string replace."""
+    txt = str(pf.schema)
+    if "repeated group" not in txt:
+        # no repeated levels anywhere: every dotted segment is a
+        # genuine struct field — identity naming
+        return {}
+    root = _parse_schema_tree(txt)
+    out = {}
+    bad = []
+
+    def visit(node, pq, rn):
+        """node = a named field; pq = its full parquet segment list
+        (its own name included); rn = its rebase-recursion name."""
+        if node["name"] == "?":
+            bad.append(pq)
+            return
+        anno = (node["anno"] or "").split("(")[0]
+        if not node["group"]:
+            out[".".join(pq)] = rn
+            return
+        if anno == "List" and node["children"]:
+            r = node["children"][0]
+            if r["name"] == "?":
+                bad.append(pq)
+                return
+            rpq = pq + [r["name"]]
+            if not r["group"]:
+                # 2-level legacy: the repeated primitive IS the
+                # element — its level adds no recursion segment
+                out[".".join(rpq)] = rn
+                return
+            name_rule = (r["name"] == "array"
+                         or r["name"] == node["name"] + "_tuple")
+            r_anno = (r["anno"] or "").split("(")[0]
+            if name_rule and r_anno == "List":
+                # divergent legacy shape: the repeated group is
+                # itself the element LIST and its struct wrapper is
+                # unwrapped (_legacy_list_unwraps) — re-visit it as a
+                # list container at the SAME recursion name (rpq: its
+                # own level still appears in the parquet path)
+                visit(r, rpq, rn)
+                return
+            if name_rule or len(r["children"]) != 1:
+                # element is the repeated group as a STRUCT (name
+                # rule, or multi-field legacy group): children are
+                # struct fields of the element
+                for c in r["children"]:
+                    visit(c, rpq + [c["name"]], rn + "." + c["name"])
+                return
+            # standard 3-level: the single child IS the element
+            visit(r["children"][0], rpq + [r["children"][0]["name"]],
+                  rn)
+            return
+        if anno in ("Map", "MapKeyValue") and node["children"]:
+            kv = node["children"][0]
+            kids = kv["children"] if kv["group"] else []
+            if len(kids) == 2 and kv["name"] != "?":
+                visit(kids[0], pq + [kv["name"], kids[0]["name"]],
+                      rn + ".key")
+                visit(kids[1], pq + [kv["name"], kids[1]["name"]],
+                      rn + ".value")
+                return
+            bad.append(pq)
+            return
+        for c in node["children"]:
+            visit(c, pq + [c["name"]], (rn + "." if rn else "")
+                  + c["name"])
+
+    for c in root["children"]:
+        visit(c, [c["name"]], c["name"])
+    return None if bad else out
+
+
 def _nanos_leaves(pf) -> set:
     """Dotted parquet leaf paths ANNOTATED ``TIMESTAMP(NANOS,*)`` —
     the annotation is the key, not the arrow type: an embedded arrow
@@ -305,7 +408,8 @@ def _nanos_leaves(pf) -> set:
         return set()
 
 
-def _refuse_illegal_types(pf, path: str, nanos_long: bool = False):
+def _refuse_illegal_types(pf, path: str, nanos_long: bool = False,
+                          requested=None):
     """The JVM parquet scan refuses these annotations outright
     (probed: PARQUET_TYPE_ILLEGAL): ``TIMESTAMP(NANOS,*)`` — Spark
     has no ns precision; ``spark.sql.legacy.parquet.nanosAsLong=true``
@@ -315,7 +419,13 @@ def _refuse_illegal_types(pf, path: str, nanos_long: bool = False):
     of silently serving coerced values the JVM never would. Files
     whose ANNOTATION is µs pass even when an embedded arrow schema
     restores ns (probed: pyarrow version=1.0 writes coerce the
-    annotation)."""
+    annotation).
+
+    ``requested`` (a set of top-level FILE-spelling column names, or
+    None for "everything"): the JVM clips the parquet schema to the
+    requested columns FIRST, so under an explicit user schema it
+    reads files fine when the offending column is not requested
+    (ADVICE r7 #3) — leaves outside the projection are skipped."""
     try:
         ps = pf.schema
         cols = [(ps.column(i).path, ps.column(i).logical_type)
@@ -323,6 +433,9 @@ def _refuse_illegal_types(pf, path: str, nanos_long: bool = False):
     except Exception:  # noqa: BLE001 — introspection is best-effort
         return
     for p, lt in cols:
+        if requested is not None and not any(
+                p == n or p.startswith(n + ".") for n in requested):
+            continue  # projected away: the JVM never decodes it
         kind = getattr(lt, "type", None)
         if kind == "TIME" or (kind == "TIMESTAMP"
                               and not nanos_long
@@ -733,11 +846,15 @@ def _parquet_pass(fobj, part, columns, stat_filters, case_sensitive,
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(fobj, coerce_int96_timestamp_unit="us")
-    _refuse_illegal_types(pf, path, nanos_long)
     cols = None
     if columns is not None:
         cols = _resolve_file_columns(pf.schema_arrow.names, columns,
                                      case_sensitive, path)
+    # refusal is clipped to the projection: an unrequested TIME /
+    # TIMESTAMP(NANOS) column must not fail a read the JVM serves
+    # (it decodes only the requested columns — ADVICE r7 #3)
+    _refuse_illegal_types(pf, path, nanos_long,
+                          requested=None if cols is None else set(cols))
     is_split = part.start > 0 or part.end < part.length
     rgs = (_select_row_groups(pf, part.start, part.end)
            if is_split else None)
@@ -994,7 +1111,14 @@ def _finalize_batches(batches, schema, parts, tz="UTC",
 
     from sidecar_spark.cache.partitions import decode_key
 
-    part_vals = {decode_key(k).lower(): raw for k, raw in parts}
+    # partition-key match follows the SAME case normalization as the
+    # data/partition split in schema(): under caseSensitive=true a
+    # declared column that merely lowercases to a directory key is a
+    # distinct DATA column and must read from the file (ADVICE r7 #2)
+    def _key(n):
+        return n if case_sensitive else n.lower()
+
+    part_vals = {_key(decode_key(k)): raw for k, raw in parts}
     targets = [(f.name, to_arrow_type(f.dataType)) for f in schema.fields]
 
     for batch in batches:
@@ -1015,9 +1139,9 @@ def _finalize_batches(batches, schema, parts, tz="UTC",
         arrays = []
         for name, at in targets:
             idx = pos.get(name if case_sensitive else name.lower())
-            if name.lower() in part_vals:
+            if _key(name) in part_vals:
                 arrays.append(pa.repeat(
-                    _partition_scalar(part_vals[name.lower()], at, tz),
+                    _partition_scalar(part_vals[_key(name)], at, tz),
                     batch.num_rows))
             elif idx is not None:
                 arrays.append(_conform_array(batch.column(idx), at,
@@ -1327,10 +1451,16 @@ class CachedParquetReader(DataSourceReader):
             if spec and self._part_filters:
                 from sidecar_spark.cache.partitions import decode_key
 
-                keys = {decode_key(k).lower(): v for k, v in spec}
-                if not all(_filter_matches(keys[col.lower()], op, ref)
+                # case-sensitive sessions must not let a filter on a
+                # case-COLLIDING data column (PART_K vs part_k=) prune
+                # by the directory value — a silent wrong result
+                def _k(n):
+                    return n if self.case_sensitive else n.lower()
+
+                keys = {_k(decode_key(k)): v for k, v in spec}
+                if not all(_filter_matches(keys[_k(col)], op, ref)
                            for col, op, ref in self._part_filters
-                           if col.lower() in keys):
+                           if _k(col) in keys):
                     continue  # pruned: provably outside the predicate
             ranges = [(0, st.length)]
             if self.split_bytes and st.length > self.split_bytes:
@@ -1379,9 +1509,16 @@ class CachedParquetReader(DataSourceReader):
             # directory name, dropped columns are never moved
             from sidecar_spark.cache.partitions import decode_key
 
-            part_keys = {decode_key(k).lower() for k, _ in part.parts}
-            columns = [f.name for f in self.schema.fields
-                       if f.name.lower() not in part_keys]
+            # same case normalization as the schema()-side split: a
+            # case-colliding data column under caseSensitive=true
+            # reads from the FILE, not the directory (ADVICE r7 #2)
+            part_keys = {
+                decode_key(k) if self.case_sensitive
+                else decode_key(k).lower() for k, _ in part.parts}
+            columns = [
+                f.name for f in self.schema.fields
+                if (f.name if self.case_sensitive
+                    else f.name.lower()) not in part_keys]
         # row-group statistics pruning from the pushed filters —
         # partition-column filters are excluded: their values live in
         # the DIRECTORY (already file-pruned in partitions()), and a
@@ -1545,17 +1682,22 @@ class CachedParquetSource(DataSource):
                     "at mixed depths) — Spark's partition discovery "
                     "refuses these too")
             inferred = infer_partition_types(specs)
-            pk_lower = {k.lower() for k, _ in inferred}
 
             def key(n):
                 return n if cs else n.lower()
 
+            # the data/partition split uses the SAME normalization as
+            # the partition match: under caseSensitive=true a user
+            # data column whose lowercase merely collides with a
+            # directory key (PART_K vs part_k=) is a distinct column
+            # and must stay in the data fields (ADVICE r7 #2)
+            pk_keys = {key(k) for k, _ in inferred}
             user_by_key = {}
             for f in user.fields:
                 user_by_key.setdefault(key(f.name), f)
             data_fields = [
                 _SF(f.name, f.dataType, True, f.metadata)
-                for f in user.fields if f.name.lower() not in pk_lower]
+                for f in user.fields if key(f.name) not in pk_keys]
             part_fields = []
             for k, ddl in inferred:
                 uf = user_by_key.get(key(k))

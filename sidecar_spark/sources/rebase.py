@@ -225,12 +225,33 @@ def _has_temporal(t) -> bool:
 
 
 def _norm_leaf(path: str) -> str:
-    """Parquet dotted leaf path → the name the rebase recursion
-    rebuilds: list levels contribute no segment (the element array
-    keeps its list's name) and map entries drop the synthetic
-    ``key_value`` level (``m.key_value.key`` → ``m.key``)."""
+    """FALLBACK normalization (string surgery) for a parquet dotted
+    leaf path → rebase-recursion name: list levels contribute no
+    segment and map entries drop the synthetic ``key_value`` level.
+    Used only when the structural walk below can't parse the group
+    tree — a genuine struct field named ``list``/``key_value`` would
+    be mangled here, which is why ``_recursion_names`` (structural,
+    ADVICE r7 #4) is consulted first."""
     return (path.replace(".list.element", "")
                 .replace(".key_value.", "."))
+
+
+def _recursion_names(pf, leaves):
+    """Normalize parquet leaf paths to rebase-recursion names
+    STRUCTURALLY (walking the actual group tree, so only genuine
+    repeated/map container levels drop out); falls back to the
+    anchored string replace per-leaf when the tree is unparseable."""
+    try:
+        from sidecar_spark.sources.cached_parquet import (
+            _leaf_recursion_names,
+        )
+
+        m = _leaf_recursion_names(pf)
+    except Exception:  # noqa: BLE001 — dump parse trouble: fall back
+        m = None
+    if m is None:
+        return frozenset(_norm_leaf(p) for p in leaves)
+    return frozenset(m.get(p, _norm_leaf(p)) for p in leaves)
 
 
 def _raise_if_ancient(arr, dt_exc: bool, i96_exc: bool, int96_cols,
@@ -329,8 +350,9 @@ def rebase_batches(batches, pf, int96_leaves, dt_conf="CORRECTED",
         yield from batches
         return
     # dotted leaf paths normalized to the recursion's naming, so
-    # nested INT96 columns (inside structs, lists, maps) match too
-    int96_cols = frozenset(_norm_leaf(p) for p in int96_leaves)
+    # nested INT96 columns (inside structs, lists, maps) match too —
+    # structurally (genuine fields named 'list'/'key_value' survive)
+    int96_cols = _recursion_names(pf, int96_leaves)
     dt_leg = dt_mode == "LEGACY"
     i96_leg = i96_mode == "LEGACY"
     any_exc = "EXCEPTION" in (dt_mode, i96_mode)
