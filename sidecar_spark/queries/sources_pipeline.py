@@ -827,3 +827,113 @@ def text_source_wholetext(spark, sf_dir):
     return whole.agg(
         F.sum(F.size(F.split(F.col("value"), "\n")) - 1).alias("n_lines"),
         F.sum(F.length("value")).alias("file_bytes"))
+
+
+def _exec_engine(spark):
+    """The shared executor-mode Engine the raw-file entries read
+    through (same cache root as the other executor entries — warm
+    across the battery, like a long-lived cluster's node mirror)."""
+    from sidecar_spark import Engine, SidecarConfig
+
+    conf = SidecarConfig.create(
+        cache_dir=os.path.join("/tmp", "sidecar-query-cache-exec"),
+        data_cache_type="file", cache_persistent=False,
+        resolve_mode="executor")
+    return Engine(spark, conf=conf)
+
+
+@query(
+    "executor_binaryfile_read_agg",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(strlen(text) + 1) AS BIGINT) AS total_bytes,
+           CAST(count(*) AS BIGINT) AS n_verified
+    FROM documents
+    WHERE doc_id % 25 = 0
+    """,
+)
+def executor_binaryfile_read_agg(spark, sf_dir):
+    """``binaryFile`` through the CACHED executor source (round-8
+    verdict #1: the reference caches every ``open()`` —
+    ``SidecarCachingFileSystem.java:1596-1619`` — and binaryFile is
+    the multimodal-corpus ingest format). Each scan task resolves its
+    file against the node-local mirror and emits the JVM's exact row
+    shape: ORIGINAL path rendering, listing mtime, length, raw bytes
+    (all probed, sources/cached_rawfile.py). pathGlobFilter +
+    recursiveFileLookup ride natively. Every payload is byte-verified
+    against the table of record, so the aggregate proves content
+    fidelity THROUGH the cache, not just file counts."""
+    path = _materialize_doc_files(spark, sf_dir, 25)
+    docs = (t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 25 == 0)
+            .select("doc_id", "text"))
+    eng = _exec_engine(spark)
+    files = eng.read_format(path, "binaryFile",
+                            pathGlobFilter="part-*",
+                            recursiveFileLookup="true")
+    parsed = files.select(
+        F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("long")
+         .alias("doc_id"),
+        F.col("length").alias("nbytes"),
+        F.decode("content", "UTF-8").alias("payload"))
+    return (parsed.join(docs, "doc_id")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum("nbytes").alias("total_bytes"),
+                 F.sum(F.when(F.col("payload")
+                              == F.concat(F.col("text"), F.lit("\n")), 1)
+                       .otherwise(0)).alias("n_verified")))
+
+
+@query(
+    "executor_text_read_agg",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_chars,
+           CAST(max(strlen(text)) AS BIGINT) AS max_len,
+           CAST(sum({_H60.format(e='text')} % 1000000007) AS BIGINT)
+               AS checksum
+    FROM documents
+    """,
+)
+def executor_text_read_agg(spark, sf_dir):
+    """``text`` through the CACHED executor source with a tiny
+    byte-range split size — dozens of splits per file, each task
+    applying Hadoop's line-assignment rule (a line belongs to the
+    split containing its START) against its node-local resolve. The
+    per-line checksum breaks on ANY framing error: a line lost,
+    doubled, or split at a boundary changes the fold (round-8
+    verdict #1; framing semantics probed in
+    tests/test_cached_rawfile.py)."""
+    from sidecar_spark.functions.dedup import hash60
+
+    path = _materialize_text_lines(spark, sf_dir, single=False)
+    eng = _exec_engine(spark)
+    lines = eng.read_format(path, "text", split_bytes="65536")
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.max(F.length("value")).alias("max_len"),
+        F.sum(hash60(F.col("value")) % 1000000007).alias("checksum"))
+
+
+@query(
+    "executor_wholetext_read",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(strlen(text) + 1) AS BIGINT) AS file_bytes
+    FROM documents
+    """,
+)
+def executor_wholetext_read(spark, sf_dir):
+    """``wholetext=true`` through the cached executor source: one row
+    per FILE carrying every byte (one task per file — wholetext is
+    not splittable, the JVM rule), resolved node-locally. Line and
+    byte counts recovered from inside the payload must equal the
+    per-row truth, proving no byte was lost or reframed through the
+    mirror."""
+    path = _materialize_text_lines(spark, sf_dir, single=True)
+    eng = _exec_engine(spark)
+    whole = eng.read_format(path, "text", wholetext="true")
+    return whole.agg(
+        F.sum(F.size(F.split(F.col("value"), "\n")) - 1).alias("n_lines"),
+        F.sum(F.length("value")).alias("file_bytes"))

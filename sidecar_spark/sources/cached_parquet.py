@@ -1402,6 +1402,11 @@ class CachedParquetReader(DataSourceReader):
         except ValueError:
             self.split_bytes = 0
         self._part_filters = []
+        #: recursiveFileLookup: directory structure is NON-semantic —
+        #: files at any depth, no partition discovery (JVM-probed);
+        #: set from the "rfl" option by the raw-file readers
+        self.flatten = (str(options.get("rfl") or "false").lower()
+                        == "true")
         _apply_endpoint(self.endpoint)
 
     def _conf(self):
@@ -1422,6 +1427,11 @@ class CachedParquetReader(DataSourceReader):
         files, self._files_once = self._files_once, None
         if files is None:
             files = mgr.list_files(self.path)
+        # listing-level exclusions (pathGlobFilter basename match,
+        # binaryFile's empty-file drop, provable length-filter prunes)
+        # happen BEFORE the veto math: excluded files are never read,
+        # so they must not count toward the mirror-floor check either
+        files = self._filter_files(files)
         veto = False
         if mgr.mirror is not None and mgr.mirror.capacity:
             admitted = sum(
@@ -1437,15 +1447,21 @@ class CachedParquetReader(DataSourceReader):
                 # first partition — once per EXECUTED scan, not once
                 # per planning call
                 veto = True
-        _, root = mgr._resolve(self.path)  # noqa: SLF001
-        specs = layout_specs(root, files)
-        if specs is None:
-            raise ValueError(
-                f"{self.path!r} is not a clean hive-partitioned layout "
-                "(non key=value subdirectories, or files at mixed "
-                "depths) — Spark's partition discovery refuses these "
-                "too; read the original root with spark.read (add "
-                "recursiveFileLookup=true to flatten nested dirs)")
+        if self.flatten:
+            # recursiveFileLookup: flatten — every file at any depth,
+            # no partition columns (JVM-probed)
+            specs = [[] for _ in files]
+        else:
+            _, root = mgr._resolve(self.path)  # noqa: SLF001
+            specs = layout_specs(root, files)
+            if specs is None:
+                raise ValueError(
+                    f"{self.path!r} is not a clean hive-partitioned "
+                    "layout (non key=value subdirectories, or files "
+                    "at mixed depths) — Spark's partition discovery "
+                    "refuses these too; read the original root with "
+                    "spark.read (add recursiveFileLookup=true to "
+                    "flatten nested dirs)")
         out = []
         for st, spec in zip(files, specs):
             if spec and self._part_filters:
@@ -1476,6 +1492,12 @@ class CachedParquetReader(DataSourceReader):
         if out:
             out[0].first = True
         return out
+
+    def _filter_files(self, files):
+        """Listing-level file exclusions, applied before veto math and
+        partition planning; the raw-file readers (cached_rawfile.py)
+        override this (pathGlobFilter, empty-file drop)."""
+        return files
 
     def _file_pass(self, fobj, part, columns, stat_filters):
         """Format-specific decode of one open file object into Arrow

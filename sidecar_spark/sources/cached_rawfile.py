@@ -1,0 +1,550 @@
+"""Executor-side cached ``text`` + ``binaryFile`` sources.
+
+The reference caches EVERY file format because it IS a FileSystem —
+``SidecarCachingFileSystem.java:1596-1619`` serves any ``open()`` the
+application makes, byte-transparent. The executor-mode Python sources
+brought parquet and ORC onto that cached real-cluster read path; csv
+and json stay raw by the refuse-to-guess policy (their Spark schema
+INFERENCE cannot be reproduced from Python without silent divergence,
+PARITY.md). ``text`` and ``binaryFile`` have FIXED schemas — there is
+no inference to reproduce — so they are implementable at parity, and
+``binaryFile`` is the multimodal training-corpus ingest format
+(images/audio/docs land as files, not rows), closing the loop between
+the capability port and the LLM-pipeline mission (VERDICT r7 #1).
+
+Everything below is live-JVM probed (tests/test_cached_rawfile.py):
+
+``binaryFile`` (fixed schema ``path string, modificationTime
+timestamp, length long, content binary``, all nullable):
+
+* ``path`` renders the Hadoop ``Path.toString`` form — scheme-less
+  local paths become ``file:/abs/path`` (single slash), URI paths
+  pass through;
+* ``modificationTime`` is the listing mtime at MILLISECOND precision
+  (Java ``FileStatus.getModificationTime``) rendered in the session
+  zone;
+* EMPTY files produce NO row (probed: a 0-byte file next to a 1-byte
+  file yields one row) — Spark plans no splits for length-0 files;
+* hive partition discovery applies (probed: ``k=1`` dirs append a
+  typed ``k`` column); ``recursiveFileLookup=true`` flattens and
+  drops partition columns (probed);
+* ``pathGlobFilter`` matches the file BASENAME only (probed:
+  ``*k=1*`` matches nothing, ``a*``/``*.bin`` match);
+* files longer than ``spark.sql.sources.binaryFile.maxLength`` fail
+  the read with the JVM's message (probed);
+* not splittable: one task per file. Requesting no ``content`` column
+  (an explicit projection) never opens the file at all — at 100 TB a
+  metadata-only scan (count, length histogram) moves zero data bytes.
+
+``text`` (fixed schema ``value string`` nullable + partition cols):
+
+* default framing is Hadoop's LineRecordReader: lines terminate at
+  ``\\n``, ``\\r\\n`` or lone ``\\r`` (probed:
+  ``one\\ntwo\\r\\nthree\\rfour`` → four lines), the terminator is
+  excluded, a trailing terminator adds no empty row, an unterminated
+  tail IS a row, an empty file has no rows;
+* custom ``lineSep`` (any byte string) splits on EXACTLY it (probed:
+  ``a\\nb|c`` with ``|`` → ``['a\\nb','c']``; trailing separator adds
+  no empty row: ``a|b||c|`` → ``['a','b','','c']``);
+* ``wholetext=true``: one row per file with every byte, empty files
+  produce NO row (probed), not splittable;
+* bytes flow into Spark UNVALIDATED (Arrow string buffers built
+  directly, no Python decode), so invalid UTF-8 behaves exactly like
+  the JVM's UTF8String passthrough (probed: byte-identical
+  ``length()``/collect vs the JVM scan);
+* splits: default-framed files split by byte ranges under the rule
+  "a line belongs to the split containing its START (first split
+  owns position 0; boundaries: start < p <= end)" — Hadoop's
+  LineRecordReader assignment, self-synchronizing for the 1-2 byte
+  terminator set including the ``\\r\\n``-straddles-a-boundary edge.
+  Custom-``lineSep`` files are NOT split: a self-overlapping
+  separator (``XX``, ``aba``) makes local re-synchronization
+  ambiguous in general, and a wrong split is a silent wrong result —
+  one task per file is the honest choice (the multiset of rows is
+  identical either way).
+
+Scale shape: identical to the parquet source — the driver moves zero
+data bytes, each task resolves ITS file against ITS node's mirror
+(hit-or-materialize-or-remote, ``_read_file_batches``), vetoed tables
+stream through the node-local page store. Length filters pushed onto
+``binaryFile`` prune whole files at plan time (files the predicate
+provably excludes are never listed into partitions — Spark still
+re-applies every filter as residual).
+"""
+
+from __future__ import annotations
+
+from sidecar_spark.sources.cached_parquet import (
+    _BATCH_ROWS,
+    CachedParquetReader,
+    CachedParquetSource,
+    PruningCachedParquetReader,
+    _read_file_batches,
+)
+
+#: flush a value batch when the accumulated line bytes exceed this —
+#: keeps int32 string offsets safe and batches executor-memory-sized
+_BATCH_BYTES = 64 * 1024 * 1024
+
+#: JVM default for spark.sql.sources.binaryFile.maxLength
+_MAX_INT = 2147483647
+
+_CHUNK = 4 * 1024 * 1024
+
+
+def expand_braces(pattern: str):
+    """Hadoop-glob ``{a,b}`` alternation → the list of expanded
+    patterns (recursive, leftmost-first)."""
+    i = pattern.find("{")
+    if i < 0:
+        return [pattern]
+    depth = 0
+    for j in range(i, len(pattern)):
+        if pattern[j] == "{":
+            depth += 1
+        elif pattern[j] == "}":
+            depth -= 1
+            if depth == 0:
+                head, body, tail = (pattern[:i], pattern[i + 1:j],
+                                    pattern[j + 1:])
+                out = []
+                alts, d2, cur = [], 0, []
+                for ch in body:
+                    if ch == "," and d2 == 0:
+                        alts.append("".join(cur))
+                        cur = []
+                    else:
+                        if ch == "{":
+                            d2 += 1
+                        elif ch == "}":
+                            d2 -= 1
+                        cur.append(ch)
+                alts.append("".join(cur))
+                for alt in alts:
+                    for rest in expand_braces(head + alt + tail):
+                        out.append(rest)
+                return out
+    return [pattern]  # unbalanced: treat literally
+
+
+def glob_match(pattern: str, name: str) -> bool:
+    """Hadoop ``GlobFilter`` over a file BASENAME: ``*``, ``?``,
+    ``[abc]``/``[a-b]``/``[^a]``, ``{a,b}``. Backslash escapes are
+    not supported here — the Engine routes such patterns to the raw
+    JVM read instead of guessing."""
+    import fnmatch
+
+    for p in expand_braces(pattern):
+        # Hadoop negates classes with ^, fnmatch with !
+        q = p.replace("[^", "[!")
+        if fnmatch.fnmatchcase(name, q):
+            return True
+    return False
+
+
+def render_path(p: str) -> str:
+    """A listing path → the JVM's ``Path.toString`` rendering for the
+    binaryFile ``path`` column: scheme-less local paths become
+    ``file:`` + absolute path (single slash — probed), URI paths pass
+    through unchanged."""
+    if "://" in p or p.startswith("file:"):
+        return p
+    return "file:" + p
+
+
+def filter_stats(files, glob: str = "", drop_empty: bool = False):
+    """Listing-level exclusions shared by schema() and partitions():
+    pathGlobFilter on basenames, and the JVM's no-row-for-empty-files
+    behavior for binaryFile/wholetext."""
+    out = []
+    for st in files:
+        if drop_empty and st.length == 0:
+            continue
+        if glob and not glob_match(glob, st.path.rstrip("/")
+                                   .rsplit("/", 1)[-1]):
+            continue
+        out.append(st)
+    return out
+
+
+def _line_spans(read_chunk, start: int, end: int, sep):
+    """Yield line byte-strings for the split [start, end) under the
+    Hadoop assignment rule (module docstring). ``read_chunk()``
+    returns the next sequential chunk after ``start`` (empty = EOF);
+    ``sep`` is the custom separator bytes or None for default
+    framing."""
+    import re
+
+    default = sep is None
+    pat = (re.compile(rb"\r\n|\r|\n") if default
+           else re.compile(re.escape(sep)))
+    pos = start          # absolute offset of data[0] each iteration
+    tail = b""
+    discard = start != 0  # the partial first line belongs upstream
+    while True:
+        chunk = read_chunk()
+        eof = not chunk
+        data = tail + chunk
+        search_end = len(data)
+        if default and not eof and data.endswith(b"\r"):
+            # a lone \r at the chunk edge might be the first half of
+            # \r\n — hold it back until the next chunk decides
+            search_end -= 1
+        idx = 0
+        for m in pat.finditer(data, 0, search_end):
+            if discard:
+                discard = False
+            else:
+                yield data[idx:m.start()]
+            idx = m.end()
+            if pos + idx > end:
+                return  # the next line starts beyond this split
+        tail = data[idx:]
+        pos += idx
+        if eof:
+            if not discard and tail:
+                yield tail  # unterminated final line
+            return
+
+
+def _value_batches(lines_iter, include_value: bool):
+    """Pack line byte-strings into Arrow RecordBatches. The string
+    array is built from raw buffers — NO UTF-8 validation — so
+    invalid bytes ride into the JVM verbatim, exactly like its own
+    UTF8String-based text reader (probed parity). With the value
+    column projected away, emits row-count-only batches (partition
+    columns and count(*) still come out right)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def flush(lines, nbytes):
+        if include_value:
+            lens = np.fromiter((len(x) for x in lines),
+                               dtype=np.int64, count=len(lines))
+            offsets = np.zeros(len(lines) + 1, dtype=np.int32)
+            np.cumsum(lens, out=offsets[1:])
+            arr = pa.StringArray.from_buffers(
+                len(lines),
+                pa.py_buffer(offsets.tobytes()),
+                pa.py_buffer(b"".join(lines)))
+            return pa.RecordBatch.from_arrays([arr], names=["value"])
+        return pa.RecordBatch.from_struct_array(
+            pa.array([{}] * len(lines), type=pa.struct([])))
+
+    lines, nbytes = [], 0
+    for ln in lines_iter:
+        lines.append(ln)
+        nbytes += len(ln)
+        if len(lines) >= _BATCH_ROWS or nbytes >= _BATCH_BYTES:
+            yield flush(lines, nbytes)
+            lines, nbytes = [], 0
+    if lines:
+        yield flush(lines, nbytes)
+
+
+class CachedTextReader(CachedParquetReader):
+    """Executor-mode cached ``text``: node-local resolve + Hadoop
+    line framing (module docstring for the probed semantics)."""
+
+    def __init__(self, options, schema=None, files=None):
+        super().__init__(options, schema, files)
+        self.wholetext = (str(options.get("wholetext") or "false")
+                          .lower() == "true")
+        sep = options.get("linesep")
+        self.linesep = sep.encode("utf-8") if sep else None
+        self.glob = options.get("pathglob") or ""
+        if self.wholetext or self.linesep is not None:
+            # wholetext: one row per file by definition. Custom
+            # lineSep: self-overlapping separators make local split
+            # re-synchronization ambiguous — refuse to guess, one
+            # task per file (row multiset identical)
+            self.split_bytes = 0
+
+    def _filter_files(self, files):
+        return filter_stats(files, glob=self.glob,
+                            drop_empty=self.wholetext)
+
+    def _file_pass(self, fobj, part, columns, stat_filters):
+        include_value = columns is None or any(
+            (c == "value" if self.case_sensitive
+             else c.lower() == "value") for c in columns)
+        if self.wholetext:
+            data = fobj.read()
+            yield from _value_batches(iter([data]), include_value)
+            return
+        fobj.seek(part.start)
+
+        def read_chunk():
+            return fobj.read(_CHUNK)
+
+        yield from _value_batches(
+            _line_spans(read_chunk, part.start, part.end,
+                        self.linesep), include_value)
+
+
+class PruningCachedTextReader(PruningCachedParquetReader,
+                              CachedTextReader):
+    """CachedTextReader + pushFilters partition pruning (MRO: the
+    pruning mixin supplies pushFilters, the text reader the scan)."""
+
+
+class CachedBinaryFileReader(CachedParquetReader):
+    """Executor-mode cached ``binaryFile`` (module docstring for the
+    probed semantics). Not splittable; empty files yield no row; a
+    projection without ``content`` never opens the file."""
+
+    def __init__(self, options, schema=None, files=None):
+        super().__init__(options, schema, files)
+        self.glob = options.get("pathglob") or ""
+        try:
+            self.max_length = int(options.get("maxlength")
+                                  or _MAX_INT)
+        except ValueError:
+            self.max_length = _MAX_INT
+        self.split_bytes = 0  # one task per file, like the JVM
+
+    def _filter_files(self, files):
+        files = filter_stats(files, glob=self.glob, drop_empty=True)
+        # provable length-filter prunes: the 100 TB win is skipping
+        # whole files at plan time (Spark re-applies every filter as
+        # residual, so this can only ever skip non-matching files)
+        ops = {"eq": lambda v, r: v == r, "gt": lambda v, r: v > r,
+               "ge": lambda v, r: v >= r, "lt": lambda v, r: v < r,
+               "le": lambda v, r: v <= r,
+               "in": lambda v, r: v in r}
+        for col, op, ref in self._part_filters:
+            if col.lower() != "length" or op not in ops:
+                continue
+            try:
+                files = [st for st in files
+                         if ops[op](int(st.length), ref)]
+            except TypeError:  # non-numeric ref: leave residual-only
+                continue
+        return files
+
+    def _columns_of(self, part):
+        if self.schema is None:
+            return ["path", "modificationTime", "length", "content"]
+        from sidecar_spark.cache.partitions import decode_key
+
+        pk = {decode_key(k) if self.case_sensitive
+              else decode_key(k).lower() for k, _ in part.parts}
+        return [f.name for f in self.schema.fields
+                if (f.name if self.case_sensitive
+                    else f.name.lower()) not in pk]
+
+    def _meta_arrays(self, part, columns, content):
+        import pyarrow as pa
+
+        arrays, names = [], []
+        for c in columns:
+            cl = c.lower()
+            if cl == "path":
+                arrays.append(pa.array([render_path(part.path)],
+                                       type=pa.string()))
+            elif cl == "modificationtime":
+                # listing mtime is epoch MILLIS (cache/fs.py), the
+                # same precision FileStatus.getModificationTime hands
+                # the JVM reader (probed: sub-ms truncated)
+                arrays.append(pa.array(
+                    [part.mtime * 1000],
+                    type=pa.int64()).cast(
+                        pa.timestamp("us", tz="UTC")))
+            elif cl == "length":
+                arrays.append(pa.array([part.length],
+                                       type=pa.int64()))
+            elif cl == "content":
+                arrays.append(pa.array([content], type=pa.binary()))
+            else:  # a projected data column this format cannot have
+                arrays.append(pa.nulls(1, type=pa.null()))
+            names.append(c)
+        return pa.RecordBatch.from_arrays(arrays, names=names)
+
+    def read(self, part):
+        from sidecar_spark.cache.manager import CacheManager
+        from sidecar_spark.sources.cached_parquet import (
+            _apply_endpoint,
+            _finalize_batches,
+        )
+
+        _apply_endpoint(self.endpoint)
+        mgr = CacheManager.get_or_create(self._conf())
+        if part.first and part.veto:
+            mgr.stats.add("total_scans_detected")
+        if part.length > self.max_length:
+            raise ValueError(
+                f"The length of {render_path(part.path)} is "
+                f"{part.length}, which exceeds the max length "
+                f"allowed: {self.max_length}.")
+        columns = self._columns_of(part)
+        want_content = any(c.lower() == "content" for c in columns)
+        if not want_content:
+            # metadata-only projection: zero data bytes move — the
+            # listing already knows path/mtime/length
+            batches = iter([self._meta_arrays(part, columns, None)])
+        else:
+            def one_pass(fobj):
+                yield self._meta_arrays(part, columns, fobj.read())
+
+            batches = _read_file_batches(mgr, part, one_pass)
+        if self.schema is not None:
+            batches = _finalize_batches(
+                batches, self.schema, part.parts, tz=self.tz,
+                case_sensitive=self.case_sensitive)
+        yield from batches
+
+
+class PruningCachedBinaryFileReader(PruningCachedParquetReader,
+                                    CachedBinaryFileReader):
+    """CachedBinaryFileReader + pushFilters pruning (partition keys
+    AND provable length predicates — see _filter_files)."""
+
+
+class _RawSchemaMixin:
+    """schema() for fixed-schema raw-file sources: no footers — the
+    fixed fields plus hive partition columns discovered exactly like
+    the parquet source (same layout_specs/infer ladder), with the
+    same one-listing-per-planned-query economy."""
+
+    _FIXED = ()       # ((name, spark_type_factory), ...)
+    _DROP_EMPTY = False
+
+    def _fixed_fields(self):
+        from pyspark.sql.types import StructField
+
+        return [StructField(n, t(), True) for n, t in self._FIXED]
+
+    def _reader_glob(self):
+        return self.options.get("pathglob") or ""
+
+    def schema(self):
+        from pyspark.sql.types import StructField, StructType
+
+        from sidecar_spark.cache.manager import CacheManager
+        from sidecar_spark.cache.partitions import (
+            infer_partition_types,
+            layout_specs,
+        )
+        from sidecar_spark.config import SidecarConfig
+        from sidecar_spark.sources.cached_parquet import (
+            _apply_endpoint,
+            _ddl_type,
+        )
+
+        _apply_endpoint(self.options.get("endpoint"))
+        path = self.options.get("path")
+        conf = SidecarConfig.from_json(self.options["conf"])
+        mgr = CacheManager.get_or_create(conf)
+        files = sorted(mgr.list_files(path), key=lambda s: s.path)
+        kept = filter_stats(files, glob=self._reader_glob(),
+                            drop_empty=self._DROP_EMPTY)
+        if not files:
+            raise FileNotFoundError(f"no data files under {path!r}")
+        # partitions() re-filters (readers own the rule); hand down
+        # the UNfiltered snapshot so both see one listing
+        self._files_snapshot = files
+        base = StructType(self._fixed_fields())
+        flatten = (str(self.options.get("rfl") or "false").lower()
+                   == "true")
+        if not flatten and kept:
+            _, p_root = mgr._resolve(path)  # noqa: SLF001
+            specs = layout_specs(p_root, kept)
+            if specs is None:
+                raise ValueError(
+                    f"{path!r} is not a clean hive-partitioned "
+                    "layout (non key=value subdirectories, or files "
+                    "at mixed depths) — Spark's partition discovery "
+                    "refuses these too")
+            fixed_lower = {f.name.lower() for f in base.fields}
+            part_fields = []
+            for k, ddl in infer_partition_types(specs):
+                if k.lower() in fixed_lower:
+                    raise ValueError(
+                        f"partition column {k!r} in {path!r} "
+                        "collides with a fixed column of the "
+                        f"{self.name()} schema — rename the "
+                        "directory key or read the original raw")
+                part_fields.append(StructField(k, _ddl_type(ddl)))
+            if part_fields:
+                base = StructType(list(base.fields) + part_fields)
+        cols_opt = self.options.get("columns")
+        if cols_opt:
+            import json
+
+            requested = json.loads(cols_opt)
+            by_lower = {f.name.lower(): f for f in base.fields}
+            picked = []
+            for c in requested:
+                f = by_lower.get(str(c).lower())
+                if f is None:
+                    raise ValueError(
+                        f"column {c!r} not found in {path!r}; "
+                        f"available: {[x.name for x in base.fields]}")
+                picked.append(f)
+            base = StructType(picked)
+        return base
+
+
+class CachedTextSource(_RawSchemaMixin, CachedParquetSource):
+    """``spark.read.format("sidecar_cached_text")`` — wired by
+    ``Engine.read_format(location, "text")`` under executor mode."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sidecar_cached_text"
+
+    @property
+    def _FIXED(self):
+        from pyspark.sql.types import StringType
+
+        return (("value", StringType),)
+
+    @property
+    def _DROP_EMPTY(self):
+        # wholetext drops empty files (probed: no row); the line
+        # reader keeps them (they just have no lines)
+        return (str(self.options.get("wholetext") or "false").lower()
+                == "true")
+
+    def reader(self, schema):
+        files = getattr(self, "_files_snapshot", None)
+        self._files_snapshot = None
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return PruningCachedTextReader(self.options, schema,
+                                           files=files)
+        return CachedTextReader(self.options, schema, files=files)
+
+
+class CachedBinaryFileSource(_RawSchemaMixin, CachedParquetSource):
+    """``spark.read.format("sidecar_cached_binaryfile")`` — wired by
+    ``Engine.read_format(location, "binaryFile")`` under executor
+    mode."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sidecar_cached_binaryfile"
+
+    _DROP_EMPTY = True  # probed: empty files yield no row
+
+    @property
+    def _FIXED(self):
+        from pyspark.sql.types import (
+            BinaryType,
+            LongType,
+            StringType,
+            TimestampType,
+        )
+
+        return (("path", StringType),
+                ("modificationTime", TimestampType),
+                ("length", LongType),
+                ("content", BinaryType))
+
+    def reader(self, schema):
+        files = getattr(self, "_files_snapshot", None)
+        self._files_snapshot = None
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return PruningCachedBinaryFileReader(self.options, schema,
+                                                 files=files)
+        return CachedBinaryFileReader(self.options, schema,
+                                      files=files)
