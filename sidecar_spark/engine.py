@@ -564,6 +564,16 @@ class Engine:
 
             reader = reader.option(
                 "user_schema", json.dumps(user_schema.jsonValue()))
+        if merge and fmt == "parquet" and user_schema is None:
+            merged = self._maybe_merged_schema_job(
+                location, ntz="true" == str(ntz).lower(),
+                nanos_long="true" == str(nanos_long).lower(),
+                case_sensitive="true" == str(case_sensitive).lower())
+            if merged is not None:
+                import json
+
+                reader = reader.option(
+                    "merged_schema", json.dumps(merged.jsonValue()))
         for k, v in (raw_opts or {}).items():
             # text/binaryFile semantics (wholetext, linesep,
             # pathglob, rfl, maxlength) — validated by _rawfile_opts
@@ -581,6 +591,93 @@ class Engine:
             # worker daemon forked — ship the endpoint as an option
             reader = reader.option("endpoint", endpoint)
         return reader.load()
+
+    def _maybe_merged_schema_job(self, location: str, ntz: bool,
+                                 nanos_long: bool,
+                                 case_sensitive: bool):
+        """mergeSchema planning at LARGE file counts: the plan worker
+        process cannot launch Spark jobs, so its footer fold is a
+        16-thread pool — honest to ~10k files (round-7 BASELINE.md).
+        The Engine HAS a session, so past a threshold
+        (``spark.sidecar.mergeSchema.jobThreshold``, default 1000
+        files) it pre-folds the footers in a SPARK JOB — each task
+        reads its slice of footers against ITS node's mirror and
+        left-folds them in path order; the driver folds the per-slice
+        results in slice order (the merge is associative in name-case
+        pick, decimal widening and column-append order, so the
+        distributed fold equals the sequential one) — and ships the
+        merged StructType to the source as an option (round-7 verdict
+        #2). Costs one extra LIST per planned query above the
+        threshold; saves N-per-worker footer reads. Returns None
+        below the threshold or on any trouble (the source's own fold
+        then applies, correct either way)."""
+        try:
+            raw = self.spark.conf.get(
+                "spark.sidecar.mergeSchema.jobThreshold", "1000")
+            threshold = int(raw)
+        except Exception:  # noqa: BLE001
+            threshold = 1000
+        if threshold <= 0:
+            return None
+        try:
+            files = self.cache.list_files(location)
+        except Exception:  # noqa: BLE001 — let the source list/fail
+            return None
+        if len(files) <= threshold:
+            return None
+        items = [(st.path, st.mtime)
+                 for st in sorted(files, key=lambda s: s.path)]
+        conf_json = self.conf.to_json()
+        endpoint = os.environ.get("SIDECAR_S3_ENDPOINT")
+        per_task = 256  # footers per task: metadata-only reads
+        chunks = [(i, items[i:i + per_task])
+                  for i in range(0, len(items), per_task)]
+
+        def fold(pair):
+            idx, chunk = pair
+            if endpoint:
+                os.environ["SIDECAR_S3_ENDPOINT"] = endpoint
+            from sidecar_spark.cache.manager import CacheManager
+            from sidecar_spark.config import SidecarConfig
+            from sidecar_spark.sources.cached_parquet import (
+                _merge_struct_types,
+                footer_spark_struct,
+            )
+
+            mgr = CacheManager.get_or_create(
+                SidecarConfig.from_json(conf_json))
+            acc = None
+            for p, mt in chunk:
+                s = footer_spark_struct(mgr, p, mt, ntz, nanos_long)
+                acc = (s if acc is None
+                       else _merge_struct_types(acc, s,
+                                                case_sensitive))
+            return (idx, acc.json())
+
+        from pyspark.sql.types import StructType
+
+        from sidecar_spark.sources.cached_parquet import (
+            _merge_struct_types,
+        )
+
+        try:
+            sc = self.spark.sparkContext
+            parts = (sc.parallelize(chunks, len(chunks))
+                     .map(fold).collect())
+            import json
+
+            base = None
+            for _, js in sorted(parts, key=lambda x: x[0]):
+                s = StructType.fromJson(json.loads(js))
+                base = (s if base is None
+                        else _merge_struct_types(base, s,
+                                                 case_sensitive))
+            return base
+        except Exception:  # noqa: BLE001 — job trouble (including a
+            # genuine CANNOT_MERGE raised inside a task): fall back to
+            # the source's sequential fold, which re-detects real
+            # incompatibilities with the clean per-pair message
+            return None
 
     def _scan_split_bytes(self) -> int:
         """Byte-range split size for the executor-mode scan: the

@@ -623,6 +623,32 @@ def _merge_struct_types(left, right, case_sensitive: bool):
     return StructType(out)
 
 
+def footer_spark_struct(mgr, path: str, mtime: int, ntz: bool,
+                        nanos_long: bool, arrow_schema_of=None):
+    """ONE file's footer → the Spark StructType the JVM would derive
+    for it: INT96/ns coercion, NTZ inference, then relaxed to
+    all-nullable (FileFormat asNullable). Mirror-first through the
+    node-local manager (a warmed node's footers cost zero remote
+    requests). Shared by the plan worker's thread fold and the
+    Engine's distributed mergeSchema job."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+    from pyspark.sql.types import StructField, StructType
+
+    if arrow_schema_of is None:
+        arrow_schema_of = CachedParquetSource._file_arrow_schema
+    fs_, p_ = mgr._resolve(path)  # noqa: SLF001
+    local = (mgr.mirror.lookup(p_, mtime)
+             if mgr.mirror is not None else None)
+    if local is not None:
+        arrow = arrow_schema_of(local, nanos_long)
+    else:
+        with fs_.open_read(p_) as f:
+            arrow = arrow_schema_of(f, nanos_long)
+    s = from_arrow_schema(arrow, prefer_timestamp_ntz=ntz)
+    return StructType([StructField(f.name, f.dataType, True,
+                                   f.metadata) for f in s.fields])
+
+
 class _FilePart(InputPartition):
     def __init__(self, path: str, mtime: int, length: int, veto: bool,
                  parts=(), start: int = 0, end=None, first: bool = False):
@@ -1761,30 +1787,27 @@ class CachedParquetSource(DataSource):
                           or "false").lower() == "true")
 
         def footer_struct(st):
-            """One file's footer → the Spark StructType the JVM would
-            derive for it: INT96/ns coercion, NTZ inference, then
-            relaxed to all-nullable (FileFormat asNullable) — a
-            required field must not make the two resolve modes'
-            schemas differ."""
-            fs_, p_ = mgr._resolve(st.path)  # noqa: SLF001
-            local = (mgr.mirror.lookup(p_, st.mtime)
-                     if mgr.mirror is not None else None)
-            if local is not None:
-                # mirror-first: a warmed table's schema costs zero
-                # remote requests
-                arrow = self._file_arrow_schema(local, nanos_long)
-            else:
-                with fs_.open_read(p_) as f:
-                    arrow = self._file_arrow_schema(f, nanos_long)
-            s = from_arrow_schema(arrow, prefer_timestamp_ntz=ntz)
-            return _ST([_SF(f.name, f.dataType, True, f.metadata)
-                        for f in s.fields])
+            return footer_spark_struct(
+                mgr, st.path, st.mtime, ntz, nanos_long,
+                arrow_schema_of=self._file_arrow_schema)
 
         merge = str(self.options.get("merge", "false")).lower() == "true"
         case_sensitive = (str(self.options.get("case_sensitive",
                                                "false")).lower()
                           == "true")
-        if merge and len(files) > 1:
+        merged_opt = self.options.get("merged_schema")
+        if merge and merged_opt:
+            # the Engine pre-folded the footers in a SPARK JOB (large
+            # file counts — _merged_schema_job) and ships the result;
+            # partition-column append and dup checks still run below.
+            # A table mutated between the Engine's listing and this
+            # one could make the fold stale — the same TOCTOU window
+            # every re-planned query has; re-executions re-list AND
+            # re-fold.
+            import json as _json
+
+            base = _ST.fromJson(_json.loads(merged_opt))
+        elif merge and len(files) > 1:
             # mergeSchema=true: the declared schema is the left fold
             # of EVERY footer in path order (JVM-probed: path-sorted
             # seed, new columns appended, case-insensitive name match
