@@ -531,13 +531,16 @@ def _unwrap_legacy_array(arr, path, unwraps):
 
 
 def _coerce_batches(pf, target, columns=None, row_groups=None,
-                    unwraps=frozenset()):
+                    unwraps=frozenset(), safe=True):
     """iter_batches limited to ``columns`` / ``row_groups`` (both
     optional), with schema coercion applied only when needed. The
     target subtype is derived per batch-shape from the full-file
     target, so a projected read coerces only the columns it moved.
     ``unwraps`` drops legacy nested-list struct wrappers first — a
-    structural change .cast() cannot express."""
+    structural change .cast() cannot express. ``safe=False`` is for
+    the ns side of the parquet-cpp INT96 dual decode only: wrapped
+    values carry sub-µs noise the merge discards, and truncation
+    toward zero is the JVM's own nanos/1000 (probed)."""
     kwargs = {"batch_size": _BATCH_ROWS}
     if columns is not None:
         kwargs["columns"] = columns
@@ -559,7 +562,111 @@ def _coerce_batches(pf, target, columns=None, row_groups=None,
         if sub is None:
             sub = pa.schema([target.field(n) for n in key])
             subs[key] = sub
-        yield batch if batch.schema.equals(sub) else batch.cast(sub)
+        yield (batch if batch.schema.equals(sub)
+               else batch.cast(sub, safe=safe))
+
+
+def _merge_int96_wrap(a_us, a_ns, name, int96_cols):
+    """Per-value merge of the two INT96 decodes (µs-coerced and
+    ns-coerced) into the JVM's exact signed arithmetic. Truth table
+    (probed grid, PARITY.md): decodes EQUAL → exact for every value
+    in [1677, 2262], all midnights, and everything ≥ 1970; ns ABOVE
+    µs → ns wrapped upward (pre-1677 midnight: serve µs); µs ABOVE
+    ns → either a pre-1970 value whose negative nanos wrapped the µs
+    path (serve ns) or a genuine (2262, 2554) value whose ns decode
+    wrapped down — distinguished by ns ≥ 1970 (serve µs), ambiguous
+    only when the ns reading lands pre-1970, where the historical
+    reading wins (documented residual). Recurses into lists/structs/
+    maps with the rebase recursion's naming."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = a_us.type
+    if pa.types.is_timestamp(t):
+        if name not in int96_cols or a_us.equals(a_ns):
+            return a_us
+        i_us = a_us.cast(pa.int64())
+        i_ns = a_ns.cast(pa.int64())
+        mask = pc.and_kleene(pc.greater(i_us, i_ns),
+                             pc.less(i_ns, 0))
+        return pc.if_else(mask, i_ns, i_us).cast(t)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        src = a_us.flatten()
+        flat = _merge_int96_wrap(src, a_ns.flatten(), name,
+                                 int96_cols)
+        if flat is src:
+            return a_us
+        off = a_us.offsets
+        if off.null_count:
+            off = pc.fill_null_backward(pc.fill_null_forward(off))
+        base = off[0].as_py() or 0
+        if base:
+            off = pc.subtract(off, base)
+        cls = (pa.LargeListArray if pa.types.is_large_list(t)
+               else pa.ListArray)
+        return cls.from_arrays(
+            off.cast(pa.int64() if pa.types.is_large_list(t)
+                     else pa.int32()),
+            flat, mask=a_us.is_null())
+    if pa.types.is_struct(t):
+        srcs = [a_us.field(i) for i in range(t.num_fields)]
+        kids = [_merge_int96_wrap(
+            s, a_ns.field(i),
+            f"{name}.{t.field(i).name}" if name else t.field(i).name,
+            int96_cols) for i, s in enumerate(srcs)]
+        if all(k is s for k, s in zip(kids, srcs)):
+            return a_us
+        return pa.StructArray.from_arrays(kids, fields=list(t),
+                                          mask=a_us.is_null())
+    if pa.types.is_map(t):
+        entries = pa.list_(pa.struct([
+            pa.field("key", t.key_type, False),
+            pa.field("value", t.item_type)]))
+        lv = a_us.cast(entries)
+        out = _merge_int96_wrap(lv, a_ns.cast(entries), name,
+                                int96_cols)
+        if out is lv:
+            return a_us
+        vals = out.values
+        if vals.null_count == 0 and vals.buffers()[0] is not None:
+            vals = pa.StructArray.from_arrays(
+                [vals.field(i) for i in range(vals.type.num_fields)],
+                fields=list(vals.type))
+        return pa.Array.from_buffers(
+            t, len(out), out.buffers()[:2],
+            null_count=out.null_count, children=[vals])
+    return a_us
+
+
+def _merged_int96_batches(fobj, pf, target, cols, rgs, unwraps):
+    """Dual-decode pipeline for parquet-cpp-written INT96 files: one
+    row group at a time, FULLY materialize the µs-coerced batches,
+    then the ns-coerced ones (the two readers share one file object —
+    strict alternation keeps their seek/read pairs from interleaving),
+    then merge per value. Only this rare writer family pays the
+    double decode; parquet-mr files take the single-pass path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sidecar_spark.sources.rebase import _recursion_names
+
+    fobj.seek(0)
+    pf_ns = pq.ParquetFile(fobj, coerce_int96_timestamp_unit="ns")
+    int96_cols = _recursion_names(pf, _int96_leaves(pf))
+    rg_list = list(rgs if rgs is not None
+                   else range(pf.metadata.num_row_groups))
+    for rg in rg_list:
+        us = list(_coerce_batches(pf, target, cols, [rg],
+                                  unwraps=unwraps))
+        ns = list(_coerce_batches(pf_ns, target, cols, [rg],
+                                  unwraps=unwraps, safe=False))
+        for bu, bn in zip(us, ns):
+            arrays = [_merge_int96_wrap(bu.column(i), bn.column(i),
+                                        bu.schema.names[i],
+                                        int96_cols)
+                      for i in range(bu.num_columns)]
+            yield pa.RecordBatch.from_arrays(
+                arrays, schema=bu.schema)
 
 
 def _merge_data_types(a, b, case_sensitive: bool, path: str):
@@ -908,9 +1015,25 @@ def _parquet_pass(fobj, part, columns, stat_filters, case_sensitive,
             else range(pf.metadata.num_row_groups),
             stat_filters, case_sensitive)
     unwraps = _legacy_list_unwraps(pf)
-    batches = _coerce_batches(pf, _arrow_target(pf, nanos_long,
-                                                unwraps=unwraps),
-                              cols, rgs, unwraps=unwraps)
+    target = _arrow_target(pf, nanos_long, unwraps=unwraps)
+    int96 = _int96_leaves(pf)
+    if (int96
+            and (pf.metadata.created_by or "").startswith(
+                "parquet-cpp")):
+        # writer-signature guard (round-7 verdict wrong-#1):
+        # parquet-cpp/pyarrow writes pre-1970 non-midnight INT96
+        # with a nonstandard NEGATIVE nanos-of-day field. pyarrow's
+        # µs-coercion decode accumulates it UNSIGNED (+2^64 ns, ~584
+        # years); its ns-coercion decode is exact there (the int64
+        # wrap cancels) but wraps values OUTSIDE [1677, 2262].
+        # Decoding BOTH and merging per value recovers the JVM's
+        # exact signed arithmetic everywhere except one provably
+        # ambiguous corner — see _merged_int96_batches.
+        batches = _merged_int96_batches(fobj, pf, target, cols, rgs,
+                                        unwraps)
+    else:
+        batches = _coerce_batches(pf, target, cols, rgs,
+                                  unwraps=unwraps)
     # Calendar rebase, matching the JVM scan's per-file mode choice
     # (probed — rebase.py docstrings): footer legacy markers →
     # rebase; Spark-written unmarked → pass through; non-Spark files

