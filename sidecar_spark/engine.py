@@ -253,6 +253,24 @@ class Engine:
                         location, columns, split_bytes=split_bytes,
                         fmt=fl, raw_opts=raw_opts)
                 return _select(_raw())
+            if fl in ("csv", "json") and schema is not None:
+                # EXPLICIT user schema: no inference to reproduce
+                # (round-7 verdict #3). The cached TEXT source
+                # supplies record framing (probed identical: Hadoop
+                # line reader, BOM strip, blank-line skip) and the
+                # JVM's OWN from_csv/from_json expressions supply the
+                # value parsing — the same UnivocityParser/
+                # JacksonParser classes the file sources use, so the
+                # parse matrix is parity-by-construction. Only
+                # value-level options ride; record-level ones
+                # (header, multiLine, lineSep, encoding, comment,
+                # non-PERMISSIVE modes) route raw.
+                composed = self._read_csv_json_composed(
+                    location, fl, schema, options, columns,
+                    split_bytes)
+                if composed is not None:
+                    return composed
+                return _select(_raw())
             user_schema = None
             if schema is not None and fmt == "parquet" and not rest:
                 # explicit USER schema (parquet): implemented by the
@@ -591,6 +609,100 @@ class Engine:
             # worker daemon forked — ship the endpoint as an option
             reader = reader.option("endpoint", endpoint)
         return reader.load()
+
+    #: value-level reader options safe to forward to from_csv /
+    #: from_json (the SAME options classes the file sources build, so
+    #: semantics are identical by construction). Everything outside
+    #: these sets — and any record-level option (header, multiLine,
+    #: lineSep, encoding, comment) — routes the read raw.
+    _CSV_VALUE_OPTS = {
+        "sep", "delimiter", "quote", "escape", "nullvalue",
+        "nanvalue", "positiveinf", "negativeinf", "dateformat",
+        "timestampformat", "timestampntzformat", "emptyvalue",
+        "locale", "ignoreleadingwhitespace",
+        "ignoretrailingwhitespace", "chartoescapequoteescaping",
+        "maxcharspercolumn", "maxcolumns",
+        "columnnameofcorruptrecord", "mode",
+    }
+    _JSON_VALUE_OPTS = {
+        "dateformat", "timestampformat", "timestampntzformat",
+        "locale", "allowcomments", "allowunquotedfieldnames",
+        "allowsinglequotes", "allownumericleadingzeros",
+        "allowbackslashescapinganycharacter",
+        "allowunquotedcontrolchars", "allownonnumericnumbers",
+        "columnnameofcorruptrecord", "mode",
+    }
+
+    def _read_csv_json_composed(self, location, fmt, schema, options,
+                                columns, split_bytes):
+        """Cached csv/json-with-user-schema: cached text framing +
+        JVM-side from_csv/from_json parsing. Returns None (caller
+        goes raw) when any option is outside the value-level set,
+        mode is not PERMISSIVE, the schema is unparseable, or a
+        partition/corrupt column would collide with a schema field.
+        Probed parity cells (tests/test_csv_json_schema.py): quotes,
+        escaped quotes, embedded separators, fewer/more tokens,
+        type-cast failures, _corrupt_record (option AND session
+        conf), blank/whitespace-only line skip (Java trim: chars
+        <= 0x20), UTF-8 BOM strip, dates/timestamps."""
+        import pyspark.sql.functions as F
+
+        allowed = (self._CSV_VALUE_OPTS if fmt == "csv"
+                   else self._JSON_VALUE_OPTS)
+        fwd = {}
+        for k, v in (options or {}).items():
+            kl = k.lower()
+            if kl not in allowed:
+                return None
+            if kl == "mode" and str(v).upper() != "PERMISSIVE":
+                # DROPMALFORMED drops ROWS — an expression cannot;
+                # FAILFAST's error text differs. Raw keeps parity.
+                return None
+            fwd[k] = str(v)
+        try:
+            if isinstance(schema, str):
+                from pyspark.sql.types import _parse_datatype_string
+
+                user = _parse_datatype_string(schema)
+            else:
+                user = schema
+            fields = list(user.fields)
+        except Exception:  # noqa: BLE001 — let the JVM error on it
+            return None
+        text = self._read_executor_resolved(
+            location, split_bytes=split_bytes, fmt="text",
+            raw_opts={})
+        part_cols = [c for c in text.columns if c != "value"]
+        corrupt = next((v for k, v in fwd.items()
+                        if k.lower() == "columnnameofcorruptrecord"),
+                       None)
+        taken = {f.name.lower() for f in fields}
+        if corrupt is not None and corrupt.lower() not in taken:
+            # corrupt column only materializes when the schema names
+            # it; a dangling option is harmless either way
+            pass
+        if any(p.lower() in taken for p in part_cols):
+            # user schema naming a partition key: the JVM relocates
+            # and serves the DIRECTORY value — unprobed for csv/json,
+            # refuse to guess
+            return None
+        # blank-line skip: the sources drop lines whose Java trim
+        # (chars <= U+0020) is empty — probed for csv AND json
+        kept = text.where(F.col("value").rlike("[^\\x00-\\x20]"))
+        parser = F.from_csv if fmt == "csv" else F.from_json
+        sch = user if fmt == "json" else ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in fields)
+        parsed = kept.select(
+            parser(F.col("value"), sch, fwd or None).alias("_r"),
+            *[F.col(p) for p in part_cols])
+        out = parsed.select(
+            *[F.col("_r").getItem(f.name).alias(f.name)
+              for f in fields],
+            *[F.col(p) for p in part_cols])
+        if columns:
+            out = out.select(*columns)
+        return out
 
     def _maybe_merged_schema_job(self, location: str, ntz: bool,
                                  nanos_long: bool,

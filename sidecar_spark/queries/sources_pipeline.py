@@ -917,6 +917,81 @@ def executor_text_read_agg(spark, sf_dir):
 
 
 @query(
+    "executor_csv_schema_read_agg",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS first_order
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def executor_csv_schema_read_agg(spark, sf_dir):
+    """csv with an EXPLICIT user schema through the CACHED executor
+    path (round-8 verdict #3): the cached text source supplies record
+    framing (Hadoop line rules, BOM strip, blank-line skip — probed)
+    and the JVM's own ``from_csv`` supplies value parsing — the same
+    UnivocityParser the csv file source runs, so the parse matrix is
+    parity-by-construction (tests/test_csv_json_schema.py). No
+    inference, no refuse-to-guess conflict: the schema is the
+    user's."""
+    src = t(spark, sf_dir, "orders")
+    try:
+        mt = os.stat(os.path.join(sf_dir, "orders.parquet")).st_mtime_ns
+    except OSError:
+        mt = 0
+    # headerless fixture (header is a record-level option the
+    # compose refuses — csv_roundtrip_agg's copy has one)
+    loc = os.path.join(_ROOT, _tag(sf_dir), f"orders_csvnh_{mt}")
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        import glob as _glob
+        import shutil as _shutil
+        for old in _glob.glob(os.path.join(
+                _ROOT, _tag(sf_dir), "orders_csvnh_*")):
+            if old != loc:
+                _shutil.rmtree(old, ignore_errors=True)
+        src.write.mode("overwrite").format("csv").save(loc)
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                    for f in src.schema.fields)
+    eng = _exec_engine(spark)
+    od = eng.read_format(loc, "csv", schema=ddl)
+    return od.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd")
+        .alias("first_order"),
+    )
+
+
+@query(
+    "executor_json_schema_read_agg",
+    oracle="""
+    SELECT n_nationkey % 5 AS bucket, count(*) AS n,
+           CAST(sum(strlen(n_name)) AS BIGINT) AS name_chars
+    FROM nation
+    GROUP BY n_nationkey % 5
+    """,
+)
+def executor_json_schema_read_agg(spark, sf_dir):
+    """json-lines with an EXPLICIT user schema through the cached
+    executor path — same compose as the csv entry (cached text
+    framing + JVM JacksonParser via ``from_json``), proving the
+    second half of round-8 verdict #3."""
+    _materialize(spark, sf_dir, "nation", "json", {})
+    try:
+        mt = os.stat(os.path.join(sf_dir, "nation.parquet")).st_mtime_ns
+    except OSError:
+        mt = 0
+    loc = os.path.join(_ROOT, _tag(sf_dir), f"nation_json_{mt}")
+    eng = _exec_engine(spark)
+    nt = eng.read_format(loc, "json",
+                         schema="n_nationkey bigint, n_name string")
+    return (nt.groupBy((F.col("n_nationkey") % 5).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.length("n_name")).alias("name_chars")))
+
+
+@query(
     "executor_wholetext_read",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_lines,

@@ -167,12 +167,15 @@ def filter_stats(files, glob: str = "", drop_empty: bool = False):
     return out
 
 
-def _line_spans(read_chunk, start: int, end: int, sep):
+def _line_spans(read_chunk, start: int, end: int, sep,
+                discard=None):
     """Yield line byte-strings for the split [start, end) under the
     Hadoop assignment rule (module docstring). ``read_chunk()``
     returns the next sequential chunk after ``start`` (empty = EOF);
     ``sep`` is the custom separator bytes or None for default
-    framing."""
+    framing. ``discard`` overrides the drop-partial-first-line rule
+    (the BOM-skip caller starts at offset 3 but still owns the first
+    line)."""
     import re
 
     default = sep is None
@@ -180,7 +183,8 @@ def _line_spans(read_chunk, start: int, end: int, sep):
            else re.compile(re.escape(sep)))
     pos = start          # absolute offset of data[0] each iteration
     tail = b""
-    discard = start != 0  # the partial first line belongs upstream
+    if discard is None:
+        discard = start != 0  # partial first line belongs upstream
     while True:
         chunk = read_chunk()
         eof = not chunk
@@ -269,17 +273,26 @@ class CachedTextReader(CachedParquetReader):
             (c == "value" if self.case_sensitive
              else c.lower() == "value") for c in columns)
         if self.wholetext:
+            # wholetext KEEPS a leading BOM (probed) — raw bytes
             data = fobj.read()
             yield from _value_batches(iter([data]), include_value)
             return
-        fobj.seek(part.start)
+        start = part.start
+        if start == 0:
+            # Hadoop's LineRecordReader strips a UTF-8 BOM at the
+            # start of the split owning byte 0 (probed: line-mode
+            # text drops it, mid-file BOMs and wholetext keep it)
+            fobj.seek(0)
+            if fobj.read(3) == b"\xef\xbb\xbf":
+                start = 3
+        fobj.seek(start)
 
         def read_chunk():
             return fobj.read(_CHUNK)
 
         yield from _value_batches(
-            _line_spans(read_chunk, part.start, part.end,
-                        self.linesep), include_value)
+            _line_spans(read_chunk, start, part.end, self.linesep,
+                        discard=part.start != 0), include_value)
 
 
 class PruningCachedTextReader(PruningCachedParquetReader,

@@ -341,3 +341,40 @@ class TestTextParity:
             assert got[0].path == jvm[0].path
         finally:
             eng.close()
+
+
+class TestBomParity:
+    """Hadoop's LineRecordReader strips a UTF-8 BOM at the start of
+    the file (probed round 8): line-mode drops it, wholetext and
+    mid-file BOM sequences keep it — all asserted against the JVM."""
+
+    def test_bom_line_mode_and_wholetext(self, spark, cache_dir,
+                                         tmp_path):
+        d = str(tmp_path)
+        _w(d, "bom/a.txt", b"\xef\xbb\xbfhello\nworld\n")
+        _w(d, "bom/b.txt", b"x\n\xef\xbb\xbfy\n")  # mid-file: kept
+        root = os.path.join(d, "bom")
+        eng = _engine(spark, cache_dir)
+        try:
+            _parity(spark, spark.read.text(root),
+                    eng.read_format(root, "text"))
+            _parity(spark, spark.read.text(root, wholetext=True),
+                    eng.read_format(root, "text", wholetext="true"))
+        finally:
+            eng.close()
+
+    def test_bom_with_splits(self, spark, cache_dir, tmp_path):
+        d = str(tmp_path)
+        body = b"\xef\xbb\xbf" + b"\n".join(
+            b"line-%05d" % i for i in range(500)) + b"\n"
+        _w(d, "bs/a.txt", body)
+        root = os.path.join(d, "bs")
+        eng = _engine(spark, cache_dir)
+        try:
+            jvm = sorted(r.value
+                         for r in spark.read.text(root).collect())
+            got = sorted(r.value for r in eng.read_format(
+                root, "text", split_bytes=256).collect())
+            assert got == jvm
+        finally:
+            eng.close()
