@@ -992,6 +992,50 @@ def executor_json_schema_read_agg(spark, sf_dir):
 
 
 @query(
+    "executor_orc_statprune_agg",
+    oracle="""
+    SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+)
+def executor_orc_statprune_agg(spark, sf_dir):
+    """ORC stripe-STATISTICS pruning in the executor scan (round-8):
+    the pushed ``o_orderkey <= 1000`` reaches the cached ORC source
+    and ``sources/orc_stats.py`` — a manual parse of the file's
+    metadata protobuf (pyarrow exposes no stripe-stats API) — skips
+    every stripe whose min/max provably fail it. On this
+    orderkey-sorted multi-stripe ZSTD table that is all but the head
+    stripe(s): measured 7.5× at 0.8% selectivity (BASELINE.md), the
+    parquet row-group analog on the #2 lake format. Filters stay
+    residual, so pruning can only skip provably-empty stripes; the
+    count/sum pair would catch any over-pruned row."""
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    try:
+        mt = os.stat(os.path.join(sf_dir, "orders.parquet")).st_mtime_ns
+    except OSError:
+        mt = 0
+    loc = os.path.join(_ROOT, _tag(sf_dir), f"orders_orcsorted_{mt}")
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        import glob as _glob
+        import shutil as _shutil
+        for old in _glob.glob(os.path.join(
+                _ROOT, _tag(sf_dir), "orders_orcsorted_*")):
+            if old != loc:
+                _shutil.rmtree(old, ignore_errors=True)
+        (src.orderBy("o_orderkey").coalesce(1).write
+         .option("orc.stripe.size", 262144).format("orc").save(loc))
+    eng = _exec_engine(spark)
+    o = eng.read_format(loc, "orc")
+    return (o.where(F.col("o_orderkey") <= 1000)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").alias("key_sum"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+@query(
     "executor_wholetext_read",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_lines,

@@ -43,9 +43,14 @@ Scale differences vs the parquet source, both deliberate:
   count at plan time (mirror-first; the same footer read Hadoop's
   OrcInputFormat pays for its stripe-offset splits) and tiling
   [0, nstripes) across ceil(length/split) tasks;
-* no stripe statistics pruning — pyarrow does not expose ORC stripe
-  statistics; partition-FILE pruning (``pushFilters``) still applies
-  unchanged.
+* stripe-STATISTICS pruning (round 8) comes from a manual parse of
+  the file's metadata protobuf — pyarrow exposes no stripe-stats API
+  but does expose the section lengths (``sources/orc_stats.py``:
+  NONE/ZLIB/SNAPPY/ZSTD sections decode, covering every codec Spark
+  writes; integers and full-string min/max prune, dates/doubles/
+  timestamps/decimals conservatively never do). Measured 7.5× on a
+  sorted 25-stripe ZSTD table at 0.8% selectivity (BASELINE.md);
+  partition-FILE pruning (``pushFilters``) applies unchanged.
 """
 
 from __future__ import annotations
@@ -109,13 +114,17 @@ def _orc_arrow_target(schema):
         for f in schema])
 
 
-def _orc_pass(fobj, part, columns, case_sensitive, path):
+def _orc_pass(fobj, part, columns, case_sensitive, path,
+              stat_filters=()):
     """Decode ONE ORC file object into coerced Arrow batches, stripe
     by stripe (pyarrow's unit of ORC granularity), sliced to the same
     batch rows as the parquet path. A stripe-range split (set by
     ``CachedOrcReader.partitions`` for files larger than the split
     size) reads only its [stripe_start, stripe_end) — disjoint and
-    complete across the file's tasks."""
+    complete across the file's tasks. ``stat_filters`` drive stripe-
+    statistics pruning (round-8: manual metadata-protobuf parse,
+    sources/orc_stats.py) — stripes whose min/max PROVE no row
+    matches are skipped; every filter stays residual for Spark."""
     import pyarrow as pa
     import pyarrow.orc as po
 
@@ -127,11 +136,17 @@ def _orc_pass(fobj, part, columns, case_sensitive, path):
                                      case_sensitive, path)
     stripes = getattr(part, "stripes", None)
     lo, hi = stripes if stripes else (0, of.nstripes)
+    todo = range(lo, min(hi, of.nstripes))
+    if stat_filters:
+        from sidecar_spark.sources.orc_stats import prune_stripes
+
+        todo = prune_stripes(fobj, of, todo, stat_filters,
+                             case_sensitive)
     subs = {}
     from sidecar_spark.sources.rebase import has_date as _hd
 
     any_date = any(_hd(f.type) for f in target)
-    for i in range(lo, min(hi, of.nstripes)):
+    for i in todo:
         rb = (of.read_stripe(i, columns=cols) if cols is not None
               else of.read_stripe(i))
         key = tuple(rb.schema.names)
@@ -224,7 +239,7 @@ class CachedOrcReader(CachedParquetReader):
 
     def _file_pass(self, fobj, part, columns, stat_filters):
         return _orc_pass(fobj, part, columns, self.case_sensitive,
-                         part.path)
+                         part.path, stat_filters)
 
 
 class PruningCachedOrcReader(PruningCachedParquetReader,

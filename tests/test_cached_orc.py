@@ -280,3 +280,109 @@ class TestCachedOrcParity:
         finally:
             mgr.release()
             CacheManager.clear_instances()
+
+
+class TestStripeStatsPruning:
+    """Round-8: ORC stripe-statistics pruning via the manual
+    metadata-protobuf parse (sources/orc_stats.py)."""
+
+    def _sorted_orc(self, spark, tmp_path, codec=None, rows=200_000):
+        import pyspark.sql.functions as F
+
+        root = os.path.join(str(tmp_path), f"sorted_{codec or 'dft'}")
+        w = (spark.range(rows)
+             .select(F.col("id").alias("k"),
+                     (F.col("id") % 7).alias("v"),
+                     F.concat(F.lit("s"),
+                              F.lpad(F.col("id").cast("string"),
+                                     9, "0")).alias("s"))
+             .orderBy("k").coalesce(1).write
+             .option("orc.stripe.size", 65536))
+        if codec:
+            w = w.option("compression", codec)
+        w.orc(root)
+        import glob
+
+        return root, glob.glob(root + "/*.orc")[0]
+
+    @pytest.mark.parametrize("codec", [None, "zlib", "snappy",
+                                       "none"])
+    def test_parse_and_prune_all_codecs(self, spark, tmp_path,
+                                        codec):
+        """The metadata section parses under every codec Spark can
+        write that we decode (default=zstd, zlib, snappy, none) and
+        pruning keeps exactly the stripes that can match."""
+        import pyarrow.orc as po
+
+        from sidecar_spark.sources.orc_stats import (
+            prune_stripes,
+            stripe_column_stats,
+        )
+
+        _, f = self._sorted_orc(spark, tmp_path, codec)
+        of = po.ORCFile(f)
+        assert of.nstripes > 3
+        with open(f, "rb") as fo:
+            stats = stripe_column_stats(fo, of)
+            assert stats is not None and len(stats) == of.nstripes
+            # k is sorted: a max-range filter keeps only a short
+            # contiguous TAIL (stripes are byte-sized, so the row
+            # boundary may fall a stripe early)
+            kept = prune_stripes(fo, of, range(of.nstripes),
+                                 [("k", "ge", 199_000)])
+            assert kept and len(kept) <= 3
+            assert kept == list(range(of.nstripes - len(kept),
+                                      of.nstripes))
+            # string min/max prune too
+            kept2 = prune_stripes(fo, of, range(of.nstripes),
+                                  [("s", "eq", "s000000005")])
+            assert kept2 == [0]
+            # date/double refs are incomparable → keep everything
+            import datetime
+
+            kept3 = prune_stripes(
+                fo, of, range(of.nstripes),
+                [("k", "ge", datetime.date(2020, 1, 1))])
+            assert list(kept3) == list(range(of.nstripes))
+
+    def test_engine_values_identical_with_pruning(self, spark,
+                                                  cache_dir,
+                                                  tmp_path):
+        """End-to-end: the pruned executor scan returns exactly the
+        JVM's rows for selective AND non-selective filters."""
+        from sidecar_spark.config import SidecarConfig
+        from sidecar_spark.engine import Engine
+
+        root, _ = self._sorted_orc(spark, tmp_path)
+        eng = Engine(spark, conf=SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False, resolve_mode="executor"))
+        try:
+            for pred in ("k >= 199000", "k < 100", "v = 3 and k > 5",
+                         "s = 's000000005'", "k >= 200000"):
+                jvm = sorted(map(str, spark.read.orc(root)
+                                 .where(pred).collect()))
+                got = sorted(map(str, eng.read_format(root, "orc")
+                                 .where(pred).collect()))
+                assert got == jvm, pred
+        finally:
+            eng.close()
+
+    def test_all_null_stripe_prunes_comparisons(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.orc as po
+
+        from sidecar_spark.sources.orc_stats import prune_stripes
+
+        p = os.path.join(str(tmp_path), "nulls.orc")
+        po.write_table(
+            pa.table({"k": pa.array([None] * 50000, pa.int64())}),
+            p, stripe_size=65536, compression="uncompressed")
+        of = po.ORCFile(p)
+        with open(p, "rb") as fo:
+            kept = prune_stripes(fo, of, range(of.nstripes),
+                                 [("k", "eq", 5)])
+            assert kept == []  # all-null: no comparison can match
+            kept2 = prune_stripes(fo, of, range(of.nstripes),
+                                  [("k", "isnull", None)])
+            assert list(kept2) == list(range(of.nstripes))
