@@ -1,0 +1,164 @@
+"""Round-8 probe sweep (verdict #8): spark.sql.caseSensitive through
+the ORC executor path and spark.sql.ansi.enabled over the executor
+sources — each cell pinned against the live JVM's own scan first.
+Also records the column-index availability finding (PARITY.md):
+pyarrow 16 exposes only has_column_index flags, no reader for the
+page-level index content, so parquet page-level pruning is not
+implementable from Python — row-group statistics pruning is the
+granularity ceiling.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.orc as po
+import pyarrow.parquet as pq
+import pytest
+
+
+def _engine(spark, cache_dir):
+    from sidecar_spark.config import SidecarConfig
+    from sidecar_spark.engine import Engine
+
+    return Engine(spark, conf=SidecarConfig.create(
+        cache_dir=cache_dir, data_cache_type="file",
+        cache_persistent=False, resolve_mode="executor"))
+
+
+def _parity(jvm_df, got_df):
+    assert (got_df.schema.simpleString()
+            == jvm_df.schema.simpleString())
+    assert (sorted(map(str, got_df.collect()))
+            == sorted(map(str, jvm_df.collect())))
+
+
+class TestOrcCaseSensitivity:
+    def test_case_duplicate_columns(self, spark, cache_dir,
+                                    tmp_path):
+        """cs=false refuses a case-duplicate ORC schema
+        (COLUMN_ALREADY_EXISTS, probed); cs=true serves both
+        columns."""
+        root = os.path.join(str(tmp_path), "dup")
+        os.makedirs(root)
+        po.write_table(pa.table({"a": [1], "A": [2]}),
+                       os.path.join(root, "f.orc"))
+        eng = _engine(spark, cache_dir)
+        try:
+            with pytest.raises(Exception,
+                               match="(?i)already.?exists|duplicate"):
+                eng.read_format(root, "orc").collect()
+            spark.conf.set("spark.sql.caseSensitive", "true")
+            try:
+                _parity(spark.read.orc(root),
+                        eng.read_format(root, "orc"))
+            finally:
+                spark.conf.set("spark.sql.caseSensitive", "false")
+        finally:
+            eng.close()
+
+    def test_case_sensitive_projection(self, spark, cache_dir,
+                                       tmp_path):
+        """Explicit projection resolves by exact case under cs=true
+        and case-insensitively under the default — both matching the
+        JVM's own select."""
+        import pyspark.sql.functions as F
+
+        root = os.path.join(str(tmp_path), "case")
+        os.makedirs(root)
+        po.write_table(pa.table({"Xx": [1, 2, 3], "y": [4, 5, 6]}),
+                       os.path.join(root, "f.orc"))
+        eng = _engine(spark, cache_dir)
+        try:
+            _parity(spark.read.orc(root).select("XX"),
+                    eng.read_format(root, "orc").select("XX"))
+            spark.conf.set("spark.sql.caseSensitive", "true")
+            try:
+                _parity(spark.read.orc(root).select("Xx", "y")
+                        .agg(F.sum("Xx").alias("s")),
+                        eng.read_format(root, "orc").select("Xx", "y")
+                        .agg(F.sum("Xx").alias("s")))
+            finally:
+                spark.conf.set("spark.sql.caseSensitive", "false")
+        finally:
+            eng.close()
+
+
+class TestAnsiModeOverExecutorSources:
+    @pytest.fixture()
+    def ansi(self, spark):
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        yield
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+
+    def test_parquet_partitioned_read(self, spark, cache_dir,
+                                      tmp_path, ansi):
+        d = os.path.join(str(tmp_path), "t", "k=00123")
+        os.makedirs(d)
+        pq.write_table(pa.table({"v": [1.5, 2.5]}),
+                       os.path.join(d, "f.parquet"))
+        root = os.path.join(str(tmp_path), "t")
+        eng = _engine(spark, cache_dir)
+        try:
+            _parity(spark.read.parquet(root),
+                    eng.read_parquet(root))
+        finally:
+            eng.close()
+
+    def test_partition_type_ladder_unchanged(self, spark, cache_dir,
+                                             tmp_path, ansi):
+        """A 20-digit partition value infers decimal(20,0) with ANSI
+        on, same as off (probed) — the inference ladder is
+        ANSI-independent."""
+        d = os.path.join(str(tmp_path), "t",
+                         "k=99999999999999999999")
+        os.makedirs(d)
+        pq.write_table(pa.table({"v": [1]}),
+                       os.path.join(d, "f.parquet"))
+        root = os.path.join(str(tmp_path), "t")
+        eng = _engine(spark, cache_dir)
+        try:
+            _parity(spark.read.parquet(root),
+                    eng.read_parquet(root))
+        finally:
+            eng.close()
+
+    def test_orc_and_csv_compose_under_ansi(self, spark, cache_dir,
+                                            tmp_path, ansi):
+        root = os.path.join(str(tmp_path), "o")
+        os.makedirs(root)
+        po.write_table(pa.table({"k": [1, 2], "s": ["a", "b"]}),
+                       os.path.join(root, "f.orc"))
+        croot = os.path.join(str(tmp_path), "c")
+        os.makedirs(croot)
+        with open(os.path.join(croot, "a.csv"), "wb") as f:
+            f.write(b"1,x\nnotanint,y\n")
+        eng = _engine(spark, cache_dir)
+        try:
+            _parity(spark.read.orc(root),
+                    eng.read_format(root, "orc"))
+            ddl = "i int, s string"
+            # malformed cell under ANSI: PERMISSIVE still null-fills
+            # (the csv parser is mode-driven, not ANSI-driven) — the
+            # compose must match whatever the JVM does
+            _parity(spark.read.schema(ddl).csv(croot),
+                    eng.read_format(croot, "csv", schema=ddl))
+        finally:
+            eng.close()
+
+
+class TestColumnIndexAvailability:
+    def test_pyarrow_exposes_no_reader(self, tmp_path):
+        """The probe finding behind the PARITY line: column-index
+        FLAGS exist, the index CONTENT has no reader — if a future
+        pyarrow adds one, this test fails and page-level pruning
+        becomes implementable."""
+        p = os.path.join(str(tmp_path), "t.parquet")
+        pq.write_table(pa.table({"a": list(range(1000))}), p)
+        md = pq.ParquetFile(p).metadata.row_group(0).column(0)
+        assert hasattr(md, "has_column_index")
+        readers = [a for a in dir(pq.ParquetFile)
+                   if "column_index" in a.lower()
+                   or "page_index" in a.lower()]
+        assert readers == [], (
+            f"pyarrow now exposes {readers} — revisit page-level "
+            "pruning (PARITY.md round-8 probe sweep)")
