@@ -56,18 +56,70 @@ _EXEC_RAW_CONFS = (
 )
 
 
+def _listing_opts(options, spark) -> Optional[Dict[str, str]]:
+    """Peel LISTING-level reader options the executor sources
+    implement natively (round-8): ``pathGlobFilter`` (basename glob,
+    probed) and ``modifiedBefore``/``modifiedAfter`` (strict
+    comparisons against the listing mtime, probed) — parsed HERE,
+    where the session zone is known, and shipped as epoch millis.
+    Returns the reader-option dict, or None when a value is outside
+    the implementable shape (backslash glob escapes, unparseable
+    timestamps, an explicit timeZone option) — the caller goes raw
+    and the JVM applies or rejects the original option itself.
+    MUTATES ``options``: peeled keys are removed."""
+    out: Dict[str, str] = {}
+    if any(k.lower() == "timezone" for k in (options or {})):
+        return None  # option zone overrides the session's: raw
+    for k in list(options or ()):
+        kl = k.lower()
+        if kl == "pathglobfilter":
+            v = str(options[k])
+            if "\\" in v:
+                return None
+            out["pathglob"] = v
+            options.pop(k)
+        elif kl in ("modifiedbefore", "modifiedafter"):
+            import datetime
+
+            try:
+                tz = spark.conf.get("spark.sql.session.timeZone",
+                                    "UTC")
+            except Exception:  # noqa: BLE001
+                tz = "UTC"
+            if tz.upper() not in ("UTC", "GMT", "Z", "ETC/UTC",
+                                  "ETC/GMT", "+00:00"):
+                # non-UTC sessions: the JVM applies a DOUBLE zone
+                # shift here (file mtime rendered to local wall time
+                # vs the stamp parsed as a zoned instant — probed:
+                # under Asia/Tokyo a stamp 12h past the mtime still
+                # matched modifiedAfter). Quirk reproduced only
+                # empirically — refuse to guess, read raw (the JVM
+                # applies its own rule). PARITY.md round-8.
+                return None
+            try:
+                dt = datetime.datetime.fromisoformat(
+                    str(options[k]).replace(" ", "T"))
+            except ValueError:
+                return None  # let the JVM raise on its own parse
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=datetime.timezone.utc)
+            key = ("mod_before" if kl == "modifiedbefore"
+                   else "mod_after")
+            out[key] = str(int(dt.timestamp() * 1000))
+            options.pop(k)
+    return out
+
+
 def _rawfile_opts(fmt: str, options) -> Optional[Dict[str, str]]:
     """Map user reader options for a text/binaryFile read onto the
     cached raw-file source's option names, or None when any option is
     outside the natively-implemented set (the read then goes to the
     original location raw — correct everywhere, merely uncached).
-    pathGlobFilter backslash-escapes are routed raw too: the Python
-    glob does not implement Hadoop's escape grammar and a silently
-    different file set is never acceptable."""
+    Listing-level options (pathGlobFilter, modifiedBefore/After) are
+    peeled by ``_listing_opts`` before this runs."""
     out: Dict[str, str] = {}
-    allowed = ({"wholetext", "linesep", "pathglobfilter",
-                "recursivefilelookup"} if fmt == "text"
-               else {"pathglobfilter", "recursivefilelookup"})
+    allowed = ({"wholetext", "linesep", "recursivefilelookup"}
+               if fmt == "text" else {"recursivefilelookup"})
     for k, v in (options or {}).items():
         kl = k.lower()
         if kl not in allowed:
@@ -78,10 +130,6 @@ def _rawfile_opts(fmt: str, options) -> Optional[Dict[str, str]]:
             if not v:
                 return None  # empty lineSep: let the JVM raise
             out["linesep"] = str(v)
-        elif kl == "pathglobfilter":
-            if "\\" in str(v):
-                return None
-            out["pathglob"] = str(v)
         elif kl == "recursivefilelookup":
             out["rfl"] = str(v).lower()
     return out
@@ -233,6 +281,13 @@ class Engine:
                     merge = str(v).lower() == "true"
                 else:
                     rest[k] = v
+            # LISTING-level options (pathGlobFilter, modifiedBefore/
+            # After) are implemented natively by every executor
+            # source (round-8) — peel them; None = a value outside
+            # the implementable shape, the whole read goes raw
+            listing = _listing_opts(rest, self.spark)
+            if listing is None:
+                return _select(_raw())
             fl = fmt.lower()
             if fl in ("text", "binaryfile") and schema is None:
                 # FIXED schemas — no inference to reproduce, so the
@@ -240,8 +295,9 @@ class Engine:
                 # not apply (VERDICT r7 #1). Options are implemented
                 # natively (probed semantics, sources/cached_rawfile)
                 # or the read goes raw.
-                raw_opts = _rawfile_opts(fl, options)
+                raw_opts = _rawfile_opts(fl, rest)
                 if raw_opts is not None:
+                    raw_opts.update(listing)
                     if fl == "binaryfile":
                         try:
                             raw_opts["maxlength"] = self.spark.conf.get(
@@ -266,8 +322,8 @@ class Engine:
                 # (header, multiLine, lineSep, encoding, comment,
                 # non-PERMISSIVE modes) route raw.
                 composed = self._read_csv_json_composed(
-                    location, fl, schema, options, columns,
-                    split_bytes)
+                    location, fl, schema, rest, columns,
+                    split_bytes, listing)
                 if composed is not None:
                     return composed
                 return _select(_raw())
@@ -313,7 +369,8 @@ class Engine:
                     return _select(_raw())
                 return self._read_executor_resolved(
                     location, columns, split_bytes=split_bytes,
-                    merge=merge, fmt=fmt, user_schema=user_schema)
+                    merge=merge, fmt=fmt, user_schema=user_schema,
+                    raw_opts=listing)
             # the Python sources decode parquet and ORC (both
             # self-describing) with the default option set plus
             # mergeSchema. csv/json schema INFERENCE cannot be
@@ -634,7 +691,7 @@ class Engine:
     }
 
     def _read_csv_json_composed(self, location, fmt, schema, options,
-                                columns, split_bytes):
+                                columns, split_bytes, listing=None):
         """Cached csv/json-with-user-schema: cached text framing +
         JVM-side from_csv/from_json parsing. Returns None (caller
         goes raw) when any option is outside the value-level set,
@@ -671,7 +728,7 @@ class Engine:
             return None
         text = self._read_executor_resolved(
             location, split_bytes=split_bytes, fmt="text",
-            raw_opts={})
+            raw_opts=dict(listing or {}))
         part_cols = [c for c in text.columns if c != "value"]
         corrupt = next((v for k, v in fwd.items()
                         if k.lower() == "columnnameofcorruptrecord"),

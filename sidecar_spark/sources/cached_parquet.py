@@ -756,6 +756,46 @@ def footer_spark_struct(mgr, path: str, mtime: int, ntz: bool,
                                    f.metadata) for f in s.fields])
 
 
+def listing_filter(files, glob: str = "", mod_before=None,
+                   mod_after=None):
+    """LISTING-level option semantics, shared by every executor
+    source (round-8): ``pathGlobFilter`` matches the file BASENAME
+    only (probed), ``modifiedBefore``/``modifiedAfter`` compare the
+    listing mtime (epoch ms) STRICTLY against the threshold (probed:
+    a file at exactly the boundary is excluded by both)."""
+    if not (glob or mod_before or mod_after):
+        return files
+    out = []
+    for st in files:
+        if glob:
+            from sidecar_spark.sources.cached_rawfile import (
+                glob_match,
+            )
+
+            if not glob_match(glob,
+                              st.path.rstrip("/").rsplit("/", 1)[-1]):
+                continue
+        if mod_before is not None and not st.mtime < mod_before:
+            continue
+        if mod_after is not None and not st.mtime > mod_after:
+            continue
+        out.append(st)
+    return out
+
+
+def _listing_args(options):
+    """(glob, mod_before, mod_after) from reader options."""
+    def ms(key):
+        raw = options.get(key)
+        try:
+            return int(raw) if raw else None
+        except (TypeError, ValueError):
+            return None
+
+    return (options.get("pathglob") or "", ms("mod_before"),
+            ms("mod_after"))
+
+
 class _FilePart(InputPartition):
     def __init__(self, path: str, mtime: int, length: int, veto: bool,
                  parts=(), start: int = 0, end=None, first: bool = False):
@@ -1556,6 +1596,10 @@ class CachedParquetReader(DataSourceReader):
         #: set from the "rfl" option by the raw-file readers
         self.flatten = (str(options.get("rfl") or "false").lower()
                         == "true")
+        #: listing-level options (round-8): basename glob + strict
+        #: mtime windows, shipped pre-parsed by the Engine
+        self.glob, self.mod_before, self.mod_after = _listing_args(
+            options)
         _apply_endpoint(self.endpoint)
 
     def _conf(self):
@@ -1644,9 +1688,12 @@ class CachedParquetReader(DataSourceReader):
 
     def _filter_files(self, files):
         """Listing-level file exclusions, applied before veto math and
-        partition planning; the raw-file readers (cached_rawfile.py)
-        override this (pathGlobFilter, empty-file drop)."""
-        return files
+        partition planning: pathGlobFilter + modifiedBefore/After
+        (probed semantics, ``listing_filter``). The raw-file readers
+        (cached_rawfile.py) extend this (empty-file drop, provable
+        length prunes)."""
+        return listing_filter(files, self.glob, self.mod_before,
+                              self.mod_after)
 
     def _file_pass(self, fobj, part, columns, stat_filters):
         """Format-specific decode of one open file object into Arrow
@@ -1814,8 +1861,17 @@ class CachedParquetSource(DataSource):
             raise FileNotFoundError(f"no data files under {path!r}")
         # deterministic footer pick: FIRST file by path, matching the
         # JVM scan's choice under schema evolution (a listing in OS
-        # order sampled a different file and diverged the schema)
-        files = sorted(files, key=lambda s: s.path)
+        # order sampled a different file and diverged the schema).
+        # Listing-level options apply FIRST — the JVM's footer pick,
+        # mergeSchema fold and partition shapes all see the filtered
+        # file set (round-8: pathGlobFilter, modifiedBefore/After)
+        files = sorted(listing_filter(files, *_listing_args(
+            self.options)), key=lambda s: s.path)
+        if not files:
+            raise FileNotFoundError(
+                f"no data files under {path!r} after pathGlobFilter/"
+                "modifiedBefore/modifiedAfter — the JVM scan cannot "
+                "infer a schema from an empty listing either")
         # hand the listing down to the reader: one object-store LIST
         # per planned query, and schema/partitions share a snapshot
         self._files_snapshot = files

@@ -152,19 +152,18 @@ def render_path(p: str) -> str:
     return "file:" + p
 
 
-def filter_stats(files, glob: str = "", drop_empty: bool = False):
+def filter_stats(files, glob: str = "", drop_empty: bool = False,
+                 mod_before=None, mod_after=None):
     """Listing-level exclusions shared by schema() and partitions():
-    pathGlobFilter on basenames, and the JVM's no-row-for-empty-files
-    behavior for binaryFile/wholetext."""
-    out = []
-    for st in files:
-        if drop_empty and st.length == 0:
-            continue
-        if glob and not glob_match(glob, st.path.rstrip("/")
-                                   .rsplit("/", 1)[-1]):
-            continue
-        out.append(st)
-    return out
+    pathGlobFilter on basenames + strict mtime windows
+    (cached_parquet.listing_filter), and the JVM's
+    no-row-for-empty-files behavior for binaryFile/wholetext."""
+    from sidecar_spark.sources.cached_parquet import listing_filter
+
+    files = listing_filter(files, glob, mod_before, mod_after)
+    if not drop_empty:
+        return files
+    return [st for st in files if st.length]
 
 
 def _line_spans(read_chunk, start: int, end: int, sep,
@@ -256,7 +255,6 @@ class CachedTextReader(CachedParquetReader):
                           .lower() == "true")
         sep = options.get("linesep")
         self.linesep = sep.encode("utf-8") if sep else None
-        self.glob = options.get("pathglob") or ""
         if self.wholetext or self.linesep is not None:
             # wholetext: one row per file by definition. Custom
             # lineSep: self-overlapping separators make local split
@@ -265,8 +263,10 @@ class CachedTextReader(CachedParquetReader):
             self.split_bytes = 0
 
     def _filter_files(self, files):
-        return filter_stats(files, glob=self.glob,
-                            drop_empty=self.wholetext)
+        files = super()._filter_files(files)  # glob + mtime windows
+        if self.wholetext:
+            files = [st for st in files if st.length]
+        return files
 
     def _file_pass(self, fobj, part, columns, stat_filters):
         include_value = columns is None or any(
@@ -308,7 +308,6 @@ class CachedBinaryFileReader(CachedParquetReader):
 
     def __init__(self, options, schema=None, files=None):
         super().__init__(options, schema, files)
-        self.glob = options.get("pathglob") or ""
         try:
             self.max_length = int(options.get("maxlength")
                                   or _MAX_INT)
@@ -317,7 +316,8 @@ class CachedBinaryFileReader(CachedParquetReader):
         self.split_bytes = 0  # one task per file, like the JVM
 
     def _filter_files(self, files):
-        files = filter_stats(files, glob=self.glob, drop_empty=True)
+        files = super()._filter_files(files)  # glob + mtime windows
+        files = [st for st in files if st.length]  # empty: no row
         # provable length-filter prunes: the 100 TB win is skipping
         # whole files at plan time (Spark re-applies every filter as
         # residual, so this can only ever skip non-matching files)
@@ -427,9 +427,6 @@ class _RawSchemaMixin:
 
         return [StructField(n, t(), True) for n, t in self._FIXED]
 
-    def _reader_glob(self):
-        return self.options.get("pathglob") or ""
-
     def schema(self):
         from pyspark.sql.types import StructField, StructType
 
@@ -448,9 +445,13 @@ class _RawSchemaMixin:
         path = self.options.get("path")
         conf = SidecarConfig.from_json(self.options["conf"])
         mgr = CacheManager.get_or_create(conf)
+        from sidecar_spark.sources.cached_parquet import _listing_args
+
         files = sorted(mgr.list_files(path), key=lambda s: s.path)
-        kept = filter_stats(files, glob=self._reader_glob(),
-                            drop_empty=self._DROP_EMPTY)
+        glob, mb, ma = _listing_args(self.options)
+        kept = filter_stats(files, glob=glob,
+                            drop_empty=self._DROP_EMPTY,
+                            mod_before=mb, mod_after=ma)
         if not files:
             raise FileNotFoundError(f"no data files under {path!r}")
         # partitions() re-filters (readers own the rule); hand down

@@ -162,3 +162,156 @@ class TestColumnIndexAvailability:
         assert readers == [], (
             f"pyarrow now exposes {readers} — revisit page-level "
             "pruning (PARITY.md round-8 probe sweep)")
+
+
+class TestListingOptionsNative:
+    """Round-8 second wave: pathGlobFilter and modifiedBefore/After
+    served NATIVELY by the executor sources (they were raw-fallbacks;
+    the executor listing knows original basenames and mtimes). Every
+    cell asserts against the live JVM on the same fixtures."""
+
+    def _table(self, tmp_path, fmt="parquet"):
+        root = os.path.join(str(tmp_path), "t")
+        for i, sub in enumerate(("k=1", "k=2")):
+            d2 = os.path.join(root, sub)
+            os.makedirs(d2, exist_ok=True)
+            t = pa.table({"v": [i * 10, i * 10 + 1]})
+            if fmt == "parquet":
+                pq.write_table(t, os.path.join(d2, f"f{i}.parquet"))
+            else:
+                po.write_table(t, os.path.join(d2, f"f{i}.orc"))
+        return root
+
+    def _set_mtimes(self, root, base=1_700_000_000):
+        """Pin file mtimes to known whole seconds: f0 at base,
+        f1 at base+100."""
+        import glob as g
+
+        for f in sorted(gg for gg in g.glob(root + "/**/*",
+                                            recursive=True)
+                        if os.path.isfile(gg)
+                        and not gg.endswith("_SUCCESS")):
+            os.utime(f, (base, base))
+            base += 100
+
+    @pytest.mark.parametrize("fmt", ["parquet", "orc"])
+    def test_glob_parity(self, spark, cache_dir, tmp_path, fmt):
+        root = self._table(tmp_path, fmt)
+        eng = _engine(spark, cache_dir)
+        try:
+            jvm = (spark.read.format(fmt)
+                   .option("pathGlobFilter", "f1.*").load(root))
+            got = eng.read_format(root, fmt, pathGlobFilter="f1.*")
+            plan = got._jdf.queryExecution().toString()
+            assert f"sidecar_cached_{fmt}" in plan
+            _parity(jvm, got)
+        finally:
+            eng.close()
+
+    @pytest.mark.parametrize("opt", ["modifiedBefore",
+                                     "modifiedAfter"])
+    def test_modified_windows_parity(self, spark, cache_dir,
+                                     tmp_path, opt):
+        """Strict-comparison semantics pinned against the JVM: the
+        boundary value sits EXACTLY on one file's mtime, so an
+        off-by-inclusive implementation diverges immediately."""
+        import datetime
+
+        root = self._table(tmp_path)
+        base = 1_700_000_000
+        self._set_mtimes(root, base)
+        eng = _engine(spark, cache_dir)
+        try:
+            for edge in (base, base + 50, base + 100, base + 101):
+                stamp = (datetime.datetime.fromtimestamp(
+                    edge, datetime.timezone.utc)
+                    .strftime("%Y-%m-%dT%H:%M:%S"))
+                try:
+                    jvm = (spark.read.format("parquet")
+                           .option(opt, stamp).load(root))
+                    jvm_rows = sorted(map(str, jvm.collect()))
+                except Exception:
+                    # an empty-after-filter listing errors in the
+                    # JVM (UNABLE_TO_INFER_SCHEMA) — ours must fail
+                    # loudly too
+                    with pytest.raises(Exception):
+                        eng.read_parquet(root,
+                                         **{opt: stamp}).collect()
+                    continue
+                got = eng.read_parquet(root, **{opt: stamp})
+                plan = got._jdf.queryExecution().toString()
+                assert "sidecar_cached_parquet" in plan, (opt, edge)
+                assert (sorted(map(str, got.collect()))
+                        == jvm_rows), (opt, edge)
+        finally:
+            eng.close()
+
+    def test_non_utc_session_goes_raw(self, spark, cache_dir,
+                                      tmp_path):
+        """The JVM applies a DOUBLE zone shift to modified windows
+        under a non-UTC session (probed: under Asia/Tokyo a stamp 12h
+        past the mtime still matched modifiedAfter) — reproduced only
+        empirically, so the engine refuses to guess and reads raw;
+        the raw read gives parity by construction (the JVM applies
+        its own quirk)."""
+        import datetime
+
+        root = self._table(tmp_path)
+        base = 1_700_000_000
+        self._set_mtimes(root, base)
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        try:
+            stamp = (datetime.datetime.fromtimestamp(
+                base + 50, datetime.timezone.utc)
+                .strftime("%Y-%m-%dT%H:%M:%S"))
+            eng = _engine(spark, cache_dir)
+            try:
+                got = eng.read_parquet(root, modifiedAfter=stamp)
+                plan = got._jdf.queryExecution().toString()
+                assert "sidecar_cached_parquet" not in plan
+                _parity((spark.read.format("parquet")
+                         .option("modifiedAfter", stamp).load(root)),
+                        got)
+            finally:
+                eng.close()
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def test_glob_for_rawfile_and_compose(self, spark, cache_dir,
+                                          tmp_path):
+        d = str(tmp_path)
+        for name, data in (("a.txt", b"1,x\n"), ("b.csv", b"2,y\n"),
+                           ("c.csv", b"3,z\n")):
+            with open(os.path.join(d, name), "wb") as f:
+                pass
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(data)
+        eng = _engine(spark, cache_dir)
+        try:
+            _parity((spark.read.option("pathGlobFilter", "*.csv")
+                     .text(d)),
+                    eng.read_format(d, "text",
+                                    pathGlobFilter="*.csv"))
+            ddl = "i int, s string"
+            got = eng.read_format(d, "csv", schema=ddl,
+                                  pathGlobFilter="*.csv")
+            assert ("sidecar_cached_text"
+                    in got._jdf.queryExecution().toString())
+            _parity((spark.read.schema(ddl)
+                     .option("pathGlobFilter", "*.csv").csv(d)),
+                    got)
+        finally:
+            eng.close()
+
+    def test_unparseable_timestamp_goes_raw(self, spark, cache_dir,
+                                            tmp_path):
+        """An unparseable stamp routes raw, where the JVM raises its
+        OWN parse error at load — never a silent guess."""
+        root = self._table(tmp_path)
+        eng = _engine(spark, cache_dir)
+        try:
+            with pytest.raises(Exception):
+                eng.read_parquet(root,
+                                 modifiedBefore="not-a-time")
+        finally:
+            eng.close()
