@@ -244,8 +244,17 @@ class Engine:
                              "spark.sidecar.scan.splitbytes"):
                 split_bytes = options.pop(k)
 
+        # options for reads over RESOLVED (mirror/view) paths: when
+        # the driver path filters the listing natively (round-8,
+        # pathGlobFilter + modified windows), the peeled copy rides —
+        # re-passing a glob would match it against content-addressed
+        # mirror names (the probed wrong-file bug). Reads of the
+        # ORIGINAL location always carry the user's full option set.
+        resolved_opts = {"v": options}
+
         def _raw(*paths):
-            reader = self.spark.read.options(**options).format(fmt)
+            opts = resolved_opts["v"] if paths else options
+            reader = self.spark.read.options(**(opts or {})).format(fmt)
             if schema is not None:
                 reader = reader.schema(schema)
             return reader.load(list(paths) if paths else location)
@@ -389,19 +398,47 @@ class Engine:
             # serves it cached (the Python source renders the
             # ORIGINAL path and the listing mtime). PARITY.md.
             return _select(_raw())
-        if options and any(k.lower() in _PATH_SEMANTIC_OPTS
-                           for k in options):
-            # these options are about the ORIGINAL paths: a glob or
-            # basePath evaluated against content-addressed mirror
-            # names matches the wrong files (probed: pathGlobFilter
-            # filtered out every resolved file), and modifiedBefore/
-            # After would silently filter on mirror COPY times — read
-            # the original tree raw, correctness over caching
+        # pathGlobFilter + modified windows are served NATIVELY in
+        # driver mode too (round-8): the ENGINE filters the original
+        # listing (original basenames, original mtimes — the mirror-
+        # name hazard never arises) and resolves only the survivors;
+        # the peeled option copy rides on resolved-path reads. A
+        # basePath, a backslash glob, an unparseable stamp or a
+        # non-UTC session (the JVM's double-shift quirk, PARITY.md)
+        # still reads the original tree raw.
+        driver_listing = None
+        if options and any(
+                k.lower() in ("pathglobfilter", "modifiedbefore",
+                              "modifiedafter") for k in options):
+            peeled = dict(options)
+            driver_listing = _listing_opts(peeled, self.spark)
+            if driver_listing is None:
+                return _select(_raw())
+            resolved_opts["v"] = peeled
+        if (resolved_opts["v"]
+                and any(k.lower() in _PATH_SEMANTIC_OPTS
+                        for k in resolved_opts["v"])):
+            # basePath (and anything still path-semantic after the
+            # peel) is about the ORIGINAL paths — read the original
+            # tree raw, correctness over caching
             return _select(_raw())
         try:
             files = self.cache.list_files(location)
         except Exception:  # noqa: BLE001 — listing trouble: let Spark
             return _select(_raw())  # read it raw
+        if driver_listing:
+            from sidecar_spark.sources.cached_parquet import (
+                _listing_args,
+                listing_filter,
+            )
+
+            files = listing_filter(files,
+                                   *_listing_args(driver_listing))
+            if not files:
+                # empty-after-filter: the JVM raises its own error
+                # (UNABLE_TO_INFER_SCHEMA / path-not-found) on the
+                # original tree — never a silent empty result
+                return _select(_raw())
         if (self.cache.mirror is not None and self.conf.auto_warm_bytes
                 and not location.startswith("mem://")):
             try:
@@ -415,7 +452,8 @@ class Engine:
         paths = self.cache.resolve_for_spark(location, files=files)
         if not paths:
             return _select(_raw())
-        view_read = self._view_read(location, files, paths, options,
+        view_read = self._view_read(location, files, paths,
+                                    resolved_opts["v"],
                                     fmt=fmt, schema=schema)
         if view_read is not None:
             return _select(view_read)

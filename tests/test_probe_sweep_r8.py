@@ -315,3 +315,92 @@ class TestListingOptionsNative:
                                  modifiedBefore="not-a-time")
         finally:
             eng.close()
+
+
+class TestDriverModeListingOptions:
+    """Round-8: pathGlobFilter + modified windows served natively in
+    DRIVER mode too — the engine filters the ORIGINAL listing (so the
+    mirror-name hazard never arises) and serves survivors through the
+    symlink view, cached."""
+
+    def _engine(self, spark, cache_dir):
+        from sidecar_spark.config import SidecarConfig
+        from sidecar_spark.engine import Engine
+
+        return Engine(spark, conf=SidecarConfig.create(
+            cache_dir=cache_dir, data_cache_type="file",
+            cache_persistent=False))
+
+    def _table(self, tmp_path):
+        root = os.path.join(str(tmp_path), "t")
+        for i in (0, 1):
+            d2 = os.path.join(root, f"k={i}")
+            os.makedirs(d2, exist_ok=True)
+            pq.write_table(pa.table({"v": [i * 10, i * 10 + 1]}),
+                           os.path.join(d2, f"f{i}.parquet"))
+        return root
+
+    def test_glob_served_from_view(self, spark, cache_dir, tmp_path):
+        root = self._table(tmp_path)
+        eng = self._engine(spark, cache_dir)
+        try:
+            jvm = (spark.read.format("parquet")
+                   .option("pathGlobFilter", "f1.*").load(root))
+            got = eng.read_parquet(root, pathGlobFilter="f1.*")
+            _parity(jvm, got)
+            # served through the cache view, not the original tree
+            assert all(cache_dir in f for f in got.inputFiles())
+        finally:
+            eng.close()
+
+    def test_modified_window_served_from_view(self, spark, cache_dir,
+                                              tmp_path):
+        import datetime
+
+        root = self._table(tmp_path)
+        base = 1_700_000_000
+        for i, f in enumerate(sorted(
+                os.path.join(dp, fn)
+                for dp, _, fns in os.walk(root) for fn in fns
+                if fn.endswith(".parquet"))):
+            os.utime(f, (base + i * 100, base + i * 100))
+        stamp = (datetime.datetime.fromtimestamp(
+            base + 50, datetime.timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%S"))
+        eng = self._engine(spark, cache_dir)
+        try:
+            jvm = (spark.read.format("parquet")
+                   .option("modifiedAfter", stamp).load(root))
+            got = eng.read_parquet(root, modifiedAfter=stamp)
+            _parity(jvm, got)
+            assert all(cache_dir in f for f in got.inputFiles())
+        finally:
+            eng.close()
+
+    def test_csv_glob_driver_mode(self, spark, cache_dir, tmp_path):
+        d = str(tmp_path)
+        for name, data in (("a.txt", b"IGNORED\n"),
+                           ("b.csv", b"2,y\n"), ("c.csv", b"3,z\n")):
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(data)
+        ddl = "i int, s string"
+        eng = self._engine(spark, cache_dir)
+        try:
+            _parity((spark.read.schema(ddl)
+                     .option("pathGlobFilter", "*.csv").csv(d)),
+                    eng.read_format(d, "csv", schema=ddl,
+                                    pathGlobFilter="*.csv"))
+        finally:
+            eng.close()
+
+    def test_base_path_still_raw(self, spark, cache_dir, tmp_path):
+        root = self._table(tmp_path)
+        eng = self._engine(spark, cache_dir)
+        try:
+            got = eng.read_parquet(os.path.join(root, "k=1"),
+                                   basePath=root)
+            assert all(cache_dir not in f for f in got.inputFiles())
+            _parity((spark.read.option("basePath", root)
+                     .parquet(os.path.join(root, "k=1"))), got)
+        finally:
+            eng.close()
