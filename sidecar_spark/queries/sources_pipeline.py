@@ -992,6 +992,69 @@ def executor_json_schema_read_agg(spark, sf_dir):
 
 
 @query(
+    "executor_binaryfile_png_decode",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_imgs,
+           CAST(sum(3 + doc_id % 6) AS BIGINT) AS sum_w,
+           CAST(sum(2 + doc_id % 5) AS BIGINT) AS sum_h,
+           round(sum((doc_id % 256) / 255.0), 4) AS sum_luma
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def executor_binaryfile_png_decode(spark, sf_dir):
+    """The full multimodal INGEST loop through the cache: spec-valid
+    PNG FILES on disk (one per selected document, constant-gray,
+    dimensions/fill derived from doc_id) → the CACHED executor
+    binaryFile source (each task resolves its file against the node
+    mirror) → the REAL pixel decoder (``extract_image_features``,
+    PIL when importable else the stdlib zlib+unfilter path) inside
+    mapInPandas. The oracle recomputes width/height/luma
+    arithmetically, so the hash match proves actual pixels decoded
+    THROUGH the cache — the crawl-drop-to-features pipeline shape at
+    100 TB (files split across tasks, no shuffle before the 1-row
+    aggregate)."""
+    from sidecar_spark.functions import multimodal as M
+
+    try:
+        mt = os.stat(os.path.join(sf_dir, "documents.parquet")).st_mtime_ns
+    except OSError:
+        mt = 0
+    loc = os.path.join(_ROOT, _tag(sf_dir), f"pngfiles_{mt}")
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        import glob as _glob
+        import shutil as _shutil
+        for old in _glob.glob(os.path.join(
+                _ROOT, _tag(sf_dir), "pngfiles_*")):
+            if old != loc:
+                _shutil.rmtree(old, ignore_errors=True)
+        os.makedirs(loc, exist_ok=True)
+        ids = [r.doc_id for r in
+               (t(spark, sf_dir, "documents")
+                .where(F.col("doc_id") % 10 == 0)
+                .select("doc_id").collect())]
+        for i in ids:
+            with open(os.path.join(loc, f"img_{i:08d}.png"),
+                      "wb") as f:
+                f.write(M.synthesize_png(3 + i % 6, 2 + i % 5,
+                                         i % 256))
+        with open(os.path.join(loc, "_SUCCESS"), "wb"):
+            pass
+    eng = _exec_engine(spark)
+    files = eng.read_format(loc, "binaryFile",
+                            pathGlobFilter="img_*.png")
+    payloads = files.select(
+        F.regexp_extract("path", r"img_(\d+)\.png", 1).cast("long")
+         .alias("doc_id"),
+        F.col("content").alias("payload"))
+    feats = M.extract_image_features(payloads, fake=False)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_imgs"),
+        F.sum("width").alias("sum_w"),
+        F.sum("height").alias("sum_h"),
+        F.round(F.sum("mean_luma"), 4).alias("sum_luma"))
+
+
+@query(
     "executor_orc_statprune_agg",
     oracle="""
     SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
