@@ -1787,7 +1787,7 @@ def generator_functions_sql(spark, sf_dir):
            CAST(epoch(CAST(d AS TIMESTAMP)) AS BIGINT) AS epoch_s,
            strftime(d + INTERVAL ((7 + 1 - isodow(d) - 1) % 7 + 1) DAY,
                     '%Y-%m-%d') AS next_monday,
-           3.0 AS months_fwd
+           CAST(3.0 AS DOUBLE) AS months_fwd
     FROM (SELECT p_partkey, p_name,
                  DATE '1995-01-01' + INTERVAL (p_partkey % 1000) DAY AS d
           FROM part)
@@ -1833,9 +1833,9 @@ def string_datetime_misc_functions(spark, sf_dir):
              (p_partkey % 7) * 1.0 AS y
       FROM part WHERE p_partkey <= 500)
     SELECT CAST(count(*) AS BIGINT) AS n,
-           round(sum(CASE WHEN CAST(floor(halfv) AS BIGINT) % 2 = 0
-                          THEN floor(halfv) ELSE ceil(halfv) END), 1)
-               AS sum_banker,
+           CAST(round(sum(CASE WHEN CAST(floor(halfv) AS BIGINT) % 2 = 0
+                               THEN floor(halfv) ELSE ceil(halfv) END), 1)
+                AS DOUBLE) AS sum_banker,
            round(covar_pop(x, y), 6) AS cov_p,
            round(covar_samp(x, y), 6) AS cov_s,
            round(sum(sqrt(x * x + y * y)), 4) AS sum_hypot,
@@ -2101,10 +2101,14 @@ def schema_introspection_functions(spark, sf_dir):
            CAST(sum((o_orderkey >> 2) & 1) AS BIGINT) AS bits2,
            CAST(sum((o_orderkey >> 5) & 1) AS BIGINT) AS bits5,
            CAST(sum(o_orderkey % 5 + 2) AS BIGINT) AS instr_sum,
-           round(sum(d * 86400.0 + h * 3600.0), 1) AS dt_interval_secs,
+           CAST(round(sum(CAST(d AS DOUBLE) * 86400.0
+                           + CAST(h AS DOUBLE) * 3600.0), 1)
+                AS DOUBLE) AS dt_interval_secs,
            CAST(sum(12 * 2 + (o_orderkey % 12)) AS BIGINT) AS ym_months,
-           round(sum(o_orderkey * 1.0), 1) AS try_sum_v,
-           round(avg(o_orderkey * 1.0), 6) AS try_avg_v,
+           CAST(round(sum(CAST(o_orderkey AS DOUBLE)), 1)
+                AS DOUBLE) AS try_sum_v,
+           CAST(round(avg(CAST(o_orderkey AS DOUBLE)), 6)
+                AS DOUBLE) AS try_avg_v,
            bool_and(o_orderkey > 0) AS every_pos,
            bool_or(o_orderkey % 99 = 0) AS any_99
     FROM v
@@ -2131,7 +2135,7 @@ def interval_bit_functions(spark, sf_dir):
                sum(getbit(o_orderkey, 2)) AS bits2,
                sum(bit_get(o_orderkey, 5)) AS bits5,
                sum(regexp_instr(s, '[0-9]')) AS instr_sum,
-               round(sum(CAST(extract(SECOND FROM make_dt_interval(
+               CAST(round(sum(CAST(extract(SECOND FROM make_dt_interval(
                      CAST(d AS INT), CAST(h AS INT), 0, 0.0)) AS DOUBLE)
                    + extract(MINUTE FROM make_dt_interval(
                      CAST(d AS INT), CAST(h AS INT), 0, 0.0)) * 60.0
@@ -2139,13 +2143,15 @@ def interval_bit_functions(spark, sf_dir):
                      CAST(d AS INT), CAST(h AS INT), 0, 0.0)) * 3600.0
                    + extract(DAY FROM make_dt_interval(
                      CAST(d AS INT), CAST(h AS INT), 0, 0.0)) * 86400.0),
-                   1) AS dt_interval_secs,
+                   1) AS DOUBLE) AS dt_interval_secs,
                sum(extract(YEAR FROM make_ym_interval(
                      2, CAST(o_orderkey % 12 AS INT))) * 12
                    + extract(MONTH FROM make_ym_interval(
                      2, CAST(o_orderkey % 12 AS INT)))) AS ym_months,
-               round(try_sum(o_orderkey * 1.0), 1) AS try_sum_v,
-               round(try_avg(o_orderkey * 1.0), 6) AS try_avg_v,
+               CAST(round(try_sum(CAST(o_orderkey AS DOUBLE)), 1)
+                    AS DOUBLE) AS try_sum_v,
+               CAST(round(try_avg(CAST(o_orderkey AS DOUBLE)), 6)
+                    AS DOUBLE) AS try_avg_v,
                every(o_orderkey > 0) AS every_pos,
                any(o_orderkey % 99 = 0) AS any_99
         FROM interval_bits_v
@@ -3182,9 +3188,9 @@ def time_type_longtail(spark, sf_dir):
       SELECT o_orderkey % 9 AS a, o_orderkey % 100 AS b
       FROM orders WHERE o_orderkey <= 300)
     SELECT CAST(count(*) AS BIGINT) AS cnt,
-           round(sum(a * 1.5), 6) AS sum_xd,
+           CAST(round(sum(a * 1.5), 6) AS DOUBLE) AS sum_xd,
            round(sum(CAST(CAST(a * 1.5 AS FLOAT) AS DOUBLE)), 6) AS sum_xf,
-           round(sum(a * 1.5), 6) AS sum_xn,
+           CAST(round(sum(a * 1.5), 6) AS DOUBLE) AS sum_xn,
            CAST(sum(b) AS BIGINT) AS sum_xs
     FROM v
     """,
@@ -3877,7 +3883,7 @@ def try_net_crypto_reflect(spark, sf_dir):
       FROM orders WHERE o_orderkey <= 400)
     SELECT CAST(sum(k * 3 + 1) AS BIGINT) AS sum_arrow_udf,
            round(sum(p * 1.1), 4) AS sum_arrow_scaled,
-           round(1.0 + 2.0, 6) AS sum_udt_values,
+           CAST(round(1.0 + 2.0, 6) AS DOUBLE) AS sum_udt_values,
            'default' AS cur_db,
            CAST(1 AS BIGINT) AS local_ts_consistent,
            CAST((SELECT sum(k) FROM (

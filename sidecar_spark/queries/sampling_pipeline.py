@@ -496,7 +496,7 @@ _SQL_ENT = ("CASE WHEN {p} <= 0 OR {p} >= 1 THEN 0.0 "
              CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
       FROM orders
     ), split AS (
-      SELECT 50000.0 * g.i AS thr,
+      SELECT CAST(50000.0 * g.i AS DOUBLE) AS thr,
              count(*) AS n,
              CAST(sum(y) AS BIGINT) AS pos,
              count(*) FILTER (WHERE x <= 50000.0 * g.i) AS nl,
@@ -719,7 +719,7 @@ def _sql_ada_stump(src: str, name: str) -> str:
     return f"""
     {name} AS (
       SELECT thr, err, pol FROM (
-        SELECT 50000.0 * g.i AS thr,
+        SELECT CAST(50000.0 * g.i AS DOUBLE) AS thr,
                least(
                  sum(CASE WHEN (CASE WHEN x <= 50000.0 * g.i THEN 1
                                 ELSE -1 END) <> y THEN w ELSE 0 END),

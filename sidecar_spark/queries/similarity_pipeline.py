@@ -774,8 +774,10 @@ def multimodal_real_gif_frames(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            CAST(2000 AS BIGINT) AS n_samples,
-           round((10 + doc_id % 50) * 4.0, 3) AS centroid_hz,
-           round((10 + doc_id % 50) * 4.0, 3) AS peak_hz
+           CAST(round((10 + doc_id % 50) * 4.0, 3) AS DOUBLE)
+               AS centroid_hz,
+           CAST(round((10 + doc_id % 50) * 4.0, 3) AS DOUBLE)
+               AS peak_hz
     FROM documents WHERE doc_id % 7 = 0
     ORDER BY doc_id
     """,

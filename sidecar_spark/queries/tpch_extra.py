@@ -145,8 +145,9 @@ def q8_market_share(spark, sf_dir):
     "q9_product_profit",
     oracle="""
     SELECT n_name AS nation, year(o_orderdate) AS o_year,
-           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 6))), 2)
-               AS profit
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18, 6))), 2)
+                AS DOUBLE) AS profit
     FROM part
     JOIN lineitem ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -848,8 +849,9 @@ def skew_salted_join(spark, sf_dir):
     oracle="""
     SELECT l_orderkey, o_orderpriority,
            count(*) AS n_items,
-           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 6))), 2)
-               AS revenue
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18, 6))), 2)
+                AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY l_orderkey, o_orderpriority
     """,
