@@ -681,7 +681,8 @@ class Engine:
             merged = self._maybe_merged_schema_job(
                 location, ntz="true" == str(ntz).lower(),
                 nanos_long="true" == str(nanos_long).lower(),
-                case_sensitive="true" == str(case_sensitive).lower())
+                case_sensitive="true" == str(case_sensitive).lower(),
+                listing=raw_opts)
             if merged is not None:
                 import json
 
@@ -801,7 +802,7 @@ class Engine:
 
     def _maybe_merged_schema_job(self, location: str, ntz: bool,
                                  nanos_long: bool,
-                                 case_sensitive: bool):
+                                 case_sensitive: bool, listing=None):
         """mergeSchema planning at LARGE file counts: the plan worker
         process cannot launch Spark jobs, so its footer fold is a
         16-thread pool — honest to ~10k files (round-7 BASELINE.md).
@@ -830,6 +831,18 @@ class Engine:
             files = self.cache.list_files(location)
         except Exception:  # noqa: BLE001 — let the source list/fail
             return None
+        if listing:
+            # fold over the FILTERED listing: mergeSchema combined
+            # with pathGlobFilter/modified windows must not ship a
+            # merged schema carrying columns from excluded files (the
+            # source's own fold — which this job bypasses — filters
+            # via listing_filter too; ADVICE r8 #2)
+            from sidecar_spark.sources.cached_parquet import (
+                _listing_args,
+                listing_filter,
+            )
+
+            files = listing_filter(files, *_listing_args(listing))
         if len(files) <= threshold:
             return None
         items = [(st.path, st.mtime)

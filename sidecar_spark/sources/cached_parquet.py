@@ -1672,7 +1672,8 @@ class CachedParquetReader(DataSourceReader):
                            if _k(col) in keys):
                     continue  # pruned: provably outside the predicate
             ranges = [(0, st.length)]
-            if self.split_bytes and st.length > self.split_bytes:
+            if (self.split_bytes and st.length > self.split_bytes
+                    and self._splittable(st)):
                 # byte-range splits restore intra-file parallelism:
                 # a 1 GiB file becomes length/split_bytes tasks, each
                 # reading the row groups whose midpoint it owns
@@ -1694,6 +1695,13 @@ class CachedParquetReader(DataSourceReader):
         length prunes)."""
         return listing_filter(files, self.glob, self.mod_before,
                               self.mod_after)
+
+    def _splittable(self, st) -> bool:
+        """May this file be byte-range split? Parquet/ORC: always
+        (row-group/stripe ownership re-synchronizes). The text reader
+        overrides this for compression-codec files, which only a
+        whole-stream decode can frame (cached_rawfile.codec_of)."""
+        return True
 
     def _file_pass(self, fobj, part, columns, stat_filters):
         """Format-specific decode of one open file object into Arrow

@@ -91,6 +91,145 @@ _MAX_INT = 2147483647
 
 _CHUNK = 4 * 1024 * 1024
 
+#: Hadoop compression-codec extensions the JVM text/csv/json readers
+#: decompress transparently, probed against the live JVM (round 9,
+#: tests/test_codec_text.py): extension match is on the LAST dot
+#: suffix, case-INsensitive (``.GZ``/``.Gzip`` decompress; ``.tgz``/
+#: ``.gz2``/``.bz``/``.sz`` serve raw bytes — no content sniffing
+#: either: gzip bytes in a ``.txt`` come through verbatim).
+#: binaryFile NEVER decompresses (probed: raw bytes, physical length).
+_CODEC_EXTS = {
+    "gz": "gzip", "gzip": "gzip",
+    "bz2": "bzip2",
+    "deflate": "zlib",          # zlib-wrapped (raw deflate errors, probed)
+    "zst": "zstd", "zstd": "zstd",
+    "lz4": "hadoop-lz4",        # Hadoop block framing, not lz4-frame
+    "snappy": "hadoop-snappy",  # Hadoop block framing
+}
+
+
+def codec_of(path: str):
+    """The Hadoop codec name for ``path``'s extension, or None for a
+    plain (splittable) file. Matches the JVM's CompressionCodecFactory
+    behavior as probed: last suffix only, case-insensitive."""
+    base = path.rsplit("/", 1)[-1]
+    if "." not in base:
+        return None
+    return _CODEC_EXTS.get(base.rsplit(".", 1)[-1].lower())
+
+
+def _hadoop_block_chunks(fobj, decompress_one):
+    """Stream-decode Hadoop's BlockCompressorStream framing (used by
+    its Lz4Codec and SnappyCodec): repeated
+    ``[4B BE uncompressed-block-len][chunks: 4B BE compressed-len +
+    compressed bytes, until the block is produced]``. Verified
+    byte-exact against multi-block Spark-written .lz4/.snappy files
+    (tests/test_codec_text.py)."""
+    def read_exact(n):
+        buf = b""
+        while len(buf) < n:
+            c = fobj.read(n - len(buf))
+            if not c:
+                if buf:
+                    raise OSError("truncated Hadoop codec block header")
+                return None
+            buf += c
+        return buf
+
+    while True:
+        hdr = read_exact(4)
+        if hdr is None:
+            return
+        ulen = int.from_bytes(hdr, "big")
+        got = 0
+        while got < ulen:
+            chdr = read_exact(4)
+            if chdr is None:
+                raise OSError("truncated Hadoop codec block")
+            clen = int.from_bytes(chdr, "big")
+            chunk = read_exact(clen)
+            if chunk is None:
+                raise OSError("truncated Hadoop codec block")
+            dec = decompress_one(chunk, ulen - got)
+            got += len(dec)
+            yield dec
+
+
+def _codec_chunks(fobj, codec):
+    """Yield decompressed byte chunks of ``fobj``'s full stream under
+    ``codec``. Every codec handles concatenated members/streams the
+    way the JVM does (probed: gzip, bzip2, zlib and zstd all read
+    multi-member files fully; trailing garbage after a gzip member is
+    a read ERROR there and raises here)."""
+    if codec == "gzip":
+        import gzip
+
+        g = gzip.GzipFile(fileobj=fobj)
+        while True:
+            c = g.read(_CHUNK)
+            if not c:
+                return
+            yield c
+    elif codec in ("bzip2", "zlib"):
+        # multi-stream loop: finish one member, feed its unused tail
+        # to a fresh decompressor (both stdlib decompressors stop at
+        # member end); non-codec trailing bytes raise, like the JVM
+        import bz2
+        import zlib
+
+        make = (bz2.BZ2Decompressor if codec == "bzip2"
+                else zlib.decompressobj)
+        d = make()
+        pending = b""
+        while True:
+            data = pending or fobj.read(_CHUNK)
+            pending = b""
+            if not data:
+                return
+            out = d.decompress(data)
+            if out:
+                yield out
+            tail = getattr(d, "unused_data", b"")
+            if tail:
+                d = make()
+                pending = tail
+    elif codec == "zstd":
+        import pyarrow as pa
+
+        stream = pa.CompressedInputStream(pa.PythonFile(fobj, "r"),
+                                          "zstd")
+        while True:
+            c = stream.read(_CHUNK)
+            if not c:
+                return
+            yield bytes(c)
+    elif codec == "hadoop-lz4":
+        import pyarrow as pa
+
+        c = pa.Codec("lz4_raw")
+        yield from _hadoop_block_chunks(
+            fobj, lambda b, n: c.decompress(b, n, asbytes=True))
+    elif codec == "hadoop-snappy":
+        import pyarrow as pa
+
+        c = pa.Codec("snappy")
+
+        def one(b, n):
+            # a raw snappy block leads with its decompressed length
+            # as a varint — exact even when a Hadoop block was split
+            # into several compressed chunks (pa demands exact sizes)
+            size = shift = 0
+            for byte in b[:5]:
+                size |= (byte & 0x7F) << shift
+                if not byte & 0x80:
+                    break
+                shift += 7
+            return c.decompress(b, size, asbytes=True)
+
+        yield from _hadoop_block_chunks(fobj, one)
+    else:  # pragma: no cover — codec_of only returns the names above
+        raise ValueError(f"unknown codec {codec!r}")
+
 
 def expand_braces(pattern: str):
     """Hadoop-glob ``{a,b}`` alternation → the list of expanded
@@ -222,6 +361,15 @@ def _value_batches(lines_iter, include_value: bool):
 
     def flush(lines, nbytes):
         if include_value:
+            if nbytes > _MAX_INT:
+                # the 64 MiB flush bounds bytes BETWEEN lines only: a
+                # single line (or a wholetext file) past int32 would
+                # silently overflow the Arrow string offsets — and the
+                # JVM's own UTF8String caps at Int.MaxValue bytes too,
+                # so a loud error is the honest parity here
+                raise ValueError(
+                    f"a single text value of {nbytes} bytes exceeds "
+                    "the 2 GiB string limit (Spark's UTF8String cap)")
             lens = np.fromiter((len(x) for x in lines),
                                dtype=np.int64, count=len(lines))
             offsets = np.zeros(len(lines) + 1, dtype=np.int32)
@@ -265,17 +413,56 @@ class CachedTextReader(CachedParquetReader):
     def _filter_files(self, files):
         files = super()._filter_files(files)  # glob + mtime windows
         if self.wholetext:
+            # PHYSICAL length drives the drop (probed: a gz of empty
+            # payload — 26 bytes on disk — still yields one row, with
+            # an empty string)
             files = [st for st in files if st.length]
         return files
+
+    def _splittable(self, st) -> bool:
+        # codec files only frame under a whole-stream decode — one
+        # task per file, like the JVM (probed: a gz under a 64 KiB
+        # maxPartitionBytes still plans ONE partition). The JVM does
+        # split bz2 (a splittable codec); serving it single-task
+        # changes parallelism, never the row multiset.
+        return codec_of(st.path) is None
 
     def _file_pass(self, fobj, part, columns, stat_filters):
         include_value = columns is None or any(
             (c == "value" if self.case_sensitive
              else c.lower() == "value") for c in columns)
+        codec = codec_of(part.path)
         if self.wholetext:
-            # wholetext KEEPS a leading BOM (probed) — raw bytes
-            data = fobj.read()
+            # wholetext KEEPS a leading BOM (probed) — raw bytes,
+            # decompressed under a codec extension (probed: the JVM
+            # hands wholetext the decompressed stream too)
+            data = (b"".join(_codec_chunks(fobj, codec)) if codec
+                    else fobj.read())
             yield from _value_batches(iter([data]), include_value)
+            return
+        if codec:
+            # whole-stream decode: line framing, BOM strip and custom
+            # lineSep all apply to the DECOMPRESSED bytes (probed);
+            # part.end is the COMPRESSED length, so the span walk is
+            # unbounded here — this is the file's only split
+            chunks = _codec_chunks(fobj, codec)
+            head = b""
+            for c in chunks:
+                head += c
+                if len(head) >= 3:
+                    break
+            if head.startswith(b"\xef\xbb\xbf"):
+                head = head[3:]
+            pending = [head]
+
+            def read_chunk():
+                if pending:
+                    return pending.pop()
+                return next(chunks, b"")
+
+            yield from _value_batches(
+                _line_spans(read_chunk, 0, float("inf"), self.linesep,
+                            discard=False), include_value)
             return
         start = part.start
         if start == 0:
@@ -384,18 +571,21 @@ class CachedBinaryFileReader(CachedParquetReader):
         mgr = CacheManager.get_or_create(self._conf())
         if part.first and part.veto:
             mgr.stats.add("total_scans_detected")
-        if part.length > self.max_length:
-            raise ValueError(
-                f"The length of {render_path(part.path)} is "
-                f"{part.length}, which exceeds the max length "
-                f"allowed: {self.max_length}.")
         columns = self._columns_of(part)
         want_content = any(c.lower() == "content" for c in columns)
         if not want_content:
             # metadata-only projection: zero data bytes move — the
-            # listing already knows path/mtime/length
+            # listing already knows path/mtime/length. maxLength is
+            # NOT checked here: the JVM's BinaryFileFormat throws only
+            # when `content` is in the required schema (probed), so a
+            # count()/length histogram over oversized files succeeds
             batches = iter([self._meta_arrays(part, columns, None)])
         else:
+            if part.length > self.max_length:
+                raise ValueError(
+                    f"The length of {render_path(part.path)} is "
+                    f"{part.length}, which exceeds the max length "
+                    f"allowed: {self.max_length}.")
             def one_pass(fobj):
                 yield self._meta_arrays(part, columns, fobj.read())
 

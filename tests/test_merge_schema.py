@@ -447,3 +447,39 @@ class TestDistributedMergeJob:
                 eng.close()
         finally:
             spark.conf.unset("spark.sidecar.mergeSchema.jobThreshold")
+
+    def test_job_folds_filtered_listing_only(self, spark, cache_dir):
+        """ADVICE r8 #2: mergeSchema + pathGlobFilter above the job
+        threshold must fold footers of the SURVIVING files only — a
+        column that exists only in glob-excluded files must not leak
+        into the merged schema (the JVM's own filtered fold is the
+        oracle)."""
+        from sidecar_spark import Engine
+
+        files = [(f"keep{i:02d}.parquet",
+                  pa.table({"a": pa.array([i], pa.int64())}))
+                 for i in range(6)]
+        # excluded by the glob, and the ONLY files carrying column z
+        files += [(f"drop{i:02d}.parquet",
+                   pa.table({"a": pa.array([100 + i], pa.int64()),
+                             "z": pa.array([f"v{i}"], pa.string())}))
+                  for i in range(3)]
+        root = _mk(files)
+        jvm = (spark.read.option("mergeSchema", "true")
+               .option("pathGlobFilter", "keep*")
+               .parquet(root))
+        assert "z" not in jvm.columns  # oracle sanity
+        want = sorted(map(str, jvm.collect()))
+        spark.conf.set("spark.sidecar.mergeSchema.jobThreshold", "4")
+        try:
+            eng = Engine(spark, conf=_conf(cache_dir))
+            try:
+                got = eng.read_parquet(root, mergeSchema="true",
+                                       pathGlobFilter="keep*")
+                assert got.schema.simpleString() == \
+                    jvm.schema.simpleString()
+                assert sorted(map(str, got.collect())) == want
+            finally:
+                eng.close()
+        finally:
+            spark.conf.unset("spark.sidecar.mergeSchema.jobThreshold")
