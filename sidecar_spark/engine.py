@@ -708,9 +708,13 @@ class Engine:
 
     #: value-level reader options safe to forward to from_csv /
     #: from_json (the SAME options classes the file sources build, so
-    #: semantics are identical by construction). Everything outside
-    #: these sets — and any record-level option (header, multiLine,
-    #: lineSep, encoding, comment) — routes the read raw.
+    #: semantics are identical by construction). csv `header` and
+    #: `comment` are RECORD-level options served by the cached text
+    #: source's framing (round 9, probed). Everything outside these
+    #: sets — and the remaining record-level options (multiLine,
+    #: encoding, non-PERMISSIVE modes) — routes the read raw.
+    #: csv/json `lineSep` is served by the text source's custom
+    #: separator framing (round 9, probed).
     _CSV_VALUE_OPTS = {
         "sep", "delimiter", "quote", "escape", "nullvalue",
         "nanvalue", "positiveinf", "negativeinf", "dateformat",
@@ -740,14 +744,60 @@ class Engine:
         escaped quotes, embedded separators, fewer/more tokens,
         type-cast failures, _corrupt_record (option AND session
         conf), blank/whitespace-only line skip (Java trim: chars
-        <= 0x20), UTF-8 BOM strip, dates/timestamps."""
+        <= 0x20), UTF-8 BOM strip, dates/timestamps. Round 9 adds the
+        csv RECORD-level options `header` (skip the first non-blank
+        non-comment line of each file — first PHYSICAL line even when
+        it opens a quote; per-file under splits; after the BOM strip
+        and any codec decompression; a header-only file yields no
+        rows) and `comment` (drop raw-startswith lines; one char max
+        — longer goes raw for the JVM's own error; empty = disabled).
+        enforceSchema=false under header=true VALIDATES names against
+        the schema — unprobed case/dedup rules, routes raw. `lineSep`
+        (csv AND json) replaces the default framing entirely — \\n
+        inside a record stays in the value, blank-record skip follows
+        the custom framing, multi-char separators work (all probed)
+        (tests/test_csv_header_comment.py)."""
         import pyspark.sql.functions as F
 
         allowed = (self._CSV_VALUE_OPTS if fmt == "csv"
                    else self._JSON_VALUE_OPTS)
         fwd = {}
+        header = False
+        comment = ""
+        linesep = None
+        enforce = True
         for k, v in (options or {}).items():
             kl = k.lower()
+            if kl == "linesep":
+                # RECORD framing for csv AND json (round 9, probed):
+                # the custom separator replaces \n/\r\n/\r entirely
+                # (a \n inside a record stays in the value), the
+                # blank-record skip applies to the custom framing,
+                # multi-char separators work, and a quoted separator
+                # char still splits — all exactly the text source's
+                # custom-lineSep behavior. Empty goes raw for the
+                # JVM's own error.
+                if not str(v):
+                    return None
+                linesep = str(v)
+                continue
+            # RECORD-level csv options implemented by the cached text
+            # source's framing (round 9, every cell probed):
+            # header=true drops the first non-blank non-comment line
+            # of each file; comment drops raw-startswith lines. They
+            # are framing, not value parsing — never forwarded to
+            # from_csv.
+            if fmt == "csv" and kl == "header":
+                header = str(v).lower() == "true"
+                continue
+            if fmt == "csv" and kl == "comment":
+                comment = str(v)
+                if len(comment) > 1:
+                    return None  # JVM raises its own one-char error
+                continue
+            if fmt == "csv" and kl == "enforceschema":
+                enforce = str(v).lower() != "false"
+                continue
             if kl not in allowed:
                 return None
             if kl == "mode" and str(v).upper() != "PERMISSIVE":
@@ -755,6 +805,10 @@ class Engine:
                 # FAILFAST's error text differs. Raw keeps parity.
                 return None
             fwd[k] = str(v)
+        if header and not enforce:
+            # enforceSchema=false VALIDATES header names against the
+            # schema (case/dedup rules unprobed) — refuse to guess
+            return None
         try:
             if isinstance(schema, str):
                 from pyspark.sql.types import _parse_datatype_string
@@ -765,9 +819,16 @@ class Engine:
             fields = list(user.fields)
         except Exception:  # noqa: BLE001 — let the JVM error on it
             return None
+        framing = dict(listing or {})
+        if header:
+            framing["skip_header"] = "true"
+        if comment:
+            framing["comment"] = comment
+        if linesep is not None:
+            framing["linesep"] = linesep
         text = self._read_executor_resolved(
             location, split_bytes=split_bytes, fmt="text",
-            raw_opts=dict(listing or {}))
+            raw_opts=framing)
         part_cols = [c for c in text.columns if c != "value"]
         corrupt = next((v for k, v in fwd.items()
                         if k.lower() == "columnnameofcorruptrecord"),
@@ -785,6 +846,12 @@ class Engine:
         # blank-line skip: the sources drop lines whose Java trim
         # (chars <= U+0020) is empty — probed for csv AND json
         kept = text.where(F.col("value").rlike("[^\\x00-\\x20]"))
+        if comment:
+            # comment lines drop on a RAW startswith (probed: leading
+            # whitespace disqualifies, a quoted first field keeps its
+            # opening quote as char 0, mid-line chars never match)
+            kept = kept.where(
+                ~F.col("value").startswith(F.lit(comment)))
         parser = F.from_csv if fmt == "csv" else F.from_json
         sch = user if fmt == "json" else ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}"

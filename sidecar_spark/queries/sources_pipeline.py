@@ -992,6 +992,54 @@ def executor_json_schema_read_agg(spark, sf_dir):
 
 
 @query(
+    "cached_csv_header_read_agg",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def cached_csv_header_read_agg(spark, sf_dir):
+    """csv with ``header=true`` over GZIPPED files through the CACHED
+    executor path — both round-9 additions in one read (verdict r8
+    #4 + ADVICE r8 #1): the cached text source decompresses by codec
+    extension and drops each file's first non-blank non-comment line
+    (probed framing rules, tests/test_csv_header_comment.py +
+    test_codec_text.py); the JVM's own ``from_csv`` parses the
+    values. The fixture is Spark's OWN gzip csv WITH header, so both
+    the codec bytes and the header convention are the JVM's."""
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    try:
+        mt = os.stat(os.path.join(sf_dir, "orders.parquet")).st_mtime_ns
+    except OSError:
+        mt = 0
+    loc = os.path.join(_ROOT, _tag(sf_dir), f"orders_csvhgz_{mt}")
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        import glob as _glob
+        import shutil as _shutil
+        for old in _glob.glob(os.path.join(
+                _ROOT, _tag(sf_dir), "orders_csvhgz_*")):
+            if old != loc:
+                _shutil.rmtree(old, ignore_errors=True)
+        (src.write.mode("overwrite").format("csv")
+         .option("header", "true").option("compression", "gzip")
+         .save(loc))
+    eng = _exec_engine(spark)
+    od = eng.read_format(
+        loc, "csv", header="true",
+        schema="o_orderkey bigint, o_orderpriority string, "
+               "o_totalprice double")
+    return od.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).cast("double")
+        .alias("sum_price"),
+    )
+
+
+@query(
     "executor_binaryfile_png_decode",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_imgs,

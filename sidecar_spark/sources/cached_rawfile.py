@@ -403,6 +403,15 @@ class CachedTextReader(CachedParquetReader):
                           .lower() == "true")
         sep = options.get("linesep")
         self.linesep = sep.encode("utf-8") if sep else None
+        #: csv header-skip framing (round 9, probed): in the split
+        #: owning byte 0 of each file, drop the first line that is
+        #: neither blank (Java trim: all bytes <= 0x20) nor a comment
+        #: (raw startswith — whitespace before the char disqualifies).
+        #: Set by the Engine's composed csv path, never by plain text.
+        self.skip_header = (str(options.get("skip_header") or "false")
+                            .lower() == "true")
+        cmt = options.get("comment") or ""
+        self.comment = cmt.encode("utf-8") if cmt else None
         if self.wholetext or self.linesep is not None:
             # wholetext: one row per file by definition. Custom
             # lineSep: self-overlapping separators make local split
@@ -426,6 +435,19 @@ class CachedTextReader(CachedParquetReader):
         # split bz2 (a splittable codec); serving it single-task
         # changes parallelism, never the row multiset.
         return codec_of(st.path) is None
+
+    def _drop_header(self, lines):
+        """Drop the first header-qualifying line (probed JVM rule:
+        first line whose Java trim is non-empty and that does not
+        START with the comment char — a header spanning a quoted
+        newline is still only its first PHYSICAL line, probed)."""
+        dropped = False
+        for ln in lines:
+            if not dropped and any(b > 0x20 for b in ln) and not (
+                    self.comment and ln.startswith(self.comment)):
+                dropped = True
+                continue
+            yield ln
 
     def _file_pass(self, fobj, part, columns, stat_filters):
         include_value = columns is None or any(
@@ -460,9 +482,11 @@ class CachedTextReader(CachedParquetReader):
                     return pending.pop()
                 return next(chunks, b"")
 
-            yield from _value_batches(
-                _line_spans(read_chunk, 0, float("inf"), self.linesep,
-                            discard=False), include_value)
+            spans = _line_spans(read_chunk, 0, float("inf"),
+                                self.linesep, discard=False)
+            if self.skip_header:  # codec files always own byte 0
+                spans = self._drop_header(spans)
+            yield from _value_batches(spans, include_value)
             return
         start = part.start
         if start == 0:
@@ -477,9 +501,15 @@ class CachedTextReader(CachedParquetReader):
         def read_chunk():
             return fobj.read(_CHUNK)
 
-        yield from _value_batches(
-            _line_spans(read_chunk, start, part.end, self.linesep,
-                        discard=part.start != 0), include_value)
+        spans = _line_spans(read_chunk, start, part.end, self.linesep,
+                            discard=part.start != 0)
+        if self.skip_header and part.start == 0:
+            # only the split owning byte 0 skips — probed: a 43-split
+            # csv drops exactly one header line; a byte-0 split that
+            # holds only blank/comment lines drops nothing (the JVM's
+            # per-split header checker sees the same empty iterator)
+            spans = self._drop_header(spans)
+        yield from _value_batches(spans, include_value)
 
 
 class PruningCachedTextReader(PruningCachedParquetReader,
