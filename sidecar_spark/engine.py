@@ -337,15 +337,21 @@ class Engine:
                     return composed
                 return _select(_raw())
             user_schema = None
-            if schema is not None and fmt == "parquet" and not rest:
-                # explicit USER schema (parquet): implemented by the
-                # Python source — no footer inference, per-file
-                # conformance through the JVM's own conversion
-                # matrix (_cast_gate), partition columns relocated/
-                # typed like the JVM (probed). mergeSchema is
-                # irrelevant under a user schema (the JVM skips
-                # merging too). ORC user schemas stay on the raw
-                # fallback (unprobed surface — refuse to guess).
+            if schema is not None and fmt in ("parquet",
+                                              "orc") and not rest:
+                # explicit USER schema: implemented by the Python
+                # sources — no footer inference, per-file conformance
+                # through the format's own probed conversion matrix
+                # (parquet _cast_gate; ORC _orc_cast_gate, round 9),
+                # partition columns relocated/typed like the JVM
+                # (probed). mergeSchema is irrelevant under a user
+                # schema (the JVM skips merging too). For ORC a
+                # FOOTER GATE checks the first file's conversions
+                # up front: cells outside the probed matrix
+                # (temporal cross-kinds, string→numeric parses,
+                # Java-rendered float→string, ...) route the whole
+                # read to the raw JVM scan, which applies its own
+                # semantics.
                 try:
                     if isinstance(schema, str):
                         from pyspark.sql.types import (
@@ -357,6 +363,9 @@ class Engine:
                         user_schema = schema
                 except Exception:  # noqa: BLE001 — unparseable DDL:
                     return _select(_raw())  # let the JVM error on it
+                if fmt == "orc" and not self._orc_user_schema_ok(
+                        location, user_schema, listing):
+                    return _select(_raw())
             if fmt in ("parquet", "orc") and not rest and (
                     schema is None or user_schema is not None):
                 if merge is None:
@@ -866,6 +875,75 @@ class Engine:
         if columns:
             out = out.select(*columns)
         return out
+
+    def _orc_user_schema_ok(self, location: str, user_schema,
+                            listing=None) -> bool:
+        """Footer gate for ORC reads with an explicit user schema
+        (round 9): every user field that exists in the FIRST data
+        file must convert through the probed ORC matrix
+        (``cached_orc._orc_cast_gate``); complex types must match
+        exactly. Fields absent from the footer null-fill or come from
+        partition directories — both fine. One metadata-only footer
+        read (mirror-first), the same read the source's own schema()
+        pays. Any trouble → False (raw JVM scan, correct always).
+        Later files with drifted types conform per-file at scan
+        through the same gate — an out-of-matrix cell there fails
+        LOUDLY instead of serving silently-wrong values
+        (PARITY.md)."""
+        try:
+            import pyarrow.orc as po
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            from sidecar_spark.sources.cached_orc import (
+                _orc_arrow_target,
+                _orc_cast_gate,
+            )
+            from sidecar_spark.sources.cached_parquet import (
+                _listing_args,
+                listing_filter,
+            )
+
+            files = self.cache.list_files(location)
+            if listing:
+                files = listing_filter(files,
+                                       *_listing_args(listing))
+            files = sorted(files, key=lambda s: s.path)
+            if not files:
+                return False  # JVM raises its own empty-listing error
+            st = files[0]
+            fs, path = self.cache._resolve(st.path)  # noqa: SLF001
+            local = (self.cache.mirror.lookup(path, st.mtime)
+                     if self.cache.mirror is not None else None)
+            if local is not None:
+                fschema = po.ORCFile(local).schema
+            else:
+                with fs.open_read(path) as f:
+                    fschema = po.ORCFile(f).schema
+            target = _orc_arrow_target(fschema)
+            try:
+                cs = (self.spark.conf.get("spark.sql.caseSensitive",
+                                          "false").lower() == "true")
+            except Exception:  # noqa: BLE001
+                cs = False
+            by_key = {(f.name if cs else f.name.lower()): f
+                      for f in target}
+            import pyarrow as pa
+
+            for uf in user_schema.fields:
+                tf = by_key.get(uf.name if cs else uf.name.lower())
+                if tf is None:
+                    continue  # null-fill or partition column
+                dst = to_arrow_type(uf.dataType)
+                if tf.type.equals(dst):
+                    continue
+                if (pa.types.is_nested(tf.type)
+                        or pa.types.is_nested(dst)):
+                    return False  # complex drift: exact match only
+                if _orc_cast_gate(tf.type, dst) is None:
+                    return False
+            return True
+        except Exception:  # noqa: BLE001 — footer/parse trouble:
+            return False   # the raw JVM scan handles it
 
     def _maybe_merged_schema_job(self, location: str, ntz: bool,
                                  nanos_long: bool,

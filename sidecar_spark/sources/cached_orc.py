@@ -175,6 +175,185 @@ def _orc_pass(fobj, part, columns, case_sensitive, path,
             yield chunk
 
 
+def _null_on_overflow(col, dst, lo, hi):
+    """Cast with ORC's null-on-overflow rule (probed: narrowing an
+    out-of-range int, an overflowing double→long, NaN/Inf→int, an
+    int→too-small-decimal all read NULL, never truncate/wrap)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ok = pc.fill_null(pc.and_kleene(pc.greater_equal(col, lo),
+                                    pc.less_equal(col, hi)), False)
+    # clamp-then-cast-then-mask: the clamp keeps every value inside
+    # the target's range so the unsafe cast cannot wrap OR trip
+    # Arrow's precision check (int32 → decimal(5,0)), and the mask
+    # then nulls the out-of-range slots like the JVM
+    clamped = pc.if_else(ok, col, pa.scalar(0, type=col.type))
+    if pa.types.is_decimal(dst) and dst.precision < 38:
+        # Arrow's int→decimal cast statically demands precision ≥ the
+        # int's max digits even when every value fits — go through a
+        # wide intermediate (values are already clamped in range)
+        clamped = clamped.cast(pa.decimal128(38, dst.scale),
+                               safe=False)
+    casted = clamped.cast(dst, safe=False)
+    return pc.if_else(ok, casted, pa.nulls(len(col), type=dst))
+
+
+def _orc_cast_gate(src, dst):
+    """The JVM ORC reader's type-conversion matrix (SchemaEvolution /
+    ConvertTreeReaderFactory), probed live round 9
+    (tests/test_orc_user_schema.py):
+
+    - signed int widening: exact; NARROWING reads NULL on overflow
+      (probed: 300 as tinyint → NULL — unlike parquet's mod-2^k);
+    - int → float/double: IEEE-nearest; float → double exact;
+      double → float overflows to ±Inf (probed 4e38);
+    - float/double → int kinds: TRUNCATE toward zero (probed 2.5→2,
+      -2.5→-2, 1.9→1), NaN/±Inf/out-of-range → NULL;
+    - int → decimal: exact, NULL on overflow; decimal → decimal only
+      when widening losslessly (scale' ≥ scale AND intdigits' ≥
+      intdigits — scale REDUCTION rounds HALF_UP in the JVM, refused
+      here); decimal → int truncates toward zero, NULL on overflow;
+      decimal → double lossy-casts;
+    - boolean ↔ int (0/false, nonzero/true — probed both directions);
+      boolean → string renders 'TRUE'/'FALSE' (probed, uppercase);
+    - int → string and date → string render identically to Arrow's
+      own formatting (probed); float/double/decimal → string follow
+      Java's shortest-repr rendering — REFUSED (Arrow renders 1e20
+      differently);
+    - string → binary reinterprets; binary → string renders a
+      SPACE-SEPARATED HEX dump (probed: b'bin' → '62 69 6e');
+    - every temporal cross-kind (ts↔ntz reads garbage in the JVM,
+      date→ntz errors, long→ts treats seconds, ...), string→numeric
+      parsing and double→decimal (Java shortest-repr rounding) are
+      REFUSED — the Engine's footer gate routes those reads to the
+      raw JVM scan, so the JVM applies its own semantics.
+
+    Returns True/False (pa.cast safe flag), a callable(col)→array,
+    or None to refuse."""
+    import pyarrow as pa
+
+    if src.equals(dst):
+        return True
+    ints = {pa.types.is_int8: (-2**7, 2**7 - 1, 8),
+            pa.types.is_int16: (-2**15, 2**15 - 1, 16),
+            pa.types.is_int32: (-2**31, 2**31 - 1, 32),
+            pa.types.is_int64: (-2**63, 2**63 - 1, 64)}
+
+    def int_bounds(t):
+        for pred, (lo, hi, w) in ints.items():
+            if pred(t):
+                return lo, hi, w
+        return None
+
+    sb, db = int_bounds(src), int_bounds(dst)
+    if sb and db:
+        if db[2] >= sb[2]:
+            return True  # widening: exact
+        lo, hi, _ = db
+        return lambda col: _null_on_overflow(col, dst, lo, hi)
+    if sb:
+        if pa.types.is_floating(dst):
+            return False  # (float)/(double) v — IEEE nearest
+        if pa.types.is_decimal(dst):
+            def to_dec(col):
+                import pyarrow.compute as pc
+                digits = dst.precision - dst.scale
+                if digits >= 19:
+                    return col.cast(dst, safe=False)
+                lim = 10 ** digits
+                return _null_on_overflow(col, dst, -lim + 1, lim - 1)
+            return to_dec
+        if pa.types.is_boolean(dst):
+            def to_bool(col):
+                import pyarrow.compute as pc
+                return pc.if_else(
+                    col.is_null(), pa.nulls(len(col), pa.bool_()),
+                    pc.not_equal(col, 0))
+            return to_bool
+        if pa.types.is_string(dst):
+            return False  # digit rendering identical
+        return None
+    if pa.types.is_float32(src) or pa.types.is_float64(src):
+        if pa.types.is_float64(dst):
+            return False
+        if pa.types.is_float32(dst):
+            return False  # overflow → ±Inf, like Java's (float)d
+        if (b := int_bounds(dst)) is not None:
+            def f_to_i(col):
+                import pyarrow.compute as pc
+                tr = pc.trunc(col)  # toward zero (probed 2.5/-2.5)
+                lo, hi, _ = b
+                ok = pc.and_kleene(
+                    pc.and_kleene(pc.greater_equal(tr, lo * 1.0),
+                                  pc.less_equal(tr, hi * 1.0)),
+                    pc.is_finite(col))
+                masked = pc.if_else(pc.fill_null(ok, False), tr,
+                                    pa.nulls(len(col), type=col.type))
+                return masked.cast(dst, safe=False)
+            return f_to_i
+        return None
+    if pa.types.is_decimal(src):
+        if (pa.types.is_decimal(dst) and dst.scale >= src.scale
+                and (dst.precision - dst.scale
+                     >= src.precision - src.scale)):
+            return True  # lossless widen; scale-down (HALF_UP) refused
+        if int_bounds(dst) is not None:
+            def dec_to_i(col):
+                import pyarrow.compute as pc
+                # decimal → int truncates toward zero, NULL on
+                # overflow (probed: -0.05 → 0, 1e8 as tinyint → NULL)
+                big = col.cast(pa.decimal256(76, src.scale),
+                               safe=False)
+                tr = big.cast(pa.decimal256(76, 0), safe=False)
+                lo, hi, _ = int_bounds(dst)
+                ok = pc.and_kleene(
+                    pc.greater_equal(tr.cast(pa.float64(), safe=False),
+                                     lo * 1.0),
+                    pc.less_equal(tr.cast(pa.float64(), safe=False),
+                                  hi * 1.0))
+                masked = pc.if_else(pc.fill_null(ok, False), tr,
+                                    pa.nulls(len(col), type=tr.type))
+                return masked.cast(dst, safe=False)
+            return dec_to_i
+        if pa.types.is_float64(dst) or pa.types.is_float32(dst):
+            return False
+        return None
+    if pa.types.is_boolean(src):
+        if int_bounds(dst) is not None:
+            return False  # false→0 / true→1
+        if pa.types.is_string(dst):
+            def b_to_s(col):
+                import pyarrow.compute as pc
+                return pc.if_else(
+                    col.is_null(), pa.nulls(len(col), pa.string()),
+                    pc.if_else(col, pa.scalar("TRUE"),
+                               pa.scalar("FALSE")))
+            return b_to_s
+        return None
+    if pa.types.is_string(src) or pa.types.is_large_string(src):
+        if pa.types.is_string(dst) or pa.types.is_binary(dst):
+            return True
+        return None
+    if pa.types.is_binary(src) or pa.types.is_large_binary(src):
+        if pa.types.is_binary(dst):
+            return True
+        if pa.types.is_string(dst):
+            def hex_dump(col):
+                # probed: ORC renders binary→string as space-joined
+                # ZERO-PADDED hex bytes (b'\x0a\xff\x00' → '0a ff 00')
+                import pyarrow as pa
+                vals = [None if v is None
+                        else " ".join(f"{b:02x}" for b in v)
+                        for v in col.to_pylist()]
+                return pa.array(vals, type=pa.string())
+            return hex_dump
+        return None
+    if pa.types.is_date32(src) and pa.types.is_string(dst):
+        return False  # ISO yyyy-MM-dd, identical rendering (probed)
+    return None
+
+
 class CachedOrcReader(CachedParquetReader):
     def __init__(self, options, schema=None, files=None):
         super().__init__(options, schema, files=files)
@@ -240,6 +419,11 @@ class CachedOrcReader(CachedParquetReader):
     def _file_pass(self, fobj, part, columns, stat_filters):
         return _orc_pass(fobj, part, columns, self.case_sensitive,
                          part.path, stat_filters)
+
+    def _gate(self):
+        # ORC's conversion matrix, not parquet's (probed: null-on-
+        # overflow narrowing vs parquet's mod-2^k truncation, ...)
+        return _orc_cast_gate
 
 
 class PruningCachedOrcReader(PruningCachedParquetReader,

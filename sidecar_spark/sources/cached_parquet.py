@@ -1278,7 +1278,7 @@ def _session_zone(tz: str):
 
 
 def _finalize_batches(batches, schema, parts, tz="UTC",
-                      case_sensitive=False):
+                      case_sensitive=False, gate=None):
     """Conform every Arrow batch to the DECLARED schema, in declared
     order — the executor-side equivalent of how the JVM scan reads a
     whole table through ONE footer's schema:
@@ -1334,7 +1334,8 @@ def _finalize_batches(batches, schema, parts, tz="UTC",
                     batch.num_rows))
             elif idx is not None:
                 arrays.append(_conform_array(batch.column(idx), at,
-                                             case_sensitive))
+                                             case_sensitive,
+                                             gate=gate))
             else:
                 arrays.append(pa.nulls(batch.num_rows, type=at))
         yield pa.RecordBatch.from_arrays(
@@ -1410,16 +1411,22 @@ def _cast_gate(src, dst):
     return None
 
 
-def _conform_array(col, at, case_sensitive=False):
+def _conform_array(col, at, case_sensitive=False, gate=None):
     """Conform one Arrow array to the declared type. Containers
     rebuild structurally — structs get missing children null-filled
     (matched by the session's case rule), lists/maps recurse into
     their values, validity bitmaps preserved at every level. Scalar
-    drift goes through ``_cast_gate`` so only conversions the JVM
-    scan itself performs are served; everything else fails LOUDLY
-    instead of silently casting values the JVM would refuse."""
+    drift goes through the format's cast ``gate`` (parquet's
+    ``_cast_gate`` by default; the ORC reader passes its own probed
+    matrix) so only conversions the JVM scan itself performs are
+    served; everything else fails LOUDLY instead of silently casting
+    values the JVM would refuse. A gate may return a CALLABLE for
+    conversions pa.cast cannot express (ORC's null-on-overflow
+    narrowing, hex-dump binary→string, ...)."""
     import pyarrow as pa
 
+    if gate is None:
+        gate = _cast_gate
     if col.type.equals(at):
         return col
     if pa.types.is_struct(at) and pa.types.is_struct(col.type):
@@ -1436,7 +1443,8 @@ def _conform_array(col, at, case_sensitive=False):
                 children.append(pa.nulls(len(col), type=f.type))
             else:
                 children.append(_conform_array(col.field(i), f.type,
-                                               case_sensitive))
+                                               case_sensitive,
+                                               gate=gate))
         return pa.StructArray.from_arrays(
             children, fields=list(at), mask=col.is_null())
     if ((pa.types.is_list(at) or pa.types.is_large_list(at))
@@ -1445,7 +1453,7 @@ def _conform_array(col, at, case_sensitive=False):
         import pyarrow.compute as pc
 
         flat = _conform_array(col.flatten(), at.value_type,
-                              case_sensitive)
+                              case_sensitive, gate=gate)
         # offsets may carry nulls at null slots and start past zero
         # (sliced batch): fill, then rebase to flatten()'s origin
         off = col.offsets
@@ -1474,7 +1482,7 @@ def _conform_array(col, at, case_sensitive=False):
                 pa.field("value", mt.item_type)]))
 
         lv = _conform_array(col.cast(entries(col.type)), entries(at),
-                            case_sensitive)
+                            case_sensitive, gate=gate)
         vals = lv.values
         if vals.null_count == 0 and vals.buffers()[0] is not None:
             # the struct rebuild attaches an all-valid validity
@@ -1486,13 +1494,15 @@ def _conform_array(col, at, case_sensitive=False):
         return pa.Array.from_buffers(
             at, len(lv), lv.buffers()[:2], null_count=lv.null_count,
             children=[vals])
-    safe = _cast_gate(col.type, at)
+    safe = gate(col.type, at)
     if safe is None:
         raise ValueError(
-            f"cannot read parquet column of type {col.type} as "
+            f"cannot read a file column of type {col.type} as "
             f"declared type {at}: the JVM scan refuses this "
             "conversion (unsupported vectorized updater) — matching "
             "refusal instead of silently casting values")
+    if callable(safe):
+        return safe(col)
     return col.cast(at, safe=safe)
 
 
@@ -1764,8 +1774,16 @@ class CachedParquetReader(DataSourceReader):
         if self.schema is not None:
             batches = _finalize_batches(batches, self.schema,
                                         part.parts, tz=self.tz,
-                                        case_sensitive=self.case_sensitive)
+                                        case_sensitive=self.case_sensitive,
+                                        gate=self._gate())
         yield from batches
+
+    def _gate(self):
+        """The format's scalar cast-conversion matrix for conforming
+        file types to the declared schema (None = parquet's
+        ``_cast_gate``); the ORC reader overrides with its own probed
+        matrix (``cached_orc._orc_cast_gate``)."""
+        return None
 
 
 class PruningCachedParquetReader(CachedParquetReader):
