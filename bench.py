@@ -131,6 +131,23 @@ def main() -> None:
     # local-iteration filter (driver never sets this): run a subset
     only = {s for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if s}
     items = [(n, f) for n, f in QUERIES.items() if not only or n in only]
+    # FIXTURE PRE-BUILD (untimed, reported separately): format
+    # round-trip / raw-file queries materialize marker-guarded /tmp
+    # fixtures (csv/json/ORC exports, PNG trees, bucketed tables) on
+    # first touch — CONSTRUCTING those queries builds them eagerly, so
+    # one pass here keeps one-time fixture builds out of both the
+    # per-query times and the conflated wall (round-9 verdict #3)
+    t_fix = time.time()
+    for name, fn in items:
+        mod = getattr(fn, "__module__", "") or ""
+        if not (mod.endswith("sources_pipeline")
+                or name == "bucketed_colocated_join"):
+            continue
+        try:
+            fn(spark, SF_DIR)
+        except Exception:  # noqa: BLE001 — a broken fixture build
+            pass           # surfaces in the timed run's error field
+    fixture_sec = round(time.time() - t_fix, 3)
     per_query = {}
     errors = {}
     t_all = time.time()
@@ -293,6 +310,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(per_query),
         "wall_sec_incl_warmup": wall,
+        "fixture_prebuild_sec": fixture_sec,
         "cache_demo": cache_demo,
         **({"errors": errors} if errors else {}),
     }))
