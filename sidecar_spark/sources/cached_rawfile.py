@@ -593,10 +593,16 @@ class CachedBinaryFileReader(CachedParquetReader):
     def read(self, part):
         from sidecar_spark.cache.manager import CacheManager
         from sidecar_spark.sources.cached_parquet import (
+            _PackedPart,
             _apply_endpoint,
             _finalize_batches,
         )
 
+        if isinstance(part, _PackedPart):
+            # one task, several whole small files (bin-packing)
+            for sub in part.subs:
+                yield from self.read(sub)
+            return
         _apply_endpoint(self.endpoint)
         mgr = CacheManager.get_or_create(self._conf())
         if part.first and part.veto:
@@ -706,10 +712,16 @@ class _RawSchemaMixin:
             import json
 
             requested = json.loads(cols_opt)
-            by_lower = {f.name.lower(): f for f in base.fields}
+            # projection resolution follows the session's case rule
+            # (shipped as an option), like the JVM's own select: under
+            # caseSensitive=true a wrong-case name is an error
+            cs = (str(self.options.get("case_sensitive",
+                                       "false")).lower() == "true")
+            by_key = {(f.name if cs else f.name.lower()): f
+                      for f in base.fields}
             picked = []
             for c in requested:
-                f = by_lower.get(str(c).lower())
+                f = by_key.get(str(c) if cs else str(c).lower())
                 if f is None:
                     raise ValueError(
                         f"column {c!r} not found in {path!r}; "

@@ -131,13 +131,24 @@ class TestCachedCsvUserSchema:
         ddl = "i int, s string"
         eng = _engine(spark, cache_dir)
         try:
-            for opts in ({"header": "true"}, {"multiLine": "true"},
-                         {"comment": "#"},
-                         {"mode": "DROPMALFORMED"}):
+            # round 9 moved header/comment/lineSep into the composed
+            # path (tests/test_csv_header_comment.py) — the remaining
+            # record-level options still route raw
+            for opts in ({"multiLine": "true"},
+                         {"mode": "DROPMALFORMED"},
+                         {"encoding": "UTF-16"}):
                 got = eng.read_format(root, "csv", schema=ddl,
                                       **opts)
                 plan = got._jdf.queryExecution().toString()
                 assert "sidecar_cached_text" not in plan, opts
+                jvm = (spark.read.schema(ddl).options(**opts)
+                       .csv(root))
+                _parity(jvm, got)
+            for opts in ({"header": "true"}, {"comment": "#"}):
+                got = eng.read_format(root, "csv", schema=ddl,
+                                      **opts)
+                plan = got._jdf.queryExecution().toString()
+                assert "sidecar_cached_text" in plan, opts
                 jvm = (spark.read.schema(ddl).options(**opts)
                        .csv(root))
                 _parity(jvm, got)
