@@ -238,12 +238,19 @@ class TestReviewFindingsRound5b:
         from sidecar_spark import Engine
 
         eng = Engine(spark, conf=_conf(cache_dir, "executor"))
+        # partition count stopped being a pruning proxy once whole
+        # small files bin-pack (round 9): a pruned listing shrinks
+        # bytesPerCore, which shrinks the pack target — the JVM's own
+        # formula behaves identically. Pin openCostInBytes above the
+        # pack target so one task = one file for this assertion.
+        spark.conf.set("spark.sql.files.openCostInBytes", "134217728")
         try:
             n_all = eng.read_parquet(ptable).rdd.getNumPartitions()
             pruned = eng.read_parquet(ptable).where("part IN (1)")
             assert pruned.rdd.getNumPartitions() < n_all
             assert pruned.count() == 30
         finally:
+            spark.conf.unset("spark.sql.files.openCostInBytes")
             eng.close()
             CacheManager.clear_instances()
 
