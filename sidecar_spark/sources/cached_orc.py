@@ -210,10 +210,11 @@ def _orc_cast_gate(src, dst):
       double → float overflows to ±Inf (probed 4e38);
     - float/double → int kinds: TRUNCATE toward zero (probed 2.5→2,
       -2.5→-2, 1.9→1), NaN/±Inf/out-of-range → NULL;
-    - int → decimal: exact, NULL on overflow; decimal → decimal only
-      when widening losslessly (scale' ≥ scale AND intdigits' ≥
-      intdigits — scale REDUCTION rounds HALF_UP in the JVM, refused
-      here); decimal → int truncates toward zero, NULL on overflow;
+    - int → decimal: exact, NULL on overflow; decimal → decimal
+      widens losslessly, and scale REDUCTION rounds HALF_UP — half
+      away from zero — with NULL on overflow (probed: -0.05 → -0.1,
+      99999999.99 → (10,1) carries to 100000000.0, → (5,2) NULL);
+      decimal → int truncates toward zero, NULL on overflow;
       decimal → double lossy-casts;
     - boolean ↔ int (0/false, nonzero/true — probed both directions);
       boolean → string renders 'TRUE'/'FALSE' (probed, uppercase);
@@ -297,7 +298,37 @@ def _orc_cast_gate(src, dst):
         if (pa.types.is_decimal(dst) and dst.scale >= src.scale
                 and (dst.precision - dst.scale
                      >= src.precision - src.scale)):
-            return True  # lossless widen; scale-down (HALF_UP) refused
+            return True  # lossless widen
+        if pa.types.is_decimal(dst):
+            def dec_rescale(col):
+                # scale reduction rounds HALF_UP — half away from
+                # zero — and overflow reads NULL (probed: -0.05 →
+                # -0.1; 99999999.99 → (10,1) carries to 100000000.0;
+                # → (5,2) NULL). Round in a WIDE intermediate:
+                # pc.round at the source precision silently wraps a
+                # carry past it (measured), and the bounds compare is
+                # decimal-typed so no float rounding near the edge.
+                import decimal as _dec
+
+                import pyarrow.compute as pc
+                wide = pa.decimal128(38, dst.scale)
+                r = pc.round(col.cast(pa.decimal128(38, src.scale),
+                                      safe=False),
+                             ndigits=dst.scale,
+                             round_mode="half_towards_infinity")
+                r = r.cast(wide, safe=False)
+                lim = _dec.Decimal(
+                    10 ** (dst.precision - dst.scale))
+                ok = pc.and_kleene(
+                    pc.greater(r, pa.scalar(-lim, type=wide)),
+                    pc.less(r, pa.scalar(lim, type=wide)))
+                ok = pc.fill_null(ok, False)
+                clamped = pc.if_else(ok, r,
+                                     pa.scalar(0, type=wide))
+                return pc.if_else(
+                    ok, clamped.cast(dst, safe=False),
+                    pa.nulls(len(col), type=dst))
+            return dec_rescale
         if int_bounds(dst) is not None:
             def dec_to_i(col):
                 import pyarrow.compute as pc

@@ -14,7 +14,7 @@ asserted against the JVM's own scan of the same files:
 * float/double → int TRUNCATES toward zero, NaN/Inf/overflow → NULL;
 * int → decimal (NULL on overflow), decimal widening exact, decimal
   → int truncates toward zero, decimal → double; scale REDUCTION
-  (JVM rounds HALF_UP) is refused → raw;
+  rounds HALF_UP (half away from zero) with NULL on overflow;
 * boolean ↔ int, boolean → 'TRUE'/'FALSE';
 * int/date → string (identical rendering); float/double/decimal →
   string (Java shortest-repr) refused → raw;
@@ -114,6 +114,10 @@ class TestNumericCells:
         eng = _engine(spark, cache_dir)
         _parity(spark, eng, orc_table, "c_i decimal(12,2)")
         _parity(spark, eng, orc_table, "c_dec decimal(18,4)")
+        # scale REDUCTION rounds HALF_UP, carry included; a too-small
+        # precision reads NULL (probed) — served cached
+        _parity(spark, eng, orc_table, "c_dec decimal(9,1)")
+        _parity(spark, eng, orc_table, "c_dec decimal(4,1)")
         _parity(spark, eng, orc_table, "c_dec int")
         _parity(spark, eng, orc_table, "c_dec double")
         # int -> too-small decimal: NULL on overflow, value when it
@@ -153,7 +157,6 @@ class TestRefusedCellsRouteRaw:
     @pytest.mark.parametrize("sch", [
         "c_d string",          # Java shortest-repr rendering
         "c_s int",             # string parse
-        "c_dec decimal(9,1)",  # scale reduction (HALF_UP)
         "c_date timestamp",    # temporal cross-kind
         "c_bi timestamp",      # long-as-seconds
     ])
@@ -169,8 +172,8 @@ class TestRefusedCellsRouteRaw:
 
         assert _orc_cast_gate(pa.float64(), pa.string()) is None
         assert _orc_cast_gate(pa.string(), pa.int32()) is None
-        assert _orc_cast_gate(pa.decimal128(9, 2),
-                              pa.decimal128(9, 1)) is None
+        assert callable(_orc_cast_gate(pa.decimal128(9, 2),
+                                       pa.decimal128(9, 1)))
         assert _orc_cast_gate(pa.date32(),
                               pa.timestamp("us", tz="UTC")) is None
         assert _orc_cast_gate(
