@@ -40,15 +40,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sidecar_spark.queries import QUERIES
-    from sidecar_spark.queries.driver_coverage import DRIVER_CHECKED
+    from sidecar_spark.queries.driver_coverage import (
+        DRIVER_CHECKED,
+        STALE_RED,
+    )
 
-    # least-verified first: the driver samples a prefix of this dict,
-    # so entries it has never hash-checked lead and already-verified
-    # ones trail — rotating driver coverage across rounds
+    # least-verified first: the driver samples a prefix of this dict.
+    # Names whose LATEST driver row is red (all pass locally;
+    # VERDICT r9 #2) lead so that row flips green, then never-checked
+    # entries, then the verified rest — rotating driver coverage
+    stale = {k: v for k, v in QUERIES.items() if k in STALE_RED}
     unchecked = {k: v for k, v in QUERIES.items()
-                 if k not in DRIVER_CHECKED}
-    checked = {k: v for k, v in QUERIES.items() if k in DRIVER_CHECKED}
-    return {**unchecked, **checked}
+                 if k not in DRIVER_CHECKED and k not in STALE_RED}
+    checked = {k: v for k, v in QUERIES.items()
+               if k in DRIVER_CHECKED and k not in STALE_RED}
+    return {**stale, **unchecked, **checked}
 
 
 def oracle_sql() -> dict[str, str]:

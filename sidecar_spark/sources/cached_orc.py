@@ -284,10 +284,16 @@ def _orc_cast_gate(src, dst):
             def f_to_i(col):
                 import pyarrow.compute as pc
                 tr = pc.trunc(col)  # toward zero (probed 2.5/-2.5)
-                lo, hi, _ = b
+                lo, _hi, w = b
+                # strict upper bound: float64(2^63-1) rounds UP to
+                # 2^63, so `tr <= hi*1.0` would admit exactly 2^63
+                # and the unsafe cast wraps to -2^63 where the JVM
+                # reads NULL (ADVICE r9). 2^(w-1) and lo = -2^(w-1)
+                # are exact in float64, so `>= lo` / `< 2^(w-1)` is
+                # the precise int range
                 ok = pc.and_kleene(
                     pc.and_kleene(pc.greater_equal(tr, lo * 1.0),
-                                  pc.less_equal(tr, hi * 1.0)),
+                                  pc.less(tr, float(2 ** (w - 1)))),
                     pc.is_finite(col))
                 masked = pc.if_else(pc.fill_null(ok, False), tr,
                                     pa.nulls(len(col), type=col.type))
@@ -311,17 +317,24 @@ def _orc_cast_gate(src, dst):
                 import decimal as _dec
 
                 import pyarrow.compute as pc
-                wide = pa.decimal128(38, dst.scale)
-                r = pc.round(col.cast(pa.decimal128(38, src.scale),
+                # decimal256 intermediate: a decimal128(38, s) bound
+                # of 10^(38-s) needs 39 digits and ArrowInvalids at
+                # scan time (ADVICE r9: (38,10)→(38,2) failed), and
+                # a scale INCREASE can carry past 38 digits too
+                wide = pa.decimal256(76, dst.scale)
+                r = pc.round(col.cast(pa.decimal256(76, src.scale),
                                       safe=False),
                              ndigits=dst.scale,
                              round_mode="half_towards_infinity")
                 r = r.cast(wide, safe=False)
-                lim = _dec.Decimal(
-                    10 ** (dst.precision - dst.scale))
+                # inclusive bounds at the destination's max
+                # representable value — the bound itself fits wide
+                step = _dec.Decimal(1).scaleb(-dst.scale)
+                lim = (_dec.Decimal(10)
+                       ** (dst.precision - dst.scale)) - step
                 ok = pc.and_kleene(
-                    pc.greater(r, pa.scalar(-lim, type=wide)),
-                    pc.less(r, pa.scalar(lim, type=wide)))
+                    pc.greater_equal(r, pa.scalar(-lim, type=wide)),
+                    pc.less_equal(r, pa.scalar(lim, type=wide)))
                 ok = pc.fill_null(ok, False)
                 clamped = pc.if_else(ok, r,
                                      pa.scalar(0, type=wide))
@@ -331,6 +344,8 @@ def _orc_cast_gate(src, dst):
             return dec_rescale
         if int_bounds(dst) is not None:
             def dec_to_i(col):
+                import decimal as _dec
+
                 import pyarrow.compute as pc
                 # decimal → int truncates toward zero, NULL on
                 # overflow (probed: -0.05 → 0, 1e8 as tinyint → NULL)
@@ -338,11 +353,16 @@ def _orc_cast_gate(src, dst):
                                safe=False)
                 tr = big.cast(pa.decimal256(76, 0), safe=False)
                 lo, hi, _ = int_bounds(dst)
+                # compare in DECIMAL space: a float64 round-trip
+                # rounds 2^63-1 up to 2^63 (and -2^63-1 to -2^63),
+                # so exact-boundary values passed the check and the
+                # unsafe cast wrapped where the JVM reads NULL
+                # (ADVICE r9, high)
                 ok = pc.and_kleene(
-                    pc.greater_equal(tr.cast(pa.float64(), safe=False),
-                                     lo * 1.0),
-                    pc.less_equal(tr.cast(pa.float64(), safe=False),
-                                  hi * 1.0))
+                    pc.greater_equal(
+                        tr, pa.scalar(_dec.Decimal(lo), type=tr.type)),
+                    pc.less_equal(
+                        tr, pa.scalar(_dec.Decimal(hi), type=tr.type)))
                 masked = pc.if_else(pc.fill_null(ok, False), tr,
                                     pa.nulls(len(col), type=tr.type))
                 return masked.cast(dst, safe=False)
@@ -394,6 +414,13 @@ class CachedOrcReader(CachedParquetReader):
         # read per large file at plan time, the same cost Hadoop's
         # OrcInputFormat pays for its stripe-offset splits)
         self._orc_split, self.split_bytes = self.split_bytes, 0
+
+    def _pack_policy(self):
+        # split_bytes is zeroed above (ORC splits by stripe index),
+        # but bin-packing must still honor the JVM's maxSplitBytes
+        # cap, and a file the stripe splitter will break up must not
+        # hide inside a _PackedPart (ADVICE r9)
+        return self._orc_split, self._orc_split or None
 
     def partitions(self):
         from sidecar_spark.sources.cached_parquet import _PackedPart

@@ -830,16 +830,21 @@ class _PackedPart(InputPartition):
         self.subs = tuple(subs)
 
 
-def _pack_whole_files(parts, split_bytes, open_cost, parallelism):
+def _pack_whole_files(parts, split_bytes, open_cost, parallelism,
+                      no_pack_above=None):
     """Pack whole-file parts into _PackedParts, Spark's rule: cost =
     length + openCost, bin target = min(maxPartitionBytes,
     max(openCost, (total + n*openCost) / parallelism)), greedy over
     files sorted by length descending. Byte-range and stripe-range
-    splits pass through unpacked (they already tile big files)."""
+    splits pass through unpacked (they already tile big files), as
+    do files above ``no_pack_above`` (ORC: files the stripe splitter
+    will break up later must not hide inside a _PackedPart)."""
     whole, rest = [], []
     for p in parts:
         if (p.start == 0 and p.end == p.length
-                and getattr(p, "stripes", None) is None):
+                and getattr(p, "stripes", None) is None
+                and (no_pack_above is None
+                     or p.length <= no_pack_above)):
             whole.append(p)
         else:
             rest.append(p)
@@ -857,12 +862,16 @@ def _pack_whole_files(parts, split_bytes, open_cost, parallelism):
     whole.sort(key=lambda p: p.length, reverse=True)
     packs, cur, cur_cost = [], [], 0
     for p in whole:
-        cost = p.length + open_cost
-        if cur and cur_cost + cost > target:
+        # exactly Spark's FilePartition test: the incoming file's
+        # openCost is NOT counted in the overflow check (currentSize
+        # + file.length > maxSplitBytes), but IS added to the bin
+        # after placing — ADVICE r9: the previous `cur_cost + (length
+        # + openCost) > target` drifted partition counts vs the JVM
+        if cur and cur_cost + p.length > target:
             packs.append(cur)
             cur, cur_cost = [], 0
         cur.append(p)
-        cur_cost += cost
+        cur_cost += p.length + open_cost
     if cur:
         packs.append(cur)
     out = [pk[0] if len(pk) == 1 else _PackedPart(pk)
@@ -1758,8 +1767,9 @@ class CachedParquetReader(DataSourceReader):
             for s, e in ranges:
                 out.append(_FilePart(st.path, st.mtime, st.length,
                                      veto, parts=spec, start=s, end=e))
-        out = _pack_whole_files(out, self.split_bytes, self.open_cost,
-                                self.parallelism)
+        cap, limit = self._pack_policy()
+        out = _pack_whole_files(out, cap, self.open_cost,
+                                self.parallelism, no_pack_above=limit)
         if out:
             first = out[0]
             (first.subs[0] if isinstance(first, _PackedPart)
@@ -1781,6 +1791,14 @@ class CachedParquetReader(DataSourceReader):
         overrides this for compression-codec files, which only a
         whole-stream decode can frame (cached_rawfile.codec_of)."""
         return True
+
+    def _pack_policy(self):
+        """(bin cap, no-pack-above) for ``_pack_whole_files``. The
+        ORC reader zeroes ``split_bytes`` (stripes split by index,
+        not byte range) but must still cap packing at the JVM's
+        maxSplitBytes and keep stripe-split candidates out of
+        _PackedParts (ADVICE r9) — it overrides this."""
+        return self.split_bytes, None
 
     def _file_pass(self, fobj, part, columns, stat_filters):
         """Format-specific decode of one open file object into Arrow
