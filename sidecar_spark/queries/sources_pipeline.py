@@ -1344,3 +1344,52 @@ def executor_wholetext_read(spark, sf_dir):
     return whole.agg(
         F.sum(F.size(F.split(F.col("value"), "\n")) - 1).alias("n_lines"),
         F.sum(F.length("value")).alias("file_bytes"))
+
+
+@query(
+    "parallel_listing_read_agg",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def parallel_listing_read_agg(spark, sf_dir):
+    """A many-file hive tree read through the DISTRIBUTED listing
+    path (round 10, VERDICT r9 #1): orders written as 40 hive
+    partitions x ~40 files each (~1.6k objects). 40 subdirectories
+    exceed ``spark.sidecar.parallelListing.threshold`` (32 — the
+    JVM's parallelPartitionDiscovery threshold), so the Engine fans
+    the recursive LIST out as a Spark job
+    (``CacheManager.maybe_list_files_job``) and ships the listing to
+    the plan worker as a manifest; the scan then aggregates across
+    every partition, so a single missing/duplicated file breaks the
+    hash match. At 100 TB this is the path that keeps a
+    multi-million-object prefix from serializing its LIST on the
+    driver."""
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    try:
+        mt = os.stat(os.path.join(sf_dir, "orders.parquet")).st_mtime_ns
+    except OSError:
+        mt = 0
+    loc = os.path.join(_ROOT, _tag(sf_dir), f"orders_ptree_{mt}")
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        import glob as _glob
+        import shutil as _shutil
+        for old in _glob.glob(os.path.join(
+                _ROOT, _tag(sf_dir), "orders_ptree_*")):
+            if old != loc:
+                _shutil.rmtree(old, ignore_errors=True)
+        (src.withColumn("pk", F.col("o_orderkey") % 40)
+         .repartition(40)
+         .write.mode("overwrite").partitionBy("pk").parquet(loc))
+    eng = _exec_engine(spark)
+    od = eng.read_format(loc, "parquet")
+    return od.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).cast("double")
+        .alias("sum_price"),
+    )

@@ -783,6 +783,34 @@ def listing_filter(files, glob: str = "", mod_before=None,
     return out
 
 
+def load_manifest(manifest):
+    """Files pre-listed by the Engine's distributed listing job
+    (``Engine._maybe_listing_manifest`` — the
+    parallelPartitionDiscovery analog, VERDICT r9 #1): a driver-local
+    JSONL file, readable here because the Python DataSource's plan
+    stages run in worker processes ON the driver node. None when the
+    option is absent or the file is gone/unreadable (pruned manifest,
+    foreign node) — the caller lists itself, correct always."""
+    if not manifest:
+        return None
+    try:
+        import json
+
+        from sidecar_spark.cache.fs import FileStat
+
+        out = []
+        with open(manifest, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    d = json.loads(line)
+                    out.append(FileStat(path=d["p"], length=d["l"],
+                                        mtime=d["m"], is_dir=False))
+        return out
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def _listing_args(options):
     """(glob, mod_before, mod_after) from reader options."""
     def ms(key):
@@ -1637,6 +1665,10 @@ class CachedParquetReader(DataSourceReader):
         #: see the same snapshot); re-executions re-list fresh so a
         #: mutated table is never served from a stale listing
         self._files_once = files
+        #: Engine-written distributed-listing manifest (plan-worker
+        #: fallback when no snapshot was handed down — e.g. a
+        #: re-plan after the one-shot snapshot was consumed)
+        self.manifest = options.get("files_manifest")
         self.conf_json = options.get("conf")
         if not self.conf_json:
             raise ValueError("sidecar_cached_parquet requires option 'conf'")
@@ -1702,6 +1734,8 @@ class CachedParquetReader(DataSourceReader):
         # full cache-root walks) per query planned
         mgr = CacheManager.get_or_create(self._conf())
         files, self._files_once = self._files_once, None
+        if files is None:
+            files = load_manifest(self.manifest)
         if files is None:
             files = mgr.list_files(self.path)
         # listing-level exclusions (pathGlobFilter basename match,
@@ -1974,7 +2008,9 @@ class CachedParquetSource(DataSource):
         conf = SidecarConfig.from_json(self.options["conf"])
         # keep-alive singleton (no release) — see partitions()
         mgr = CacheManager.get_or_create(conf)
-        files = mgr.list_files(path)
+        files = load_manifest(self.options.get("files_manifest"))
+        if files is None:
+            files = mgr.list_files(path)
         if not files:
             raise FileNotFoundError(f"no data files under {path!r}")
         # deterministic footer pick: FIRST file by path, matching the

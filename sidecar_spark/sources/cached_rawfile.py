@@ -671,9 +671,15 @@ class _RawSchemaMixin:
         path = self.options.get("path")
         conf = SidecarConfig.from_json(self.options["conf"])
         mgr = CacheManager.get_or_create(conf)
-        from sidecar_spark.sources.cached_parquet import _listing_args
+        from sidecar_spark.sources.cached_parquet import (
+            _listing_args,
+            load_manifest,
+        )
 
-        files = sorted(mgr.list_files(path), key=lambda s: s.path)
+        files = load_manifest(self.options.get("files_manifest"))
+        if files is None:
+            files = mgr.list_files(path)
+        files = sorted(files, key=lambda s: s.path)
         glob, mb, ma = _listing_args(self.options)
         kept = filter_stats(files, glob=glob,
                             drop_empty=self._DROP_EMPTY,

@@ -24,6 +24,7 @@ URI-parsing claim.
 
 from __future__ import annotations
 
+import os
 import re
 import threading
 import time
@@ -59,6 +60,21 @@ class _Handler(BaseHTTPRequestHandler):
     # silence per-request stderr logging
     def log_message(self, fmt, *args):  # noqa: D102
         pass
+
+    def parse_request(self):  # noqa: D102 — optional emulated RTT:
+        # SIDECAR_S3_STUB_LATENCY_MS sleeps per request (threaded
+        # server: concurrent requests overlap their sleeps, like a
+        # real remote store) so planning benches can measure
+        # round-trip-bound listing instead of localhost CPU
+        ok = BaseHTTPRequestHandler.parse_request(self)
+        if ok:
+            ms = os.environ.get("SIDECAR_S3_STUB_LATENCY_MS")
+            if ms:
+                try:
+                    time.sleep(max(0.0, float(ms)) / 1000.0)
+                except ValueError:
+                    pass
+        return ok
 
     # ---- helpers -------------------------------------------------------
 
@@ -177,11 +193,24 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(200, data, headers, "application/octet-stream")
 
     def _list(self, bucket: str, q: Dict[str, str]) -> None:
+        """ListObjectsV2 with REAL pagination: keys and common
+        prefixes truncate at max-keys (default 1000, like S3) and a
+        NextContinuationToken resumes after the last emitted sort
+        key. Without this a 100k-object prefix listed in ONE response
+        — hiding exactly the serial-LIST round-trip cost the
+        distributed-listing path exists to beat (round 10)."""
         prefix = q.get("prefix", "")
         delim = q.get("delimiter", "")
+        try:
+            maxk = max(1, int(q.get("max-keys", "1000")))
+        except ValueError:
+            maxk = 1000
+        after = q.get("continuation-token") or q.get("start-after", "")
         objs = self.store.buckets[bucket]
         contents, common = [], []
         seen = set()
+        truncated = False
+        last_sort_key = ""
         for k in sorted(objs):
             if not k.startswith(prefix):
                 continue
@@ -189,10 +218,25 @@ class _Handler(BaseHTTPRequestHandler):
                 rest = k[len(prefix):]
                 if delim in rest:
                     p = prefix + rest.split(delim, 1)[0] + delim
-                    if p not in seen:
+                    if p in seen:
+                        continue
+                    # a common prefix sorts (and resumes) by its own
+                    # string; every key under it is covered by it
+                    if p <= after:
                         seen.add(p)
-                        common.append(p)
+                        continue
+                    if len(contents) + len(common) >= maxk:
+                        truncated = True
+                        break
+                    seen.add(p)
+                    common.append(p)
+                    last_sort_key = p
                     continue
+            if k <= after:
+                continue
+            if len(contents) + len(common) >= maxk:
+                truncated = True
+                break
             o = objs[k]
             contents.append(
                 f"<Contents><Key>{escape(k)}</Key>"
@@ -200,16 +244,20 @@ class _Handler(BaseHTTPRequestHandler):
                 f"<ETag>{escape(_etag(o.data))}</ETag>"
                 f"<Size>{len(o.data)}</Size>"
                 f"<StorageClass>STANDARD</StorageClass></Contents>")
+            last_sort_key = k
         cps = "".join(f"<CommonPrefixes><Prefix>{escape(p)}</Prefix>"
                       f"</CommonPrefixes>" for p in common)
+        nct = (f"<NextContinuationToken>{escape(last_sort_key)}"
+               "</NextContinuationToken>" if truncated else "")
         body = (
             '<?xml version="1.0" encoding="UTF-8"?>'
             '<ListBucketResult xmlns='
             '"http://s3.amazonaws.com/doc/2006-03-01/">'
             f"<Name>{escape(bucket)}</Name><Prefix>{escape(prefix)}</Prefix>"
             f"<KeyCount>{len(contents) + len(common)}</KeyCount>"
-            f"<MaxKeys>1000</MaxKeys><IsTruncated>false</IsTruncated>"
-            f"{''.join(contents)}{cps}</ListBucketResult>").encode()
+            f"<MaxKeys>{maxk}</MaxKeys>"
+            f"<IsTruncated>{'true' if truncated else 'false'}</IsTruncated>"
+            f"{nct}{''.join(contents)}{cps}</ListBucketResult>").encode()
         self._send(200, body)
 
     def do_PUT(self):  # noqa: N802

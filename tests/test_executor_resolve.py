@@ -1004,15 +1004,25 @@ class TestSingleListingPerPlan:
                     srv.store.clear_requests()
                     assert eng.read_parquet("s3://lake/one.parquet") \
                         .count() == 3
-                    # one full LIST for the plan (schema+partitions
-                    # share the snapshot — the pre-round-6 path
-                    # listed twice); the single max-keys=1 request
-                    # alongside is list_files' own stat probe
+                    # one full RECURSIVE list for the plan
+                    # (schema+partitions share the snapshot — the
+                    # pre-round-6 path listed twice); the max-keys=1
+                    # request alongside is list_files' own stat
+                    # probe, and the delimiter-scoped request is the
+                    # round-10 distributed-listing shallow probe
+                    # (O(immediate children), one page — not a tree
+                    # walk)
                     full_lists = [r for r in srv.store.requests
                                   if r[0] == "GET"
                                   and "list-type" in r[1]
-                                  and "max-keys=1&" not in r[1]]
+                                  and "max-keys=1&" not in r[1]
+                                  and "delimiter=" not in r[1]]
                     assert len(full_lists) == 1, srv.store.requests
+                    shallow = [r for r in srv.store.requests
+                               if r[0] == "GET"
+                               and "delimiter=" in r[1]
+                               and "max-keys=1&" not in r[1]]
+                    assert len(shallow) <= 1, srv.store.requests
                 finally:
                     eng.close()
                     CacheManager.clear_instances()
