@@ -731,9 +731,11 @@ class Engine:
     #: from_json (the SAME options classes the file sources build, so
     #: semantics are identical by construction). csv `header` and
     #: `comment` are RECORD-level options served by the cached text
-    #: source's framing (round 9, probed). Everything outside these
-    #: sets — and the remaining record-level options (multiLine,
-    #: encoding, non-PERMISSIVE modes) — routes the read raw.
+    #: source's framing (round 9, probed), csv `multiLine` by its
+    #: quote-aware record framing (round 10, probed). Everything
+    #: outside these sets — and the remaining record-level options
+    #: (encoding, non-PERMISSIVE modes, json multiLine) — routes the
+    #: read raw.
     #: csv/json `lineSep` is served by the text source's custom
     #: separator framing (round 9, probed).
     _CSV_VALUE_OPTS = {
@@ -777,7 +779,16 @@ class Engine:
         (csv AND json) replaces the default framing entirely — \\n
         inside a record stays in the value, blank-record skip follows
         the custom framing, multi-char separators work (all probed)
-        (tests/test_csv_header_comment.py)."""
+        (tests/test_csv_header_comment.py). Round 10 adds csv
+        `multiLine=true`: quote-aware RECORD framing in the text
+        source (`_csv_multiline_records` — separator auto-detection,
+        close-always quotes under escape != quote, garbage reverts,
+        in-quote separator normalization, never-split files, all
+        probed in tests/test_csv_multiline.py); field values stay
+        with from_csv, whose univocity parser reproduces the quirky
+        raw-revert values byte-for-byte (probed V1-V8). Unprobed
+        corners route raw: explicit lineSep with multiLine, json
+        multiLine, degenerate marker collisions."""
         import pyspark.sql.functions as F
 
         allowed = (self._CSV_VALUE_OPTS if fmt == "csv"
@@ -788,6 +799,7 @@ class Engine:
         linesep = None
         rfl = None
         enforce = True
+        multiline = False
         for k, v in (options or {}).items():
             kl = k.lower()
             if kl == "recursivefilelookup":
@@ -816,6 +828,12 @@ class Engine:
             # of each file; comment drops raw-startswith lines. They
             # are framing, not value parsing — never forwarded to
             # from_csv.
+            if fmt == "csv" and kl == "multiline":
+                # RECORD framing (round 10, probed): quote-aware
+                # record spans served by the cached text source's
+                # _csv_multiline_records — see the gate below the loop
+                multiline = str(v).lower() == "true"
+                continue
             if fmt == "csv" and kl == "header":
                 header = str(v).lower() == "true"
                 continue
@@ -857,6 +875,51 @@ class Engine:
             framing["linesep"] = linesep
         if rfl is not None:
             framing["rfl"] = rfl
+        if multiline:
+            # csv multiLine record framing (round 10, every boundary
+            # rule probed — tests/test_csv_multiline.py). Routes raw
+            # for the unprobed/degenerate corners: explicit lineSep
+            # (the JVM's framing there is bizarre — probed m3/p12
+            # keep the separator INSIDE values), multi-char markers
+            # (the JVM raises its own one-char errors), newline bytes
+            # or marker collisions inside the delimiter, and an
+            # explicit charToEscapeQuoteEscaping when escape == quote.
+            def _opt(name, default):
+                for k2, v2 in fwd.items():
+                    if k2.lower() == name:
+                        return v2
+                return default
+
+            if linesep is not None:
+                return None
+            q = _opt("quote", '"')
+            e = _opt("escape", "\\")
+            cq = _opt("chartoescapequoteescaping", None)
+            sepv = _opt("delimiter", None)
+            if sepv is None:
+                sepv = _opt("sep", ",")
+            ilw = (str(_opt("ignoreleadingwhitespace", "false"))
+                   .lower() == "true")
+            if len(q) > 1 or len(e) > 1:
+                return None
+            if cq is not None and len(cq) != 1:
+                return None
+            if not sepv or any(c in sepv for c in "\r\n"):
+                return None
+            if any(c in "\r\n" for c in q + e + (cq or "")):
+                return None
+            if (q and q in sepv) or (e and e in sepv):
+                return None
+            if cq is not None and q and e == q:
+                return None
+            framing["multiline_csv"] = "true"
+            framing["ml_quote"] = q
+            framing["ml_escape"] = e
+            if cq is not None:
+                framing["ml_ceqe"] = cq
+            framing["ml_sep"] = sepv
+            if ilw:
+                framing["ml_ilw"] = "true"
         text = self._read_executor_resolved(
             location, split_bytes=split_bytes, fmt="text",
             raw_opts=framing)
@@ -874,15 +937,25 @@ class Engine:
             # and serves the DIRECTORY value — unprobed for csv/json,
             # refuse to guess
             return None
-        # blank-line skip: the sources drop lines whose Java trim
-        # (chars <= U+0020) is empty — probed for csv AND json
-        kept = text.where(F.col("value").rlike("[^\\x00-\\x20]"))
-        if comment:
-            # comment lines drop on a RAW startswith (probed: leading
-            # whitespace disqualifies, a quoted first field keeps its
-            # opening quote as char 0, mid-line chars never match)
-            kept = kept.where(
-                ~F.col("value").startswith(F.lit(comment)))
+        if multiline:
+            # the multiLine framing already applied the RECORD-level
+            # drops, with DIFFERENT rules than line mode: only
+            # length-0 records drop (a whitespace-only record is a
+            # row — probed p10/h4), comment matches the framed
+            # record's first bytes, and the header is the first
+            # surviving record
+            kept = text
+        else:
+            # blank-line skip: the sources drop lines whose Java trim
+            # (chars <= U+0020) is empty — probed for csv AND json
+            kept = text.where(F.col("value").rlike("[^\\x00-\\x20]"))
+            if comment:
+                # comment lines drop on a RAW startswith (probed:
+                # leading whitespace disqualifies, a quoted first
+                # field keeps its opening quote as char 0, mid-line
+                # chars never match)
+                kept = kept.where(
+                    ~F.col("value").startswith(F.lit(comment)))
         parser = F.from_csv if fmt == "csv" else F.from_json
         sch = user if fmt == "json" else ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}"

@@ -1040,6 +1040,70 @@ def cached_csv_header_read_agg(spark, sf_dir):
 
 
 @query(
+    "csv_multiline_read_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(length(o_orderpriority) + 6
+                    + length(CAST(o_orderkey AS VARCHAR)))
+                AS BIGINT) AS ml_chars,
+           CAST(round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def csv_multiline_read_agg(spark, sf_dir):
+    """csv ``multiLine=true`` through the CACHED executor path
+    (VERDICT r9 #3): the fixture embeds a REAL newline inside a
+    quoted field (``o_orderpriority || '\\n' || 'note-' ||
+    o_orderkey``, written
+    by Spark's own csv writer, so the quoting convention is the
+    JVM's), and the cached text source's quote-aware record framing
+    (``_csv_multiline_records`` — every boundary rule probed,
+    tests/test_csv_multiline.py) reassembles the records before
+    ``from_csv`` parses the values. The oracle recomputes the
+    multi-line field's length arithmetically from the base table, so
+    a hash match proves the embedded newlines round-tripped
+    byte-exactly. Scale shape: multiLine files are never split (the
+    JVM's own rule), but small files bin-pack into shared tasks and
+    each task frames its files node-locally — no driver bytes."""
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.concat_ws("\n", "o_orderpriority",
+                    F.concat(F.lit("note-"),
+                             F.col("o_orderkey").cast("string")))
+        .alias("ml_note"),
+        "o_totalprice")
+    try:
+        mt = os.stat(os.path.join(sf_dir, "orders.parquet")).st_mtime_ns
+    except OSError:
+        mt = 0
+    loc = os.path.join(_ROOT, _tag(sf_dir), f"orders_csvml_{mt}")
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        import glob as _glob
+        import shutil as _shutil
+        for old in _glob.glob(os.path.join(
+                _ROOT, _tag(sf_dir), "orders_csvml_*")):
+            if old != loc:
+                _shutil.rmtree(old, ignore_errors=True)
+        (src.write.mode("overwrite").format("csv")
+         .option("header", "true").save(loc))
+    eng = _exec_engine(spark)
+    od = eng.read_format(
+        loc, "csv", multiLine="true", header="true",
+        schema="o_orderkey bigint, ml_note string, "
+               "o_totalprice double")
+    return (od.groupBy(F.substring_index("ml_note", "\n", 1)
+                       .alias("o_orderpriority"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.length("ml_note")).cast("bigint")
+                 .alias("ml_chars"),
+                 F.round(F.sum("o_totalprice"), 2).cast("double")
+                 .alias("sum_price")))
+
+
+@query(
     "executor_binaryfile_png_decode",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_imgs,

@@ -349,6 +349,203 @@ def _line_spans(read_chunk, start: int, end: int, sep,
             return
 
 
+def _detect_record_sep(data: bytes) -> bytes:
+    """univocity's line-separator auto-detection as probed (round 10,
+    tests/test_csv_multiline.py): the FIRST ``\\r`` or ``\\n`` byte in
+    the RAW stream decides — even when it sits inside a quoted field
+    (probed ``e23``/``d1``: a quoted ``\\n`` before any ``\\r\\n``
+    pins the separator to ``\\n``). ``\\r`` followed by ``\\n`` means
+    ``\\r\\n``; a file with no newline bytes defaults to ``\\n``."""
+    import re
+
+    m = re.search(rb"[\r\n]", data)
+    if m is None or data[m.start()] == 0x0A:
+        return b"\n"
+    nxt = m.start() + 1
+    if nxt < len(data) and data[nxt] == 0x0A:
+        return b"\r\n"
+    return b"\r"
+
+
+def _csv_multiline_records(data: bytes, quote, escape, ceqe,
+                           delim: bytes, ilw: bool):
+    """Frame ``multiLine=true`` csv RECORDS out of one (decompressed,
+    BOM-stripped) file, reproducing univocity's record-BOUNDARY rules
+    probed against the live JVM (round 10, tests/test_csv_multiline.py
+    — field-VALUE quirks are free because each framed record is handed
+    to ``from_csv``, the same parser with the same options):
+
+    * records split at the auto-detected separator (``_detect_record_
+      sep``) OUTSIDE quoted spans only; a bare ``\\r`` under a
+      ``\\r\\n`` separator (or ``\\n`` under ``\\r``) is content;
+    * a quoted span opens only when the quote char is the FIRST char
+      of a field (record start or right after an unquoted delimiter;
+      after whitespace only under ``ignoreLeadingWhiteSpace=true`` —
+      probed G2/G3);
+    * inside a span with escape != quote: ``ceqe``+escape and
+      escape+quote consume as pairs; a bare quote ALWAYS closes —
+      a doubled quote is close-then-garbage, NOT an escape (probed
+      g3/p4/e13: ``"x""y`` ends its record at the next newline and
+      the raw value keeps its quotes). With escape == quote, a
+      doubled quote consumes as an escaped pair and the span
+      continues across newlines (probed m4/m5);
+    * after a close: delimiter → next field (a NEW quoted span there
+      can swallow newlines — probed G1/G7), separator → record ends,
+      anything else is garbage scanned to the next delimiter or
+      separator;
+    * an unclosed span runs to EOF — the remainder is ONE record
+      (probed p11);
+    * separator occurrences INSIDE quoted spans are normalized to
+      ``\\n`` in the emitted record (probed n1/n3: univocity does;
+      ``from_csv`` on the raw bytes would not — probe4);
+    * only length-0 records drop (whitespace-only records are rows —
+      probed p10/h4); a trailing separator adds no empty record;
+    * the EOF-terminated FINAL record (a file not ending with the
+      full separator, under a non-``\\n`` separator) gets univocity's
+      tail peel (probed across the U/T/W series, 30+ cells): split it
+      into chunks at unquoted lone-``\\n`` positions; leading EMPTY
+      chunks drop (W9 vs W14 — non-empty leading chunks merge);
+      chunks AFTER the last chunk containing the delimiter (raw
+      byte scan — quotes there are mid-field literals by
+      construction) each become their OWN record (U2/U3/W16); the
+      rest merge, keeping their ``\\n``s (U1/U4/W22/W23). Records
+      ending at a true separator — even mid-``\\n``-heavy ones —
+      never peel (W1/W13/W12).
+
+    Yields the record byte-strings. Comment/header drops are the
+    caller's (they apply to framed AND peeled records, probed
+    p6b/h1-h4/W27)."""
+    import re
+
+    n = len(data)
+    rs = _detect_record_sep(data)
+    # boundary scan: earliest delimiter or separator (alternation
+    # order only matters for same-position prefix ties, impossible
+    # for distinct UTF-8 sequences unless one prefixes the other —
+    # the engine gate routes those degenerates raw)
+    ds_re = re.compile(re.escape(delim) + b"|" + re.escape(rs))
+    toks = {quote, escape, ceqe} - {None}
+    q_re = re.compile(b"|".join(re.escape(t) for t in sorted(toks))
+                      ) if quote is not None else None
+    eq = quote is not None and escape == quote
+
+    pos = 0
+    rec_start = 0
+    spans = []  # quoted [start, end) ranges, for rs normalization
+
+    def norm(start: int, end: int, sp):
+        raw = data[start:end]
+        if rs != b"\n" and sp:
+            out, prev = [], start
+            for s, e in sp:
+                s, e = max(s, start), min(e, end)
+                if s >= e:
+                    continue
+                out.append(data[prev:s])
+                out.append(data[s:e].replace(rs, b"\n"))
+                prev = e
+            out.append(data[prev:end])
+            raw = b"".join(out)
+        return raw
+
+    def emit(rec_end: int):
+        return norm(rec_start, rec_end, spans)
+
+    def tail(start: int, sp):
+        # univocity's EOF-tail peel (docstring last bullet)
+        if rs == b"\n":
+            if start < n:
+                yield norm(start, n, sp)
+            return
+        nl_re = re.compile(b"\n")
+        bounds = [m.start() for m in nl_re.finditer(data, start, n)
+                  if not any(s <= m.start() < e for s, e in sp)]
+        cs, prev = [], start
+        for b in bounds:
+            cs.append((prev, b))
+            prev = b + 1
+        cs.append((prev, n))
+        while cs and cs[0][0] == cs[0][1]:
+            cs.pop(0)  # leading empty chunks drop (probed W9/W17)
+        if not cs:
+            return
+        last = None
+        for i, (s, e) in enumerate(cs):
+            if delim in data[s:e]:
+                last = i
+        if last is None:
+            for s, e in cs:
+                yield norm(s, e, sp)
+            return
+        yield norm(cs[0][0], cs[last][1], sp)
+        for s, e in cs[last + 1:]:
+            yield norm(s, e, sp)
+
+    while pos <= n:
+        # field start
+        if ilw:
+            while pos < n and data[pos] in b" \t":
+                pos += 1
+        closed_at = None
+        if quote is not None and data.startswith(quote, pos):
+            pos += len(quote)
+            span_start = pos
+            while True:
+                m = q_re.search(data, pos)
+                if m is None:
+                    # unclosed span runs to EOF (p11) — then the
+                    # EOF-tail peel (in-span newlines are never
+                    # chunk boundaries: T20/W25)
+                    spans.append((span_start, n))
+                    yield from tail(rec_start, spans)
+                    return
+                t = m.group()
+                p = m.start()
+                if (ceqe is not None and t == ceqe
+                        and data.startswith(escape, p + len(ceqe))):
+                    pos = p + len(ceqe) + len(escape)
+                    continue
+                if (not eq and escape is not None and t == escape
+                        and data.startswith(quote, p + len(escape))):
+                    pos = p + len(escape) + len(quote)
+                    continue
+                if t == quote:
+                    if eq and data.startswith(quote, p + len(quote)):
+                        pos = p + 2 * len(quote)
+                        continue
+                    spans.append((span_start, p))
+                    closed_at = p + len(quote)
+                    break
+                pos = p + len(t)
+            pos = closed_at
+        # boundary scan: unquoted content, or post-close garbage
+        m = ds_re.search(data, pos)
+        if m is None:
+            yield from tail(rec_start, spans)
+            return
+        if m.group() == delim:
+            pos = m.end()
+            continue
+        yield emit(m.start())
+        rec_start = pos = m.end()
+        spans = []
+        if pos >= n:
+            return
+
+
+def _drop_first(it):
+    """Skip the first item (the multiLine csv header RECORD — comment
+    and empty records were already filtered, so this is the first
+    non-empty non-comment record, the probed JVM header pick
+    h1/h3/h4)."""
+    first = True
+    for x in it:
+        if first:
+            first = False
+            continue
+        yield x
+
+
 def _value_batches(lines_iter, include_value: bool):
     """Pack line byte-strings into Arrow RecordBatches. The string
     array is built from raw buffers — NO UTF-8 validation — so
@@ -412,7 +609,32 @@ class CachedTextReader(CachedParquetReader):
                             .lower() == "true")
         cmt = options.get("comment") or ""
         self.comment = cmt.encode("utf-8") if cmt else None
-        if self.wholetext or self.linesep is not None:
+        #: multiLine csv record framing (round 10, probed — set by the
+        #: Engine's composed csv path only): quote-aware record spans,
+        #: never split (probed p13: one partition regardless of
+        #: maxPartitionBytes, exactly the JVM)
+        self.ml_csv = (str(options.get("multiline_csv") or "false")
+                       .lower() == "true")
+        if self.ml_csv:
+            def _ch(key, dflt):
+                v = options.get(key, dflt)
+                return v.encode("utf-8") if v else None
+            self.ml_quote = _ch("ml_quote", '"')
+            self.ml_escape = _ch("ml_escape", "\\")
+            ceqe = options.get("ml_ceqe")
+            if ceqe:
+                self.ml_ceqe = ceqe.encode("utf-8")
+            elif (self.ml_escape is not None
+                    and self.ml_escape != self.ml_quote):
+                # Spark's charToEscapeQuoteEscaping default: the
+                # escape char when escape != quote, else \0
+                self.ml_ceqe = self.ml_escape
+            else:
+                self.ml_ceqe = None
+            self.ml_sep = (options.get("ml_sep") or ",").encode("utf-8")
+            self.ml_ilw = (str(options.get("ml_ilw") or "false")
+                           .lower() == "true")
+        if self.wholetext or self.linesep is not None or self.ml_csv:
             # wholetext: one row per file by definition. Custom
             # lineSep: self-overlapping separators make local split
             # re-synchronization ambiguous — refuse to guess, one
@@ -461,6 +683,29 @@ class CachedTextReader(CachedParquetReader):
             data = (b"".join(_codec_chunks(fobj, codec)) if codec
                     else fobj.read())
             yield from _value_batches(iter([data]), include_value)
+            return
+        if self.ml_csv:
+            # multiLine csv: whole-file quote-aware record framing
+            # (decompressed under a codec extension — probed p8;
+            # BOM stripped first — probed p9/e17). Record-level
+            # drops follow the probed JVM rules: only length-0
+            # records drop (whitespace-only records are rows),
+            # comment matches the record's raw first bytes, the
+            # header is the first surviving record of the file.
+            data = (b"".join(_codec_chunks(fobj, codec)) if codec
+                    else fobj.read())
+            if data.startswith(b"\xef\xbb\xbf"):
+                data = data[3:]
+            recs = _csv_multiline_records(
+                data, self.ml_quote, self.ml_escape, self.ml_ceqe,
+                self.ml_sep, self.ml_ilw)
+            recs = (r for r in recs if r)
+            if self.comment:
+                recs = (r for r in recs
+                        if not r.startswith(self.comment))
+            if self.skip_header:
+                recs = _drop_first(recs)
+            yield from _value_batches(recs, include_value)
             return
         if codec:
             # whole-stream decode: line framing, BOM strip and custom

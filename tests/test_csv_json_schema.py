@@ -131,11 +131,11 @@ class TestCachedCsvUserSchema:
         ddl = "i int, s string"
         eng = _engine(spark, cache_dir)
         try:
-            # round 9 moved header/comment/lineSep into the composed
-            # path (tests/test_csv_header_comment.py) — the remaining
-            # record-level options still route raw
-            for opts in ({"multiLine": "true"},
-                         {"mode": "DROPMALFORMED"},
+            # round 9 moved header/comment/lineSep, and round 10
+            # multiLine (tests/test_csv_multiline.py), into the
+            # composed path — the remaining record-level options
+            # still route raw
+            for opts in ({"mode": "DROPMALFORMED"},
                          {"encoding": "UTF-16"}):
                 got = eng.read_format(root, "csv", schema=ddl,
                                       **opts)
@@ -144,7 +144,8 @@ class TestCachedCsvUserSchema:
                 jvm = (spark.read.schema(ddl).options(**opts)
                        .csv(root))
                 _parity(jvm, got)
-            for opts in ({"header": "true"}, {"comment": "#"}):
+            for opts in ({"header": "true"}, {"comment": "#"},
+                         {"multiLine": "true"}):
                 got = eng.read_format(root, "csv", schema=ddl,
                                       **opts)
                 plan = got._jdf.queryExecution().toString()
