@@ -800,6 +800,7 @@ class Engine:
         rfl = None
         enforce = True
         multiline = False
+        enc = None
         for k, v in (options or {}).items():
             kl = k.lower()
             if kl == "recursivefilelookup":
@@ -828,6 +829,11 @@ class Engine:
             # of each file; comment drops raw-startswith lines. They
             # are framing, not value parsing — never forwarded to
             # from_csv.
+            if kl == "encoding" or (fmt == "csv" and kl == "charset"):
+                # RECORD-level charset (round 10, probed): served by
+                # the cached text source's transcode — gate below
+                enc = str(v)
+                continue
             if fmt == "csv" and kl == "multiline":
                 # RECORD framing (round 10, probed): quote-aware
                 # record spans served by the cached text source's
@@ -875,6 +881,49 @@ class Engine:
             framing["linesep"] = linesep
         if rfl is not None:
             framing["rfl"] = rfl
+        if enc is not None:
+            # non-UTF8 encoding (round 10, probed —
+            # tests/test_csv_encoding.py). Composable cells: the
+            # 8-bit charsets and explicit utf-8 everywhere; utf-16le/
+            # be with an explicit lineSep (framing on the ENCODED
+            # separator, file never split) or under multiLine
+            # (whole-file decode); the BOM-detecting utf-16/utf-32
+            # only under multiLine. Raw routes: anything outside the
+            # JVM's csv allowlist (its own error), utf-16/32 without
+            # multiLine (byte-0x0A framing garbage — probed E4/E5/F1,
+            # refuse to reproduce), json non-UTF8 without lineSep
+            # (the JVM requires it, E11) or utf-16/32 (denyList,
+            # E12), and a lineSep the charset cannot encode (Java
+            # silently replaces with '?', unprobed).
+            aliases = {"iso-8859-1": "latin-1", "us-ascii": "ascii",
+                       "utf-8": None, "utf-16le": "utf-16-le",
+                       "utf-16be": "utf-16-be", "utf-16": "utf-16",
+                       "utf-32": "utf-32"}
+            c = enc.strip().lower()
+            if c not in aliases:
+                return None
+            transcode = aliases[c]
+            if transcode is not None:
+                if fmt == "json":
+                    if linesep is None or transcode in ("utf-16",
+                                                        "utf-32"):
+                        return None
+                elif transcode in ("utf-16", "utf-32"):
+                    if not multiline:
+                        return None
+                elif transcode in ("utf-16-le", "utf-16-be"):
+                    if not multiline and linesep is None:
+                        return None
+                if linesep is not None:
+                    from sidecar_spark.sources.cached_rawfile import (
+                        _TRANSCODE,
+                    )
+
+                    try:
+                        linesep.encode(_TRANSCODE[transcode][0])
+                    except (UnicodeEncodeError, KeyError):
+                        return None
+                framing["transcode"] = transcode
         if multiline:
             # csv multiLine record framing (round 10, every boundary
             # rule probed — tests/test_csv_multiline.py). Routes raw

@@ -1104,6 +1104,60 @@ def csv_multiline_read_agg(spark, sf_dir):
 
 
 @query(
+    "csv_encoding_read_agg",
+    oracle="""
+    SELECT o_orderpriority || 'é' AS o_pri_acc,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority || 'é'
+    """,
+)
+def csv_encoding_read_agg(spark, sf_dir):
+    """Non-UTF8 csv through the CACHED executor path (VERDICT r9
+    #4): the fixture is ISO-8859-1 csv WITH header written by Spark's
+    own writer (so the 0xE9 byte for 'é' is the JVM's encoding), and
+    the cached text source transcodes each framed line
+    (replace-on-error, the probed Java CharsetDecoder behavior —
+    tests/test_csv_encoding.py) before ``from_csv`` parses the
+    values. The oracle concatenates the accent in UTF-8 SQL, so a
+    hash match proves the latin-1 byte decoded through the cache to
+    the identical code point. Scale shape: byte-level framing keeps
+    the file SPLITTABLE (probed — unlike lineSep/multiLine files);
+    per-line decode is a C call per line, no driver work."""
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.concat(F.col("o_orderpriority"), F.lit("é"))
+        .alias("o_pri_acc"),
+        "o_totalprice")
+    try:
+        mt = os.stat(os.path.join(sf_dir, "orders.parquet")).st_mtime_ns
+    except OSError:
+        mt = 0
+    loc = os.path.join(_ROOT, _tag(sf_dir), f"orders_csvlat_{mt}")
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        import glob as _glob
+        import shutil as _shutil
+        for old in _glob.glob(os.path.join(
+                _ROOT, _tag(sf_dir), "orders_csvlat_*")):
+            if old != loc:
+                _shutil.rmtree(old, ignore_errors=True)
+        (src.write.mode("overwrite").format("csv")
+         .option("header", "true").option("encoding", "ISO-8859-1")
+         .save(loc))
+    eng = _exec_engine(spark)
+    od = eng.read_format(
+        loc, "csv", encoding="ISO-8859-1", header="true",
+        schema="o_orderkey bigint, o_pri_acc string, "
+               "o_totalprice double")
+    return (od.groupBy("o_pri_acc")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).cast("double")
+                 .alias("sum_price")))
+
+
+@query(
     "executor_binaryfile_png_decode",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_imgs,

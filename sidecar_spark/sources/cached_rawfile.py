@@ -533,6 +533,46 @@ def _csv_multiline_records(data: bytes, quote, escape, ceqe,
             return
 
 
+#: python codec + file BOM per supported transcode charset (round 10,
+#: probed tests/test_csv_encoding.py): the strip is the CHARSET's own
+#: BOM — the JVM strips a decoded leading U+FEFF (probed F7:
+#: UTF-16LE + FF FE) — while 8-bit charsets strip the raw UTF-8 BOM
+#: BYTES (probed E7: ISO-8859-1 + EF BB BF drops them even though
+#: they would decode to printable latin-1).
+_TRANSCODE = {
+    "latin-1": ("latin-1", b"\xef\xbb\xbf"),
+    "ascii": ("ascii", b"\xef\xbb\xbf"),
+    "utf-16-le": ("utf-16-le", b"\xff\xfe"),
+    "utf-16-be": ("utf-16-be", b"\xfe\xff"),
+}
+
+
+def _decode_whole(data: bytes, tc: str) -> bytes:
+    """Decode one whole (decompressed) file body from ``tc`` to UTF-8
+    bytes for multiLine framing, replace-on-error like Java's
+    CharsetDecoder REPLACE (probed F4: US-ASCII high bytes read
+    U+FFFD). The BOM-detecting variants mirror Java: UTF-16/UTF-32
+    pick the endianness from a leading BOM and default BIG-endian
+    without one (python's utf-16 codec would guess little — decode
+    explicitly)."""
+    if tc == "utf-16":
+        if data.startswith(b"\xff\xfe"):
+            return data[2:].decode("utf-16-le", "replace").encode()
+        if data.startswith(b"\xfe\xff"):
+            return data[2:].decode("utf-16-be", "replace").encode()
+        return data.decode("utf-16-be", "replace").encode()
+    if tc == "utf-32":
+        if data.startswith(b"\xff\xfe\x00\x00"):
+            return data[4:].decode("utf-32-le", "replace").encode()
+        if data.startswith(b"\x00\x00\xfe\xff"):
+            return data[4:].decode("utf-32-be", "replace").encode()
+        return data.decode("utf-32-be", "replace").encode()
+    codec, bom = _TRANSCODE[tc]
+    if data.startswith(bom):
+        data = data[len(bom):]
+    return data.decode(codec, "replace").encode()
+
+
 def _drop_first(it):
     """Skip the first item (the multiLine csv header RECORD — comment
     and empty records were already filtered, so this is the first
@@ -598,8 +638,18 @@ class CachedTextReader(CachedParquetReader):
         super().__init__(options, schema, files)
         self.wholetext = (str(options.get("wholetext") or "false")
                           .lower() == "true")
+        #: non-UTF8 charset transcode (round 10, probed — set by the
+        #: Engine's composed csv/json paths, never by plain text: the
+        #: JVM text format IGNORES the encoding option, probed E15)
+        self.transcode = options.get("transcode") or None
         sep = options.get("linesep")
-        self.linesep = sep.encode("utf-8") if sep else None
+        if sep and self.transcode in _TRANSCODE:
+            # the separator matches ENCODED bytes (probed F10/F11:
+            # a latin-1 0xF7 lineSep frames on that byte; F9: utf-16le
+            # frames on 0A 00)
+            self.linesep = sep.encode(_TRANSCODE[self.transcode][0])
+        else:
+            self.linesep = sep.encode("utf-8") if sep else None
         #: csv header-skip framing (round 9, probed): in the split
         #: owning byte 0 of each file, drop the first line that is
         #: neither blank (Java trim: all bytes <= 0x20) nor a comment
@@ -671,6 +721,20 @@ class CachedTextReader(CachedParquetReader):
                 continue
             yield ln
 
+    def _tc_lines(self, lines):
+        """Per-line charset transcode (round 10): decode each framed
+        line from the declared charset, replace-on-error like Java's
+        CharsetDecoder REPLACE (probed F4), re-encode UTF-8. Framing
+        stays byte-level — safe because every composable charset
+        frames on unambiguous byte sequences (8-bit charsets keep
+        0x0A/0x0D; utf-16le/be only compose with an explicit lineSep,
+        which is encoded in the charset and the file is never
+        split)."""
+        if not self.transcode:
+            return lines
+        codec = _TRANSCODE[self.transcode][0]
+        return (ln.decode(codec, "replace").encode() for ln in lines)
+
     def _file_pass(self, fobj, part, columns, stat_filters):
         include_value = columns is None or any(
             (c == "value" if self.case_sensitive
@@ -694,7 +758,12 @@ class CachedTextReader(CachedParquetReader):
             # header is the first surviving record of the file.
             data = (b"".join(_codec_chunks(fobj, codec)) if codec
                     else fobj.read())
-            if data.startswith(b"\xef\xbb\xbf"):
+            if self.transcode:
+                # decode the WHOLE file before framing (probed
+                # F2/F3/F13: multiLine + encoding applies the charset
+                # first; the framing markers are then plain UTF-8)
+                data = _decode_whole(data, self.transcode)
+            elif data.startswith(b"\xef\xbb\xbf"):
                 data = data[3:]
             recs = _csv_multiline_records(
                 data, self.ml_quote, self.ml_escape, self.ml_ceqe,
@@ -707,6 +776,11 @@ class CachedTextReader(CachedParquetReader):
                 recs = _drop_first(recs)
             yield from _value_batches(recs, include_value)
             return
+        # the BOM stripped at byte 0 is the read charset's own
+        # (probed F7: UTF-16LE drops a leading FF FE; E7: 8-bit
+        # charsets drop the raw UTF-8 BOM bytes)
+        bom = (_TRANSCODE[self.transcode][1] if self.transcode
+               else b"\xef\xbb\xbf")
         if codec:
             # whole-stream decode: line framing, BOM strip and custom
             # lineSep all apply to the DECOMPRESSED bytes (probed);
@@ -716,10 +790,10 @@ class CachedTextReader(CachedParquetReader):
             head = b""
             for c in chunks:
                 head += c
-                if len(head) >= 3:
+                if len(head) >= len(bom):
                     break
-            if head.startswith(b"\xef\xbb\xbf"):
-                head = head[3:]
+            if head.startswith(bom):
+                head = head[len(bom):]
             pending = [head]
 
             def read_chunk():
@@ -729,6 +803,7 @@ class CachedTextReader(CachedParquetReader):
 
             spans = _line_spans(read_chunk, 0, float("inf"),
                                 self.linesep, discard=False)
+            spans = self._tc_lines(spans)
             if self.skip_header:  # codec files always own byte 0
                 spans = self._drop_header(spans)
             yield from _value_batches(spans, include_value)
@@ -739,8 +814,8 @@ class CachedTextReader(CachedParquetReader):
             # start of the split owning byte 0 (probed: line-mode
             # text drops it, mid-file BOMs and wholetext keep it)
             fobj.seek(0)
-            if fobj.read(3) == b"\xef\xbb\xbf":
-                start = 3
+            if fobj.read(len(bom)) == bom:
+                start = len(bom)
         fobj.seek(start)
 
         def read_chunk():
@@ -748,6 +823,7 @@ class CachedTextReader(CachedParquetReader):
 
         spans = _line_spans(read_chunk, start, part.end, self.linesep,
                             discard=part.start != 0)
+        spans = self._tc_lines(spans)
         if self.skip_header and part.start == 0:
             # only the split owning byte 0 skips — probed: a 43-split
             # csv drops exactly one header line; a byte-0 split that
