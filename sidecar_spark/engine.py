@@ -49,8 +49,6 @@ _PATH_SEMANTIC_OPTS = {"basepath", "pathglobfilter",
 _EXEC_RAW_CONFS = (
     ("spark.sql.parquet.binaryAsString", "false"),
     ("spark.sql.parquet.int96AsTimestamp", "true"),
-    ("spark.sql.files.ignoreCorruptFiles", "false"),
-    ("spark.sql.files.ignoreMissingFiles", "false"),
     ("spark.sql.sources.partitionColumnTypeInference.enabled",
      "true"),
 )
@@ -72,7 +70,17 @@ def _listing_opts(options, spark) -> Optional[Dict[str, str]]:
         return None  # option zone overrides the session's: raw
     for k in list(options or ()):
         kl = k.lower()
-        if kl == "pathglobfilter":
+        if kl in ("ignorecorruptfiles", "ignoremissingfiles"):
+            # SCAN-level skips (round 10, probed — the reader option
+            # overrides the session conf, which
+            # _read_executor_resolved resolves when no option rides):
+            # every executor source implements the per-file skip
+            # natively (tests/test_ignore_files.py)
+            key = ("ignore_corrupt" if kl == "ignorecorruptfiles"
+                   else "ignore_missing")
+            out[key] = str(options[k]).lower()
+            options.pop(k)
+        elif kl == "pathglobfilter":
             v = str(options[k])
             if "\\" in v:
                 return None
@@ -713,6 +721,24 @@ class Engine:
             # text/binaryFile semantics (wholetext, linesep,
             # pathglob, rfl, maxlength) — validated by _rawfile_opts
             reader = reader.option(k, v)
+        # ignoreCorruptFiles / ignoreMissingFiles: the reader option
+        # rides in raw_opts (peeled by _listing_opts, option wins);
+        # otherwise the session conf decides (JVM FileSourceOptions
+        # precedence, probed) — resolved HERE because the source's
+        # plan/scan workers have no active session
+        have = {k.lower() for k in (raw_opts or {})}
+        for opt, conf_key in (
+                ("ignore_corrupt",
+                 "spark.sql.files.ignoreCorruptFiles"),
+                ("ignore_missing",
+                 "spark.sql.files.ignoreMissingFiles")):
+            if opt not in have:
+                try:
+                    v = self.spark.conf.get(conf_key, "false")
+                except Exception:  # noqa: BLE001 — Spark default
+                    v = "false"
+                if str(v).lower() == "true":
+                    reader = reader.option(opt, "true")
         if columns:
             import json
 

@@ -1158,6 +1158,57 @@ def csv_encoding_read_agg(spark, sf_dir):
 
 
 @query(
+    "ignore_corrupt_files_read",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def ignore_corrupt_files_read(spark, sf_dir):
+    """``ignoreCorruptFiles`` through the CACHED executor path
+    (VERDICT r9 #7): the fixture is the orders table rewritten as
+    parquet with a PLANTED corrupt file (truncated copy of a real
+    part file, path-sorted LAST so the head-file schema inference
+    stays valid — the probed JVM rule) — the scan must serve every
+    good row and skip the corrupt file exactly like FileScanRDD
+    (tests/test_ignore_files.py for the full probed matrix: partial
+    rows kept, missing-file stat gates, inference head-file rule).
+    At 100 TB objects vanish and uploads half-land mid-job; per-file
+    skip in the task, no driver coordination."""
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    try:
+        mt = os.stat(os.path.join(sf_dir, "orders.parquet")).st_mtime_ns
+    except OSError:
+        mt = 0
+    loc = os.path.join(_ROOT, _tag(sf_dir), f"orders_icf_{mt}")
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        import glob as _glob
+        import shutil as _shutil
+        for old in _glob.glob(os.path.join(
+                _ROOT, _tag(sf_dir), "orders_icf_*")):
+            if old != loc:
+                _shutil.rmtree(old, ignore_errors=True)
+        src.write.mode("overwrite").parquet(loc)
+        part = sorted(_glob.glob(os.path.join(loc,
+                                              "part-*.parquet")))[0]
+        with open(part, "rb") as f:
+            head = f.read(max(64, os.path.getsize(part) // 2))
+        with open(os.path.join(loc, "zzz-corrupt.parquet"),
+                  "wb") as f:
+            f.write(head)
+    eng = _exec_engine(spark)
+    od = eng.read_format(loc, "parquet", ignoreCorruptFiles="true")
+    return (od.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).cast("double")
+                 .alias("sum_price")))
+
+
+@query(
     "executor_binaryfile_png_decode",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_imgs,

@@ -1178,6 +1178,27 @@ def _parquet_pass(fobj, part, columns, stat_filters, case_sensitive,
                           ntz_infer=ntz, path=path)
 
 
+def _skip_file_errors(batches, corrupt: bool, missing: bool):
+    """Per-file skip semantics of ``ignoreCorruptFiles`` /
+    ``ignoreMissingFiles`` (round 10, probed — the JVM's FileScanRDD
+    rules, tests/test_ignore_files.py): a FileNotFound ends the file
+    silently only under ignoreMissingFiles; ANY other error only
+    under ignoreCorruptFiles; batches already yielded STAY (the JVM
+    keeps partially-emitted rows — probed P4c: a half-truncated gzip
+    csv serves its decodable prefix). Wrapped UPSTREAM of
+    ``_finalize_batches`` so the cast-gate's loud refuse-to-guess
+    errors still raise — mirroring the JVM, whose schema-convert
+    exceptions bypass the ignoreCorruptFiles catch."""
+    try:
+        yield from batches
+    except FileNotFoundError:
+        if not missing:
+            raise
+    except Exception:  # noqa: BLE001 — the JVM catch is this broad
+        if not corrupt:
+            raise
+
+
 def _read_file_batches(mgr, part: _FilePart, one_pass):
     """Node-local hit-or-materialize-or-remote for ONE data file (or
     one byte-range split of it); yields Arrow RecordBatches from
@@ -1689,6 +1710,13 @@ class CachedParquetReader(DataSourceReader):
         self.ntz = str(options.get("ntz") or "true").lower() == "true"
         self.nanos_long = (str(options.get("nanos_long")
                                or "false").lower() == "true")
+        #: per-file scan skips (round 10, probed
+        #: tests/test_ignore_files.py): resolved option-over-conf by
+        #: the Engine (plan/scan workers have no session)
+        self.ignore_corrupt = (str(options.get("ignore_corrupt")
+                                   or "false").lower() == "true")
+        self.ignore_missing = (str(options.get("ignore_missing")
+                                   or "false").lower() == "true")
         try:
             # clamp: a negative value must mean "no splitting", never
             # an empty range list that silently drops a file's rows
@@ -1897,6 +1925,9 @@ class CachedParquetReader(DataSourceReader):
             mgr, part,
             lambda fobj: self._file_pass(fobj, part, columns,
                                          stat_filters))
+        if self.ignore_corrupt or self.ignore_missing:
+            batches = _skip_file_errors(batches, self.ignore_corrupt,
+                                        self.ignore_missing)
         if self.schema is not None:
             batches = _finalize_batches(batches, self.schema,
                                         part.parts, tz=self.tz,
@@ -2124,6 +2155,26 @@ class CachedParquetSource(DataSource):
                 mgr, st.path, st.mtime, ntz, nanos_long,
                 arrow_schema_of=self._file_arrow_schema)
 
+        # ignoreCorrupt/MissingFiles apply to schema INFERENCE too
+        # (probed: the JVM skips a corrupt footer and infers from
+        # the next file); None marks a skipped file
+        _icf = (str(self.options.get("ignore_corrupt")
+                    or "false").lower() == "true")
+        _imf = (str(self.options.get("ignore_missing")
+                    or "false").lower() == "true")
+
+        def footer_struct_opt(st):
+            try:
+                return footer_struct(st)
+            except FileNotFoundError:
+                if _imf:
+                    return None
+                raise
+            except Exception:
+                if _icf:
+                    return None
+                raise
+
         merge = str(self.options.get("merge", "false")).lower() == "true"
         case_sensitive = (str(self.options.get("case_sensitive",
                                                "false")).lower()
@@ -2153,12 +2204,31 @@ class CachedParquetSource(DataSource):
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(min(16, len(files))) as pool:
-                structs = list(pool.map(footer_struct, files))
+                structs = [s for s in pool.map(footer_struct_opt,
+                                               files)
+                           if s is not None]
+            if not structs:
+                raise FileNotFoundError(
+                    f"every data file under {path!r} was skipped by "
+                    "ignoreCorruptFiles/ignoreMissingFiles — the JVM "
+                    "cannot infer a schema either")
             base = structs[0]
             for s in structs[1:]:
                 base = _merge_struct_types(base, s, case_sensitive)
-        else:
+        elif not (_icf or _imf):
             base = footer_struct(files[0])
+        else:
+            # WITHOUT mergeSchema the JVM infers from the HEAD file
+            # only — ignoreCorruptFiles skipping it leaves nothing to
+            # infer from and the read fails UNABLE_TO_INFER_SCHEMA
+            # (probed: it does NOT fall through to the next footer)
+            base = footer_struct_opt(files[0])
+            if base is None:
+                raise FileNotFoundError(
+                    f"the head data file under {path!r} was skipped "
+                    "by ignoreCorruptFiles/ignoreMissingFiles — the "
+                    "JVM cannot infer a schema either "
+                    "(UNABLE_TO_INFER_SCHEMA)")
         # hive partition columns live in the DIRECTORY names, not the
         # files — append them, typed exactly as Spark's partition
         # discovery would (cache/partitions.py ladder, JVM-probed)

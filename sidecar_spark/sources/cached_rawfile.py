@@ -162,14 +162,38 @@ def _codec_chunks(fobj, codec):
     multi-member files fully; trailing garbage after a gzip member is
     a read ERROR there and raises here)."""
     if codec == "gzip":
-        import gzip
+        # incremental inflate (wbits=31 = gzip framing), NOT
+        # GzipFile: a truncated stream must deliver every decodable
+        # byte BEFORE the error — the JVM's Inflater does, and
+        # ignoreCorruptFiles keeps those partial rows (probed P4c) —
+        # while GzipFile.read(n) loses everything decoded inside the
+        # failing call. Multi-member files loop like the zlib branch
+        # (probed: the JVM reads concatenated members fully; trailing
+        # garbage raises).
+        import zlib
 
-        g = gzip.GzipFile(fileobj=fobj)
+        d = zlib.decompressobj(31)
+        pending = b""
         while True:
-            c = g.read(_CHUNK)
-            if not c:
+            data = pending or fobj.read(_CHUNK)
+            pending = b""
+            if not data:
+                if not d.eof:
+                    raise EOFError(
+                        "Compressed file ended before the "
+                        "end-of-stream marker was reached")
                 return
-            yield c
+            out = d.decompress(data)
+            if out:
+                yield out
+            if d.eof:
+                tail = d.unused_data
+                if not tail:
+                    tail = fobj.read(_CHUNK)
+                    if not tail:
+                        return
+                d = zlib.decompressobj(31)
+                pending = tail
     elif codec in ("bzip2", "zlib"):
         # multi-stream loop: finish one member, feed its unused tail
         # to a fresh decompressor (both stdlib decompressors stop at
@@ -735,6 +759,27 @@ class CachedTextReader(CachedParquetReader):
         codec = _TRANSCODE[self.transcode][0]
         return (ln.decode(codec, "replace").encode() for ln in lines)
 
+    def _guard_lines(self, lines):
+        """ignoreCorrupt/MissingFiles at LINE granularity (round 10):
+        the JVM keeps the rows decoded before a mid-stream error —
+        probed P4c, a half-truncated gzip csv serves its decodable
+        prefix — so the skip must end the LINE iterator cleanly and
+        let ``_value_batches`` flush the complete lines already
+        framed, instead of dropping the whole in-flight batch."""
+        if not (self.ignore_corrupt or self.ignore_missing):
+            return lines
+
+        def gen():
+            try:
+                yield from lines
+            except FileNotFoundError:
+                if not self.ignore_missing:
+                    raise
+            except Exception:  # noqa: BLE001 — the JVM catch is broad
+                if not self.ignore_corrupt:
+                    raise
+        return gen()
+
     def _file_pass(self, fobj, part, columns, stat_filters):
         include_value = columns is None or any(
             (c == "value" if self.case_sensitive
@@ -803,7 +848,7 @@ class CachedTextReader(CachedParquetReader):
 
             spans = _line_spans(read_chunk, 0, float("inf"),
                                 self.linesep, discard=False)
-            spans = self._tc_lines(spans)
+            spans = self._guard_lines(self._tc_lines(spans))
             if self.skip_header:  # codec files always own byte 0
                 spans = self._drop_header(spans)
             yield from _value_batches(spans, include_value)
@@ -823,7 +868,7 @@ class CachedTextReader(CachedParquetReader):
 
         spans = _line_spans(read_chunk, start, part.end, self.linesep,
                             discard=part.start != 0)
-        spans = self._tc_lines(spans)
+        spans = self._guard_lines(self._tc_lines(spans))
         if self.skip_header and part.start == 0:
             # only the split owning byte 0 skips — probed: a 43-split
             # csv drops exactly one header line; a byte-0 split that
@@ -936,6 +981,16 @@ class CachedBinaryFileReader(CachedParquetReader):
             # NOT checked here: the JVM's BinaryFileFormat throws only
             # when `content` is in the required schema (probed), so a
             # count()/length histogram over oversized files succeeds
+            if self.ignore_missing:
+                # the JVM skips a vanished file's row even without
+                # content projected (probed P7) — one stat, only
+                # when the flag asks for the check
+                try:
+                    fs, p = mgr._resolve(part.path)  # noqa: SLF001
+                    if fs.stat(p) is None:
+                        return
+                except FileNotFoundError:
+                    return
             batches = iter([self._meta_arrays(part, columns, None)])
         else:
             if part.length > self.max_length:
@@ -947,6 +1002,14 @@ class CachedBinaryFileReader(CachedParquetReader):
                 yield self._meta_arrays(part, columns, fobj.read())
 
             batches = _read_file_batches(mgr, part, one_pass)
+            if self.ignore_corrupt or self.ignore_missing:
+                from sidecar_spark.sources.cached_parquet import (
+                    _skip_file_errors,
+                )
+
+                batches = _skip_file_errors(batches,
+                                            self.ignore_corrupt,
+                                            self.ignore_missing)
         if self.schema is not None:
             batches = _finalize_batches(
                 batches, self.schema, part.parts, tz=self.tz,
