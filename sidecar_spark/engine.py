@@ -860,10 +860,10 @@ class Engine:
                 # the cached text source's transcode — gate below
                 enc = str(v)
                 continue
-            if fmt == "csv" and kl == "multiline":
-                # RECORD framing (round 10, probed): quote-aware
-                # record spans served by the cached text source's
-                # _csv_multiline_records — see the gate below the loop
+            if kl == "multiline":
+                # csv: quote-aware RECORD framing in the text source;
+                # json: whole-file document parse through from_json
+                # (both round 10, probed — gates below the loop)
                 multiline = str(v).lower() == "true"
                 continue
             if fmt == "csv" and kl == "header":
@@ -931,8 +931,11 @@ class Engine:
             transcode = aliases[c]
             if transcode is not None:
                 if fmt == "json":
-                    if linesep is None or transcode in ("utf-16",
-                                                        "utf-32"):
+                    if multiline:
+                        pass  # whole-file decode — any allowed
+                        # charset, no lineSep needed (probed J14)
+                    elif linesep is None or transcode in ("utf-16",
+                                                          "utf-32"):
                         return None
                 elif transcode in ("utf-16", "utf-32"):
                     if not multiline:
@@ -950,7 +953,37 @@ class Engine:
                     except (UnicodeEncodeError, KeyError):
                         return None
                 framing["transcode"] = transcode
-        if multiline:
+        if multiline and fmt == "json":
+            # json multiLine = whole-file DOCUMENT parse (round 10,
+            # probed J1-J28 — tests/test_json_multiline.py): each
+            # file is one JSON value; a top-level array yields one
+            # row per element, an object one row (from_json's array
+            # schema wraps it — probed X1), trailing content after
+            # the first value is ignored, a malformed/scalar/
+            # null-element document collapses to ONE all-null row,
+            # empty/whitespace-only files yield nothing, files never
+            # split. Routes raw: explicit lineSep (ignored-vs-error
+            # unprobed), and any corrupt-record column in play —
+            # array-mode from_json cannot reproduce the JVM's
+            # partial-corruption fills.
+            if linesep is not None:
+                return None
+            corrupt_name = next(
+                (str(v2) for k2, v2 in fwd.items()
+                 if k2.lower() == "columnnameofcorruptrecord"), None)
+            if corrupt_name is None:
+                try:
+                    corrupt_name = self.spark.conf.get(
+                        "spark.sql.columnNameOfCorruptRecord",
+                        "_corrupt_record")
+                except Exception:  # noqa: BLE001
+                    corrupt_name = "_corrupt_record"
+            if any(f.name.lower() == corrupt_name.lower()
+                   for f in fields):
+                return None
+            framing["wholetext"] = "true"
+            framing["strip_bom"] = "true"
+        if multiline and fmt == "csv":
             # csv multiLine record framing (round 10, every boundary
             # rule probed — tests/test_csv_multiline.py). Routes raw
             # for the unprobed/degenerate corners: explicit lineSep
@@ -1012,7 +1045,7 @@ class Engine:
             # and serves the DIRECTORY value — unprobed for csv/json,
             # refuse to guess
             return None
-        if multiline:
+        if multiline and fmt == "csv":
             # the multiLine framing already applied the RECORD-level
             # drops, with DIFFERENT rules than line mode: only
             # length-0 records drop (a whitespace-only record is a
@@ -1031,6 +1064,28 @@ class Engine:
                 # chars never match)
                 kept = kept.where(
                     ~F.col("value").startswith(F.lit(comment)))
+        if multiline and fmt == "json":
+            from pyspark.sql.types import ArrayType, StructType
+
+            st = StructType(fields)
+            arr = F.from_json(F.col("value"), ArrayType(st),
+                              fwd or None)
+            # malformed document (unparseable, top-level scalar,
+            # scalar/nested elements, or an explicit null element —
+            # probed J4/J10/J11/J15/J16/J20) → exactly ONE all-null
+            # row: a single null struct through explode
+            bad = arr.isNull() | F.exists(arr, lambda e: e.isNull())
+            arr = F.when(bad, F.array(F.lit(None).cast(st))
+                         ).otherwise(arr)
+            parsed = kept.select(F.explode(arr).alias("_r"),
+                                 *[F.col(p) for p in part_cols])
+            out = parsed.select(
+                *[F.col("_r").getItem(f.name).alias(f.name)
+                  for f in fields],
+                *[F.col(p) for p in part_cols])
+            if columns:
+                out = out.select(*columns)
+            return out
         parser = F.from_csv if fmt == "csv" else F.from_json
         sch = user if fmt == "json" else ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}"

@@ -1209,6 +1209,67 @@ def ignore_corrupt_files_read(spark, sf_dir):
 
 
 @query(
+    "json_multiline_read_agg",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+           CAST(sum(length(n_name)) AS BIGINT) AS name_chars
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def json_multiline_read_agg(spark, sf_dir):
+    """json ``multiLine=true`` through the CACHED executor path
+    (round 10): one pretty-printed top-level JSON ARRAY file per
+    region (records span many physical lines), parsed by the
+    composed wholetext + array-schema ``from_json`` path — every
+    document-shape rule probed in tests/test_json_multiline.py. The
+    oracle recomputes from the base nation table, so a hash match
+    proves the multi-line documents reassembled exactly. Scale
+    shape: one never-split task per document file (the JVM's own
+    rule), bin-packed when small; parse stays JVM-side."""
+    import json as _json
+
+    try:
+        mt = os.stat(os.path.join(sf_dir, "nation.parquet")).st_mtime_ns
+    except OSError:
+        mt = 0
+    loc = os.path.join(_ROOT, _tag(sf_dir), f"nation_jsonml_{mt}")
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        import glob as _glob
+        import shutil as _shutil
+        for old in _glob.glob(os.path.join(
+                _ROOT, _tag(sf_dir), "nation_jsonml_*")):
+            if old != loc:
+                _shutil.rmtree(old, ignore_errors=True)
+        rows = (t(spark, sf_dir, "nation")
+                .select("n_nationkey", "n_name", "n_regionkey")
+                .collect())  # 25 rows — bounded fixture build
+        os.makedirs(loc, exist_ok=True)
+        by_region = {}
+        for r in sorted(rows, key=lambda r: r.n_nationkey):
+            by_region.setdefault(r.n_regionkey, []).append(
+                {"n_nationkey": r.n_nationkey, "n_name": r.n_name,
+                 "n_regionkey": r.n_regionkey})
+        for rk, docs in by_region.items():
+            with open(os.path.join(loc, f"region-{rk}.json"),
+                      "w") as f:
+                _json.dump(docs, f, indent=2)
+        with open(os.path.join(loc, "_SUCCESS"), "w"):
+            pass
+    eng = _exec_engine(spark)
+    nt = eng.read_format(
+        loc, "json", multiLine="true",
+        schema="n_nationkey bigint, n_name string, "
+               "n_regionkey bigint")
+    return (nt.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n_nations"),
+                 F.sum("n_nationkey").cast("bigint").alias("sum_key"),
+                 F.sum(F.length("n_name")).cast("bigint")
+                 .alias("name_chars")))
+
+
+@query(
     "executor_binaryfile_png_decode",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_imgs,

@@ -597,6 +597,60 @@ def _decode_whole(data: bytes, tc: str) -> bytes:
     return data.decode(codec, "replace").encode()
 
 
+def _jackson_decode(data: bytes) -> bytes:
+    """Jackson's ByteSourceJsonBootstrapper charset auto-detection
+    for json multiLine WITHOUT an encoding option (round 10, probed
+    K1-K7): BOMs first (consumed), then the null-byte quad/pair
+    heuristics over the ASCII lead character; utf-8 passes RAW
+    bytes through (invalid utf-8 rides into from_json's byte-level
+    Jackson exactly like the file source — probed K6)."""
+    if data[:4] == b"\x00\x00\xfe\xff":
+        return data[4:].decode("utf-32-be", "replace").encode()
+    if data[:4] == b"\xff\xfe\x00\x00":
+        return data[4:].decode("utf-32-le", "replace").encode()
+    if data[:2] == b"\xfe\xff":
+        return data[2:].decode("utf-16-be", "replace").encode()
+    if data[:2] == b"\xff\xfe":
+        return data[2:].decode("utf-16-le", "replace").encode()
+    if data[:3] == b"\xef\xbb\xbf":
+        return data[3:]
+    if len(data) >= 4:
+        if (data[0] == 0 and data[1] == 0 and data[2] == 0
+                and data[3]):
+            return data.decode("utf-32-be", "replace").encode()
+        if (data[0] and data[1] == 0 and data[2] == 0
+                and data[3] == 0):
+            return data.decode("utf-32-le", "replace").encode()
+    if len(data) >= 2:
+        if data[0] == 0 and data[1]:
+            return data.decode("utf-16-be", "replace").encode()
+        if data[0] and data[1] == 0:
+            return data.decode("utf-16-le", "replace").encode()
+    return data
+
+
+def _declared_decode(data: bytes, tc: str) -> bytes:
+    """Whole-file decode for json multiLine with a DECLARED encoding
+    (round 10): Java's BOM-variant charsets (UTF-16/UTF-32) detect
+    AND consume a BOM (default big-endian without one), while the
+    fixed-endian and 8-bit charsets keep a BOM's decoded characters —
+    which then break the JSON parse into a malformed row, exactly
+    like the JVM (probed K8: UTF-16LE + FF FE reads all-null)."""
+    if tc == "utf-16":
+        if data.startswith(b"\xff\xfe"):
+            return data[2:].decode("utf-16-le", "replace").encode()
+        if data.startswith(b"\xfe\xff"):
+            return data[2:].decode("utf-16-be", "replace").encode()
+        return data.decode("utf-16-be", "replace").encode()
+    if tc == "utf-32":
+        if data.startswith(b"\xff\xfe\x00\x00"):
+            return data[4:].decode("utf-32-le", "replace").encode()
+        if data.startswith(b"\x00\x00\xfe\xff"):
+            return data[4:].decode("utf-32-be", "replace").encode()
+        return data.decode("utf-32-be", "replace").encode()
+    return data.decode(_TRANSCODE[tc][0], "replace").encode()
+
+
 def _drop_first(it):
     """Skip the first item (the multiLine csv header RECORD — comment
     and empty records were already filtered, so this is the first
@@ -666,6 +720,10 @@ class CachedTextReader(CachedParquetReader):
         #: Engine's composed csv/json paths, never by plain text: the
         #: JVM text format IGNORES the encoding option, probed E15)
         self.transcode = options.get("transcode") or None
+        #: json multiLine: Jackson charset auto-detect + BOM consume
+        #: on the wholetext value (round 10, probed K1-K7)
+        self.strip_bom = (str(options.get("strip_bom") or "false")
+                          .lower() == "true")
         sep = options.get("linesep")
         if sep and self.transcode in _TRANSCODE:
             # the separator matches ENCODED bytes (probed F10/F11:
@@ -788,9 +846,16 @@ class CachedTextReader(CachedParquetReader):
         if self.wholetext:
             # wholetext KEEPS a leading BOM (probed) — raw bytes,
             # decompressed under a codec extension (probed: the JVM
-            # hands wholetext the decompressed stream too)
+            # hands wholetext the decompressed stream too). The json
+            # multiLine compose (strip_bom/transcode set) layers
+            # Jackson's charset detection or the declared decode on
+            # top — plain text wholetext never sets either.
             data = (b"".join(_codec_chunks(fobj, codec)) if codec
                     else fobj.read())
+            if self.transcode:
+                data = _declared_decode(data, self.transcode)
+            elif self.strip_bom:
+                data = _jackson_decode(data)
             yield from _value_batches(iter([data]), include_value)
             return
         if self.ml_csv:

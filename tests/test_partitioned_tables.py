@@ -164,6 +164,11 @@ class TestExecutorPartitionPruning:
 
         plain = spark.read.parquet(ptable)
         eng = Engine(spark, conf=_conf(cache_dir, "executor"))
+        # partition count stopped being a pruning proxy under
+        # bin-packing (round 9; the round-10 exact-overflow fix moved
+        # the bin boundaries again) — pin openCostInBytes above the
+        # pack target so one task = one file for this assertion
+        spark.conf.set("spark.sql.files.openCostInBytes", "134217728")
         try:
             full = eng.read_parquet(ptable)
             n_all = full.rdd.getNumPartitions()
@@ -181,6 +186,7 @@ class TestExecutorPartitionPruning:
                 assert (eng.read_parquet(ptable).where(pred).count()
                         == plain.where(pred).count()), pred
         finally:
+            spark.conf.unset("spark.sql.files.openCostInBytes")
             eng.close()
             CacheManager.clear_instances()
 
