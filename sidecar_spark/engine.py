@@ -880,7 +880,13 @@ class Engine:
             if kl not in allowed:
                 return None
             if kl == "mode" and str(v).upper() != "PERMISSIVE":
-                # DROPMALFORMED drops ROWS — an expression cannot;
+                # DROPMALFORMED is unreproducible from a composed
+                # expression BY DESIGN (round-10 probes): the JVM
+                # evaluates malformed-ness against the projection's
+                # REQUIRED schema, so `select(b)` KEEPS a row whose
+                # `a` fails to cast and `count()` keeps every raw
+                # line — a compose-time parse sees the full schema
+                # and cannot know the downstream projection.
                 # FAILFAST's error text differs. Raw keeps parity.
                 return None
             fwd[k] = str(v)

@@ -230,7 +230,10 @@ class TestCachedJsonUserSchema:
         finally:
             eng.close()
 
-    def test_multiline_goes_raw(self, spark, cache_dir, tmp_path):
+    def test_multiline_composes(self, spark, cache_dir, tmp_path):
+        # round 10: json multiLine now composes through the
+        # wholetext + array-schema from_json path
+        # (tests/test_json_multiline.py has the full probed matrix)
         d = str(tmp_path)
         _w(d, "j/a.json", b'[{"i":1},\n{"i":2}]\n')
         root = os.path.join(d, "j")
@@ -239,7 +242,7 @@ class TestCachedJsonUserSchema:
             got = eng.read_format(root, "json", schema="i int",
                                   multiLine="true")
             plan = got._jdf.queryExecution().toString()
-            assert "sidecar_cached_text" not in plan
+            assert "sidecar_cached_text" in plan
             _parity(spark.read.schema("i int")
                     .option("multiLine", "true").json(root), got)
         finally:
