@@ -47,10 +47,7 @@ _PATH_SEMANTIC_OPTS = {"basepath", "pathglobfilter",
 #: compatibility switches, not the hot path. Driver mode needs no
 #: gate: the JVM reads the symlink view itself, applying every conf.
 _EXEC_RAW_CONFS = (
-    ("spark.sql.parquet.binaryAsString", "false"),
     ("spark.sql.parquet.int96AsTimestamp", "true"),
-    ("spark.sql.sources.partitionColumnTypeInference.enabled",
-     "true"),
 )
 
 
@@ -664,6 +661,24 @@ class Engine:
                 "spark.sql.legacy.parquet.nanosAsLong", "false")
         except Exception:  # noqa: BLE001
             nanos_long = "false"
+        # two more session confs served natively (round 10, probed):
+        # inference-off partition columns type STRING (void stays);
+        # binaryAsString remaps unannotated parquet BINARY (nested
+        # included) at schema inference — user schemas still win
+        try:
+            pt_inference = self.spark.conf.get(
+                "spark.sql.sources.partitionColumnTypeInference"
+                ".enabled", "true")
+        except Exception:  # noqa: BLE001
+            pt_inference = "true"
+        try:
+            bin_str = self.spark.conf.get(
+                "spark.sql.parquet.binaryAsString", "false")
+        except Exception:  # noqa: BLE001
+            bin_str = "false"
+        if fmt != "parquet":
+            bin_str = "false"  # PARQUET-only conf (probed B6: an
+            # ORC binary column stays binary under the flag)
         source = {"orc": "sidecar_cached_orc",
                   "text": "sidecar_cached_text",
                   "binaryfile": "sidecar_cached_binaryfile",
@@ -690,6 +705,8 @@ class Engine:
                   .option("dt_rebase", dt_rebase)
                   .option("i96_rebase", i96_rebase)
                   .option("nanos_long", nanos_long)
+                  .option("pt_inference", pt_inference)
+                  .option("binary_as_string", bin_str)
                   .option("split_bytes", str(
                       _parse_bytes(str(split_bytes))
                       if split_bytes is not None
@@ -711,7 +728,8 @@ class Engine:
                 location, ntz="true" == str(ntz).lower(),
                 nanos_long="true" == str(nanos_long).lower(),
                 case_sensitive="true" == str(case_sensitive).lower(),
-                listing=raw_opts, files=listed)
+                listing=raw_opts, files=listed,
+                binary_as_string="true" == str(bin_str).lower())
             if merged is not None:
                 import json
 
@@ -1246,7 +1264,8 @@ class Engine:
     def _maybe_merged_schema_job(self, location: str, ntz: bool,
                                  nanos_long: bool,
                                  case_sensitive: bool, listing=None,
-                                 files=None):
+                                 files=None,
+                                 binary_as_string: bool = False):
         """mergeSchema planning at LARGE file counts: the plan worker
         process cannot launch Spark jobs, so its footer fold is a
         16-thread pool — honest to ~10k files (round-7 BASELINE.md).
@@ -1313,7 +1332,9 @@ class Engine:
                 SidecarConfig.from_json(conf_json))
             acc = None
             for p, mt in chunk:
-                s = footer_spark_struct(mgr, p, mt, ntz, nanos_long)
+                s = footer_spark_struct(
+                    mgr, p, mt, ntz, nanos_long,
+                    binary_as_string=binary_as_string)
                 acc = (s if acc is None
                        else _merge_struct_types(acc, s,
                                                 case_sensitive))

@@ -730,8 +730,56 @@ def _merge_struct_types(left, right, case_sensitive: bool):
     return StructType(out)
 
 
+def _binary_as_string_type(dt):
+    """spark.sql.parquet.binaryAsString=true: unannotated BINARY
+    infers as string — NESTED included (round 10, probed B5:
+    struct/array element binaries turn string too; ORC unaffected).
+    Recursive type transform over the inferred Spark type."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if isinstance(dt, BinaryType):
+        return StringType()
+    if isinstance(dt, ArrayType):
+        return ArrayType(_binary_as_string_type(dt.elementType),
+                         dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(_binary_as_string_type(dt.keyType),
+                       _binary_as_string_type(dt.valueType),
+                       dt.valueContainsNull)
+    if isinstance(dt, StructType):
+        return StructType([
+            StructField(f.name,
+                        _binary_as_string_type(f.dataType),
+                        True, f.metadata) for f in dt.fields])
+    return dt
+
+
+def _partition_types(specs, options):
+    """Partition-column (name, ddl) pairs honoring
+    ``spark.sql.sources.partitionColumnTypeInference.enabled``
+    (round 10, probed): disabled → every column types STRING, except
+    an all-null column which stays VOID exactly like the JVM (N1).
+    Values decode identically either way (%-unescape,
+    __HIVE_DEFAULT_PARTITION__ → null)."""
+    from sidecar_spark.cache.partitions import infer_partition_types
+
+    inferred = infer_partition_types(specs)
+    if str(options.get("pt_inference", "true")).lower() == "false":
+        return [(k, ddl if ddl == "void" else "string")
+                for k, ddl in inferred]
+    return inferred
+
+
 def footer_spark_struct(mgr, path: str, mtime: int, ntz: bool,
-                        nanos_long: bool, arrow_schema_of=None):
+                        nanos_long: bool, arrow_schema_of=None,
+                        binary_as_string: bool = False):
     """ONE file's footer → the Spark StructType the JVM would derive
     for it: INT96/ns coercion, NTZ inference, then relaxed to
     all-nullable (FileFormat asNullable). Mirror-first through the
@@ -752,8 +800,11 @@ def footer_spark_struct(mgr, path: str, mtime: int, ntz: bool,
         with fs_.open_read(p_) as f:
             arrow = arrow_schema_of(f, nanos_long)
     s = from_arrow_schema(arrow, prefer_timestamp_ntz=ntz)
-    return StructType([StructField(f.name, f.dataType, True,
-                                   f.metadata) for f in s.fields])
+    out = StructType([StructField(f.name, f.dataType, True,
+                                  f.metadata) for f in s.fields])
+    if binary_as_string:
+        out = _binary_as_string_type(out)
+    return out
 
 
 def listing_filter(files, glob: str = "", mod_before=None,
@@ -2093,7 +2144,7 @@ class CachedParquetSource(DataSource):
                     "layout (non key=value subdirectories, or files "
                     "at mixed depths) — Spark's partition discovery "
                     "refuses these too")
-            inferred = infer_partition_types(specs)
+            inferred = _partition_types(specs, self.options)
 
             def key(n):
                 return n if cs else n.lower()
@@ -2153,7 +2204,10 @@ class CachedParquetSource(DataSource):
         def footer_struct(st):
             return footer_spark_struct(
                 mgr, st.path, st.mtime, ntz, nanos_long,
-                arrow_schema_of=self._file_arrow_schema)
+                arrow_schema_of=self._file_arrow_schema,
+                binary_as_string=(str(self.options.get(
+                    "binary_as_string") or "false").lower()
+                    == "true"))
 
         # ignoreCorrupt/MissingFiles apply to schema INFERENCE too
         # (probed: the JVM skips a corrupt footer and infers from
@@ -2248,7 +2302,7 @@ class CachedParquetSource(DataSource):
                 "depths) — Spark's partition discovery refuses these "
                 "too; read the original root with spark.read (add "
                 "recursiveFileLookup=true to flatten nested dirs)")
-        inferred = infer_partition_types(specs)
+        inferred = _partition_types(specs, self.options)
         base_by_lower = {f.name.lower(): f.name for f in base.fields}
         shadowed = {}    # lower(name) -> (directory-case name, type)
         part_fields = []

@@ -1152,7 +1152,11 @@ class _RawSchemaMixin:
                     "refuses these too")
             fixed_lower = {f.name.lower() for f in base.fields}
             part_fields = []
-            for k, ddl in infer_partition_types(specs):
+            from sidecar_spark.sources.cached_parquet import (
+                _partition_types,
+            )
+
+            for k, ddl in _partition_types(specs, self.options):
                 if k.lower() in fixed_lower:
                     raise ValueError(
                         f"partition column {k!r} in {path!r} "

@@ -26,12 +26,16 @@ def _conf(cache_dir, mode="executor"):
         resolve_mode=mode)
 
 
-def _engine_read(spark, cache_dir, root, mode="executor"):
+def _engine_read(spark, cache_dir, root, mode="executor",
+                 expect_cached=None):
     from sidecar_spark import Engine
 
     eng = Engine(spark, conf=_conf(cache_dir, mode))
     try:
         df = eng.read_parquet(root)
+        if expect_cached is not None:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert ("sidecar_cached" in plan) == expect_cached
         return df.schema, sorted(map(str, df.collect()))
     finally:
         eng.close()
@@ -193,11 +197,63 @@ class TestCompatConfFallback:
             jvm = spark.read.parquet(d)
             assert jvm.schema.simpleString() == "struct<b:string>"
             want = sorted(map(str, jvm.collect()))
-            schema, rows = _engine_read(spark, cache_dir, d)
+            # round 10: served NATIVELY (schema-level remap + the
+            # cast gate's unvalidated binary→string reinterpret)
+            schema, rows = _engine_read(spark, cache_dir, d,
+                                        expect_cached=True)
             assert schema == jvm.schema
             assert rows == want
         finally:
             spark.conf.unset("spark.sql.parquet.binaryAsString")
+
+    def test_binary_as_string_nested(self, spark, cache_dir):
+        """The flag remaps NESTED binaries too (probed B5:
+        struct/list element binaries read string), recursively
+        through the conformance layer."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tempfile.mkdtemp(prefix="tp-basn-")
+        pq.write_table(pa.table({
+            "st": pa.array([{"x": b"ab"}],
+                           type=pa.struct([("x", pa.binary())])),
+            "lst": pa.array([[b"cd", b"\x00z"]],
+                            type=pa.list_(pa.binary()))}),
+            f"{d}/p.parquet")
+        spark.conf.set("spark.sql.parquet.binaryAsString", "true")
+        try:
+            jvm = spark.read.parquet(d)
+            assert "string" in jvm.schema.simpleString()
+            want = sorted(map(str, jvm.collect()))
+            schema, rows = _engine_read(spark, cache_dir, d,
+                                        expect_cached=True)
+            assert schema == jvm.schema
+            assert rows == want
+        finally:
+            spark.conf.unset("spark.sql.parquet.binaryAsString")
+
+    def test_binary_as_string_orc_unaffected(self, spark, cache_dir,
+                                             tmp_path):
+        """PARQUET-only conf (probed B6): an ORC binary column stays
+        binary under the flag, still served cached."""
+        from sidecar_spark import Engine
+
+        d = str(tmp_path / "orcb")
+        (spark.createDataFrame([(bytearray(b"xy"),)], "b binary")
+         .coalesce(1).write.mode("overwrite").orc(d))
+        spark.conf.set("spark.sql.parquet.binaryAsString", "true")
+        eng = Engine(spark, conf=_conf(cache_dir, "executor"))
+        try:
+            df = eng.read_format(d, "orc")
+            assert dict(df.dtypes)["b"] == "binary"
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "sidecar_cached" in plan
+            assert (sorted(map(str, df.collect()))
+                    == sorted(map(str, spark.read.orc(d).collect())))
+        finally:
+            spark.conf.unset("spark.sql.parquet.binaryAsString")
+            eng.close()
+            CacheManager.clear_instances()
 
     def test_partition_type_inference_off(self, spark, cache_dir):
         """Inference disabled: every partition column is STRING with
@@ -219,9 +275,23 @@ class TestCompatConfFallback:
             jvm = spark.read.parquet(d)
             assert dict(jvm.dtypes)["k"] == "string"
             want = sorted(map(str, jvm.collect()))
-            schema, rows = _engine_read(spark, cache_dir, d)
+            # round 10: served NATIVELY (the ladder short-circuits
+            # to string; an all-null column stays void — probed N1)
+            schema, rows = _engine_read(spark, cache_dir, d,
+                                        expect_cached=True)
             assert schema == jvm.schema
             assert rows == want
+            d2 = tempfile.mkdtemp(prefix="tp-pti2-")
+            os.makedirs(f"{d2}/k=__HIVE_DEFAULT_PARTITION__")
+            pq.write_table(
+                pa.table({"v": pa.array([3])}),
+                f"{d2}/k=__HIVE_DEFAULT_PARTITION__/c.parquet")
+            jvm = spark.read.parquet(d2)
+            assert dict(jvm.dtypes)["k"] == "void"
+            schema, rows = _engine_read(spark, cache_dir, d2,
+                                        expect_cached=True)
+            assert schema == jvm.schema
+            assert rows == sorted(map(str, jvm.collect()))
         finally:
             spark.conf.unset(key)
 
