@@ -46,9 +46,13 @@ _PATH_SEMANTIC_OPTS = {"basepath", "pathglobfilter",
 #: Correct everywhere, merely uncached — these are rare
 #: compatibility switches, not the hot path. Driver mode needs no
 #: gate: the JVM reads the symlink view itself, applying every conf.
-_EXEC_RAW_CONFS = (
-    ("spark.sql.parquet.int96AsTimestamp", "true"),
-)
+#: session confs the executor sources would have to route raw on —
+#: EMPTY since round 10: binaryAsString and partition-type-inference
+#: are served natively, and int96AsTimestamp=false is IGNORED by
+#: Spark 4.1's own reader (probed: an INT96 file still reads
+#: timestamp under the flag — tests/test_type_parity.py), so both
+#: paths already agree
+_EXEC_RAW_CONFS = ()
 
 
 def _listing_opts(options, spark) -> Optional[Dict[str, str]]:

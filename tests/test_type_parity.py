@@ -295,6 +295,32 @@ class TestCompatConfFallback:
         finally:
             spark.conf.unset(key)
 
+    def test_int96_as_timestamp_false_is_vestigial(self, spark,
+                                                   cache_dir,
+                                                   tmp_path):
+        """Spark 4.1 IGNORES int96AsTimestamp=false (probed: an
+        INT96 file still reads timestamp under the flag), so the
+        executor path needn't route raw on it — both sides agree,
+        cached."""
+        d = str(tmp_path / "i96")
+        spark.conf.set("spark.sql.parquet.outputTimestampType",
+                       "INT96")
+        (spark.sql("SELECT timestamp'2024-01-02 03:04:05.123456' "
+                   "AS t, 7 AS i").coalesce(1)
+         .write.mode("overwrite").parquet(d))
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        spark.conf.set("spark.sql.parquet.int96AsTimestamp", "false")
+        try:
+            jvm = spark.read.parquet(d)
+            assert dict(jvm.dtypes)["t"] == "timestamp"
+            want = sorted(map(str, jvm.collect()))
+            schema, rows = _engine_read(spark, cache_dir, d,
+                                        expect_cached=True)
+            assert schema == jvm.schema
+            assert rows == want
+        finally:
+            spark.conf.unset("spark.sql.parquet.int96AsTimestamp")
+
     def test_ignore_corrupt_files(self, spark, cache_dir):
         """ignoreCorruptFiles=true with an explicit-schema read skips
         the corrupt file and serves the good rows (probed: schema
