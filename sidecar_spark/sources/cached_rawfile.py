@@ -571,32 +571,6 @@ _TRANSCODE = {
 }
 
 
-def _decode_whole(data: bytes, tc: str) -> bytes:
-    """Decode one whole (decompressed) file body from ``tc`` to UTF-8
-    bytes for multiLine framing, replace-on-error like Java's
-    CharsetDecoder REPLACE (probed F4: US-ASCII high bytes read
-    U+FFFD). The BOM-detecting variants mirror Java: UTF-16/UTF-32
-    pick the endianness from a leading BOM and default BIG-endian
-    without one (python's utf-16 codec would guess little — decode
-    explicitly)."""
-    if tc == "utf-16":
-        if data.startswith(b"\xff\xfe"):
-            return data[2:].decode("utf-16-le", "replace").encode()
-        if data.startswith(b"\xfe\xff"):
-            return data[2:].decode("utf-16-be", "replace").encode()
-        return data.decode("utf-16-be", "replace").encode()
-    if tc == "utf-32":
-        if data.startswith(b"\xff\xfe\x00\x00"):
-            return data[4:].decode("utf-32-le", "replace").encode()
-        if data.startswith(b"\x00\x00\xfe\xff"):
-            return data[4:].decode("utf-32-be", "replace").encode()
-        return data.decode("utf-32-be", "replace").encode()
-    codec, bom = _TRANSCODE[tc]
-    if data.startswith(bom):
-        data = data[len(bom):]
-    return data.decode(codec, "replace").encode()
-
-
 def _jackson_decode(data: bytes) -> bytes:
     """Jackson's ByteSourceJsonBootstrapper charset auto-detection
     for json multiLine WITHOUT an encoding option (round 10, probed
@@ -649,6 +623,21 @@ def _declared_decode(data: bytes, tc: str) -> bytes:
             return data[4:].decode("utf-32-be", "replace").encode()
         return data.decode("utf-32-be", "replace").encode()
     return data.decode(_TRANSCODE[tc][0], "replace").encode()
+
+
+def _ml_declared_decode(data: bytes, tc: str) -> bytes:
+    """csv multiLine with a DECLARED encoding (round 10, probed
+    ML1-ML3): decode the whole file, then strip ONE leading U+FEFF —
+    univocity drops a decoded BOM character but NOT raw UTF-8 BOM
+    bytes under a non-UTF8 charset (probed ML2: ISO-8859-1 keeps
+    them as the literal 'ï»¿' characters)."""
+    if tc in ("utf-16", "utf-32"):
+        txt = _declared_decode(data, tc).decode()
+    else:
+        txt = data.decode(_TRANSCODE[tc][0], "replace")
+    if txt.startswith("﻿"):
+        txt = txt[1:]
+    return txt.encode()
 
 
 def _drop_first(it):
@@ -871,8 +860,11 @@ class CachedTextReader(CachedParquetReader):
             if self.transcode:
                 # decode the WHOLE file before framing (probed
                 # F2/F3/F13: multiLine + encoding applies the charset
-                # first; the framing markers are then plain UTF-8)
-                data = _decode_whole(data, self.transcode)
+                # first; the framing markers are then plain UTF-8).
+                # BOM rule differs from line mode — decoded U+FEFF
+                # strips, raw UTF-8 BOM bytes under a non-UTF8
+                # charset do NOT (probed ML1-ML3)
+                data = _ml_declared_decode(data, self.transcode)
             elif data.startswith(b"\xef\xbb\xbf"):
                 data = data[3:]
             recs = _csv_multiline_records(

@@ -140,6 +140,15 @@ class TestCsvEncoding:
              {"encoding": "UTF-16LE", "multiLine": "true"}),
             ("F3ml", 'a,"l1\nl2"\nc,d\n'.encode("utf-16"),
              {"encoding": "UTF-16", "multiLine": "true"}),
+            # multiLine BOM rule (probed ML1-ML3): a DECODED U+FEFF
+            # strips, raw UTF-8 BOM bytes under a non-UTF8 charset
+            # do NOT (they read as literal 'ï»¿' characters)
+            ("ML1", b"\xff\xfe" + 'a,"x\ny"\nc,d\n'.encode("utf-16-le"),
+             {"encoding": "UTF-16LE", "multiLine": "true"}),
+            ("ML2", b"\xef\xbb\xbf" + b'a,"x\ny"\nc,d\n',
+             {"encoding": "ISO-8859-1", "multiLine": "true"}),
+            ("ML3", 'a,"x\ny"\nc,d\n'.encode("utf-16"),
+             {"encoding": "UTF-16", "multiLine": "true"}),
         ]
         for name, data, opts in cells:
             d = str(tmp_path / name)

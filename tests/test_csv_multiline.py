@@ -257,12 +257,13 @@ class TestMultilineFraming:
         got = _parity(spark, eng, d1, schema="a string, b string",
                       lineSep="|")
         assert not _is_composed(got)
-        # json multiLine: whole-file document semantics — raw
+        # json multiLine: composes since the later round-10 work
+        # (tests/test_json_multiline.py has the full matrix)
         d2 = str(tmp_path / "js")
         _w(d2, "f.json", b'[{"a": 1, "b": "x"},\n {"a": 2, "b": "y"}]')
         got = _parity(spark, eng, d2, fmt="json",
                       schema="a int, b string")
-        assert not _is_composed(got)
+        assert _is_composed(got)
         # explicit cEQE with escape == quote: unprobed — raw
         d3 = str(tmp_path / "cq")
         _w(d3, "f.csv", b'a,"p""q"\nz,w\n')
