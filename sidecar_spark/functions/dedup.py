@@ -29,6 +29,29 @@ from sidecar_spark.functions.common import spread
 from sidecar_spark.functions.text import normalized_text, words
 
 
+def let1(col, body) -> Column:
+    """Single-use let binding: evaluate ``col`` ONCE per row and feed
+    the bound value to ``body`` as a lambda variable.
+
+    Spark has no SQL ``let``; ``element_at(transform(array(x), v ->
+    body(v)), 1)`` is the standard encoding.  It matters inside
+    higher-order-function subtrees: HOFs never enter whole-stage
+    codegen (they are CodegenFallback), and the INTERPRETED expression
+    evaluator has no common-subexpression elimination — every textual
+    occurrence of ``x`` re-evaluates the whole subtree, per row (and,
+    when the occurrence sits inside a lambda body, per element).  A
+    shingle expression that mentions the words-split 6 times pays 6
+    regex splits per row interpreted; bound once, it pays 1.  Values
+    are unchanged — this is pure evaluation-count plumbing."""
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
+def let1_sql(expr: str, var: str, body: str) -> str:
+    """SQL-text twin of :func:`let1`: bind ``expr`` to lambda variable
+    ``var`` inside ``body`` (which must reference it as ``var``)."""
+    return f"element_at(transform(array({expr}), {var} -> {body}), 1)"
+
+
 def hash60(col) -> Column:
     """Portable 60-bit hash: first 15 hex digits of md5, as bigint.
     (Spark's xxhash64 has no DuckDB twin; md5 exists in both.)"""
@@ -43,16 +66,26 @@ def shingles(col, k: int = 3) -> Column:
     (zip_with pads the short side with null, which concat_ws skips),
     then truncating to the n-k+1 real shingles — one linear pass,
     measurably faster than a transform(sequence, slice) formulation
-    because no per-position sub-array is allocated."""
-    ws = words(normalized_text(col))
-    n = F.size(ws)
-    acc = ws
-    for shift in range(1, k):
-        shifted = F.slice(ws, shift + 1, F.greatest(n - shift, F.lit(0)))
-        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    full = F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(0)))
-    return F.when(n < k, F.array_distinct(F.array(F.concat_ws(" ", ws)))).otherwise(
-        F.array_distinct(full))
+    because no per-position sub-array is allocated.
+
+    The words array is ``let1``-bound: this subtree is interpreted
+    (zip_with is CodegenFallback) and mentions the array 6 times for
+    k=3 — unbound, every mention re-runs normalize+regex-split per
+    row (measured as the dominant cost of the shingle family under a
+    cold/deoptimized JIT)."""
+    def build(ws):
+        n = F.size(ws)
+        acc = ws
+        for shift in range(1, k):
+            shifted = F.slice(ws, shift + 1, F.greatest(n - shift, F.lit(0)))
+            acc = F.zip_with(acc, shifted,
+                             lambda a, b: F.concat_ws(" ", a, b))
+        full = F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(0)))
+        return F.when(
+            n < k, F.array_distinct(F.array(F.concat_ws(" ", ws)))
+        ).otherwise(F.array_distinct(full))
+
+    return let1(words(normalized_text(col)), build)
 
 
 # Mersenne prime 2^31-1: universal-hash modulus. Products stay < 2^62,
@@ -140,17 +173,20 @@ def words_sql(c: str) -> str:
 
 
 def shingles_sql(c: str, k: int = 3) -> str:
-    """Distinct word k-shingles (SQL text twin of ``shingles``)."""
-    ws = words_sql(c)
+    """Distinct word k-shingles (SQL text twin of ``shingles``).
+    The words array is ``let1_sql``-bound for the same
+    evaluation-count reason as :func:`shingles`."""
+    ws = "__ws"
     n = f"size({ws})"
     acc = ws
     for shift in range(1, k):
         shifted = f"slice({ws}, {shift + 1}, greatest({n} - {shift}, 0))"
         acc = f"zip_with({acc}, {shifted}, (a, b) -> concat_ws(' ', a, b))"
     full = f"slice({acc}, 1, greatest({n} - {k - 1}, 0))"
-    return (f"CASE WHEN {n} < {k} "
+    body = (f"CASE WHEN {n} < {k} "
             f"THEN array_distinct(array(concat_ws(' ', {ws}))) "
             f"ELSE array_distinct({full}) END")
+    return let1_sql(words_sql(c), ws, body)
 
 
 def hash60_sql(c: str) -> str:
@@ -195,15 +231,19 @@ def jaccard(a_col, b_col) -> Column:
 def shingles_seq(col, k: int = 3) -> Column:
     """POSITIONAL word k-shingles (duplicates kept, document order
     preserved) — winnowing needs the sequence; ``shingles`` returns the
-    distinct set for Jaccard/minhash."""
-    ws = words(normalized_text(col))
-    n = F.size(ws)
-    acc = ws
-    for shift in range(1, k):
-        shifted = F.slice(ws, shift + 1, F.greatest(n - shift, F.lit(0)))
-        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    full = F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(0)))
-    return F.when(n < k, F.array(F.concat_ws(" ", ws))).otherwise(full)
+    distinct set for Jaccard/minhash.  Words array ``let1``-bound (see
+    :func:`shingles`)."""
+    def build(ws):
+        n = F.size(ws)
+        acc = ws
+        for shift in range(1, k):
+            shifted = F.slice(ws, shift + 1, F.greatest(n - shift, F.lit(0)))
+            acc = F.zip_with(acc, shifted,
+                             lambda a, b: F.concat_ws(" ", a, b))
+        full = F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(0)))
+        return F.when(n < k, F.array(F.concat_ws(" ", ws))).otherwise(full)
+
+    return let1(words(normalized_text(col)), build)
 
 
 def winnowing_fingerprints_from_hashes(hs, window: int = 4) -> Column:

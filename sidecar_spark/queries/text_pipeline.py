@@ -2039,9 +2039,18 @@ def text_ngram_novelty(spark, sf_dir):
     the groupBy-gram).  The scan is spread: a single-file corpus
     otherwise runs the whole explode on one core."""
     d = spread(t(spark, sf_dir, "documents"))
-    ws = F.when(F.trim(F.lower("text")) == "",
-                F.array().cast("array<string>")) \
+    # materialize the whitespace split as its own projection: the gram
+    # transform below is a higher-order function (CodegenFallback —
+    # interpreted, no common-subexpression elimination), so an INLINE
+    # split expression captured by the lambda would re-split the
+    # document at every element_at site — 3 regex splits PER GRAM
+    # (measured 10-40x on this query whenever the JIT had deoptimized
+    # the split path).  As a bound attribute it is one split per row.
+    ws_expr = F.when(F.trim(F.lower("text")) == "",
+                     F.array().cast("array<string>")) \
         .otherwise(F.split(F.trim(F.lower("text")), r"\s+"))
+    dw = d.select("doc_id", ws_expr.alias("ws"))
+    ws = F.col("ws")
     grams3 = F.when(
         F.size(ws) < 3, F.array(F.array_join(ws, " "))).otherwise(
         F.transform(F.sequence(F.lit(1), F.size(ws) - 2),
@@ -2051,13 +2060,13 @@ def text_ngram_novelty(spark, sf_dir):
                         F.element_at(ws, i + 2))))
     bucket = F.floor(F.col("doc_id") / 1000).cast("bigint") \
         .alias("doc_bucket")
-    totals_b = (d.select("doc_id",
-                         F.size(F.array_distinct(grams3)).alias("ng"))
+    totals_b = (dw.select("doc_id",
+                          F.size(F.array_distinct(grams3)).alias("ng"))
                 .groupBy(bucket)
                 .agg(F.count(F.lit(1)).alias("n_docs"),
                      F.sum("ng").cast("bigint").alias("total_grams")))
-    novel_b = (d.select("doc_id",
-                        F.explode(F.array_distinct(grams3)).alias("g"))
+    novel_b = (dw.select("doc_id",
+                         F.explode(F.array_distinct(grams3)).alias("g"))
                .groupBy("g").agg(F.min("doc_id").alias("first_doc"))
                .groupBy(F.floor(F.col("first_doc") / 1000).cast("bigint")
                         .alias("doc_bucket"))
