@@ -515,6 +515,19 @@ def connected_components_star(edges: DataFrame, nodes: DataFrame,
                  F.least("u", "v").alias("v"))
          .distinct().localCheckpoint(eager=True))
 
+    def sig(df):
+        """Cheap fixpoint gate: (count, xor of row hashes) over the
+        checkpointed edge set — one narrow aggregate job, no shuffle
+        join (bit_xor cannot overflow under ANSI, unlike sum).  A
+        signature mismatch PROVES the sets differ, so the expensive
+        definitive check (exceptAll) only runs on the (rare) signature
+        match; with equal counts over two DISTINCT sets,
+        one-directional exceptAll-empty proves equality."""
+        r = df.agg(F.count(F.lit(1)).alias("n"),
+                   F.bit_xor(F.xxhash64("u", "v")).alias("h")).first()
+        return (r["n"], r["h"])
+
+    e_sig = None
     for _ in range(max_iter):
         # large-star over the symmetric view: every strictly larger
         # neighbor of u re-attaches to m = min(Γ(u) ∪ {u})
@@ -538,10 +551,15 @@ def connected_components_star(edges: DataFrame, nodes: DataFrame,
                  .select(F.greatest("u", "v").alias("u"),
                          F.least("u", "v").alias("v"))
                  .distinct().localCheckpoint(eager=True))
-        if small.exceptAll(e).isEmpty() and e.exceptAll(small).isEmpty():
+        s_sig = sig(small)
+        if e_sig is None:
+            e_sig = sig(e)
+        # signature gate first (one tiny agg vs two shuffle joins per
+        # round); definitive set-equality check only on a match
+        if s_sig == e_sig and small.exceptAll(e).isEmpty():
             e = small
             break
-        e = small
+        e, e_sig = small, s_sig
 
     # converged edge set is (member → component-min) stars; isolated
     # nodes label themselves

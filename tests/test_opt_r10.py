@@ -68,3 +68,34 @@ class TestLet1Binding:
             D.shingles_seq(F.col("t"), 3).alias("s")).collect()
         assert list(rows[0]["s"]) == ["a b a", "b a b", "a b a", "b a b"]
         assert list(rows[1]["s"]) == ["one two"]
+
+
+class TestConnectedComponentsGate:
+    """The round-10 fixpoint gate (count+xor signature, one-directional
+    exceptAll on signature match) must yield the exact same components
+    as before — min-id labels over chains, cliques, isolated nodes."""
+
+    def test_components_chain_clique_isolated(self, spark):
+        # chain 1-2-3-4-5 (needs label propagation through hops),
+        # clique {10,11,12}, isolated 20
+        edges = spark.createDataFrame(
+            [(2, 1), (2, 3), (4, 3), (5, 4),
+             (10, 11), (11, 12), (10, 12)],
+            "doc_a bigint, doc_b bigint").withColumn(
+                "jaccard", F.lit(1.0))
+        nodes = spark.createDataFrame(
+            [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 20]],
+            "doc_id bigint")
+        got = {(r["doc_id"], r["cluster_id"])
+               for r in D.connected_components(edges, nodes).collect()}
+        want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+                (10, 10), (11, 10), (12, 10), (20, 20)}
+        assert got == want
+
+    def test_components_empty_edges(self, spark):
+        edges = spark.createDataFrame(
+            [], "doc_a bigint, doc_b bigint, jaccard double")
+        nodes = spark.createDataFrame([(7,), (9,)], "doc_id bigint")
+        got = {(r["doc_id"], r["cluster_id"])
+               for r in D.connected_components(edges, nodes).collect()}
+        assert got == {(7, 7), (9, 9)}
