@@ -807,13 +807,17 @@ def apriori_frequent_triples(spark, sf_dir):
     blindly is cubically infeasible."""
     import math
 
+    # li feeds the basket count, the item frequency table, and the
+    # basket build; f1 feeds the broadcast join and the n1 count —
+    # persist both so the lineitem scan+distinct runs once, not four
+    # times (each driver action replays the whole subtree otherwise)
     li = (t(spark, sf_dir, "lineitem")
           .select("l_orderkey", (F.col("l_partkey") % 50).alias("item"))
-          .distinct())
+          .distinct().persist())
     ms = int(math.floor(
         _AP_FRAC * li.select("l_orderkey").distinct().count()))
     f1 = (li.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
-          .where(F.col("n") >= ms).select("item"))
+          .where(F.col("n") >= ms).select("item").persist())
     # ONE basket-grouping shuffle replaces every level's self-join:
     # each basket becomes a sorted item array, and pair/triple
     # enumeration is pure map-side combination math on that array

@@ -1657,7 +1657,9 @@ def text_bigram_logprob(spark, sf_dir):
     d = spread(t(spark, sf_dir, "documents"))
     toks = d.select("doc_id", "lang", F.split("text", " ").alias("ws"))
     uni = toks.select("doc_id", "lang", F.explode("ws").alias("tok"))
-    ufreq = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    # ufreq feeds two broadcasts + the grand total: persist so the
+    # unigram explode+aggregate runs once (no cross-branch CSE)
+    ufreq = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c1")).persist()
     total = ufreq.agg(F.sum("c1").alias("n"))
     bg_list = F.transform(
         F.sequence(F.lit(2), F.size("ws")),
@@ -2663,7 +2665,11 @@ def ccnet_perplexity_buckets(spark, sf_dir):
     d = spread(t(spark, sf_dir, "documents"))
     toks = d.select("doc_id", "lang", F.split("text", " ").alias("ws"))
     uni = toks.select(F.explode("ws").alias("tok"))
-    ufreq = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    # ufreq feeds two broadcasts and the grand total; doc_lp feeds the
+    # quantile aggregate AND the final bucketing join — persist both so
+    # the unigram pass runs once and the per-doc scoring pass runs once
+    # (branches of one plan are not CSE'd)
+    ufreq = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c1")).persist()
     total = ufreq.agg(F.sum("c1").alias("n"))
     bg_list = F.transform(
         F.sequence(F.lit(2), F.size("ws")),
@@ -2686,7 +2692,7 @@ def ccnet_perplexity_buckets(spark, sf_dir):
         .groupBy("doc_id", "lang")
         .agg((-F.sum(F.log(0.75 * F.col("c2") / F.col("c_ctx")
                            + 0.25 * F.col("c_cur") / F.col("n")))
-              / F.count(F.lit(1))).alias("ppx")))
+              / F.count(F.lit(1))).alias("ppx")).persist())
     thr = doc_lp.agg(
         F.expr("percentile(ppx, 0.25)").alias("q1"),
         F.expr("percentile(ppx, 0.75)").alias("q3"))
@@ -2730,8 +2736,10 @@ def zipf_law_fit(spark, sf_dir):
 
     d = spread(t(spark, sf_dir, "documents"))
     uni = d.select(F.explode(F.split("text", " ")).alias("w"))
+    # persist: the vocabulary count (a separate driver action) and the
+    # rank window otherwise each re-run the corpus explode+aggregate
     freq = (uni.where(F.col("w") != "")
-            .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist())
     n_vocab = freq.count()
     ranked = (freq.select(
         "c", F.row_number().over(W.orderBy(F.desc("c"), F.asc("w")))
@@ -2838,7 +2846,11 @@ def tfidf_cosine_pairs(spark, sf_dir):
     toks = (d.where(F.trim(F.col("text")) != "")
             .select("doc_id",
                     F.explode(X.words(F.lower(F.col("text")))).alias("w")))
-    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds the df table, the n_docs driver action, and the weight
+    # table (used by norms + both join sides): persist so the corpus
+    # tokenize+aggregate runs once instead of once per consumer
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")) \
+        .persist()
     df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tf.select("doc_id").distinct().count()
     wgt = (tf.join(F.broadcast(df.where((F.col("df") <= 50)
@@ -2916,11 +2928,13 @@ def pmi_collocations(spark, sf_dir):
     from pyspark.sql import Window as W
 
     d = spread(t(spark, sf_dir, "documents"))
+    # inc feeds the df table and BOTH sides of the co-occurrence
+    # self-join: persist so the corpus explode+distinct runs once
     inc = (d.where(F.trim(F.col("text")) != "")
            .select("doc_id",
                    F.explode(X.words(F.lower(F.col("text")))).alias("w"))
            .where(F.length("w") >= 4)
-           .distinct())
+           .distinct().persist())
     df = (inc.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
           .where(F.col("df") >= 50))
     finc = inc.join(F.broadcast(df), "w")
@@ -3010,7 +3024,12 @@ def text_kneser_ney_logprob(spark, sf_dir):
                            F.element_at("ws", i)))
     bgs = (toks.where(F.size("ws") >= 2)
            .select("doc_id", "lang", F.explode(bg_list).alias("bg")))
-    bfreq = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    # ONE bigram aggregate feeds four model tables (bfreq itself,
+    # ctxagg, contagg, types) plus the scoring join — persist it so
+    # the corpus explode+aggregate runs once, exactly the "every model
+    # table derives from ONE bigram aggregate" plan the docstring
+    # promises (branches are not CSE'd without it)
+    bfreq = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("c2")).persist()
     ctx_of = F.split_part(F.col("bg"), F.lit(sep), F.lit(1))
     cur_of = F.split_part(F.col("bg"), F.lit(sep), F.lit(2))
     ctxagg = (bfreq.groupBy(ctx_of.alias("ctx"))
@@ -3160,6 +3179,10 @@ def eval_rouge_ngram(spark, sf_dir):
         F.sequence(F.lit(2), F.size("ws")),
         lambda i: F.concat(F.element_at("ws", i - 1), F.lit(sep),
                            F.element_at("ws", i)))
+    # the per-doc gram bag is the model table of this query and feeds
+    # THREE consumers (cand side, ref side, per-doc totals); without a
+    # persist each reference re-tokenizes and re-aggregates the corpus
+    # (no cross-branch CSE in one plan) — 3 corpus passes instead of 1
     grams = (
         toks.select("doc_id", F.explode("ws").alias("g"),
                     F.lit(1).alias("n"))
@@ -3168,7 +3191,7 @@ def eval_rouge_ngram(spark, sf_dir):
             .select("doc_id", F.explode(bg_list).alias("g"),
                     F.lit(2).alias("n")))
         .groupBy("doc_id", "g", "n")
-        .agg(F.count(F.lit(1)).alias("c")))
+        .agg(F.count(F.lit(1)).alias("c")).persist())
     totals = grams.groupBy("doc_id", "n").agg(F.sum("c").alias("total"))
     pairs = (toks.alias("c").join(
         toks.alias("r"),
