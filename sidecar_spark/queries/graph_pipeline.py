@@ -633,17 +633,24 @@ def als_rank2_iteration(spark, sf_dir):
 
     # users feeds the item solve, the count, AND the RMSE join;
     # items feeds the count and the join — checkpoint both so each
-    # half-step executes exactly once
-    users = solve(ratings.join(q0, "p"), "c").localCheckpoint(eager=True)
+    # half-step executes exactly once.  The factor tables are
+    # entity-sized (thousands of rows vs the ratings' hundreds of
+    # thousands): broadcast them explicitly so no half-step or the
+    # RMSE pass ever shuffles the ratings (pre-AQE the planner sees
+    # no stats on the checkpointed side and picks sort-merge — 4
+    # ratings exchanges for a join whose small side fits anywhere)
+    users = solve(ratings.join(F.broadcast(q0), "p"), "c") \
+        .localCheckpoint(eager=True)
     items = solve(
-        ratings.join(users, "c")
+        ratings.join(F.broadcast(users), "c")
         .select("p", "r", F.col("f1").alias("q1"),
                 F.col("f2").alias("q2")),
         "p").localCheckpoint(eager=True)
     n_users = users.count()
     n_items = items.count()
-    pred = (ratings.join(users, "c").join(items.withColumnRenamed(
-                "f1", "g1").withColumnRenamed("f2", "g2"), "p")
+    pred = (ratings.join(F.broadcast(users), "c")
+            .join(F.broadcast(items.withColumnRenamed(
+                "f1", "g1").withColumnRenamed("f2", "g2")), "p")
             .select("r", (F.col("f1") * F.col("g1")
                           + F.col("f2") * F.col("g2")).alias("yhat")))
     return (pred.agg(

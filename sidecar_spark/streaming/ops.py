@@ -98,12 +98,24 @@ def await_bounded(q, timeout_sec: float | None = None) -> None:
         f"{'completed' if not stopper.is_alive() else 'still pending'})")
 
 
+_SCHEMA_CACHE: dict = {}
+
+
 def table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """``readStream`` over any testdata table (the file stream source
     requires a DIRECTORY; expose the single table file through a
-    symlinked stream dir — testdata is read-only)."""
+    symlinked stream dir — testdata is read-only).
+
+    The source schema is memoized per (path, mtime): every streaming
+    query in the battery paid a ~100 ms driver-side parquet footer
+    read just to redeclare the same schema (the mtime key keeps the
+    cache honest if the file is replaced)."""
     path = os.path.join(sf_dir, f"{table}.parquet")
-    schema = spark.read.parquet(path).schema
+    key = (path, os.stat(path).st_mtime_ns)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
     stream_dir = os.path.join(
         tempfile.gettempdir(),
         "sidecar-streamsrc-" + path.strip("/").replace("/", "_"))
