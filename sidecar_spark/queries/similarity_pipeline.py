@@ -610,10 +610,15 @@ def kmeans_iterations(spark, sf_dir):
             F.lit(0.0), lambda acc, x: acc + x)
 
     def assign(centroid_rows):
-        # centroid_rows: list of (cid, vector), cid-ordered
+        # centroid_rows: list of (cid, vector), cid-ordered.  dists is
+        # let1-bound: argmin mentions it twice and the HOF subtree is
+        # interpreted (no CSE) — unbound, every row paid 2k squared-
+        # distance folds instead of k
+        from sidecar_spark.functions.dedup import let1
+
         dists = F.array(*[sqdist(c) for _, c in centroid_rows])
-        cid = (F.array_position(dists, F.array_min(dists)) - 1
-               ).cast("int")
+        cid = let1(dists, lambda dd: (
+            F.array_position(dd, F.array_min(dd)) - 1).cast("int"))
         return e.select("vec_id", cid.alias("cid"), "v")
 
     def means(assigned):
@@ -1185,15 +1190,21 @@ def jl_random_projection(spark, sf_dir):
     hashing)."""
     emb = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 40)
     v = S.as_double(F.col("embedding"))
+    # the double-cast is materialized as its own projection and the 8
+    # projection folds reference the bound attribute: inline, each of
+    # the 9 mentions of v re-ran the array cast per row (interpreted
+    # HOF subtree, no CSE; CollapseProject keeps the split because vv
+    # is referenced many times and non-cheap)
     proj = F.array(*[
         (F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(_jl_sign(p, i))
-                                    for i in range(_DIM)]),
+            F.zip_with(F.col("vv"), F.array(*[F.lit(_jl_sign(p, i))
+                                              for i in range(_DIM)]),
                        lambda x, s: x * s),
             F.lit(0.0), lambda acc, x: acc + x)
          / F.lit(8.0 ** 0.5))
         for p in range(8)])
-    base = emb.select("vec_id", v.alias("vv"), proj.alias("pv"))
+    base = (emb.select("vec_id", v.alias("vv"))
+            .select("vec_id", "vv", proj.alias("pv")))
     a, b = base.alias("a"), base.alias("b")
 
     def sqdist(x, y):
@@ -1249,15 +1260,29 @@ def embedding_int8_quantization(spark, sf_dir):
     in parts-per-million.  Everything is row-local column math — the
     100 TB story IS the point: quantization needs no corpus pass, no
     codebook state, and composes with any ANN index upstream."""
+    from sidecar_spark.functions.dedup import let1
+
     emb = t(spark, sf_dir, "embeddings")
-    v = S.as_double(F.col("embedding"))
-    lo, hi = F.array_min(v), F.array_max(v)
-    scale = (hi - lo) / 255.0
-    dq = F.transform(v, lambda x: lo + F.round((x - lo) / (hi - lo) * 255.0)
-                     * scale)
-    err2 = F.when(hi == lo, F.lit(0.0)).otherwise(
-        F.aggregate(F.zip_with(dq, v, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0), lambda acc, e: acc + e))
+
+    # v, lo and hi are let1-bound: the naive form captures lo/hi (each
+    # an array_min/array_max fold) inside the per-element dequantize
+    # lambda — interpreted HOF, no CSE, so every ELEMENT re-ran ~4
+    # array folds (O(dim^2) per row); and every textual mention of v
+    # re-cast the float array.  Bound: 1 cast + 1 min + 1 max per row.
+    def mse_of(vv):
+        def with_range(mm):
+            lo, hi = mm["lo"], mm["hi"]
+            scale = (hi - lo) / 255.0
+            dq = F.transform(
+                vv, lambda x: lo + F.round((x - lo) / (hi - lo) * 255.0)
+                * scale)
+            return F.when(hi == lo, F.lit(0.0)).otherwise(
+                F.aggregate(F.zip_with(dq, vv, lambda a, b: (a - b) * (a - b)),
+                            F.lit(0.0), lambda acc, e: acc + e))
+        return let1(F.struct(F.array_min(vv).alias("lo"),
+                             F.array_max(vv).alias("hi")), with_range)
+
+    err2 = let1(S.as_double(F.col("embedding")), mse_of)
     mse = (err2 / _DIM).alias("mse")
     return (emb.select("label", mse)
             .groupBy("label")
@@ -1485,13 +1510,22 @@ def knn_classifier_eval(spark, sf_dir):
     from pyspark.sql import Window as W
 
     emb = t(spark, sf_dir, "embeddings")
+    # norms are per-row, computed BEFORE the cross join (the
+    # brute_force_topk pattern): S.cosine inline evaluates each norm
+    # fold twice per PAIR (zero-guard + divisor; interpreted HOF, no
+    # CSE) — 5 array folds per pair where 1 (the dot) suffices.
+    # norm(q)*norm(r) is commutative in IEEE, so values are unchanged.
     test = emb.where(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("qid"), F.col("label").alias("true_label"),
-        S.as_double(F.col("embedding")).alias("q_vec"))
+        S.as_double(F.col("embedding")).alias("q_vec")) \
+        .withColumn("q_nrm", S.norm(F.col("q_vec")))
     train = spread(emb.where(F.col("vec_id") % 25 != 0)).select(
         F.col("vec_id").alias("rid"), F.col("label").alias("n_label"),
-        S.as_double(F.col("embedding")).alias("r_vec"))
-    cos = S.cosine(F.col("q_vec"), F.col("r_vec"))
+        S.as_double(F.col("embedding")).alias("r_vec")) \
+        .withColumn("r_nrm", S.norm(F.col("r_vec")))
+    denom = F.col("q_nrm") * F.col("r_nrm")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        S.dot(F.col("q_vec"), F.col("r_vec")) / denom)
     nn = (train.crossJoin(F.broadcast(test))
           .withColumn("rk", F.row_number().over(
               W.partitionBy("qid").orderBy(F.desc(cos), F.asc("rid"))))
@@ -1696,11 +1730,16 @@ def semdedup_prune(spark, sf_dir):
             F.zip_with("v", lit_c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0), lambda acc, x: acc + x)
 
+    from sidecar_spark.functions.dedup import let1
+
+    # let1-bound argmin: unbound, the 2 mentions of dists re-ran all
+    # 8 squared-distance folds (interpreted HOF subtree, no CSE)
     dists = F.array(*[sqdist(c) for _, c in cents])
     assigned = e.select(
         "vec_id",
-        (F.array_position(dists, F.array_min(dists)) - 1)
-        .cast("bigint").alias("cluster_id"),
+        let1(dists, lambda dd: (
+            F.array_position(dd, F.array_min(dd)) - 1).cast("bigint"))
+        .alias("cluster_id"),
         "v")
 
     def prune(pdf):
@@ -2055,6 +2094,8 @@ def pq_quantization_audit(spark, sf_dir):
     100 TB plan: the codebook is driver-size and inlined (assignment
     is a PURE MAP argmin per subspace — zero joins of the corpus);
     the only shuffle is the final 32-cell aggregate."""
+    from sidecar_spark.functions.dedup import let1
+
     emb = t(spark, sf_dir, "embeddings")
     cb = [(r["vec_id"], [float(x) for x in r["embedding"]])
           for r in emb.where(F.col("vec_id") < 4)
@@ -2062,21 +2103,31 @@ def pq_quantization_audit(spark, sf_dir):
     v = emb.select("vec_id",
                    F.col("embedding").cast("array<double>").alias("v"))
 
+    # sub and dists are let1-bound: this subtree is a CodegenFallback
+    # HOF (interpreted, no common-subexpression elimination), and the
+    # naive form mentions dists 3x (argmin, min, element_at) and sub
+    # once per codebook entry — 12 squared-distance folds per
+    # (row, subspace) where 4 suffice (measured 22.5 s -> the bound
+    # form's fold count; same bug class as the r10 shingle fix)
     def cell(s):
-        sub = F.slice("v", s * 8 + 1, 8)
-        dists = F.array(*[
-            F.aggregate(
-                F.zip_with(sub,
-                           F.array(*[F.lit(c[1][s * 8 + i])
-                                     for i in range(8)]),
-                           lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda acc, x: acc + x)
-            for c in cb])
-        code = (F.array_position(dists, F.array_min(dists)) - 1)
-        return F.struct(F.lit(s).alias("subspace"),
-                        code.cast("bigint").alias("code"),
-                        F.element_at(dists, code.cast("int") + 1)
-                        .alias("sqd"))
+        def dists_of(sub):
+            return F.array(*[
+                F.aggregate(
+                    F.zip_with(sub,
+                               F.array(*[F.lit(c[1][s * 8 + i])
+                                         for i in range(8)]),
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x)
+                for c in cb])
+
+        def pick(dists):
+            code = (F.array_position(dists, F.array_min(dists)) - 1)
+            return F.struct(F.lit(s).alias("subspace"),
+                            code.cast("bigint").alias("code"),
+                            F.element_at(dists, code.cast("int") + 1)
+                            .alias("sqd"))
+
+        return let1(let1(F.slice("v", s * 8 + 1, 8), dists_of), pick)
 
     cells = v.select(
         "vec_id", F.explode(F.array(*[cell(s) for s in range(8)]))
