@@ -509,25 +509,32 @@ def connected_components_star(edges: DataFrame, nodes: DataFrame,
     is a forest of depth-1 stars whose centers are the component
     minima; ``localCheckpoint`` cuts lineage so plan size stays
     constant across rounds (the standard Spark iterative pattern)."""
-    e = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-         .where(F.col("u") != F.col("v"))
-         .select(F.greatest("u", "v").alias("u"),
-                 F.least("u", "v").alias("v"))
-         .distinct().localCheckpoint(eager=True))
-
-    def sig(df):
-        """Cheap fixpoint gate: (count, xor of row hashes) over the
-        checkpointed edge set — one narrow aggregate job, no shuffle
-        join (bit_xor cannot overflow under ANSI, unlike sum).  A
-        signature mismatch PROVES the sets differ, so the expensive
+    def ck_with_sig(df):
+        """Checkpoint the edge set AND collect its fixpoint signature
+        (count, xor of row hashes) in the SAME job: the signature is an
+        ``observe`` metric on the checkpoint action, so each round runs
+        ONE job where r10's gate ran two (checkpoint + separate
+        aggregate).  bit_xor cannot overflow under ANSI, unlike sum.
+        A signature mismatch PROVES the sets differ, so the expensive
         definitive check (exceptAll) only runs on the (rare) signature
         match; with equal counts over two DISTINCT sets,
         one-directional exceptAll-empty proves equality."""
-        r = df.agg(F.count(F.lit(1)).alias("n"),
-                   F.bit_xor(F.xxhash64("u", "v")).alias("h")).first()
-        return (r["n"], r["h"])
+        from pyspark.sql import Observation
 
-    e_sig = None
+        obs = Observation()
+        ck = df.observe(obs, F.count(F.lit(1)).alias("n"),
+                        F.bit_xor(F.xxhash64("u", "v")).alias("h")) \
+            .localCheckpoint(eager=True)
+        m = obs.get  # blocks until the checkpoint job's metrics land
+        return ck, (m["n"], m["h"])
+
+    e, e_sig = ck_with_sig(
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"),
+                F.least("u", "v").alias("v"))
+        .distinct())
+
     for _ in range(max_iter):
         # large-star over the symmetric view: every strictly larger
         # neighbor of u re-attaches to m = min(Γ(u) ∪ {u})
@@ -544,18 +551,16 @@ def connected_components_star(edges: DataFrame, nodes: DataFrame,
         dir_ = (large.select(F.greatest("u", "v").alias("u"),
                              F.least("u", "v").alias("v")).distinct())
         smin = dir_.groupBy("u").agg(F.min("v").alias("m"))
-        small = (dir_.join(smin, "u")
-                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                 .union(smin.select("u", F.col("m").alias("v")))
-                 .where(F.col("u") != F.col("v"))
-                 .select(F.greatest("u", "v").alias("u"),
-                         F.least("u", "v").alias("v"))
-                 .distinct().localCheckpoint(eager=True))
-        s_sig = sig(small)
-        if e_sig is None:
-            e_sig = sig(e)
-        # signature gate first (one tiny agg vs two shuffle joins per
-        # round); definitive set-equality check only on a match
+        small, s_sig = ck_with_sig(
+            dir_.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"),
+                    F.least("u", "v").alias("v"))
+            .distinct())
+        # signature gate first (free — same job as the checkpoint);
+        # definitive set-equality check only on a match
         if s_sig == e_sig and small.exceptAll(e).isEmpty():
             e = small
             break
