@@ -279,8 +279,12 @@ def item_cosine_similarity(spark, sf_dir):
     the per-basket bound caps the pair blowup and the frequency table
     stays millions of rows — broadcastable or bucketable, never
     quadratic."""
+    # li (the distinct basket-item table) feeds the frequency aggregate
+    # AND both self-join sides; the join sides share one exchange via
+    # reuse, but the freq branch re-ran the full scan+distinct —
+    # persist so the lineitem distinct runs once (apriori's pattern)
     li = (t(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
+          .select("l_orderkey", "l_partkey").distinct().persist())
     freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
     a, b = li.alias("a"), li.alias("b")
     pairs = (

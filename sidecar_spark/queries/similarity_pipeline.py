@@ -8,6 +8,8 @@ decimals before comparison.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from sidecar_spark.functions import multimodal as M
@@ -1345,7 +1347,15 @@ def ann_recall_audit(spark, sf_dir):
     and joins their result sets; at 100 TB the ground-truth side runs
     on a fixed query SAMPLE (here all 30), which is exactly how
     production recall audits bound the brute-force cost."""
-    emb = t(spark, sf_dir, "embeddings")
+    # both operators project + double-cast the same embeddings table
+    # (the before plan scanned it 8×: truth side, approx side, two
+    # query sides, AQE duplicates) — persist the casted projection once
+    # and feed it to both; the 30-query sides are already broadcast
+    # inside brute_force_topk/lsh_topk (the simhash-hamming pattern)
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding")) \
+        .persist()
     queries = emb.where(F.col("vec_id") < 30).select(
         F.col("vec_id").alias("query_id"), "embedding")
     truth = S.brute_force_topk(emb, queries, k=10,
@@ -1834,7 +1844,19 @@ def hybrid_search_rrf(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     q_vec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     lit_q = F.array(*[F.lit(float(x)) for x in q_vec])
-    cos = S.cosine(F.col("embedding").cast("array<double>"), lit_q)
+    # the query-vector norm is a constant: fold it driver-side (same
+    # sequential IEEE accumulation as S.norm, so the value is
+    # bit-identical) instead of re-folding the 64-literal array per
+    # row — and per MENTION, since S.cosine names each norm twice
+    # inside an interpreted HOF subtree with no CSE
+    q_acc = 0.0
+    for _x in q_vec:
+        q_acc += float(_x) * float(_x)
+    q_nrm = F.lit(math.sqrt(q_acc))
+    v_nrm = S.norm(F.col("embedding").cast("array<double>"))
+    denom = v_nrm * q_nrm
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        S.dot(F.col("embedding").cast("array<double>"), lit_q) / denom)
     dense = (emb.where(F.col("vec_id") != 0)
              .select(F.col("vec_id").alias("doc_id"),
                      F.round(cos, 6).alias("cos_sim"))
@@ -1923,10 +1945,15 @@ def dsir_importance_weights(spark, sf_dir):
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     toks = (d.where(F.trim(F.col("text")) != "")
             .select("doc_id", "source", F.explode(words).alias("w")))
+    # feats feeds both the bucket-ratio aggregation and the scoring
+    # join — plan branches are not CSE'd, so unpersisted the corpus
+    # explode + per-token md5 ran twice.  The persisted rows are the
+    # narrow hashed-feature table (doc_id, source, int bucket), not
+    # raw text — exactly what DSIR materializes once at scale.
     feats = toks.select(
         "doc_id", "source",
         (F.conv(F.substring(F.md5("w"), 1, 15), 16, 10)
-         .cast("bigint") % 256).alias("bucket"))
+         .cast("bigint") % 256).alias("bucket")).persist()
     counts = feats.groupBy("bucket").agg(
         F.count_if(F.col("source") == "src0").alias("n_t"),
         F.count_if(F.col("source") != "src0").alias("n_r"))

@@ -465,12 +465,17 @@ def bm25_doc_search(spark, sf_dir):
     frontier identical across engines (ties break on doc_id)."""
     d = spread(t(spark, sf_dir, "documents"))
     ws = X.words(F.lower(F.col("text")))
+    # base (the per-doc tokenize pass: dl + per-term tf) feeds BOTH the
+    # corpus-stats aggregate and the scoring join — branches are not
+    # CSE'd, so unpersisted the tokenize ran twice.  Persisting makes
+    # the docstring's "one tokenize pass per doc" literally true; the
+    # cached rows are (doc_id, 5 ints), not text.
     base = d.select(
         "doc_id",
         F.inline(F.array(F.struct(
             F.size(ws).alias("dl"),
             *[F.size(F.filter(ws, _term_eq(q))).alias(f"tf_{q}")
-              for q in _BM25_TERMS]))))
+              for q in _BM25_TERMS])))).persist()
     corpus = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -1837,9 +1842,15 @@ def naive_bayes_langid(spark, sf_dir):
 
     is_train = (hash60(F.concat(F.col("doc_id").cast("string"),
                                 F.lit(":nb"))) % 100 < 80)
+    # toks feeds FIVE consumers (class counts, the total-docs action,
+    # word likelihoods, the vocab-size action, and test scoring) —
+    # separate actions and plan branches are not CSE'd, so unpersisted
+    # the corpus explode ran five times.  (doc_id, lang, flag, tok)
+    # rows only — the persisted set is the token stream every
+    # count-based classifier materializes once.
     toks = d.select(
         "doc_id", "lang", is_train.alias("is_train"),
-        F.explode(F.split("text", " ")).alias("tok"))
+        F.explode(F.split("text", " ")).alias("tok")).persist()
     train = toks.where("is_train")
     cls = train.groupBy(F.col("lang").alias("c")).agg(
         F.count_distinct("doc_id").alias("n_docs"),
